@@ -1,0 +1,125 @@
+package graft.algo
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed single/multi-source weighted shortest paths as a
+  * driver-orchestrated DataFrame relaxation loop (SURVEY §7.2 kernel):
+  *
+  * {{{
+  * state:    (source, nodeId, dist, pred)   — best known distance
+  * frontier: rows improved in the last superstep
+  * step:     frontier ⋈ edges on nodeId=src → candidate(dst, dist+cost, src)
+  *           merge into state via groupBy(source, nodeId).min(struct)
+  * }}}
+  *
+  * Scale properties:
+  *  - each superstep is one shuffled join (frontier × edges, hash on the
+  *    join key) plus one aggregation — both partition-parallel, no driver
+  *    data movement except the empty-frontier check;
+  *  - supersteps = max hop count of any shortest path (graph diameter
+  *    bound), independent of data volume per step;
+  *  - state/frontier are localCheckpoint'ed EVERY iteration and the
+  *    previous incarnation unpersisted — without this the lineage grows
+  *    superlinearly and planning dominates (SURVEY §7.5 risk #1);
+  *  - multi-source: the same kernel keyed by (source, nodeId) relaxes any
+  *    number of sources in one pass — APSP over a source set is one call,
+  *    not |sources| jobs.
+  *
+  * Early exit: with non-negative weights, once the target's current dist ≤
+  * min dist in the frontier, no future relaxation can improve it
+  * (Dijkstra's settling argument lifted to the frontier level).
+  */
+object DistributedSSSP {
+
+  /** edges: (src, dst, cost) — use PropertyGraph.projection.
+    * Returns (source, nodeId, dist, pred); unreachable nodes are absent.
+    */
+  def run(spark: SparkSession, edges: DataFrame, sources: Seq[String],
+      target: Option[String] = None, maxIter: Int = 100000): DataFrame = {
+    import spark.implicits._
+
+    val e = edges.select(col("src"), col("dst"), col("cost"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var state = sources.map(s => (s, s, 0.0, ""))
+      .toDF("source", "nodeId", "dist", "pred")
+      .repartition(col("nodeId"))
+      .localCheckpoint(true)
+    var frontier = state
+    var iter = 0
+    var done = false
+
+    while (!done && iter < maxIter) {
+      val cand = frontier.join(e, frontier("nodeId") === e("src"))
+        .select(col("source"), col("dst").as("nodeId"),
+          (col("dist") + col("cost")).as("dist"), col("src").as("pred"))
+        .groupBy(col("source"), col("nodeId"))
+        .agg(min(struct(col("dist"), col("pred"))).as("s"))
+        .select(col("source"), col("nodeId"),
+          col("s.dist").as("dist"), col("s.pred").as("pred"))
+
+      val improved = cand.join(
+          state.select(col("source").as("o_source"),
+            col("nodeId").as("o_nodeId"), col("dist").as("o_dist")),
+          cand("source") === col("o_source") &&
+            cand("nodeId") === col("o_nodeId"), "left_outer")
+        .filter(col("o_dist").isNull || col("dist") < col("o_dist"))
+        .select(col("source"), col("nodeId"), col("dist"), col("pred"))
+        .localCheckpoint(true)
+
+      val frontierSize = improved.count()
+      if (frontierSize == 0) done = true
+      else {
+        val newState = state.join(improved.select(col("source").as("i_source"),
+              col("nodeId").as("i_nodeId")),
+            state("source") === col("i_source") &&
+              state("nodeId") === col("i_nodeId"), "left_anti")
+          .union(improved)
+          .localCheckpoint(true)
+        state.unpersist()
+        frontier.unpersist()
+        state = newState
+        frontier = improved
+        // frontier-level early exit for single-target queries
+        target.foreach { tgt =>
+          val tRow = state.filter(col("nodeId") === tgt)
+            .agg(min(col("dist"))).collect()
+          val tDist = if (tRow.head.isNullAt(0)) Double.PositiveInfinity
+            else tRow.head.getDouble(0)
+          if (tDist.isFinite) {
+            val fMin = frontier.agg(min(col("dist"))).collect().head.getDouble(0)
+            if (tDist <= fMin) done = true
+          }
+        }
+      }
+      iter += 1
+    }
+    e.unpersist()
+    state
+  }
+
+  /** Reconstruct the source→target path from the (nodeId, dist, pred)
+    * state of a single-source run. Driver-side walk over the collected
+    * predecessor map — the path itself is at most diameter-long, never
+    * data-scale.
+    */
+  def reconstructPath(state: DataFrame, source: String, target: String)
+      : Option[(Seq[String], Seq[Double])] = {
+    val rows = state.select("nodeId", "dist", "pred").collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getString(2)))).toMap
+    if (!rows.contains(target)) return None
+    val nodes = scala.collection.mutable.ArrayBuffer.empty[String]
+    val dists = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var cur = target
+    var guard = 0
+    while (cur != source && guard <= rows.size) {
+      val (d, p) = rows(cur)
+      nodes += cur; dists += d; cur = p; guard += 1
+    }
+    if (cur != source) return None
+    nodes += source; dists += 0.0
+    Some((nodes.reverse.toSeq, dists.reverse.toSeq))
+  }
+}

@@ -1,0 +1,151 @@
+package graft.algo
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.graph.PropertyGraph
+
+/** Public algorithm API — each method returns a DataFrame shaped like the
+  * corresponding reference YIELD (SURVEY §2.9):
+  *   dijkstra/astar path    → (seq, node_id, cost)        [running cost]
+  *   dijkstra/astar summary → (path_node_number, total_cost)
+  *   sssp                   → (node_id, distance)
+  *   apsp                   → (source_id, target_id, distance)
+  *   yen                    → (path_index, node_ids, costs, total_cost)
+  *
+  * Execution strategy is adaptive (SURVEY §7.2): graphs whose projection
+  * fits on the driver run the sequential CSR kernels (broadcast-adjacency
+  * fast path — the reference graph tops out at 37k nodes / 101k edges);
+  * larger graphs run the distributed relaxation kernel. The cutover is an
+  * edge-count threshold; both paths produce identical results (asserted by
+  * the cross-kernel test suite).
+  */
+object ShortestPaths {
+
+  /** Above this projection edge count, use the distributed kernel. */
+  val LocalEdgeThreshold: Long = 20_000_000L
+
+  private def localGraph(g: PropertyGraph): LocalGraph =
+    LocalGraph.fromProjection(g.projection, Some(g.nodes))
+
+  private def useLocal(g: PropertyGraph): Boolean =
+    g.projection.count() <= LocalEdgeThreshold
+
+  /** G1: single-pair Dijkstra, streamed path rows with running cost. */
+  def dijkstraPath(spark: SparkSession, g: PropertyGraph,
+      src: String, dst: String): DataFrame = {
+    import spark.implicits._
+    pathResult(spark, g, src, dst, astar = false) match {
+      case None => Seq.empty[(Int, String, Double)].toDF("seq", "node_id", "cost")
+      case Some((nodes, costs)) =>
+        nodes.indices.map(i => (i, nodes(i), costs(i)))
+          .toDF("seq", "node_id", "cost")
+    }
+  }
+
+  /** G1 summary shape: count + Max over the path stream
+    * (reference: neo4j-code.txt:36 `count(nodeId), Max(cost)`).
+    */
+  def dijkstraSummary(spark: SparkSession, g: PropertyGraph,
+      src: String, dst: String): DataFrame =
+    dijkstraPath(spark, g, src, dst)
+      .agg(count(col("node_id")).as("path_node_number"),
+        round(max(col("cost")), 4).as("total_cost"))
+
+  /** G4: A* with admissible Euclidean heuristic (SURVEY §4.3). */
+  def astarPath(spark: SparkSession, g: PropertyGraph,
+      src: String, dst: String): DataFrame = {
+    import spark.implicits._
+    pathResult(spark, g, src, dst, astar = true) match {
+      case None => Seq.empty[(Int, String, Double)].toDF("seq", "node_id", "cost")
+      case Some((nodes, costs)) =>
+        nodes.indices.map(i => (i, nodes(i), costs(i)))
+          .toDF("seq", "node_id", "cost")
+    }
+  }
+
+  def astarSummary(spark: SparkSession, g: PropertyGraph,
+      src: String, dst: String): DataFrame =
+    astarPath(spark, g, src, dst)
+      .agg(count(col("node_id")).as("path_node_number"),
+        round(max(col("cost")), 4).as("total_cost"))
+
+  private def pathResult(spark: SparkSession, g: PropertyGraph, src: String,
+      dst: String, astar: Boolean): Option[(Seq[String], Seq[Double])] = {
+    if (useLocal(g)) {
+      val lg = localGraph(g)
+      val res = if (astar) LocalKernels.astar(lg, lg.idOf(src), lg.idOf(dst))
+        else LocalKernels.dijkstra(lg, lg.idOf(src), lg.idOf(dst))
+      res.map(p => (p.nodes.toSeq.map(lg.ids), p.costs.toSeq))
+    } else {
+      // Scale path: distributed relaxation with target early-exit. The
+      // heuristic bias of A* only prunes a sequential search; at cluster
+      // scale the frontier kernel subsumes it.
+      val state = DistributedSSSP.run(spark, g.projection, Seq(src), Some(dst))
+      DistributedSSSP.reconstructPath(state.filter(col("source") === src), src, dst)
+    }
+  }
+
+  /** G2: single-source all-targets distances (delta-stepping semantics —
+    * same fixpoint, bucket scheduling is an implementation detail).
+    */
+  def sssp(spark: SparkSession, g: PropertyGraph, src: String): DataFrame = {
+    import spark.implicits._
+    if (useLocal(g)) {
+      val lg = localGraph(g)
+      val (dist, _) = LocalKernels.sssp(lg, lg.idOf(src))
+      dist.indices.filter(i => dist(i).isFinite)
+        .map(i => (lg.ids(i), dist(i)))
+        .toDF("node_id", "distance")
+    } else {
+      DistributedSSSP.run(spark, g.projection, Seq(src))
+        .select(col("nodeId").as("node_id"), col("dist").as("distance"))
+    }
+  }
+
+  /** G3: all-pairs (or source-subset) shortest path distances.
+    * `sources = None` means every node — only sane below the local
+    * threshold; at scale pass an explicit source set and the multi-source
+    * distributed kernel relaxes them in one pass.
+    */
+  def apsp(spark: SparkSession, g: PropertyGraph,
+      sources: Option[Seq[String]] = None): DataFrame = {
+    import spark.implicits._
+    if (useLocal(g)) {
+      val lg = localGraph(g)
+      val srcIds: Seq[Int] = sources match {
+        case Some(ss) => ss.map(lg.idOf)
+        case None => 0 until lg.n
+      }
+      // Parallelize the independent per-source Dijkstras across the
+      // cluster: broadcast the CSR arrays, one task per source batch.
+      val bc = spark.sparkContext.broadcast(lg)
+      val rdd = spark.sparkContext.parallelize(srcIds, math.min(srcIds.size, 64))
+        .flatMap { s =>
+          val graph = bc.value
+          val (dist, _) = LocalKernels.sssp(graph, s)
+          dist.indices.iterator.filter(i => dist(i).isFinite)
+            .map(i => (graph.ids(s), graph.ids(i), dist(i)))
+        }
+      rdd.toDF("source_id", "target_id", "distance")
+    } else {
+      val ss = sources.getOrElse(throw new IllegalArgumentException(
+        "full APSP above the local threshold requires an explicit source set"))
+      DistributedSSSP.run(spark, g.projection, ss)
+        .select(col("source").as("source_id"), col("nodeId").as("target_id"),
+          col("dist").as("distance"))
+    }
+  }
+
+  /** G5: Yen's K loopless shortest paths. */
+  def yen(spark: SparkSession, g: PropertyGraph, src: String, dst: String,
+      k: Int): DataFrame = {
+    import spark.implicits._
+    val lg = localGraph(g) // spur searches are sequential; driver-side kernel
+    val paths = LocalKernels.yen(lg, lg.idOf(src), lg.idOf(dst), k)
+    paths.zipWithIndex.map { case (p, i) =>
+      (i, p.nodes.toSeq.map(lg.ids), p.costs.toSeq,
+        BigDecimal(p.totalCost).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+    }.toDF("path_index", "node_ids", "costs", "total_cost")
+  }
+}

@@ -1,0 +1,27 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** A weighted directed property multigraph held as two DataFrames —
+  * the Spark-native equivalent of the reference's GDS in-memory projection
+  * (reference: neo4j-code.txt:4-11 nodeProjection/relationshipProjection).
+  *
+  * `nodes`: (nodeId: String, x: Double, y: Double)
+  * `edges`: (src: String, dst: String, roadId: String, cost: Double)
+  */
+final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
+
+  /** The algorithm projection: parallel edges pre-aggregated to min cost
+    * per (src, dst) — sound for every shortest-path semantic and the
+    * direct analogue of projecting into GDS memory (SURVEY §2.1 S5).
+    * Cached because every algorithm superstep re-reads it.
+    */
+  lazy val projection: DataFrame =
+    edges.groupBy("src", "dst").agg(min("cost").as("cost")).cache()
+
+  def cache(): this.type = { nodes.cache(); edges.cache(); this }
+  def unpersistAll(): Unit = {
+    nodes.unpersist(); edges.unpersist(); projection.unpersist()
+  }
+}

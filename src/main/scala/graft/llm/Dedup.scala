@@ -1,0 +1,181 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` (doc_id, text, ...).
+  *
+  * Scale design:
+  *  - exact dedup = one hash shuffle on the fingerprint (min_by keeps the
+  *    canonical row) — the same plan at 100 TB, with AQE handling skew on
+  *    pathological duplicate clusters;
+  *  - MinHash/LSH near-dup avoids the O(n²) pairwise join entirely: docs
+  *    shuffle once per band on the band key, candidate pairs are generated
+  *    only inside buckets, and exact Jaccard verification runs on the
+  *    (tiny) candidate set — published MinHash-LSH banding (Broder '97,
+  *    Leskovec et al. MMDS ch.3);
+  *  - SimHash groups by the full 64-bit signature (near-identical docs
+  *    collide) — one shuffle;
+  *  - embedding near-dup uses random-hyperplane LSH (sign bits) with the
+  *    same banding trick.
+  */
+object Dedup {
+
+  // ---- exact ----------------------------------------------------------
+
+  /** Keep the lowest doc_id per normalized-text fingerprint. */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("fp", TextAnalysis.fingerprintMd5(col("text")))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // ---- MinHash + LSH --------------------------------------------------
+
+  /** Word w-shingles of the normalized text. */
+  def shingles(text: Column, w: Int = 3): Column = {
+    val toks = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+    // sliding w-grams via transform over indices; distinct set semantics
+    array_distinct(
+      filter(
+        transform(toks, (_, i) =>
+          when(i <= size(toks) - w,
+            concat_ws(" ", slice(toks, i + 1, lit(w))))),
+        x => x.isNotNull))
+  }
+
+  /** k independent MinHash values: min over shingles of xxhash64(seed ⊕
+    * shingle). Seeded by column-literal, all codegen'd — no UDF.
+    */
+  def minhashSignature(shingleCol: Column, k: Int = 32): Column =
+    array((0 until k).map { seed =>
+      array_min(transform(shingleCol, s => xxhash64(lit(seed), s)))
+    }: _*)
+
+  /** LSH banding: docs sharing any band bucket become candidate pairs;
+    * candidates are verified with exact shingle-set Jaccard.
+    *
+    * bands × rowsPerBand must equal the signature length. With 32 hashes
+    * as 8 bands × 4 rows, the S-curve threshold sits near
+    * (1/8)^(1/4) ≈ 0.6 Jaccard.
+    */
+  def minhashNearDup(docs: DataFrame, w: Int = 3, k: Int = 32,
+      bands: Int = 8, minJaccard: Double = 0.6): DataFrame = {
+    val rowsPerBand = k / bands
+    require(bands * rowsPerBand == k, "bands must divide signature length")
+
+    val withSig = docs
+      .select(col("doc_id"), col("text"))
+      .withColumn("sh", shingles(col("text"), w))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), k))
+
+    // explode into (band_id, band_hash) keys
+    val banded = withSig.select(
+      col("doc_id"), col("sh"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(concat_ws(",",
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))
+      }: _*)).as(Seq("band_id", "band_hash")))
+
+    // candidate pairs: self-join within bucket, ordered to dedupe (a<b)
+    val left = banded.select(col("band_id"), col("band_hash"),
+      col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val right = banded.select(col("band_id"), col("band_hash"),
+      col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val cands = left.join(right, Seq("band_id", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    // exact Jaccard verification on the candidate set only
+    cands
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("uni") > 0)
+      .withColumn("jaccard", round(col("inter") / col("uni").cast("double"), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Brute-force n-gram Jaccard above a threshold — the small-data oracle
+    * for minhashNearDup (O(n²); never the scale path, kept for validation
+    * and for explicit small-input use).
+    */
+  def ngramJaccardExact(docs: DataFrame, w: Int = 3,
+      minJaccard: Double = 0.6): DataFrame = {
+    val d = docs.select(col("doc_id"), shingles(col("text"), w).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("uni") > 0)
+      .withColumn("jaccard", round(col("inter") / col("uni").cast("double"), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // ---- SimHash --------------------------------------------------------
+
+  /** 64-bit SimHash over token hashes: bit j of the signature is the sign
+    * of Σ_tokens (bit j of xxhash64(token) ? +1 : -1). Expressed with
+    * higher-order functions over a 64-slot counter array — codegen'd,
+    * no UDF.
+    */
+  def simhash(text: Column): Column = {
+    val toks = array_distinct(split(lower(trim(text)), "\\s+"))
+    val hs = transform(toks, t => xxhash64(t))
+    (0 until 64).map { j =>
+      val cnt = aggregate(hs, lit(0), (acc, h) =>
+        acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(cnt > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Near-dup groups by identical SimHash signature. */
+  def simhashDup(docs: DataFrame): DataFrame =
+    docs.withColumn("simhash", simhash(col("text")))
+      .groupBy(col("simhash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+      .filter(col("n_docs") > 1)
+
+  // ---- embedding cosine near-dup --------------------------------------
+
+  /** Random-hyperplane LSH bucket key: sign bits of dot(v, r_i) for
+    * `nBits` pseudo-random hyperplanes derived from a seeded per-dimension
+    * hash (deterministic, no data-dependent fitting).
+    */
+  def hyperplaneBucket(vec: Column, dim: Int, nBits: Int = 12): Column = {
+    val bits = (0 until nBits).map { b =>
+      // r_b[d] in {-1,+1} from xxhash64(b,d) parity — a fixed random
+      // hyperplane; dot(v, r_b) via zip over element index
+      val dot = aggregate(
+        zip_with(vec, sequence(lit(0), lit(dim - 1)), (v, d) =>
+          when(xxhash64(lit(b), d).bitwiseAND(1) === 1, v).otherwise(-v)),
+        lit(0.0d), (acc, x) => acc + x)
+      when(dot > 0, shiftleft(lit(1L), b)).otherwise(0L)
+    }
+    bits.reduce((a, c) => a.bitwiseOR(c))
+  }
+
+  /** Embedding near-duplicates: bucket by hyperplane signature, verify
+    * cosine within buckets.
+    */
+  def embeddingNearDup(emb: DataFrame, dim: Int = 64,
+      minCosine: Double = 0.95): DataFrame = {
+    val b = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("bucket", hyperplaneBucket(col("embedding"), dim))
+    val l = b.select(col("bucket"), col("vec_id").as("id_a"),
+      col("embedding").as("v_a"))
+    val r = b.select(col("bucket"), col("vec_id").as("id_b"),
+      col("embedding").as("v_b"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        round(Similarity.cosine(col("v_a"), col("v_b")), 4))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

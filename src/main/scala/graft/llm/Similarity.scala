@@ -1,0 +1,78 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (ArrayType(FloatType)).
+  *
+  * Scale design: brute-force top-k is a single map-side cosine + global
+  * top-k (TakeOrderedAndProject — no full sort, no shuffle of the data,
+  * only k rows per partition reach the driver-side merge). The IVF variant
+  * is the 100 TB path: vectors are pre-partitioned by nearest centroid;
+  * a query probes only `nProbe` partitions, turning a full scan into a
+  * pruned partition read (parquet partition pruning on `centroid_id`).
+  */
+object Similarity {
+
+  /** Cosine similarity between two float-array columns, computed in
+    * double precision with a single zip (codegen'd higher-order
+    * functions, no UDF).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) =>
+      x.cast("double") * y.cast("double")), lit(0.0d), (acc, v) => acc + v)
+    val na = aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0d), (acc, v) => acc + v)
+    val nb = aggregate(transform(b, x => x.cast("double") * x.cast("double")),
+      lit(0.0d), (acc, v) => acc + v)
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  private def litVec(v: Seq[Float]): Column =
+    array(v.map(x => lit(x)): _*)
+
+  /** Exact brute-force cosine top-k against a literal query vector. */
+  def bruteForceTopK(emb: DataFrame, query: Seq[Float], k: Int): DataFrame =
+    emb.select(col("vec_id"),
+        round(cosine(col("embedding"), litVec(query)), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+
+  /** IVF index: assign every vector to its nearest centroid. Centroids
+    * are a deterministic sample (lowest `nCentroids` vec_ids) — a stand-in
+    * for k-means that keeps the pipeline reproducible; the partition/probe
+    * mechanics are identical. Returns (vec_id, embedding, centroid_id).
+    */
+  def ivfAssign(spark: SparkSession, emb: DataFrame, nCentroids: Int = 16)
+      : DataFrame = {
+    val centroids = emb.orderBy(col("vec_id").asc).limit(nCentroids)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    // small centroid table → broadcast nested-loop; argmax via struct max
+    emb.crossJoin(broadcast(centroids))
+      .withColumn("sim", cosine(col("embedding"), col("c_vec")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("sim"), col("c_id"))).as("best"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"),
+        col("best.c_id").as("centroid_id"))
+  }
+
+  /** IVF probe: search only the `nProbe` centroids closest to the query.
+    * At scale the assignment is written bucketed/partitioned by
+    * centroid_id so this becomes a partition-pruned scan.
+    */
+  def ivfTopK(spark: SparkSession, assigned: DataFrame, centroids: DataFrame,
+      query: Seq[Float], k: Int, nProbe: Int = 4): DataFrame = {
+    val q = litVec(query)
+    val probeIds = centroids
+      .select(col("c_id"), cosine(col("c_vec"), q).as("sim"))
+      .orderBy(col("sim").desc, col("c_id").asc)
+      .limit(nProbe)
+      .collect().map(_.getLong(0))
+    assigned
+      .filter(col("centroid_id").isin(probeIds: _*))
+      .select(col("vec_id"), round(cosine(col("embedding"), q), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+}

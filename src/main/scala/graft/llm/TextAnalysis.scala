@@ -1,0 +1,108 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table (doc_id, text, lang, source, n_chars).
+  *
+  * Everything is built from codegen'd `functions._` expressions — no UDFs
+  * in the hot path, so whole-stage codegen spans the full pipeline and the
+  * operators scale linearly with a parquet scan at 100 TB (pure map-side,
+  * zero shuffles).
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish subword count: alternating letter-runs / digit-runs /
+    * punctuation as separate tokens (a cheap stand-in for a real BPE
+    * vocabulary, still a single regex scan).
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Character-class ratio helpers (single regexp pass each). */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0)
+      .otherwise(length(regexp_replace(text, "[^!-/:-@\\[-`{-~]", "")) /
+        length(text).cast("double"))
+
+  def alphaRatio(text: Column): Column =
+    when(length(text) === 0, 0.0)
+      .otherwise(length(regexp_replace(text, "[^A-Za-z]", "")) /
+        length(text).cast("double"))
+
+  private val StopwordsEn = Seq("the", "a", "an", "and", "or", "of", "in",
+    "to", "is", "are", "was", "for", "on", "with", "as", "by", "at", "it")
+
+  /** Fraction of tokens that are English stopwords — a quality/fluency
+    * signal (natural prose sits around 0.3–0.5; keyword soup near 0).
+    */
+  def stopwordRatio(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val stops = filter(toks, t => t.isin(StopwordsEn: _*))
+    when(size(toks) === 0, 0.0)
+      .otherwise(size(stops) / size(toks).cast("double"))
+  }
+
+  /** Composite quality score in [0,1]: length sweet-spot × low punctuation
+    * × presence of stopwords. Deliberately simple and fully declarative.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text) / lit(500.0), lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * 4, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 3, lit(1.0))
+    round((lenScore + punctScore + stopScore) / 3, 4)
+  }
+
+  /** N-gram-frequency language ID over a tiny built-in profile set.
+    * The score for each language is the stopword-hit fraction of tokens;
+    * argmax wins, 'und' when nothing hits. (A real system ships char-3-gram
+    * profiles; the operator shape — per-language score columns + argmax —
+    * is identical.)
+    */
+  private val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> StopwordsEn,
+    "es" -> Seq("el", "la", "los", "las", "de", "que", "y", "en", "un",
+      "una", "por", "con", "para", "es"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "en", "un", "une",
+      "du", "que", "pour", "dans", "est"),
+    "de" -> Seq("der", "die", "das", "und", "in", "den", "von", "zu",
+      "mit", "auf", "ist", "ein", "eine", "nicht"))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val toks = split(lower(trim(text)), "\\s+")
+    LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      lang -> when(size(toks) === 0, 0.0)
+        .otherwise(size(filter(toks, t => t.isin(markers: _*))) /
+          size(toks).cast("double"))
+    }
+  }
+
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val best = scores.map { case (lang, sc) => struct(sc.as("s"), lit(lang).as("l")) }
+      .reduce((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
+    when(best.getField("s") <= 0.0, "und").otherwise(best.getField("l"))
+  }
+
+  /** Stable document fingerprint: md5 of whitespace-normalized lowercase
+    * text (the exact-dedup key).
+    */
+  def fingerprintMd5(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** 64-bit rolling content hash over tokens: h' = xxhash64(h, token),
+    * folded left over the token stream — order-sensitive, so
+    * near-identical docs with swapped words get different prints (unlike
+    * a bag-of-words hash). Chained hashing instead of polynomial
+    * multiply keeps the fold ANSI-safe (no long overflow).
+    */
+  def rollingHash(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    aggregate(toks, lit(0L), (acc, t) => xxhash64(acc, t))
+  }
+}

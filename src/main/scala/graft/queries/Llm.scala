@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.GQ
+import graft.core.Tables
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-training-data pipeline operators over `documents` / `embeddings`
+  * (north-star surface, SURVEY §7.4): dedup family, similarity search,
+  * text analysis, multimodal plumbing.
+  *
+  * Oracle policy: deterministic single-pass ops (exact dedup, text stats,
+  * brute-force cosine) carry DuckDB oracles; LSH/banding ops hash with
+  * engine-specific functions (xxhash64) and are instead validated against
+  * their own exact-counterpart by the ScalaTest suite, so they ship
+  * rows-only here.
+  */
+object Llm {
+
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables(s, dir)
+
+  /** Query vector: embedding of vec_id 0, fetched once per (session, dir). */
+  private val qvecCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Float]]()
+  private def queryVec(s: org.apache.spark.sql.SparkSession, dir: String): Seq[Float] =
+    qvecCache.computeIfAbsent(s"${s.hashCode}:$dir", _ =>
+      t(s, dir).embeddings.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toIndexedSeq)
+
+  val queries: Seq[GQ] = Seq(
+
+    // ---- exact dedup (hash-groupBy on normalized fingerprint) ---------
+    GQ("llm_exact_dedup",
+      (s, dir) => Dedup.exact(t(s, dir).documents),
+      Some("""SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+             |min(doc_id) AS keep_id, count(*) AS n_copies
+             |FROM documents GROUP BY 1""".stripMargin)),
+
+    // ---- text statistics (token/char/ratio family) --------------------
+    GQ("llm_text_stats",
+      (s, dir) => t(s, dir).documents.select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).as("n_chars_actual"),
+        round(TextAnalysis.alphaRatio(col("text")), 4).as("alpha_ratio"),
+        round(TextAnalysis.stopwordRatio(col("text")), 4).as("stopword_ratio")),
+      Some("""SELECT doc_id,
+             |CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+             |CAST(length(text) AS INT) AS n_chars_actual,
+             |round(CASE WHEN length(text) = 0 THEN 0
+             |  ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+             |    / CAST(length(text) AS DOUBLE) END, 4) AS alpha_ratio,
+             |round(CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\s+')) = 0 THEN 0
+             |  ELSE len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             |    x -> x IN ('the','a','an','and','or','of','in','to','is','are',
+             |               'was','for','on','with','as','by','at','it')))
+             |    / CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE)
+             |  END, 4) AS stopword_ratio
+             |FROM documents""".stripMargin)),
+
+    // ---- quality scoring ---------------------------------------------
+    GQ("llm_quality_score",
+      (s, dir) => t(s, dir).documents.select(
+        col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))),
+
+    // ---- language ID (n-gram/stopword heuristic) ----------------------
+    GQ("llm_langid",
+      (s, dir) => t(s, dir).documents.select(
+        col("doc_id"), col("lang").as("labeled_lang"),
+        TextAnalysis.langId(col("text")).as("predicted_lang"))),
+
+    // ---- document fingerprinting (rolling hash) -----------------------
+    GQ("llm_fingerprint",
+      (s, dir) => t(s, dir).documents.select(
+        col("doc_id"),
+        TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"),
+        TextAnalysis.rollingHash(col("text")).as("fp_rolling"))),
+
+    // ---- MinHash + LSH near-dup candidates ----------------------------
+    GQ("llm_minhash_neardup",
+      (s, dir) => Dedup.minhashNearDup(t(s, dir).documents,
+        w = 3, k = 32, bands = 8, minJaccard = 0.3)),
+
+    // ---- SimHash collision groups -------------------------------------
+    GQ("llm_simhash_groups",
+      (s, dir) => t(s, dir).documents
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))),
+
+    // ---- brute-force cosine top-k (exact ANN baseline) ----------------
+    GQ("llm_ann_bruteforce",
+      (s, dir) => Similarity.bruteForceTopK(
+        t(s, dir).embeddings, queryVec(s, dir), k = 20),
+      Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+             |SELECT vec_id,
+             |round(list_sum(list_transform(list_zip(embedding, (SELECT qv FROM q)),
+             |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+             | / (sqrt(list_sum(list_transform(embedding,
+             |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |  * sqrt(list_sum(list_transform((SELECT qv FROM q),
+             |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
+             |FROM embeddings
+             |ORDER BY cosine DESC, vec_id ASC LIMIT 20""".stripMargin)),
+
+    // ---- IVF-style pruned ANN (the scale path) ------------------------
+    GQ("llm_ann_ivf",
+      (s, dir) => {
+        val emb = t(s, dir).embeddings
+        val assigned = Similarity.ivfAssign(s, emb, nCentroids = 16)
+        val centroids = emb.orderBy(col("vec_id").asc).limit(16)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+        Similarity.ivfTopK(s, assigned, centroids, queryVec(s, dir),
+          k = 20, nProbe = 4)
+      }),
+
+    // ---- embedding near-dup via hyperplane LSH ------------------------
+    GQ("llm_embedding_neardup",
+      (s, dir) => Dedup.embeddingNearDup(t(s, dir).embeddings,
+        dim = 64, minCosine = 0.8)),
+
+    // ---- multimodal: decode + metadata + frame sampling ---------------
+    GQ("llm_multimodal_decode",
+      (s, dir) => {
+        val media = Multimodal.syntheticMedia(s, t(s, dir).documents)
+        Multimodal.decodeAll(media).toDF()
+          .groupBy(col("kind"))
+          .agg(count(lit(1)).as("n_media"),
+            round(avg(col("width")), 4).as("avg_width"),
+            round(avg(col("n_frames")), 4).as("avg_frames"))
+      }),
+
+    GQ("llm_multimodal_frames",
+      (s, dir) => {
+        val media = Multimodal.syntheticMedia(s, t(s, dir).documents)
+        Multimodal.sampleFrames(Multimodal.decodeAll(media), stride = 4)
+          .groupBy(col("media_id")).agg(count(lit(1)).as("n_sampled"))
+      })
+  )
+}

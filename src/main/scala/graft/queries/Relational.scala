@@ -1,0 +1,437 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.GQ
+import graft.core.Tables
+
+/** Relational batch surface over the TPC-H-ish synthetic tables
+  * (FIXTURES.md §B). Maps the reference's result-shaping operator
+  * inventory (SURVEY.md §2.2–2.8: projection/cast, equality + theta
+  * predicates, equi joins, aggregation, order-by/limit) onto Spark
+  * built-ins, plus the operator families the reference lacks but the
+  * north-star mandates (§2.3/§2.4 "absent" notes: semi/anti/outer joins,
+  * distinct agg, rollup/cube, window functions, set ops, scalar
+  * string/date/math/json functions).
+  *
+  * Scale notes (100 TB thinking):
+  *  - every aggregate is a `groupBy` → Spark plans partial (map-side)
+  *    aggregation automatically; no driver-side collection anywhere.
+  *  - dimension joins (region/nation/customer/supplier) are broadcast —
+  *    dims stay small at any SF; fact-fact joins (orders⋈lineitem) shuffle
+  *    on the join key, which AQE re-splits on skew.
+  *  - floating-point outputs are rounded to 4 decimals IN BOTH ENGINES so
+  *    summation-order noise (~1e-9 relative) can't flip a hash compare;
+  *    4 dp keeps money sums (multiples of 1e-4) away from rounding
+  *    boundaries (offsets of 5e-5).
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String) = Tables(s, dir)
+
+  val queries: Seq[GQ] = Seq(
+
+    // ---- A1/A2/A5 + P-filters: TPC-H Q1-style pricing summary --------
+    GQ("q1_pricing_summary",
+      (s, dir) => {
+        t(s, dir).lineitem
+          .filter(col("l_shipdate") <= lit("2001-09-01"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            round(sum(col("l_quantity")), 4).as("sum_qty"),
+            round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+              .as("sum_disc_price"),
+            round(avg(col("l_quantity")), 4).as("avg_qty"),
+            round(avg(col("l_discount")), 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |round(sum(l_quantity), 4) AS sum_qty,
+             |round(sum(l_extendedprice), 4) AS sum_base_price,
+             |round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+             |round(avg(l_quantity), 4) AS avg_qty,
+             |round(avg(l_discount), 4) AS avg_disc,
+             |count(*) AS count_order
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ---- P1/P2/P3: projection + predicate, pushed to the parquet scan -
+    GQ("q2_filter_project",
+      (s, dir) => {
+        t(s, dir).lineitem
+          .filter(col("l_returnflag") === "R" &&
+            col("l_quantity").between(10, 20) &&
+            col("l_shipdate") >= lit("2000-01-01"))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"),
+            round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+              .as("net_price"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity,
+             |round(l_extendedprice * (1 - l_discount), 4) AS net_price
+             |FROM lineitem
+             |WHERE l_returnflag = 'R' AND l_quantity BETWEEN 10 AND 20
+             |AND l_shipdate >= TIMESTAMP '2000-01-01'""".stripMargin)),
+
+    // ---- J1 + O1/O2: 3-way join, agg, top-k (TPC-H Q3 shape) ----------
+    GQ("q3_top_unshipped_orders",
+      (s, dir) => {
+        val tb = t(s, dir)
+        val cust = tb.customer.filter(col("c_mktsegment") === "BUILDING")
+        tb.lineitem
+          .filter(col("l_shipdate") > lit("1998-01-01"))
+          .join(tb.orders.filter(col("o_orderdate") < lit("1998-01-01")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey").asc)
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
+             |round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |AND l_shipdate > TIMESTAMP '1998-01-01'
+             |AND o_orderdate < TIMESTAMP '1998-01-01'
+             |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+             |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin)),
+
+    // ---- semi join (EXISTS): TPC-H Q4 shape ---------------------------
+    GQ("q4_order_priority",
+      (s, dir) => {
+        val tb = t(s, dir)
+        tb.orders
+          .filter(col("o_orderdate") >= lit("1997-01-01") &&
+            col("o_orderdate") < lit("1998-01-01"))
+          .join(tb.lineitem.filter(col("l_shipdate") > lit("1997-01-01")),
+            col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+             |AND o_orderdate < TIMESTAMP '1998-01-01'
+             |AND EXISTS (SELECT 1 FROM lineitem
+             |  WHERE l_orderkey = o_orderkey
+             |  AND l_shipdate > TIMESTAMP '1997-01-01')
+             |GROUP BY o_orderpriority""".stripMargin)),
+
+    // ---- 4-way star join + agg: revenue per nation (TPC-H Q5 shape) ---
+    GQ("q5_revenue_by_nation",
+      (s, dir) => {
+        val tb = t(s, dir)
+        tb.lineitem
+          .join(tb.orders, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(tb.customer), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(tb.nation), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(tb.region), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+            .as("revenue"),
+            count(lit(1)).as("n_lines"))
+      },
+      Some("""SELECT r_name, n_name,
+             |round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+             |count(*) AS n_lines
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name, n_name""".stripMargin)),
+
+    // ---- global (group-less) aggregate: TPC-H Q6 shape ----------------
+    GQ("q6_forecast_revenue",
+      (s, dir) => {
+        t(s, dir).lineitem
+          .filter(col("l_shipdate") >= lit("1997-01-01") &&
+            col("l_shipdate") < lit("1998-01-01") &&
+            col("l_discount").between(0.03, 0.07) &&
+            col("l_quantity") < 24)
+          .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4)
+            .as("revenue"),
+            count(lit(1)).as("n_lines"))
+      },
+      Some("""SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+             |count(*) AS n_lines
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             |AND l_shipdate < TIMESTAMP '1998-01-01'
+             |AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin)),
+
+    // ---- anti join (NOT EXISTS) ---------------------------------------
+    GQ("q7_customers_without_big_orders",
+      (s, dir) => {
+        val tb = t(s, dir)
+        tb.customer
+          .join(tb.orders.filter(col("o_totalprice") > 300000),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      },
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin)),
+
+    // ---- left outer join + agg over nullable side ---------------------
+    GQ("q8_order_line_counts",
+      (s, dir) => {
+        val tb = t(s, dir)
+        tb.orders
+          .join(tb.lineitem.select(col("l_orderkey"), col("l_quantity")),
+            col("o_orderkey") === col("l_orderkey"), "left_outer")
+          .groupBy(col("o_orderkey"))
+          .agg(count(col("l_orderkey")).as("line_cnt"),
+            round(coalesce(sum(col("l_quantity")), lit(0.0)), 4).as("total_qty"))
+      },
+      Some("""SELECT o_orderkey, count(l_orderkey) AS line_cnt,
+             |round(coalesce(sum(l_quantity), 0), 4) AS total_qty
+             |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY o_orderkey""".stripMargin)),
+
+    // ---- window: ranking within partition -----------------------------
+    GQ("q9_top3_orders_per_customer",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        t(s, dir).orders
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            col("rn"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |  CAST(row_number() OVER (PARTITION BY o_custkey
+             |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn
+             |  FROM orders) WHERE rn <= 3""".stripMargin)),
+
+    // ---- window: running total (deterministic frame order) ------------
+    GQ("q10_running_customer_spend",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir).orders
+          .select(col("o_custkey"), col("o_orderkey"),
+            round(sum(col("o_totalprice")).over(w), 4).as("running_spend"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             |  ORDER BY o_orderdate ASC, o_orderkey ASC
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             |  AS running_spend
+             |FROM orders""".stripMargin)),
+
+    // ---- set ops: UNION / EXCEPT (distinct semantics) -----------------
+    GQ("q11_setops",
+      (s, dir) => {
+        val tb = t(s, dir)
+        val rich = tb.customer.filter(col("c_acctbal") > 5000)
+          .select(col("c_custkey").as("custkey"))
+        val building = tb.customer.filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("custkey"))
+        val bigSpenders = tb.orders.filter(col("o_totalprice") > 300000)
+          .select(col("o_custkey").as("custkey"))
+        rich.union(building).distinct()
+          .except(bigSpenders.distinct())
+      },
+      Some("""(SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+             | UNION
+             | SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+             |EXCEPT
+             |SELECT DISTINCT o_custkey AS custkey FROM orders
+             |WHERE o_totalprice > 300000""".stripMargin)),
+
+    // ---- rollup -------------------------------------------------------
+    GQ("q12_rollup",
+      (s, dir) => {
+        t(s, dir).orders
+          .rollup(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice")), 4).as("total_price"))
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+             |round(sum(o_totalprice), 4) AS total_price
+             |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin)),
+
+    // ---- cube ---------------------------------------------------------
+    GQ("q13_cube",
+      (s, dir) => {
+        t(s, dir).lineitem
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n_lines"),
+            round(sum(col("l_quantity")), 4).as("sum_qty"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n_lines,
+             |round(sum(l_quantity), 4) AS sum_qty
+             |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin)),
+
+    // ---- distinct aggregation ----------------------------------------
+    GQ("q14_distinct_agg",
+      (s, dir) => {
+        t(s, dir).lineitem
+          .groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_partkey")).as("n_parts"),
+            countDistinct(col("l_suppkey")).as("n_supps"),
+            count(lit(1)).as("n_lines"))
+      },
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+             |count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_lines
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // ---- scalar string functions -------------------------------------
+    GQ("q15_string_funcs",
+      (s, dir) => {
+        t(s, dir).customer
+          .select(col("c_custkey"),
+            upper(col("c_name")).as("name_upper"),
+            lower(col("c_mktsegment")).as("seg_lower"),
+            substring(col("c_name"), 1, 8).as("name_prefix"),
+            length(col("c_name")).as("name_len"),
+            concat(col("c_mktsegment"), lit("#"), col("c_name")).as("tagged"),
+            regexp_replace(col("c_name"), "[0-9]", "").as("name_alpha"))
+      },
+      Some("""SELECT c_custkey, upper(c_name) AS name_upper,
+             |lower(c_mktsegment) AS seg_lower,
+             |substring(c_name, 1, 8) AS name_prefix,
+             |CAST(length(c_name) AS INT) AS name_len,
+             |concat(c_mktsegment, '#', c_name) AS tagged,
+             |regexp_replace(c_name, '[0-9]', '', 'g') AS name_alpha
+             |FROM customer""".stripMargin)),
+
+    // ---- scalar date functions ---------------------------------------
+    GQ("q16_date_funcs",
+      (s, dir) => {
+        t(s, dir).orders
+          .select(col("o_orderkey"),
+            year(col("o_orderdate")).as("o_year"),
+            month(col("o_orderdate")).as("o_month"),
+            dayofmonth(col("o_orderdate")).as("o_day"),
+            quarter(col("o_orderdate")).as("o_quarter"),
+            date_trunc("month", col("o_orderdate")).as("month_start"))
+      },
+      Some("""SELECT o_orderkey,
+             |CAST(year(o_orderdate) AS INT) AS o_year,
+             |CAST(month(o_orderdate) AS INT) AS o_month,
+             |CAST(day(o_orderdate) AS INT) AS o_day,
+             |CAST(quarter(o_orderdate) AS INT) AS o_quarter,
+             |date_trunc('month', o_orderdate) AS month_start
+             |FROM orders""".stripMargin)),
+
+    // ---- scalar math functions ---------------------------------------
+    GQ("q17_math_funcs",
+      (s, dir) => {
+        t(s, dir).part
+          .select(col("p_partkey"),
+            round(col("p_retailprice"), 1).as("price_r1"),
+            floor(col("p_retailprice")).as("price_floor"),
+            ceil(col("p_retailprice")).as("price_ceil"),
+            round(sqrt(col("p_retailprice")), 6).as("price_sqrt"),
+            round(log(col("p_retailprice") + 1), 6).as("price_ln"),
+            abs(col("p_size") - 25).as("size_dev"),
+            pmod(col("p_partkey"), lit(7)).as("pk_mod7"))
+      },
+      Some("""SELECT p_partkey, round(p_retailprice, 1) AS price_r1,
+             |CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+             |CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+             |round(sqrt(p_retailprice), 6) AS price_sqrt,
+             |round(ln(p_retailprice + 1), 6) AS price_ln,
+             |abs(p_size - 25) AS size_dev,
+             |p_partkey % 7 AS pk_mod7
+             |FROM part""".stripMargin)),
+
+    // ---- conditional expressions (CASE WHEN) -------------------------
+    GQ("q18_case_when",
+      (s, dir) => {
+        t(s, dir).customer
+          .select(col("c_custkey"),
+            when(col("c_acctbal") < 0, "overdrawn")
+              .when(col("c_acctbal") < 3000, "low")
+              .when(col("c_acctbal") < 7000, "mid")
+              .otherwise("high").as("balance_tier"))
+          .groupBy(col("balance_tier"))
+          .agg(count(lit(1)).as("n_customers"))
+      },
+      Some("""SELECT CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+             |WHEN c_acctbal < 3000 THEN 'low'
+             |WHEN c_acctbal < 7000 THEN 'mid'
+             |ELSE 'high' END AS balance_tier, count(*) AS n_customers
+             |FROM customer GROUP BY 1""".stripMargin)),
+
+    // ---- time-bucketed (tumbling-window) event aggregation -----------
+    GQ("q19_events_hourly",
+      (s, dir) => {
+        t(s, dir).events
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("value")), 4).as("total_value"))
+          .select(col("w.start").as("w_start"), col("event_type"),
+            col("n_events"), col("total_value"))
+      },
+      Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type,
+             |count(*) AS n_events, round(sum(value), 4) AS total_value
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // ---- JSON extraction ---------------------------------------------
+    GQ("q20_json_extract",
+      (s, dir) => {
+        t(s, dir).events
+          .select(col("event_id"),
+            get_json_object(col("props"), "$.k").cast("int").as("prop_k"))
+      },
+      Some("""SELECT event_id,
+             |CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
+             |FROM events""".stripMargin)),
+
+    // ---- global top-k (TakeOrderedAndProject) -------------------------
+    GQ("q21_topk_orders",
+      (s, dir) => {
+        t(s, dir).orders
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .limit(15)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 15""".stripMargin)),
+
+    // ---- grouping sets ------------------------------------------------
+    GQ("q22_grouping_sets",
+      (s, dir) => {
+        val tb = t(s, dir)
+        tb.orders.createOrReplaceTempView("graft_orders_gs")
+        s.sql("""SELECT o_orderstatus, o_orderpriority,
+                |count(*) AS n_orders,
+                |round(sum(o_totalprice), 4) AS total_price
+                |FROM graft_orders_gs
+                |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+                |""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+             |round(sum(o_totalprice), 4) AS total_price
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)),
+
+    // ---- correlated scalar-subquery shape: above-average filter -------
+    GQ("q23_above_avg_lines",
+      (s, dir) => {
+        val tb = t(s, dir)
+        val partAvg = tb.lineitem.groupBy(col("l_partkey").as("ap_partkey"))
+          .agg(avg(col("l_quantity")).as("avg_qty"))
+        tb.lineitem
+          .join(broadcast(partAvg), col("l_partkey") === col("ap_partkey"))
+          .filter(col("l_quantity") > col("avg_qty") * 1.5)
+          .groupBy(col("l_partkey"))
+          .agg(count(lit(1)).as("n_above"))
+      },
+      Some("""SELECT l_partkey, count(*) AS n_above
+             |FROM lineitem l
+             |WHERE l_quantity > 1.5 * (SELECT avg(l_quantity) FROM lineitem
+             |  WHERE l_partkey = l.l_partkey)
+             |GROUP BY l_partkey""".stripMargin))
+  )
+}

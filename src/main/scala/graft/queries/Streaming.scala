@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.GQ
+import graft.core.Tables
+import graft.streaming.EventStreams
+
+/** Streaming surface exposed through the driver contract. Two layers:
+  *  - `q24_session_window`: session windows in BATCH mode (Spark's
+  *    unified API — same operator the stream runs), oracled in DuckDB
+  *    with a gaps-and-islands rewrite;
+  *  - `stream_hourly_counts`: a REAL Structured Streaming run (file
+  *    source → watermark → tumbling window → memory sink, complete mode),
+  *    oracled with the same SQL as the equivalent batch query — streaming
+  *    and batch must converge on finite input.
+  */
+object Streaming {
+
+  val queries: Seq[GQ] = Seq(
+
+    GQ("q24_session_window",
+      (s, dir) => {
+        val ev = Tables(s, dir).events
+        ev.groupBy(session_window(col("ts"), "30 minutes").as("w"),
+            col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("value")), 4).as("total_value"))
+          .select(col("user_id"), col("w.start").as("session_start"),
+            col("w.end").as("session_end"), col("n_events"),
+            col("total_value"))
+      },
+      Some("""WITH o AS (
+             |  SELECT user_id, ts, value,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |      OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+             |    THEN 1 ELSE 0 END AS brk
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+             |  ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+             |SELECT user_id, min(ts) AS session_start,
+             |  max(ts) + INTERVAL '30 minutes' AS session_end,
+             |  count(*) AS n_events, round(sum(value), 4) AS total_value
+             |FROM s GROUP BY user_id, sid""".stripMargin)),
+
+    GQ("stream_hourly_counts",
+      (s, dir) => {
+        val name = "graft_stream_hourly"
+        val q = EventStreams.hourlyCounts(
+            EventStreams.readEvents(s, s"$dir/events.parquet"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete").start()
+        try { q.processAllAvailable() } finally { q.stop() }
+        s.table(name)
+      },
+      Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type,
+             |count(*) AS n_events, round(sum(value), 4) AS total_value
+             |FROM events GROUP BY 1, 2""".stripMargin))
+  )
+}

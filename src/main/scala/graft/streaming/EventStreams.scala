@@ -1,0 +1,134 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference has no streaming (SURVEY §2.10) — this is the north-star
+  * capability layer: watermarked tumbling/sliding windows, session
+  * windows, and custom state via flatMapGroupsWithState.
+  *
+  * Scale notes: state is keyed by (window, event_type) or user_id — both
+  * shuffle-partitioned; watermarks bound state size (late data beyond
+  * 1 hour dropped), which is what keeps a 100 TB/day stream's state
+  * finite. The same transformations run identically in batch mode (Spark
+  * unifies the APIs), which the test suite exploits: streaming result ≡
+  * batch result on a replayed file source.
+  */
+object EventStreams {
+
+  /** The events schema as stored (ts read as raw nanos — see
+    * core.Tables.events for the rationale).
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),       // TIMESTAMP(NANOS) read as long
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of event parquet files. A plain
+    * file path is staged into a temp directory first (the file stream
+    * source lists directories only).
+    */
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val f = new java.io.File(path)
+    val dir =
+      if (!f.isFile) path
+      else {
+        val staged = new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          s"graft-stream-${math.abs(f.getAbsolutePath.hashCode)}")
+        staged.mkdirs()
+        val target = new java.io.File(staged, f.getName)
+        if (!target.exists()) java.nio.file.Files.copy(
+          f.toPath, target.toPath)
+        staged.getAbsolutePath
+      }
+    spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Watermarked tumbling-window aggregation. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("total_value"))
+      .select(col("w.start").as("w_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Sliding windows (1h window, 15m slide). */
+  def slidingValue(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(round(avg(col("value")), 4).as("avg_value"))
+      .select(col("w.start").as("w_start"), col("avg_value"))
+
+  /** Built-in session windows (30-minute gap) per user. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
+  // ---- custom state: flatMapGroupsWithState sessionizer ---------------
+
+  final case class Ev(ts: java.sql.Timestamp, user_id: Long, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long, total: Double)
+  final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
+
+  /** Custom sessionizer with explicit state: emits a session row when a
+    * 30-minute silence gap closes it. Demonstrates the arbitrary-state
+    * API the built-in session_window can't express (e.g. per-session
+    * value accumulators with custom close conditions).
+    */
+  def sessionizeWithState(events: Dataset[Ev], gapMs: Long = 30 * 60 * 1000L)
+      : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[List[SessionState]]) =>
+          // batch-friendly: process this group's rows in ts order, emit
+          // every closed session, keep the open one in state
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          var open = state.getOption.flatMap(_.headOption)
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            open match {
+              case Some(s) if t - s.last <= gapMs =>
+                open = Some(s.copy(last = t, n = s.n + 1,
+                  total = s.total + e.value))
+              case Some(s) =>
+                out += SessionOut(uid, new java.sql.Timestamp(s.start),
+                  new java.sql.Timestamp(s.last), s.n,
+                  math.rint(s.total * 10000) / 10000)
+                open = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                open = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          open match {
+            case Some(s) => state.update(List(s))
+            case None => state.remove()
+          }
+          out.iterator
+      }
+  }
+}

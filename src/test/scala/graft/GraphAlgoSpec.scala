@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.algo.{DistributedSSSP, LocalGraph, LocalKernels, ShortestPaths}
+import graft.graph.EdgeListIngest
+
+/** Ingest parity (reference counts) + cross-kernel agreement
+  * (SURVEY §5.2: local Dijkstra ≡ distributed relaxation ≡ A* admissible
+  * ≡ Yen top-1; path validity invariants).
+  */
+class GraphAlgoSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = core.Sessions.local(4, "graft-test")
+  import spark.implicits._
+
+  val slice1 = "/root/reference/Shenzhen_Edgelist_1.csv"
+
+  lazy val pg = EdgeListIngest.build(spark, slice1).cache()
+  lazy val lg = LocalGraph.fromProjection(pg.projection, Some(pg.nodes))
+
+  test("slice-1 ingest counts match the reference (3705 nodes, 9696 edges)") {
+    assert(pg.nodes.count() === 3705L)   // standalone.txt:2
+    assert(pg.edges.count() === 9696L)   // IMPL.md:754
+  }
+
+  test("padding rows are dropped at scan") {
+    val raw = EdgeListIngest.readRaw(spark, slice1)
+    assert(raw.count() === 9999L)
+  }
+
+  test("dijkstra 2022→2802 matches the frozen slice-1 golden") {
+    val p = LocalKernels.dijkstra(lg, lg.idOf("2022"), lg.idOf("2802")).get
+    assert(p.nodes.length > 1)
+    // golden frozen from the independent (non-Spark) oracle, SURVEY §5.2.2
+    assert(math.abs(p.totalCost - 9221.720430639) < 1e-6)
+    // running-cost stream: last cost == total
+    assert(math.abs(p.costs.last - p.totalCost) < 1e-9)
+    // path validity: every consecutive pair is an edge with matching cost
+    val adj = (0 until lg.n).map { u =>
+      (lg.offsets(u) until lg.offsets(u + 1))
+        .map(e => lg.targets(e) -> lg.costs(e)).toMap
+    }
+    p.nodes.sliding(2).zipWithIndex.foreach { case (Array(u, v), i) =>
+      val w = adj(u)(v)
+      assert(math.abs((p.costs(i + 1) - p.costs(i)) - w) < 1e-9)
+    }
+  }
+
+  test("A* (admissible Euclidean) agrees with Dijkstra on total cost") {
+    val d = LocalKernels.dijkstra(lg, lg.idOf("2022"), lg.idOf("2802")).get
+    val a = LocalKernels.astar(lg, lg.idOf("2022"), lg.idOf("2802")).get
+    assert(math.abs(d.totalCost - a.totalCost) < 1e-9)
+  }
+
+  test("sssp distance to target equals dijkstra total (IMPL.md:388 parity)") {
+    val (dist, _) = LocalKernels.sssp(lg, lg.idOf("2022"))
+    val d = LocalKernels.dijkstra(lg, lg.idOf("2022"), lg.idOf("2802")).get
+    assert(math.abs(dist(lg.idOf("2802")) - d.totalCost) < 1e-9)
+  }
+
+  test("yen k=3: top-1 equals dijkstra; costs non-decreasing; loopless") {
+    val d = LocalKernels.dijkstra(lg, lg.idOf("2022"), lg.idOf("2802")).get
+    val ys = LocalKernels.yen(lg, lg.idOf("2022"), lg.idOf("2802"), 3)
+    assert(ys.length === 3)
+    assert(math.abs(ys.head.totalCost - d.totalCost) < 1e-9)
+    assert(ys.sliding(2).forall { case Seq(a, b) =>
+      a.totalCost <= b.totalCost + 1e-9 })
+    ys.foreach { p => assert(p.nodes.distinct.length === p.nodes.length) }
+  }
+
+  test("distributed kernel agrees with local kernel on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val n = 60
+    val edges = (for {
+      _ <- 0 until 400
+      u = rnd.nextInt(n); v = rnd.nextInt(n)
+      if u != v
+    } yield (s"n$u", s"n$v", 1.0 + rnd.nextInt(100) / 10.0)).distinct
+    val edf = edges.toDF("src", "dst", "cost")
+      .groupBy("src", "dst").agg(org.apache.spark.sql.functions.min("cost").as("cost"))
+    val lgr = LocalGraph.fromProjection(edf, None)
+    val state = DistributedSSSP.run(spark, edf, Seq("n0"))
+    val got = state.select("nodeId", "dist").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val (dist, _) = LocalKernels.sssp(lgr, lgr.idOf("n0"))
+    (0 until lgr.n).foreach { i =>
+      val id = lgr.ids(i)
+      if (dist(i).isFinite)
+        assert(math.abs(got(id) - dist(i)) < 1e-9, s"node $id")
+      else assert(!got.contains(id), s"node $id should be unreachable")
+    }
+  }
+
+  test("distributed early-exit path matches local dijkstra") {
+    val rnd = new scala.util.Random(13)
+    val n = 40
+    val edges = (for {
+      _ <- 0 until 240
+      u = rnd.nextInt(n); v = rnd.nextInt(n)
+      if u != v
+    } yield (s"n$u", s"n$v", 1.0 + rnd.nextInt(50) / 5.0)).distinct
+    val edf = edges.toDF("src", "dst", "cost")
+      .groupBy("src", "dst").agg(org.apache.spark.sql.functions.min("cost").as("cost"))
+    val lgr = LocalGraph.fromProjection(edf, None)
+    val local = LocalKernels.dijkstra(lgr, lgr.idOf("n0"), lgr.idOf("n1"))
+    val state = DistributedSSSP.run(spark, edf, Seq("n0"), Some("n1"))
+    val rec = DistributedSSSP.reconstructPath(state, "n0", "n1")
+    (local, rec) match {
+      case (Some(lp), Some((_, dists))) =>
+        assert(math.abs(lp.totalCost - dists.last) < 1e-9)
+      case (None, None) => succeed
+      case other => fail(s"kernel disagreement: $other")
+    }
+  }
+
+  test("multigraph parallel edges survive; exact duplicates collapse") {
+    val raw = Seq(
+      (0.0, 0.0, "a", "b", "r1", 5.0),
+      (0.0, 0.0, "a", "b", "r2", 7.0),   // parallel, distinct roadId
+      (0.0, 0.0, "a", "b", "r1", 5.0),   // exact duplicate → collapses
+      (1.0, 1.0, "b", "a", "r3", 2.0),
+      (2.0, 2.0, "c", "zz", "r4", 1.0)   // dangling END_NODE 'zz' → dropped
+    ).toDF("XCoord", "YCoord", "START_NODE", "END_NODE", "EDGE", "LENGTH")
+    val n = EdgeListIngest.nodes(raw)
+    val e = EdgeListIngest.edges(raw, n)
+    assert(n.count() === 3)
+    assert(e.count() === 3)  // a→b ×2 + b→a; c→zz dropped
+  }
+}

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-pipeline operator invariants, including the LSH-vs-exact
+  * validations that replace DuckDB oracles for hash-based ops.
+  */
+class LlmOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = core.Sessions.local(4, "graft-llm-test")
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+  lazy val docs = spark.read.parquet(s"$sf/documents.parquet").cache()
+  lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet").cache()
+
+  test("exact dedup keeps one representative per distinct text") {
+    val d = Dedup.exact(docs)
+    assert(d.count() === docs.select("text").distinct().count())
+    assert(d.agg(sum("n_copies")).head().getLong(0) === docs.count())
+  }
+
+  test("minhash LSH candidates ⊆ reasonable and find planted near-dups") {
+    // plant a near-duplicate pair: doc text + same text with one word changed
+    val base = docs.limit(1).select("text").head().getString(0)
+    val mutated = base.split(" ").zipWithIndex
+      .map { case (w, i) => if (i == 2) "XQZ" else w }.mkString(" ")
+    val planted = Seq((9001L, base), (9002L, mutated))
+      .toDF("doc_id", "text")
+    val all = docs.select("doc_id", "text").union(planted)
+    val pairs = Dedup.minhashNearDup(all, w = 3, k = 32, bands = 8,
+      minJaccard = 0.5).collect()
+    assert(pairs.exists(r => r.getLong(0) == 9001L && r.getLong(1) == 9002L))
+    // verification step guarantees reported jaccard ≥ threshold
+    pairs.foreach(r => assert(r.getDouble(2) >= 0.5))
+  }
+
+  test("minhash candidates match exact n-gram jaccard on a small sample") {
+    val sample = docs.filter(col("doc_id") < 60).select("doc_id", "text")
+    val exact = Dedup.ngramJaccardExact(sample, w = 3, minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashNearDup(sample, w = 3, k = 32, bands = 8,
+      minJaccard = 0.3).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH reports a subset (may miss candidates whose bands never collide);
+    // everything it reports must be exact-verified true
+    assert(lsh.subsetOf(exact))
+  }
+
+  test("simhash: identical text → identical signature; planted dup collides") {
+    val sig = docs.limit(5).select(col("text"))
+      .withColumn("s1", Dedup.simhash(col("text")))
+      .withColumn("s2", Dedup.simhash(col("text")))
+    sig.collect().foreach(r => assert(r.getLong(1) === r.getLong(2)))
+  }
+
+  test("brute-force cosine top-k: self-similarity is 1 and ranks first") {
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toIndexedSeq
+    val top = Similarity.bruteForceTopK(emb, q, 5).collect()
+    assert(top.head.getLong(0) === 0L)
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-6)
+    val sims = top.map(_.getDouble(1))
+    assert(sims.sliding(2).forall { case Array(a, b) => a >= b })
+  }
+
+  test("IVF top-k recall vs brute force is reasonable on probed buckets") {
+    val q = emb.filter(col("vec_id") === 7).select("embedding")
+      .head().getSeq[Float](0).toIndexedSeq
+    val brute = Similarity.bruteForceTopK(emb, q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val assigned = Similarity.ivfAssign(spark, emb, nCentroids = 16)
+    val centroids = emb.orderBy(col("vec_id").asc).limit(16)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val ivf = Similarity.ivfTopK(spark, assigned, centroids, q, 10, nProbe = 8)
+      .collect().map(_.getLong(0)).toSet
+    // half the probes → recall won't be perfect, but must overlap well
+    assert((brute intersect ivf).size >= 5)
+  }
+
+  test("embedding near-dup finds planted duplicate vector") {
+    val v = emb.filter(col("vec_id") === 3).select("embedding")
+      .head().getSeq[Float](0)
+    val planted = Seq((9100L, v)).toDF("vec_id", "embedding")
+    val all = emb.select("vec_id", "embedding").union(planted)
+    val dups = Dedup.embeddingNearDup(all, dim = 64, minCosine = 0.99)
+      .collect()
+    assert(dups.exists(r => r.getLong(0) == 3L && r.getLong(1) == 9100L &&
+      r.getDouble(2) >= 0.999))
+  }
+
+  test("text analysis columns are sane") {
+    val r = docs.select(
+      TextAnalysis.tokenCount(col("text")).as("tc"),
+      TextAnalysis.alphaRatio(col("text")).as("ar"),
+      TextAnalysis.qualityScore(col("text")).as("q"),
+      TextAnalysis.langId(col("text")).as("lang")).collect()
+    r.foreach { row =>
+      assert(row.getInt(0) > 0)
+      assert(row.getDouble(1) >= 0 && row.getDouble(1) <= 1)
+      assert(row.getDouble(2) >= 0 && row.getDouble(2) <= 1)
+      assert(Set("en", "es", "fr", "de", "und").contains(row.getString(3)))
+    }
+  }
+
+  test("multimodal decode pipeline is deterministic and total") {
+    val media = Multimodal.syntheticMedia(spark, docs)
+    val d1 = Multimodal.decodeAll(media).collect().sortBy(_.media_id)
+    val d2 = Multimodal.decodeAll(media).collect().sortBy(_.media_id)
+    assert(d1.length === docs.count())
+    d1.zip(d2).foreach { case (a, b) =>
+      assert(a.width === b.width && a.height === b.height)
+      assert(a.feature.toSeq === b.feature.toSeq)
+    }
+    val frames = Multimodal.sampleFrames(Multimodal.decodeAll(media))
+    assert(frames.count() > 0)
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStreams
+
+/** Streaming ≡ batch convergence on finite replayed input, plus the
+  * custom-state sessionizer vs the built-in session_window.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = core.Sessions.local(4, "graft-stream-test")
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  def batchEvents = core.Tables(spark, sf).events
+
+  test("streamed hourly counts equal batch hourly counts") {
+    val q = EventStreams.hourlyCounts(
+        EventStreams.readEvents(spark, s"$sf/events.parquet"))
+      .writeStream.format("memory").queryName("t_hourly")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("t_hourly")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val batch = batchEvents
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(streamed === batch)
+  }
+
+  test("sliding windows produce 4x window coverage per event hour") {
+    val q = EventStreams.slidingValue(
+        EventStreams.readEvents(spark, s"$sf/events.parquet"))
+      .writeStream.format("memory").queryName("t_sliding")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val n = spark.table("t_sliding").count()
+    assert(n > 0)
+  }
+
+  test("custom-state sessionizer agrees with built-in session_window") {
+    val ev = batchEvents.select(col("ts"), col("user_id"), col("value"))
+      .as[EventStreams.Ev]
+    // custom sessionizer only emits CLOSED sessions (the final open
+    // session per user stays in state), so compare on the closed subset
+    val custom = EventStreams.sessionizeWithState(ev).collect()
+      .map(s => (s.user_id, s.session_start.getTime, s.n_events)).toSet
+    val builtin = batchEvents
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start"), col("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2))).toSet
+    assert(custom.subsetOf(builtin))
+    // every user's closed sessions = total sessions - (0 or 1 open)
+    assert(custom.size >= builtin.size - batchEvents
+      .select("user_id").distinct().count())
+  }
+}
