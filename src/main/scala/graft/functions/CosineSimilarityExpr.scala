@@ -75,6 +75,17 @@ object GraftFunctions {
       "graft_cosine",
       exprs => CosineSimilarityExpr(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash",
+      exprs => MinHashSignatureExpr(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Number].intValue),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash_text",
+      exprs => MinHashTextExpr(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Number].intValue,
+        exprs(2).eval(null).asInstanceOf[Number].intValue),
+      "built-in")
   }
 
   /** Column-API form (requires register() on the active session). */

@@ -1,0 +1,173 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass MinHash signature over an array<string> of shingles.
+  *
+  * Instead of k independent hash passes (k full traversals, k×n hash
+  * computations), each shingle is hashed twice and the k hash-family
+  * values are derived as h_i = h1 + i·h2 — the Kirsch–Mitzenmacher
+  * double-hashing construction, standard for Bloom/MinHash families.
+  * Cost per shingle: 2 hashes + k adds, ~k/2× less hashing than the
+  * naive family; one traversal instead of k.
+  */
+object MinHashUtil {
+  /** Murmur-style 64-bit avalanche finalizer (splitmix64 mix). */
+  @inline private def mix(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def compute(arr: ArrayData, k: Int): Array[Long] = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        val base = hashUtf8(s)
+        val h1 = mix(base)
+        val h2 = mix(base ^ 0x9e3779b97f4a7c15L) | 1L
+        var j = 0
+        var h = h1
+        while (j < k) {
+          if (h < mins(j)) mins(j) = h
+          h += h2
+          j += 1
+        }
+      }
+      i += 1
+    }
+    mins
+  }
+
+  /** FNV-1a 64-bit over the string's utf8 bytes (then mixed above). */
+  @inline private def hashUtf8(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  @inline private def fnvBytes(h0: Long, bytes: Array[Byte]): Long = {
+    var h = h0
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Fused tokens→w-gram-shingles→MinHash: one pass over the token
+    * array, no intermediate shingle strings or arrays. The shingle hash
+    * for window [i, i+w) is FNV-1a over the tokens' utf8 bytes with a
+    * space separator — identical to hashing the `concat_ws(" ", ...)`
+    * string, so it IS a MinHash over the same shingle set the verifier
+    * materializes. Returns null-marker (length 0) when fewer than w
+    * tokens.
+    */
+  def computeText(toks: ArrayData, w: Int, k: Int): Array[Long] = {
+    val n = toks.numElements()
+    if (n < w) return Array.emptyLongArray
+    // pre-fetch byte arrays once
+    val tokBytes = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      val s = toks.getUTF8String(i)
+      tokBytes(i) = if (s == null) Array.emptyByteArray else s.getBytes
+      i += 1
+    }
+    val space = ' '.toByte
+    val mins = Array.fill(k)(Long.MaxValue)
+    i = 0
+    while (i <= n - w) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < w) {
+        if (j > 0) { h ^= (space & 0xffL); h *= 0x100000001b3L }
+        h = fnvBytes(h, tokBytes(i + j))
+        j += 1
+      }
+      val h1 = mix(h)
+      val h2 = mix(h ^ 0x9e3779b97f4a7c15L) | 1L
+      var s = h1
+      j = 0
+      while (j < k) {
+        if (s < mins(j)) mins(j) = s
+        s += h2
+        j += 1
+      }
+      i += 1
+    }
+    mins
+  }
+}
+
+/** Fused minhash-over-text expression: graft_minhash_text(tokens, w, k)
+  * → array<long> signature; null when the doc has fewer than w tokens.
+  */
+case class MinHashTextExpr(child: Expression, w: Int, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val r = MinHashUtil.computeText(input.asInstanceOf[ArrayData], w, k)
+    if (r.isEmpty) null else new GenericArrayData(r)
+  }
+
+  // nullSafeCodeGen can't express "computed null" cleanly; the eval path
+  // is a single static call per row either way, so interpreter overhead
+  // is negligible — but we still emit codegen with an explicit null check.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""long[] graftMins = graft.functions.MinHashUtil$$.MODULE$$.computeText($c, $w, $k);
+         |if (graftMins.length == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(graftMins);
+         |}""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_minhash_text"
+}
+
+/** Catalyst expression wrapper: minhash_signature(shingles) → array<long>
+  * of length k. Codegen emits a single static call — the loop stays in
+  * compiled JVM code either way.
+  */
+case class MinHashSignatureExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      MinHashUtil.compute(input.asInstanceOf[ArrayData], k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.MinHashUtil$$.MODULE$$.compute($c, $k));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_minhash_signature"
+}

@@ -15,10 +15,21 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Cosine similarity between two float-array columns, computed in
-    * double precision with a single zip (codegen'd higher-order
-    * functions, no UDF).
+    * double precision. Dispatches to the native fused-loop Catalyst
+    * expression (functions.CosineSimilarityExpr — one traversal, no
+    * intermediate arrays); semantics are identical to the higher-order-
+    * function formulation below (asserted bit-for-bit by FunctionsSpec).
     */
   def cosine(a: Column, b: Column): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    graft.functions.GraftFunctions.register(spark)
+    org.apache.spark.sql.functions.call_function("graft_cosine", a, b)
+  }
+
+  /** Reference formulation via codegen'd higher-order functions — kept
+    * as the cross-check oracle for the native expression.
+    */
+  def cosineHof(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) =>
       x.cast("double") * y.cast("double")), lit(0.0d), (acc, v) => acc + v)
     val na = aggregate(transform(a, x => x.cast("double") * x.cast("double")),

@@ -432,6 +432,128 @@ object Relational {
              |FROM lineitem l
              |WHERE l_quantity > 1.5 * (SELECT avg(l_quantity) FROM lineitem
              |  WHERE l_partkey = l.l_partkey)
-             |GROUP BY l_partkey""".stripMargin))
+             |GROUP BY l_partkey""".stripMargin)),
+
+    // ---- A3/O3/F2/A4: collect + slice + transform + reduce ------------
+    // (the reference's collect(...)[a..b] + reduce(acc+x) shapes,
+    // neo4j-code.txt:54/:145, on the relational surface)
+    GQ("q25_array_funcs",
+      (s, dir) => {
+        t(s, dir).orders
+          .groupBy(col("o_custkey"))
+          .agg(array_sort(collect_list(struct(col("o_orderdate"),
+            col("o_orderkey"), col("o_totalprice")))).as("arr"))
+          .select(col("o_custkey"),
+            size(col("arr")).as("n_orders"),
+            round(aggregate(
+              transform(slice(col("arr"), 1, 5), x => x.getField("o_totalprice")),
+              lit(0.0d), (acc, x) => acc + x), 4).as("sum_first5"))
+      },
+      Some("""WITH l AS (SELECT o_custkey,
+             |  list(o_totalprice ORDER BY o_orderdate, o_orderkey) AS arr
+             |  FROM orders GROUP BY 1)
+             |SELECT o_custkey, CAST(len(arr) AS INT) AS n_orders,
+             |round(coalesce(list_sum(list_slice(arr, 1, 5)), 0), 4) AS sum_first5
+             |FROM l""".stripMargin)),
+
+    // ---- set ops: UNION ALL / INTERSECT -------------------------------
+    GQ("q26_union_all_intersect",
+      (s, dir) => {
+        val tb = t(s, dir)
+        val a = tb.customer.filter(col("c_acctbal") > 7000)
+          .select(col("c_custkey").as("custkey"))
+        val b = tb.customer.filter(col("c_mktsegment") === "MACHINERY")
+          .select(col("c_custkey").as("custkey"))
+        a.unionAll(b).groupBy(col("custkey"))
+          .agg(count(lit(1)).as("n_appearances"))
+          .join(a.intersect(b).withColumn("in_both", lit(1)),
+            Seq("custkey"), "left_outer")
+          .select(col("custkey"), col("n_appearances"),
+            coalesce(col("in_both"), lit(0)).as("in_both"))
+      },
+      Some("""WITH u AS (
+             |  SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 7000
+             |  UNION ALL
+             |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'),
+             |i AS (
+             |  SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 7000
+             |  INTERSECT
+             |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+             |SELECT u.custkey, count(*) AS n_appearances,
+             |  CASE WHEN max(i.custkey) IS NULL THEN 0 ELSE 1 END AS in_both
+             |FROM u LEFT JOIN i ON u.custkey = i.custkey
+             |GROUP BY u.custkey""".stripMargin)),
+
+    // ---- date arithmetic ----------------------------------------------
+    GQ("q27_date_arith",
+      (s, dir) => {
+        t(s, dir).orders
+          .select(col("o_orderkey"),
+            date_add(col("o_orderdate"), 30).as("due_date"),
+            last_day(col("o_orderdate")).as("month_end"),
+            datediff(current_date(), col("o_orderdate")).as("age_days"),
+            dayofweek(col("o_orderdate")).as("dow"))
+          .filter(col("o_orderkey") < 500)
+      },
+      Some("""SELECT o_orderkey,
+             |CAST(o_orderdate AS DATE) + 30 AS due_date,
+             |last_day(CAST(o_orderdate AS DATE)) AS month_end,
+             |CAST(datediff('day', CAST(o_orderdate AS DATE), current_date) AS INT)
+             |  AS age_days,
+             |CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow
+             |FROM orders WHERE o_orderkey < 500""".stripMargin)),
+
+    // ---- statistical aggregates ---------------------------------------
+    GQ("q28_stats_agg",
+      (s, dir) => {
+        t(s, dir).lineitem
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+            round(var_samp(col("l_quantity")), 4).as("var_qty"),
+            round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+              .as("corr_qty_price"),
+            round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
+            round(skewness(col("l_discount")), 4).as("skew_disc"))
+      },
+      Some("""SELECT l_returnflag,
+             |round(stddev_samp(l_quantity), 4) AS sd_qty,
+             |round(var_samp(l_quantity), 4) AS var_qty,
+             |round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+             |round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+             |round(skewness(l_discount), 4) AS skew_disc
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // ---- pivot (conditional aggregation) ------------------------------
+    GQ("q29_pivot",
+      (s, dir) => {
+        t(s, dir).lineitem
+          .groupBy(col("l_linestatus"))
+          .pivot("l_returnflag", Seq("A", "N", "R"))
+          .agg(round(sum(col("l_quantity")), 4))
+          .withColumnsRenamed(Map("A" -> "qty_a", "N" -> "qty_n",
+            "R" -> "qty_r"))
+      },
+      Some("""SELECT l_linestatus,
+             |round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 4) AS qty_a,
+             |round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 4) AS qty_n,
+             |round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 4) AS qty_r
+             |FROM lineitem GROUP BY l_linestatus""".stripMargin)),
+
+    // ---- sliding windows in batch (1h window / 15m slide) -------------
+    GQ("q30_sliding_windows",
+      (s, dir) => {
+        t(s, dir).events
+          .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("value")), 4).as("total_value"))
+          .select(col("w.start").as("w_start"), col("n_events"),
+            col("total_value"))
+      },
+      Some("""SELECT time_bucket(INTERVAL '15 minutes', ts)
+             |    - (k.k * INTERVAL '15 minutes') AS w_start,
+             |  count(*) AS n_events, round(sum(value), 4) AS total_value
+             |FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS k) k
+             |GROUP BY 1""".stripMargin))
   )
 }

@@ -18,7 +18,7 @@ class FunctionsSpec extends AnyFunSuite {
     GraftFunctions.register(spark)
     val both = emb.limit(100).select(
       col("vec_id"),
-      Similarity.cosine(col("embedding"), col("embedding")).as("hof_self"),
+      Similarity.cosineHof(col("embedding"), col("embedding")).as("hof_self"),
       call_function("graft_cosine", col("embedding"), col("embedding"))
         .as("native_self"))
     both.collect().foreach { r =>
@@ -30,7 +30,7 @@ class FunctionsSpec extends AnyFunSuite {
       .head().getSeq[Float](0).toIndexedSeq
     val qcol = array(q.map(x => lit(x)): _*)
     val cross = emb.limit(100).select(
-      Similarity.cosine(col("embedding"), qcol).as("hof"),
+      Similarity.cosineHof(col("embedding"), qcol).as("hof"),
       call_function("graft_cosine", col("embedding"), qcol).as("native"))
     cross.collect().foreach { r =>
       assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)

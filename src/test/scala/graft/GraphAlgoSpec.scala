@@ -80,15 +80,17 @@ class GraphAlgoSpec extends AnyFunSuite {
     val edf = edges.toDF("src", "dst", "cost")
       .groupBy("src", "dst").agg(org.apache.spark.sql.functions.min("cost").as("cost"))
     val lgr = LocalGraph.fromProjection(edf, None)
-    val state = DistributedSSSP.run(spark, edf, Seq("n0"))
-    val got = state.select("nodeId", "dist").collect()
-      .map(r => r.getString(0) -> r.getDouble(1)).toMap
     val (dist, _) = LocalKernels.sssp(lgr, lgr.idOf("n0"))
-    (0 until lgr.n).foreach { i =>
-      val id = lgr.ids(i)
-      if (dist(i).isFinite)
-        assert(math.abs(got(id) - dist(i)) < 1e-9, s"node $id")
-      else assert(!got.contains(id), s"node $id should be unreachable")
+    for (delta <- Seq(None, Some(5.0))) {
+      val state = DistributedSSSP.run(spark, edf, Seq("n0"), delta = delta)
+      val got = state.select("nodeId", "dist").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      (0 until lgr.n).foreach { i =>
+        val id = lgr.ids(i)
+        if (dist(i).isFinite)
+          assert(math.abs(got(id) - dist(i)) < 1e-9, s"node $id (delta=$delta)")
+        else assert(!got.contains(id), s"node $id unreachable (delta=$delta)")
+      }
     }
   }
 
