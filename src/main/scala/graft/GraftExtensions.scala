@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** SparkSessionExtensions entry point: wires the graft native functions
+  * into any session built with
+  * `spark.sql.extensions=graft.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`), so external Spark apps get
+  * `graft_cosine` / `graft_minhash` / `graft_minhash_text` in SQL without
+  * touching graft code. The same registrations happen lazily via
+  * `GraftFunctions.register` for programmatic users.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    import graft.functions._
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "graft_cosine"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CosineSimilarityExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSignatureExpr].getName, "graft_minhash"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinHashSignatureExpr(exprs(0),
+          exprs(1).eval(null).asInstanceOf[Number].intValue)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_text"),
+      new ExpressionInfo(classOf[MinHashTextExpr].getName, "graft_minhash_text"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinHashTextExpr(exprs(0),
+          exprs(1).eval(null).asInstanceOf[Number].intValue,
+          exprs(2).eval(null).asInstanceOf[Number].intValue)))
+  }
+}
