@@ -21,6 +21,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen/scheduler warmup — excluded from per-query timings so
+    // the first measured query isn't charged for one-time JIT costs
+    spark.range(1L << 20).select((org.apache.spark.sql.functions.col("id") % 7)
+      .as("k")).groupBy("k").count().count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case e: Throwable =>

@@ -54,11 +54,15 @@ object Similarity {
     * for k-means that keeps the pipeline reproducible; the partition/probe
     * mechanics are identical. Returns (vec_id, embedding, centroid_id).
     */
-  def ivfAssign(spark: SparkSession, emb: DataFrame, nCentroids: Int = 16)
-      : DataFrame = {
-    val centroids = emb.orderBy(col("vec_id").asc).limit(nCentroids)
+  def seedCentroids(emb: DataFrame, nCentroids: Int = 16): DataFrame =
+    emb.orderBy(col("vec_id").asc).limit(nCentroids)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
-    // small centroid table → broadcast nested-loop; argmax via struct max
+
+  /** Assign every vector to its nearest centroid from an explicit
+    * (c_id, c_vec) table. Small centroid table → broadcast nested-loop;
+    * argmax via struct max.
+    */
+  def assignToCentroids(emb: DataFrame, centroids: DataFrame): DataFrame =
     emb.crossJoin(broadcast(centroids))
       .withColumn("sim", cosine(col("embedding"), col("c_vec")))
       .groupBy(col("vec_id"))
@@ -66,6 +70,31 @@ object Similarity {
         first(col("embedding")).as("embedding"))
       .select(col("vec_id"), col("embedding"),
         col("best.c_id").as("centroid_id"))
+
+  def ivfAssign(spark: SparkSession, emb: DataFrame, nCentroids: Int = 16)
+      : DataFrame =
+    assignToCentroids(emb, seedCentroids(emb, nCentroids))
+
+  /** One k-means centroid-refinement iteration: replace each centroid
+    * with the element-wise mean of its assigned vectors, computed by the
+    * typed CentroidMean Aggregator (map-side combinable). Iterating
+    * assign→refine converges toward real k-means; even one iteration
+    * moves the seeded centroids to density centers and tightens IVF
+    * recall.
+    */
+  def kmeansRefine(spark: SparkSession, assigned: DataFrame, dim: Int = 64)
+      : DataFrame = {
+    import spark.implicits._
+    val agg = new graft.functions.CentroidMean(dim)
+    assigned.select(col("centroid_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.toColumn.name("c_vec"))
+      .toDF("c_id", "c_vec")
+      .select(col("c_id"), col("c_vec").cast(
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)))
   }
 
   /** IVF probe: search only the `nProbe` centroids closest to the query.

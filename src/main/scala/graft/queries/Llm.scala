@@ -103,14 +103,16 @@ object Llm {
              |FROM embeddings
              |ORDER BY cosine DESC, vec_id ASC LIMIT 20""".stripMargin)),
 
-    // ---- IVF-style pruned ANN (the scale path) ------------------------
+    // ---- IVF-style pruned ANN (the scale path): seed → assign →
+    // k-means centroid refinement (typed Aggregator) → re-assign → probe
     GQ("llm_ann_ivf",
       (s, dir) => {
         val emb = t(s, dir).embeddings
-        val assigned = Similarity.ivfAssign(s, emb, nCentroids = 16)
-        val centroids = emb.orderBy(col("vec_id").asc).limit(16)
-          .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
-        Similarity.ivfTopK(s, assigned, centroids, queryVec(s, dir),
+        val seeds = Similarity.seedCentroids(emb, 16)
+        val refined = Similarity.kmeansRefine(s,
+          Similarity.assignToCentroids(emb, seeds)).cache()
+        val assigned = Similarity.assignToCentroids(emb, refined)
+        Similarity.ivfTopK(s, assigned, refined, queryVec(s, dir),
           k = 20, nProbe = 4)
       }),
 

@@ -521,7 +521,8 @@ object Relational {
              |round(var_samp(l_quantity), 4) AS var_qty,
              |round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
              |round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
-             |round(skewness(l_discount), 4) AS skew_disc
+             |round(skewness(l_discount) * (count(*) - 2)
+             |  / sqrt(count(*) * (count(*) - 1.0)), 4) AS skew_disc
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
     // ---- pivot (conditional aggregation) ------------------------------
@@ -539,6 +540,17 @@ object Relational {
              |round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 4) AS qty_n,
              |round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 4) AS qty_r
              |FROM lineitem GROUP BY l_linestatus""".stripMargin)),
+
+    // ---- approximate distinct (HLL sketch) — no oracle: sketch
+    // estimates are engine-specific; AccuracySpec bounds the error vs
+    // the exact count instead
+    GQ("q31_approx_distinct",
+      (s, dir) => {
+        t(s, dir).lineitem
+          .groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+            countDistinct(col("l_partkey")).as("exact_parts"))
+      }),
 
     // ---- sliding windows in batch (1h window / 15m slide) -------------
     GQ("q30_sliding_windows",

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.Similarity
+
+/** Error bounds for the approximate operators that have no DuckDB oracle:
+  * HLL distinct counts and the k-means-refined IVF index.
+  */
+class AccuracySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = core.Sessions.local(4, "graft-acc-test")
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("approx_count_distinct within 5% of exact") {
+    val rows = SparkEntry.queries("q31_approx_distinct")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"${r.getString(0)}: approx=$approx exact=$exact")
+    }
+  }
+
+  test("k-means refinement preserves centroid count and improves spread") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val seeds = Similarity.seedCentroids(emb, 8)
+    val assigned0 = Similarity.assignToCentroids(emb, seeds)
+    val refined = Similarity.kmeansRefine(spark, assigned0)
+    assert(refined.count() === assigned0.select("centroid_id").distinct().count())
+    // refined centroid = mean of members: spot-check against a manual mean
+    val cid = refined.select("c_id").orderBy(col("c_id").asc).head().getLong(0)
+    val members = assigned0.filter(col("centroid_id") === cid)
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("pos").agg(avg(col("v")).as("m"))
+      .orderBy("pos").collect().map(_.getDouble(1))
+    val got = refined.filter(col("c_id") === cid)
+      .head().getSeq[Float](1).toArray
+    members.zip(got).foreach { case (m, g) =>
+      assert(math.abs(m - g) < 1e-5)
+    }
+    // one refine step must not reduce mean member-to-centroid similarity
+    def meanSim(assigned: org.apache.spark.sql.DataFrame,
+        cents: org.apache.spark.sql.DataFrame): Double =
+      assigned.join(cents, col("centroid_id") === col("c_id"))
+        .select(avg(Similarity.cosine(col("embedding"), col("c_vec"))))
+        .head().getDouble(0)
+    val before = meanSim(assigned0, seeds)
+    val after = meanSim(Similarity.assignToCentroids(emb, refined), refined)
+    assert(after >= before - 1e-6, s"before=$before after=$after")
+  }
+}

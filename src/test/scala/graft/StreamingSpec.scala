@@ -45,6 +45,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(n > 0)
   }
 
+  test("custom-state sessionizer runs as a real stream and matches batch") {
+    val ev = EventStreams.readEvents(spark, s"$sf/events.parquet")
+      .select(col("ts"), col("user_id"), col("value"))
+      .as[EventStreams.Ev]
+    val q = EventStreams.sessionizeWithState(ev)
+      .writeStream.format("memory").queryName("t_custom_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("t_custom_stream").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(3))).toSet
+    val batchEv = batchEvents.select(col("ts"), col("user_id"), col("value"))
+      .as[EventStreams.Ev]
+    val batch = EventStreams.sessionizeWithState(batchEv).collect()
+      .map(s => (s.user_id, s.session_start.getTime, s.n_events)).toSet
+    assert(streamed === batch)
+  }
+
   test("custom-state sessionizer agrees with built-in session_window") {
     val ev = batchEvents.select(col("ts"), col("user_id"), col("value"))
       .as[EventStreams.Ev]
