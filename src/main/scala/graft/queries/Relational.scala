@@ -491,14 +491,16 @@ object Relational {
           .select(col("o_orderkey"),
             date_add(col("o_orderdate"), 30).as("due_date"),
             last_day(col("o_orderdate")).as("month_end"),
-            datediff(current_date(), col("o_orderdate")).as("age_days"),
+            // fixed anchor date, not current_date(): the oracle runs at a
+            // different wall time and a midnight boundary would flake
+            datediff(lit("2026-01-01"), col("o_orderdate")).as("age_days"),
             dayofweek(col("o_orderdate")).as("dow"))
           .filter(col("o_orderkey") < 500)
       },
       Some("""SELECT o_orderkey,
              |CAST(o_orderdate AS DATE) + 30 AS due_date,
              |last_day(CAST(o_orderdate AS DATE)) AS month_end,
-             |CAST(datediff('day', CAST(o_orderdate AS DATE), current_date) AS INT)
+             |CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2026-01-01') AS INT)
              |  AS age_days,
              |CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow
              |FROM orders WHERE o_orderkey < 500""".stripMargin)),
