@@ -46,11 +46,25 @@ object DistributedSSSP {
     */
   def run(spark: SparkSession, edges: DataFrame, sources: Seq[String],
       target: Option[String] = None, maxIter: Int = 100000,
-      delta: Option[Double] = None): DataFrame = {
+      delta: Option[Double] = None,
+      bannedEdges: Seq[(String, String)] = Nil,
+      bannedNodes: Seq[String] = Nil): DataFrame = {
     import spark.implicits._
 
-    val e = edges.select(col("src"), col("dst"), col("cost"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Yen spur masks: tiny driver-side sets → broadcast anti-join /
+    // isin filter, applied once to the persisted edge set
+    val masked0 = edges.select(col("src"), col("dst"), col("cost"))
+    val masked1 =
+      if (bannedEdges.isEmpty) masked0
+      else masked0.join(
+        broadcast(bannedEdges.toDF("b_src", "b_dst")),
+        col("src") === col("b_src") && col("dst") === col("b_dst"),
+        "left_anti")
+    val masked2 =
+      if (bannedNodes.isEmpty) masked1
+      else masked1.filter(!col("src").isin(bannedNodes: _*) &&
+        !col("dst").isin(bannedNodes: _*))
+    val e = masked2.persist(StorageLevel.MEMORY_AND_DISK)
 
     var state = sources.map(s => (s, s, 0.0, ""))
       .toDF("source", "nodeId", "dist", "pred")

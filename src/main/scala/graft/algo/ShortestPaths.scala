@@ -136,16 +136,26 @@ object ShortestPaths {
     }
   }
 
-  /** G5: Yen's K loopless shortest paths. */
+  /** G5: Yen's K loopless shortest paths — adaptive like the rest:
+    * sequential CSR kernel below the threshold, driver-orchestrated
+    * distributed spur searches (DistributedYen) above it.
+    */
   def yen(spark: SparkSession, g: PropertyGraph, src: String, dst: String,
       k: Int): DataFrame = {
     import spark.implicits._
-    val lg = localGraph(g) // spur searches are sequential; driver-side kernel
-    val paths = LocalKernels.yen(lg, lg.idOf(src), lg.idOf(dst), k)
-    paths.zipWithIndex.map { case (p, i) =>
-      (i, p.nodes.toSeq.map(lg.ids), p.costs.toSeq,
-        BigDecimal(p.totalCost).setScale(4, BigDecimal.RoundingMode.HALF_UP)
-          .toDouble)
-    }.toDF("path_index", "node_ids", "costs", "total_cost")
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    if (useLocal(g)) {
+      val lg = localGraph(g)
+      val paths = LocalKernels.yen(lg, lg.idOf(src), lg.idOf(dst), k)
+      paths.zipWithIndex.map { case (p, i) =>
+        (i, p.nodes.toSeq.map(lg.ids), p.costs.toSeq, r4(p.totalCost))
+      }.toDF("path_index", "node_ids", "costs", "total_cost")
+    } else {
+      val paths = DistributedYen.run(spark, g.projection, src, dst, k)
+      paths.zipWithIndex.map { case (p, i) =>
+        (i, p.nodes, p.costs, r4(p.total))
+      }.toDF("path_index", "node_ids", "costs", "total_cost")
+    }
   }
 }

@@ -179,6 +179,39 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
       .filter(col("n_docs") > 1)
 
+  /** SimHash near-dup within Hamming distance `maxHamming` via the
+    * pigeonhole banding trick (Manku et al., WWW'07): split the 64-bit
+    * signature into `bands` chunks — two signatures within Hamming k <
+    * bands must agree exactly on ≥1 chunk, so candidate pairs come from
+    * per-chunk equality buckets (one narrow shuffle), then Hamming is
+    * verified with bit_count(xor). Never compares all pairs.
+    */
+  def simhashNearDup(docs: DataFrame, maxHamming: Int = 3,
+      bands: Int = 4): DataFrame = {
+    require(maxHamming < bands, "pigeonhole needs maxHamming < bands")
+    val bits = 64 / bands
+    val sigs = docs
+      .select(col("doc_id"), simhash(col("text")).as("simhash"))
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until bands).map { b =>
+        shiftrightunsigned(col("simhash"), b * bits)
+          .bitwiseAND(lit((1L << bits) - 1))
+      }: _*)).as(Seq("band_id", "band_val")))
+    val cands = banded.select(col("band_id"), col("band_val"),
+        col("doc_id").as("id_a"), col("simhash").as("sig_a"))
+      .join(banded.select(col("band_id"), col("band_val"),
+        col("doc_id").as("id_b"), col("simhash").as("sig_b")),
+        Seq("band_id", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+    cands
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   // ---- embedding cosine near-dup --------------------------------------
 
   /** Random-hyperplane LSH bucket key: sign bits of dot(v, r_i) for

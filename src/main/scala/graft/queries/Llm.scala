@@ -88,6 +88,11 @@ object Llm {
       (s, dir) => t(s, dir).documents
         .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))),
 
+    // ---- SimHash near-dup (banded pigeonhole + Hamming verify) --------
+    GQ("llm_simhash_neardup",
+      (s, dir) => Dedup.simhashNearDup(t(s, dir).documents,
+        maxHamming = 3, bands = 4)),
+
     // ---- brute-force cosine top-k (exact ANN baseline) ----------------
     GQ("llm_ann_bruteforce",
       (s, dir) => Similarity.bruteForceTopK(

@@ -178,15 +178,21 @@ object Relational {
              |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin)),
 
     // ---- left outer join + agg over nullable side ---------------------
+    // Aggregate the fact side BEFORE the outer join: shuffles lineitem
+    // once on its own key instead of join-then-agg (which would shuffle
+    // the joined fact a second time) — the scalable shape for fact-fact.
     GQ("q8_order_line_counts",
       (s, dir) => {
         val tb = t(s, dir)
+        val perOrder = tb.lineitem
+          .groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("qty"))
         tb.orders
-          .join(tb.lineitem.select(col("l_orderkey"), col("l_quantity")),
-            col("o_orderkey") === col("l_orderkey"), "left_outer")
-          .groupBy(col("o_orderkey"))
-          .agg(count(col("l_orderkey")).as("line_cnt"),
-            round(coalesce(sum(col("l_quantity")), lit(0.0)), 4).as("total_qty"))
+          .join(perOrder, col("o_orderkey") === col("l_orderkey"),
+            "left_outer")
+          .select(col("o_orderkey"),
+            coalesce(col("cnt"), lit(0L)).as("line_cnt"),
+            round(coalesce(col("qty"), lit(0.0)), 4).as("total_qty"))
       },
       Some("""SELECT o_orderkey, count(l_orderkey) AS line_cnt,
              |round(coalesce(sum(l_quantity), 0), 4) AS total_qty

@@ -116,6 +116,25 @@ class GraphAlgoSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed Yen matches local Yen on a random graph") {
+    val rnd = new scala.util.Random(29)
+    val n = 25
+    val edges = (for {
+      _ <- 0 until 140
+      u = rnd.nextInt(n); v = rnd.nextInt(n)
+      if u != v
+    } yield (s"n$u", s"n$v", 1.0 + rnd.nextInt(40) / 4.0)).distinct
+    val edf = edges.toDF("src", "dst", "cost")
+      .groupBy("src", "dst").agg(org.apache.spark.sql.functions.min("cost").as("cost"))
+    val lgr = LocalGraph.fromProjection(edf, None)
+    val local = LocalKernels.yen(lgr, lgr.idOf("n0"), lgr.idOf("n1"), 3)
+    val dist = algo.DistributedYen.run(spark, edf, "n0", "n1", 3)
+    assert(local.length === dist.length)
+    local.zip(dist).foreach { case (lp, dp) =>
+      assert(math.abs(lp.totalCost - dp.total) < 1e-9)
+    }
+  }
+
   test("multigraph parallel edges survive; exact duplicates collapse") {
     val raw = Seq(
       (0.0, 0.0, "a", "b", "r1", 5.0),

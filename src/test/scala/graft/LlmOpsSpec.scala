@@ -56,6 +56,23 @@ class LlmOpsSpec extends AnyFunSuite {
     sig.collect().foreach(r => assert(r.getLong(1) === r.getLong(2)))
   }
 
+  test("simhash banded near-dup finds a one-word-changed document") {
+    val base = docs.filter(col("doc_id") === 1).select("text")
+      .head().getString(0)
+    val words = base.split(" ")
+    val mutated = words.zipWithIndex
+      .map { case (w, i) => if (i == words.length / 2) "qqzz" else w }
+      .mkString(" ")
+    val planted = Seq((9201L, base), (9202L, mutated)).toDF("doc_id", "text")
+    val all = docs.select("doc_id", "text").union(planted)
+    val pairs = Dedup.simhashNearDup(all, maxHamming = 8, bands = 16)
+      .collect()
+    assert(pairs.exists(r => r.getLong(0) == 9201L && r.getLong(1) == 9202L))
+    // exact duplicate of planted base must appear at hamming 0
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 9201L &&
+      r.getInt(2) == 0))
+  }
+
   test("brute-force cosine top-k: self-similarity is 1 and ranks first") {
     val q = emb.filter(col("vec_id") === 0).select("embedding")
       .head().getSeq[Float](0).toIndexedSeq
