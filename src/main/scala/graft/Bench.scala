@@ -35,7 +35,28 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Kernel-level algorithm latencies on the reference's graph (same
+    // unit — ms per query — as BASELINE.md's algorithm tables, which
+    // report 20.8/28.3/20.5 ms at this graph size). The q-level graph
+    // timings above additionally include Spark job scheduling and
+    // DataFrame materialization; this isolates the algorithm.
+    val kernels = try {
+      val pg = queries.Graph.graphFor(spark, queries.Graph.edgeListPath)
+      val lg = graft.algo.LocalGraph.fromProjection(pg.projection, Some(pg.nodes))
+      val s = lg.idOf(queries.Graph.Src); val d = lg.idOf(queries.Graph.Dst)
+      def med(f: => Unit): Double = {
+        f
+        val xs = Seq.fill(3) {
+          val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e6
+        }.sorted
+        xs(1)
+      }
+      val dj = med(graft.algo.LocalKernels.dijkstra(lg, s, d))
+      val as = med(graft.algo.LocalKernels.astar(lg, s, d))
+      val yn = med(graft.algo.LocalKernels.yen(lg, s, d, 3))
+      f"""{"dijkstra_ms":$dj%.1f,"astar_ms":$as%.1f,"yen3_ms":$yn%.1f,"nodes":${lg.n}}"""
+    } catch { case _: Throwable => "{}" }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"graph_kernels":$kernels,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

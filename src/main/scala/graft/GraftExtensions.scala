@@ -33,5 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinHashTextExpr(exprs(0),
           exprs(1).eval(null).asInstanceOf[Number].intValue,
           exprs(2).eval(null).asInstanceOf[Number].intValue)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHashExpr(exprs(0))))
   }
 }

@@ -86,6 +86,10 @@ object GraftFunctions {
         exprs(1).eval(null).asInstanceOf[Number].intValue,
         exprs(2).eval(null).asInstanceOf[Number].intValue),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash",
+      exprs => SimHashExpr(exprs(0)),
+      "built-in")
   }
 
   /** Column-API form (requires register() on the active session). */

@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Fused 64-bit SimHash over a token array: one pass, distinct-token
+  * semantics, per-bit vote counters in a local array. The higher-order-
+  * function formulation needed 64 interpreted aggregate passes, each
+  * re-hashing every token — this is the same pitfall (and same fix) as
+  * MinHashTextExpr.
+  */
+object SimHashUtil {
+  @inline private def mix(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def compute(toks: ArrayData): Long = {
+    val n = toks.numElements()
+    val seen = new java.util.HashSet[String](math.max(16, n * 2))
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val s = toks.getUTF8String(i)
+      if (s != null && seen.add(s.toString)) {
+        // FNV-1a over utf8 bytes, then avalanche
+        val bytes = s.getBytes
+        var h = 0xcbf29ce484222325L
+        var bi = 0
+        while (bi < bytes.length) {
+          h ^= (bytes(bi) & 0xffL); h *= 0x100000001b3L; bi += 1
+        }
+        h = mix(h)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+}
+
+case class SimHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashUtil.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimHashUtil$$.MODULE$$.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_simhash"
+}

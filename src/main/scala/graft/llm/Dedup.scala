@@ -157,19 +157,15 @@ object Dedup {
 
   // ---- SimHash --------------------------------------------------------
 
-  /** 64-bit SimHash over token hashes: bit j of the signature is the sign
-    * of Σ_tokens (bit j of xxhash64(token) ? +1 : -1). Expressed with
-    * higher-order functions over a 64-slot counter array — codegen'd,
-    * no UDF.
+  /** 64-bit SimHash: bit j of the signature is the sign of
+    * Σ_distinct-tokens (bit j of hash(token) ? +1 : −1). Computed by the
+    * fused native expression (functions.SimHashExpr) — one pass over the
+    * token array with local per-bit vote counters.
     */
   def simhash(text: Column): Column = {
-    val toks = array_distinct(split(lower(trim(text)), "\\s+"))
-    val hs = transform(toks, t => xxhash64(t))
-    (0 until 64).map { j =>
-      val cnt = aggregate(hs, lit(0), (acc, h) =>
-        acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(cnt > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_simhash", tokens(text))
   }
 
   /** Near-dup groups by identical SimHash signature. */
