@@ -38,14 +38,15 @@ object DistributedYen {
       case None => return Seq.empty
       case Some(p) => accepted += p
     }
-    implicit val ord: Ordering[Path] = Ordering.by(-_.total)
-    val candidates = scala.collection.mutable.PriorityQueue.empty[Path]
+    implicit val ord: Ordering[(Path, Int)] = Ordering.by(-_._1.total)
+    val candidates = scala.collection.mutable.PriorityQueue.empty[(Path, Int)]
     val seen = scala.collection.mutable.HashSet[Vector[String]](
       accepted.head.nodes)
+    var lastDev = 0 // Lawler's modification, as in LocalKernels.yen
 
     while (accepted.length < k) {
       val prev = accepted.last
-      var i = 0
+      var i = lastDev
       while (i < prev.nodes.length - 1) {
         val spur = prev.nodes(i)
         val root = prev.nodes.slice(0, i + 1)
@@ -60,13 +61,15 @@ object DistributedYen {
           if (!seen.contains(nodes)) {
             seen += nodes
             val costs = prev.costs.slice(0, i) ++ sp.costs.map(_ + rootCost)
-            candidates.enqueue(Path(nodes, costs))
+            candidates.enqueue((Path(nodes, costs), i))
           }
         }
         i += 1
       }
       if (candidates.isEmpty) return accepted.toSeq
-      accepted += candidates.dequeue()
+      val (best, dev) = candidates.dequeue()
+      accepted += best
+      lastDev = dev
     }
     accepted.toSeq
   }
