@@ -16,15 +16,83 @@ object LocalKernels {
       costs: Array[Double],    // running cost at each node (cum. distance)
       totalCost: Double)
 
+  /** Primitive-array binary min-heap (priority, node) — avoids the boxed
+    * (Double, Int) tuples of java.util.PriorityQueue, which dominated
+    * kernel time on dense spur-search workloads (Yen). Lazy deletion:
+    * stale entries are skipped via the caller's settled check.
+    */
+  private final class MinHeap(initialCapacity: Int) {
+    private var prio = new Array[Double](math.max(initialCapacity, 16))
+    private var node = new Array[Int](prio.length)
+    private var n = 0
+    def isEmpty: Boolean = n == 0
+    def add(p: Double, v: Int): Unit = {
+      if (n == prio.length) {
+        prio = java.util.Arrays.copyOf(prio, n * 2)
+        node = java.util.Arrays.copyOf(node, n * 2)
+      }
+      var i = n; n += 1
+      while (i > 0 && prio((i - 1) >> 1) > p) {
+        val par = (i - 1) >> 1
+        prio(i) = prio(par); node(i) = node(par); i = par
+      }
+      prio(i) = p; node(i) = v
+    }
+    /** Removes and returns the min node (its priority via lastPrio). */
+    var lastPrio: Double = 0.0
+    def poll(): Int = {
+      val top = node(0); lastPrio = prio(0)
+      n -= 1
+      if (n > 0) {
+        val p = prio(n); val v = node(n)
+        var i = 0
+        var done = false
+        while (!done) {
+          val l = 2 * i + 1; val r = l + 1
+          var c = -1
+          if (l < n) c = if (r < n && prio(r) < prio(l)) r else l
+          if (c >= 0 && prio(c) < p) {
+            prio(i) = prio(c); node(i) = node(c); i = c
+          } else done = true
+        }
+        prio(i) = p; node(i) = v
+      }
+      top
+    }
+  }
+
+  /** Reusable per-search scratch state with touched-node reset: repeated
+    * searches over the same graph (Yen runs K×path-length spur searches)
+    * reset only the entries the previous search wrote instead of
+    * reallocating/zeroing three n-sized arrays each time.
+    */
+  final class Workspace(n: Int) {
+    val dist: Array[Double] = Array.fill(n)(Double.PositiveInfinity)
+    val pred: Array[Int] = Array.fill(n)(-1)
+    val settled: Array[Boolean] = new Array[Boolean](n)
+    private val touched = new Array[Int](n)
+    private var nTouched = 0
+    @inline def touch(v: Int): Unit = { touched(nTouched) = v; nTouched += 1 }
+    def reset(): Unit = {
+      var i = 0
+      while (i < nTouched) {
+        val v = touched(i)
+        dist(v) = Double.PositiveInfinity; pred(v) = -1; settled(v) = false
+        i += 1
+      }
+      nTouched = 0
+    }
+  }
+
   /** Dijkstra with early target exit. Returns None if unreachable.
     * `bannedEdges`/`bannedNodes` support Yen spur searches: a banned edge
     * is identified by (srcDense << 32 | edgeOrdinal) — see yen().
     */
   def dijkstra(g: LocalGraph, source: Int, target: Int,
       bannedEdgeIdx: java.util.HashSet[Int] = new java.util.HashSet[Int](),
-      bannedNodes: java.util.HashSet[Int] = new java.util.HashSet[Int]())
-      : Option[PathResult] = {
-    search(g, source, target, heuristic = null, bannedEdgeIdx, bannedNodes)
+      bannedNodes: java.util.HashSet[Int] = new java.util.HashSet[Int](),
+      ws: Workspace = null): Option[PathResult] = {
+    search(g, source, target, heuristic = null, bannedEdgeIdx, bannedNodes, ws)
   }
 
   /** A* with an admissible Euclidean heuristic in meters (SURVEY §4.3:
@@ -52,18 +120,18 @@ object LocalKernels {
     val dist = Array.fill(g.n)(Double.PositiveInfinity)
     val pred = Array.fill(g.n)(-1)
     val settled = new Array[Boolean](g.n)
-    val pq = new PriorityQueue[(Double, Int)](
-      (a: (Double, Int), b: (Double, Int)) => java.lang.Double.compare(a._1, b._1))
+    val pq = new MinHeap(64)
     dist(source) = 0.0
-    pq.add((0.0, source))
+    pq.add(0.0, source)
     while (!pq.isEmpty) {
-      val (d, u) = pq.poll()
+      val u = pq.poll()
+      val d = pq.lastPrio
       if (!settled(u)) {
         settled(u) = true
         var e = g.offsets(u)
         while (e < g.offsets(u + 1)) {
           val v = g.targets(e); val nd = d + g.costs(e)
-          if (nd < dist(v)) { dist(v) = nd; pred(v) = u; pq.add((nd, v)) }
+          if (nd < dist(v)) { dist(v) = nd; pred(v) = u; pq.add(nd, v) }
           e += 1
         }
       }
@@ -74,18 +142,20 @@ object LocalKernels {
   private def search(g: LocalGraph, source: Int, target: Int,
       heuristic: Int => Double,
       bannedEdgeIdx: java.util.HashSet[Int],
-      bannedNodes: java.util.HashSet[Int]): Option[PathResult] = {
-    val dist = Array.fill(g.n)(Double.PositiveInfinity)
-    val pred = Array.fill(g.n)(-1)
-    val settled = new Array[Boolean](g.n)
-    val pq = new PriorityQueue[(Double, Int)](
-      (a: (Double, Int), b: (Double, Int)) => java.lang.Double.compare(a._1, b._1))
+      bannedNodes: java.util.HashSet[Int],
+      ws0: Workspace = null): Option[PathResult] = {
+    val ws = if (ws0 == null) new Workspace(g.n) else { ws0.reset(); ws0 }
+    val dist = ws.dist
+    val pred = ws.pred
+    val settled = ws.settled
+    val pq = new MinHeap(64)
     def h(v: Int): Double = if (heuristic == null) 0.0 else heuristic(v)
     dist(source) = 0.0
-    pq.add((h(source), source))
+    ws.touch(source)
+    pq.add(h(source), source)
     var found = false
     while (!pq.isEmpty && !found) {
-      val (_, u) = pq.poll()
+      val u = pq.poll()
       if (!settled(u)) {
         settled(u) = true
         if (u == target) found = true
@@ -96,7 +166,8 @@ object LocalKernels {
             if (!bannedEdgeIdx.contains(e) && !bannedNodes.contains(v)) {
               val nd = dist(u) + g.costs(e)
               if (nd < dist(v)) {
-                dist(v) = nd; pred(v) = u; pq.add((nd + h(v), v))
+                if (dist(v).isInfinite) ws.touch(v)
+                dist(v) = nd; pred(v) = u; pq.add(nd + h(v), v)
               }
             }
             e += 1
@@ -127,7 +198,8 @@ object LocalKernels {
   def yen(g: LocalGraph, source: Int, target: Int, k: Int): Seq[PathResult] = {
     val accepted = scala.collection.mutable.ArrayBuffer.empty[PathResult]
     var lastDev = 0 // Lawler: deviation index of the last accepted path
-    dijkstra(g, source, target) match {
+    val ws = new Workspace(g.n) // shared scratch across all spur searches
+    dijkstra(g, source, target, ws = ws) match {
       case None => return Seq.empty
       case Some(p) => accepted += p
     }
@@ -158,7 +230,7 @@ object LocalKernels {
           }
         }
         rootNodes.dropRight(1).foreach(bannedN.add(_))
-        dijkstra(g, spur, target, bannedE, bannedN).foreach { spurPath =>
+        dijkstra(g, spur, target, bannedE, bannedN, ws).foreach { spurPath =>
           val nodesAll = rootNodes.dropRight(1) ++ spurPath.nodes
           if (seen.add(nodesAll.toSeq)) {
             val costsAll = rootNodes.dropRight(1).indices
