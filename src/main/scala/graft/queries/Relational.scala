@@ -549,6 +549,24 @@ object Relational {
              |round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 4) AS qty_r
              |FROM lineitem GROUP BY l_linestatus""".stripMargin)),
 
+    // ---- regexp extraction + token splitting --------------------------
+    GQ("q32_regexp_extract",
+      (s, dir) => {
+        t(s, dir).part
+          .select(col("p_partkey"),
+            regexp_extract(col("p_name"), "^(\\w+)\\s", 1).as("p_adjective"),
+            split_part(col("p_name"), lit(" "), lit(2)).as("p_noun"),
+            regexp_extract(col("p_brand"), "#(\\d+)$", 1).cast("int")
+              .as("brand_num"),
+            (regexp_count(col("p_type"), lit("a"))).cast("int").as("n_a"))
+      },
+      Some("""SELECT p_partkey,
+             |regexp_extract(p_name, '^(\w+)\s', 1) AS p_adjective,
+             |split_part(p_name, ' ', 2) AS p_noun,
+             |CAST(regexp_extract(p_brand, '#(\d+)$', 1) AS INT) AS brand_num,
+             |CAST(len(regexp_extract_all(p_type, 'a')) AS INT) AS n_a
+             |FROM part""".stripMargin)),
+
     // ---- approximate distinct (HLL sketch) — no oracle: sketch
     // estimates are engine-specific; AccuracySpec bounds the error vs
     // the exact count instead
