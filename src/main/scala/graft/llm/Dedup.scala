@@ -208,6 +208,64 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  // ---- transitive grouping + end-to-end corpus dedup ------------------
+
+  /** Connected components over a candidate-pair graph (id_a, id_b) by
+    * iterative min-label propagation: every doc starts labeled with its
+    * own id; each round a doc adopts the smallest label among itself and
+    * its neighbors; fixpoint = components. Same driver-orchestrated
+    * shuffle-per-superstep pattern as the SSSP kernel (rounds =
+    * O(log component-diameter) with doubling via both edge directions),
+    * so it scales with the pair set, which LSH keeps tiny relative to
+    * the corpus. Returns (doc_id, group_id = min doc_id in component).
+    */
+  def transitiveGroups(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    val sym = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("u").as("doc_id")).distinct()
+      .withColumn("group_id", col("doc_id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = sym
+        .join(labels, sym("v") === labels("doc_id"))
+        .groupBy(col("u").as("doc_id"))
+        .agg(min(col("group_id")).as("n_min"))
+      val updated = labels.join(neighborMin, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          least(col("group_id"), coalesce(col("n_min"), col("group_id")))
+            .as("group_id"),
+          (col("n_min") < col("group_id")).as("improved"))
+        .localCheckpoint(true)
+      changed = updated.filter(col("improved")).count()
+      labels.unpersist()
+      labels = updated.select("doc_id", "group_id").localCheckpoint(true)
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** End-to-end corpus dedup: exact fingerprint collapse, then MinHash
+    * near-dup pairs, then transitive grouping — returns the documents to
+    * KEEP (lowest doc_id of each near-dup cluster; docs with no
+    * near-dups keep themselves).
+    */
+  def dedupCorpus(docs: DataFrame, w: Int = 3, k: Int = 32, bands: Int = 8,
+      minJaccard: Double = 0.8): DataFrame = {
+    val exactKeep = exact(docs).select(col("keep_id").as("doc_id"))
+    val survivors = docs.join(exactKeep, Seq("doc_id"), "left_semi")
+    val pairs = minhashNearDup(survivors, w, k, bands, minJaccard)
+    val groups = transitiveGroups(pairs.select("id_a", "id_b"))
+    val drop = groups.filter(col("doc_id") =!= col("group_id"))
+      .select(col("doc_id"))
+    survivors.join(broadcast(drop), Seq("doc_id"), "left_anti")
+  }
+
   // ---- embedding cosine near-dup --------------------------------------
 
   /** Random-hyperplane LSH bucket key: sign bits of dot(v, r_i) for

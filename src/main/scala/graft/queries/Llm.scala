@@ -88,6 +88,11 @@ object Llm {
       (s, dir) => t(s, dir).documents
         .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))),
 
+    // ---- end-to-end corpus dedup (exact + MinHash + transitive groups)
+    GQ("llm_dedup_corpus",
+      (s, dir) => Dedup.dedupCorpus(t(s, dir).documents, minJaccard = 0.8)
+        .select(col("doc_id"), col("lang"), col("source"))),
+
     // ---- SimHash near-dup (banded pigeonhole + Hamming verify) --------
     GQ("llm_simhash_neardup",
       (s, dir) => Dedup.simhashNearDup(t(s, dir).documents,

@@ -108,6 +108,38 @@ class LlmOpsSpec extends AnyFunSuite {
       r.getDouble(2) >= 0.999))
   }
 
+  test("transitive grouping merges chained near-dup pairs") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L),
+      (22L, 23L)).toDF("id_a", "id_b")
+    val groups = Dedup.transitiveGroups(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups(1L) === 1L && groups(2L) === 1L && groups(3L) === 1L)
+    assert(groups(10L) === 10L && groups(11L) === 10L)
+    assert(Seq(20L, 21L, 22L, 23L).forall(groups(_) === 20L))
+  }
+
+  test("corpus dedup drops planted duplicate chain, keeps the rest") {
+    val base = docs.filter(col("doc_id") === 2).select("text")
+      .head().getString(0)
+    val words = base.split(" ")
+    def mutate(i: Int): String =
+      words.zipWithIndex.map { case (w, j) => if (j == i) s"zz$i" else w }
+        .mkString(" ")
+    // chain: base ≈ m1 ≈ m2 (each one word off)
+    val planted = Seq((9301L, base), (9302L, mutate(1)), (9303L, mutate(2)))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val all = docs.union(planted.select(docs.columns.map(col): _*))
+    val kept = Dedup.dedupCorpus(all, minJaccard = 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // doc 2 (lowest id of the cluster) survives; planted copies dropped
+    assert(kept.contains(2L))
+    assert(!kept.contains(9301L) && !kept.contains(9302L) && !kept.contains(9303L))
+    // untouched docs all survive
+    assert(kept.contains(0L) && kept.contains(1L))
+  }
+
   test("text analysis columns are sane") {
     val r = docs.select(
       TextAnalysis.tokenCount(col("text")).as("tc"),
