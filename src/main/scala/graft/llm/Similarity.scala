@@ -97,6 +97,24 @@ object Similarity {
           org.apache.spark.sql.types.FloatType)))
   }
 
+  /** Full k-means clustering: seeded assign → refine loop. Each
+    * iteration is one broadcast nested-loop assignment plus one
+    * map-side-combinable mean aggregation — no O(n²) stage anywhere,
+    * so iterations scale linearly with the corpus.
+    */
+  def kmeans(spark: SparkSession, emb: DataFrame, k: Int, iters: Int = 5)
+      : DataFrame = {
+    var cents = seedCentroids(emb, k)
+    var i = 0
+    while (i < iters) {
+      val next = kmeansRefine(spark, assignToCentroids(emb, cents)).cache()
+      next.count()
+      cents = next
+      i += 1
+    }
+    assignToCentroids(emb, cents)
+  }
+
   /** IVF probe: search only the `nProbe` centroids closest to the query.
     * At scale the assignment is written bucketed/partitioned by
     * centroid_id so this becomes a partition-pruned scan.

@@ -126,6 +126,12 @@ object Llm {
           k = 20, nProbe = 4)
       }),
 
+    // ---- k-means document clustering over embeddings ------------------
+    GQ("llm_kmeans_clusters",
+      (s, dir) => Similarity.kmeans(s, t(s, dir).embeddings, k = 8, iters = 3)
+        .groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as("n_members"))),
+
     // ---- embedding near-dup via hyperplane LSH ------------------------
     GQ("llm_embedding_neardup",
       (s, dir) => Dedup.embeddingNearDup(t(s, dir).embeddings,
