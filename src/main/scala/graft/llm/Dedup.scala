@@ -210,17 +210,45 @@ object Dedup {
 
   // ---- transitive grouping + end-to-end corpus dedup ------------------
 
-  /** Connected components over a candidate-pair graph (id_a, id_b) by
-    * iterative min-label propagation: every doc starts labeled with its
-    * own id; each round a doc adopts the smallest label among itself and
-    * its neighbors; fixpoint = components. Same driver-orchestrated
-    * shuffle-per-superstep pattern as the SSSP kernel (rounds =
-    * O(log component-diameter) with doubling via both edge directions),
-    * so it scales with the pair set, which LSH keeps tiny relative to
-    * the corpus. Returns (doc_id, group_id = min doc_id in component).
+  /** Connected components over a candidate-pair graph (id_a, id_b):
+    * driver-side union-find when the pair set fits on the driver (the
+    * common case — LSH keeps candidate pairs tiny relative to the
+    * corpus), otherwise iterative min-label propagation with the same
+    * checkpointed superstep pattern as the SSSP kernel.
+    * Returns (doc_id, group_id = min doc_id in component).
     */
-  def transitiveGroups(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+  def transitiveGroups(pairs: DataFrame, maxIter: Int = 50,
+      localThreshold: Long = 5_000_000L): DataFrame = {
     val spark = pairs.sparkSession
+    // Adaptive fast path (same policy as the shortest-path kernels): a
+    // pair set that fits on the driver resolves in one collect +
+    // union-find instead of paying a shuffle per propagation superstep.
+    val cached = pairs.select(col("id_a"), col("id_b")).cache()
+    if (cached.count() <= localThreshold) {
+      val edges = cached.collect().map(r => (r.getLong(0), r.getLong(1)))
+      cached.unpersist()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val nxt = parent(c); parent(c) = r; c = nxt
+        }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val members = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      import spark.implicits._
+      return members.map(m => (m, find(m))).toSeq
+        .toDF("doc_id", "group_id")
+    }
+    cached.unpersist()
     val sym = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .distinct()

@@ -108,14 +108,18 @@ class LlmOpsSpec extends AnyFunSuite {
       r.getDouble(2) >= 0.999))
   }
 
-  test("transitive grouping merges chained near-dup pairs") {
+  test("transitive grouping merges chained near-dup pairs (both paths)") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L),
       (22L, 23L)).toDF("id_a", "id_b")
-    val groups = Dedup.transitiveGroups(pairs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(groups(1L) === 1L && groups(2L) === 1L && groups(3L) === 1L)
-    assert(groups(10L) === 10L && groups(11L) === 10L)
-    assert(Seq(20L, 21L, 22L, 23L).forall(groups(_) === 20L))
+    // threshold high → union-find path; threshold 0 → distributed path
+    for (thr <- Seq(Long.MaxValue, 0L)) {
+      val groups = Dedup.transitiveGroups(pairs, localThreshold = thr)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(groups(1L) === 1L && groups(2L) === 1L && groups(3L) === 1L,
+        s"thr=$thr")
+      assert(groups(10L) === 10L && groups(11L) === 10L, s"thr=$thr")
+      assert(Seq(20L, 21L, 22L, 23L).forall(groups(_) === 20L), s"thr=$thr")
+    }
   }
 
   test("corpus dedup drops planted duplicate chain, keeps the rest") {
