@@ -549,6 +549,27 @@ object Relational {
              |round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 4) AS qty_r
              |FROM lineitem GROUP BY l_linestatus""".stripMargin)),
 
+    // ---- analytic window functions: lag/lead/ntile/percent_rank -------
+    GQ("q33_window_analytics",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        t(s, dir).orders
+          .select(col("o_custkey"), col("o_orderkey"),
+            round(lag(col("o_totalprice"), 1).over(w), 4).as("prev_price"),
+            round(lead(col("o_totalprice"), 1).over(w), 4).as("next_price"),
+            ntile(4).over(w).as("quartile"),
+            round(percent_rank().over(w), 6).as("pct_rank"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |round(lag(o_totalprice, 1) OVER w, 4) AS prev_price,
+             |round(lead(o_totalprice, 1) OVER w, 4) AS next_price,
+             |CAST(ntile(4) OVER w AS INT) AS quartile,
+             |round(percent_rank() OVER w, 6) AS pct_rank
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey
+             |  ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin)),
+
     // ---- regexp extraction + token splitting --------------------------
     GQ("q32_regexp_extract",
       (s, dir) => {
