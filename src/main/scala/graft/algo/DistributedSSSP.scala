@@ -132,8 +132,12 @@ object DistributedSSSP {
         frontier.unpersist()
         state = newState
         frontier = newFrontier
-        // frontier-level early exit for single-target queries
-        target.foreach { tgt =>
+        // frontier-level early exit for SINGLE-source single-target
+        // queries only: with multiple sources, min(dist) over all
+        // sources' target rows settles once the CLOSEST source reaches
+        // the target, which would leave the other sources' target
+        // distances non-final
+        if (sources.size == 1) target.foreach { tgt =>
           val tRow = state.filter(col("nodeId") === tgt)
             .agg(min(col("dist"))).collect()
           val tDist = if (tRow.head.isNullAt(0)) Double.PositiveInfinity

@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expression for cosine similarity over two
   * ArrayType(FloatType) columns, with whole-stage codegen.
@@ -20,8 +21,16 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   */
 case class CosineSimilarityExpr(left: Expression, right: Expression)
     extends BinaryExpression {
-  // inputs must be ArrayType(FloatType) — enforced by callers; the
-  // ExpectsInputTypes mixin is private[sql] so the check can't live here
+  // analysis-time guard: getFloat over a non-float array would read
+  // misaligned bytes and silently return garbage (the ExpectsInputTypes
+  // mixin is private[sql], so the check lives here directly)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<float> arguments, got ${l.sql} and ${r.sql}")
+    }
 
   override def dataType: DataType = DoubleType
 
@@ -69,6 +78,23 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
 }
 
 object GraftFunctions {
+  /** Evaluate a function argument that must be a foldable positive
+    * integer literal (signature-length / shingle-width knobs baked into
+    * the expression at plan time). A non-literal column reference here
+    * would otherwise NPE deep in eval(null) with no context.
+    */
+  private def litPosInt(e: Expression, fn: String, arg: String): Int = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn: argument '$arg' must be a literal integer, got non-foldable ${e.sql}")
+    e.eval(null) match {
+      case n: Number if n.intValue > 0 => n.intValue
+      case other =>
+        throw new IllegalArgumentException(
+          s"$fn: argument '$arg' must be a positive integer literal, got $other")
+    }
+  }
+
   /** Register SQL-callable graft functions on a session. Idempotent. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -78,17 +104,22 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash",
       exprs => MinHashSignatureExpr(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Number].intValue),
+        litPosInt(exprs(1), "graft_minhash", "k")),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash_text",
       exprs => MinHashTextExpr(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Number].intValue,
-        exprs(2).eval(null).asInstanceOf[Number].intValue),
+        litPosInt(exprs(1), "graft_minhash_text", "w"),
+        litPosInt(exprs(2), "graft_minhash_text", "k")),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash",
       exprs => SimHashExpr(exprs(0)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hyperplane",
+      exprs => HyperplaneBitsExpr(exprs(0),
+        litPosInt(exprs(1), "graft_hyperplane", "nBits")),
       "built-in")
   }
 

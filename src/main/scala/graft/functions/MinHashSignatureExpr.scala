@@ -1,9 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Single-pass MinHash signature over an array<string> of shingles.
@@ -16,6 +17,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * naive family; one traversal instead of k.
   */
 object MinHashUtil {
+  /** Shared analysis-time input check: the token/shingle argument must be
+    * array<string> (getUTF8String over anything else reads garbage).
+    */
+  def requireStringArray(child: Expression, fn: String): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$fn requires an array<string> argument, got ${other.sql}")
+    }
+
   /** Murmur-style 64-bit avalanche finalizer (splitmix64 mix). */
   @inline private def mix(z0: Long): Long = {
     var z = z0
@@ -122,6 +133,9 @@ object MinHashUtil {
 case class MinHashTextExpr(child: Expression, w: Int, k: Int)
     extends UnaryExpression {
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    MinHashUtil.requireStringArray(child, prettyName)
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any = {
@@ -154,6 +168,9 @@ case class MinHashTextExpr(child: Expression, w: Int, k: Int)
   */
 case class MinHashSignatureExpr(child: Expression, k: Int)
     extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    MinHashUtil.requireStringArray(child, prettyName)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 

@@ -85,12 +85,15 @@ object Dedup {
     // materialized for the corpus — only candidates get real shingle sets.
     graft.functions.GraftFunctions.register(
       org.apache.spark.sql.SparkSession.active)
+    // (doc_id, sig) is k longs per doc — cache it so the banded
+    // self-join below computes each signature once, not twice
     val withSig = docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         call_function("graft_minhash_text", col("toks"), lit(w), lit(k))
           .as("sig"))
       .filter(col("sig").isNotNull)
+      .cache()
 
     // explode into (band_id, band_hash) keys — ids only, narrow shuffle
     val banded = withSig.select(
@@ -111,28 +114,37 @@ object Dedup {
       .cache()
 
     // exact Jaccard verification — shingle sets materialized ONLY for
-    // docs that appear in a candidate pair (a tiny fraction of the
-    // corpus). The candidate side is small by construction, so every
-    // join below is a broadcast: no shuffle of the corpus ever happens
-    // after banding.
+    // docs that appear in a candidate pair. On a typical corpus that set
+    // is tiny and AQE turns these joins into broadcasts at runtime; on a
+    // duplicate-dense corpus (the primary dedup use case) it is NOT
+    // small, so no broadcast is forced — AQE decides from observed sizes
+    // instead of failing on the 8 GB broadcast limit.
     val candIds = cands.select(col("id_a").as("doc_id"))
       .union(cands.select(col("id_b").as("doc_id"))).distinct()
     val candSh = docs
-      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), shinglesFromTokens(col("toks"), w).as("sh"))
       .cache()
-    cands
-      .join(broadcast(candSh.select(col("doc_id").as("id_a"),
-        col("sh").as("sh_a"))), Seq("id_a"))
-      .join(broadcast(candSh.select(col("doc_id").as("id_b"),
-        col("sh").as("sh_b"))), Seq("id_b"))
+    val verified = cands
+      .join(candSh.select(col("doc_id").as("id_a"),
+        col("sh").as("sh_a")), Seq("id_a"))
+      .join(candSh.select(col("doc_id").as("id_b"),
+        col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("uni") > 0)
       .withColumn("jaccard", round(col("inter") / col("uni").cast("double"), 4))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+      // eager: the verified pair set is small (LSH pruned); materializing
+      // it here lets the intermediates be unpersisted immediately instead
+      // of accumulating cached blocks across repeated dedup calls
+      .localCheckpoint(true)
+    withSig.unpersist()
+    cands.unpersist()
+    candSh.unpersist()
+    verified
   }
 
   /** Brute-force n-gram Jaccard above a threshold — the small-data oracle
@@ -186,8 +198,11 @@ object Dedup {
       bands: Int = 4): DataFrame = {
     require(maxHamming < bands, "pigeonhole needs maxHamming < bands")
     val bits = 64 / bands
+    // (doc_id, simhash) is two longs per doc — cache it so the banded
+    // self-join below computes each signature once, not twice
     val sigs = docs
       .select(col("doc_id"), simhash(col("text")).as("simhash"))
+      .cache()
     val banded = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until bands).map { b =>
         shiftrightunsigned(col("simhash"), b * bits)
@@ -201,11 +216,14 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
       .dropDuplicates("id_a", "id_b")
-    cands
+    val verified = cands
       .withColumn("hamming",
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+      .localCheckpoint(true)
+    sigs.unpersist()
+    verified
   }
 
   // ---- transitive grouping + end-to-end corpus dedup ------------------
@@ -275,6 +293,11 @@ object Dedup {
       iter += 1
     }
     sym.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"transitiveGroups did not converge after $maxIter iterations " +
+          s"($changed labels still improving) — the pair graph has a " +
+          s"component with diameter > $maxIter; raise maxIter")
     labels
   }
 
@@ -286,49 +309,77 @@ object Dedup {
   def dedupCorpus(docs: DataFrame, w: Int = 3, k: Int = 32, bands: Int = 8,
       minJaccard: Double = 0.8): DataFrame = {
     val exactKeep = exact(docs).select(col("keep_id").as("doc_id"))
-    val survivors = docs.join(exactKeep, Seq("doc_id"), "left_semi")
+    // survivors feeds the signature scan, the candidate-shingle scan and
+    // the final anti-join — cache it so the exact-dedup groupBy shuffle
+    // runs once, not once per downstream reference
+    val survivors = docs.join(exactKeep, Seq("doc_id"), "left_semi").cache()
     val pairs = minhashNearDup(survivors, w, k, bands, minJaccard)
     val groups = transitiveGroups(pairs.select("id_a", "id_b"))
+    // `drop` is small only when the corpus has few near-dups — the
+    // opposite of the dedup-heavy case this operator exists for, so let
+    // AQE pick the join strategy from its observed size
     val drop = groups.filter(col("doc_id") =!= col("group_id"))
       .select(col("doc_id"))
-    survivors.join(broadcast(drop), Seq("doc_id"), "left_anti")
+    val kept = survivors.join(drop, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    survivors.unpersist()
+    kept
   }
 
   // ---- embedding cosine near-dup --------------------------------------
 
-  /** Random-hyperplane LSH bucket key: sign bits of dot(v, r_i) for
-    * `nBits` pseudo-random hyperplanes derived from a seeded per-dimension
-    * hash (deterministic, no data-dependent fitting).
+  /** Random-hyperplane LSH sign bits (low `nBits` of a long) via the
+    * fused native expression (functions.HyperplaneBitsExpr) —
+    * deterministic hyperplanes from a per-(bit,dim) hash, one compiled
+    * pass of nBits×dim multiply-adds.
     */
-  def hyperplaneBucket(vec: Column, dim: Int, nBits: Int = 12): Column = {
-    val bits = (0 until nBits).map { b =>
-      // r_b[d] in {-1,+1} from xxhash64(b,d) parity — a fixed random
-      // hyperplane; dot(v, r_b) via zip over element index
-      val dot = aggregate(
-        zip_with(vec, sequence(lit(0), lit(dim - 1)), (v, d) =>
-          when(xxhash64(lit(b), d).bitwiseAND(1) === 1, v).otherwise(-v)),
-        lit(0.0d), (acc, x) => acc + x)
-      when(dot > 0, shiftleft(lit(1L), b)).otherwise(0L)
-    }
-    bits.reduce((a, c) => a.bitwiseOR(c))
+  def hyperplaneBits(vec: Column, nBits: Int = 48): Column = {
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_hyperplane", vec, lit(nBits))
   }
 
-  /** Embedding near-duplicates: bucket by hyperplane signature, verify
-    * cosine within buckets.
+  /** Embedding near-duplicates with the SAME banding trick as MinHash-LSH:
+    * nBits sign bits split into `bands` chunks; two vectors become a
+    * candidate pair when any chunk matches exactly (for cosine θ the
+    * per-bit match probability is 1 − θ/π, so a 12-bit band at cos ≥ 0.95
+    * matches with p ≈ 0.28 and 4 bands lift recall to ≈ 0.73, while
+    * random pairs collide at ~4/4096 — the S-curve that makes the
+    * bucket join feasible). Candidates are id-pairs only; embeddings are
+    * joined back for exact-cosine verification, so the wide vectors are
+    * never exploded through the banding shuffle.
     */
   def embeddingNearDup(emb: DataFrame, dim: Int = 64,
-      minCosine: Double = 0.95): DataFrame = {
-    val b = emb.select(col("vec_id"), col("embedding"))
-      .withColumn("bucket", hyperplaneBucket(col("embedding"), dim))
-    val l = b.select(col("bucket"), col("vec_id").as("id_a"),
-      col("embedding").as("v_a"))
-    val r = b.select(col("bucket"), col("vec_id").as("id_b"),
-      col("embedding").as("v_b"))
-    l.join(r, Seq("bucket"))
+      minCosine: Double = 0.95, nBits: Int = 48, bands: Int = 4): DataFrame = {
+    require(nBits % bands == 0 && nBits <= 64, "bands must divide nBits ≤ 64")
+    val bitsPerBand = nBits / bands
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    val sigs = vecs
+      .select(col("vec_id"), hyperplaneBits(col("embedding"), nBits).as("hb"))
+      .cache()
+    val banded = sigs.select(col("vec_id"),
+      posexplode(array((0 until bands).map { b =>
+        shiftrightunsigned(col("hb"), b * bitsPerBand)
+          .bitwiseAND(lit((1L << bitsPerBand) - 1))
+      }: _*)).as(Seq("band_id", "band_val")))
+    val cands = banded.select(col("band_id"), col("band_val"),
+        col("vec_id").as("id_a"))
+      .join(banded.select(col("band_id"), col("band_val"),
+        col("vec_id").as("id_b")), Seq("band_id", "band_val"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val verified = cands
+      .join(vecs.select(col("vec_id").as("id_a"),
+        col("embedding").as("v_a")), Seq("id_a"))
+      .join(vecs.select(col("vec_id").as("id_b"),
+        col("embedding").as("v_b")), Seq("id_b"))
       .withColumn("cosine",
         round(Similarity.cosine(col("v_a"), col("v_b")), 4))
       .filter(col("cosine") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cosine"))
+      .localCheckpoint(true)
+    sigs.unpersist()
+    verified
   }
 }

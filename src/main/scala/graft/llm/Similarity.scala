@@ -59,17 +59,27 @@ object Similarity {
       .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
 
   /** Assign every vector to its nearest centroid from an explicit
-    * (c_id, c_vec) table. Small centroid table → broadcast nested-loop;
-    * argmax via struct max.
+    * (c_id, c_vec) table. The centroid table is k rows by construction,
+    * so it is collected and inlined as literal vectors: the argmax
+    * becomes `greatest` over k struct(sim, c_id) candidates — a pure
+    * map-side projection with NO shuffle (the crossJoin + groupBy
+    * formulation shuffled every embedding twice per assignment round,
+    * which dominates k-means cost and is exactly the shuffle a 100 TB
+    * corpus cannot afford).
     */
-  def assignToCentroids(emb: DataFrame, centroids: DataFrame): DataFrame =
-    emb.crossJoin(broadcast(centroids))
-      .withColumn("sim", cosine(col("embedding"), col("c_vec")))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("sim"), col("c_id"))).as("best"),
-        first(col("embedding")).as("embedding"))
-      .select(col("vec_id"), col("embedding"),
-        col("best.c_id").as("centroid_id"))
+  def assignToCentroids(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = centroids.select(col("c_id"), col("c_vec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    require(cents.nonEmpty, "assignToCentroids: empty centroid table")
+    val cands = cents.map { case (id, v) =>
+      struct(cosine(col("embedding"), litVec(v)).as("sim"),
+        lit(id).as("c_id"))
+    }
+    val best =
+      if (cands.length == 1) cands.head else greatest(cands.toSeq: _*)
+    emb.select(col("vec_id"), col("embedding"),
+      best.getField("c_id").as("centroid_id"))
+  }
 
   def ivfAssign(spark: SparkSession, emb: DataFrame, nCentroids: Int = 16)
       : DataFrame =
@@ -105,14 +115,21 @@ object Similarity {
   def kmeans(spark: SparkSession, emb: DataFrame, k: Int, iters: Int = 5)
       : DataFrame = {
     var cents = seedCentroids(emb, k)
+    var prev: Option[DataFrame] = None
     var i = 0
     while (i < iters) {
       val next = kmeansRefine(spark, assignToCentroids(emb, cents)).cache()
       next.count()
+      // drop the previous iteration's cached centroids — repeated kmeans
+      // calls in a long-lived session must not accumulate cached blocks
+      prev.foreach(_.unpersist())
+      prev = Some(next)
       cents = next
       i += 1
     }
-    assignToCentroids(emb, cents)
+    val out = assignToCentroids(emb, cents)
+    prev.foreach(_.unpersist())
+    out
   }
 
   /** IVF probe: search only the `nProbe` centroids closest to the query.

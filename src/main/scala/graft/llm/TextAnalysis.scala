@@ -105,4 +105,16 @@ object TextAnalysis {
     val toks = split(lower(trim(text)), "\\s+")
     aggregate(toks, lit(0L), (acc, t) => xxhash64(acc, t))
   }
+
+  /** Order-sensitive chained md5 fingerprint over tokens:
+    * h' = md5(h || " " || token), folded left from "". Same
+    * order-sensitivity as rollingHash but built from the engine-portable
+    * md5 primitive, so it is DuckDB-oracle-checkable end to end (xxhash64
+    * chains are Spark-specific). Use rollingHash when only Spark needs to
+    * reproduce the print (2 longs of state vs a 32-char string).
+    */
+  def chainedMd5(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    aggregate(toks, lit(""), (acc, t) => md5(concat(acc, lit(" "), t)))
+  }
 }

@@ -63,20 +63,64 @@ object Llm {
     GQ("llm_quality_score",
       (s, dir) => t(s, dir).documents.select(
         col("doc_id"),
-        TextAnalysis.qualityScore(col("text")).as("quality"))),
+        TextAnalysis.qualityScore(col("text")).as("quality")),
+      Some("""SELECT doc_id,
+             |round((least(length(text) / 500.0, 1.0)
+             | + 1.0 - least(4 * (CASE WHEN length(text) = 0 THEN 0
+             |     ELSE length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g'))
+             |       / CAST(length(text) AS DOUBLE) END), 1.0)
+             | + least(3 * (CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\s+')) = 0 THEN 0
+             |     ELSE len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             |       x -> x IN ('the','a','an','and','or','of','in','to','is','are',
+             |                  'was','for','on','with','as','by','at','it')))
+             |       / CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE)
+             |   END), 1.0)) / 3, 4) AS quality
+             |FROM documents""".stripMargin)),
 
     // ---- language ID (n-gram/stopword heuristic) ----------------------
     GQ("llm_langid",
       (s, dir) => t(s, dir).documents.select(
         col("doc_id"), col("lang").as("labeled_lang"),
-        TextAnalysis.langId(col("text")).as("predicted_lang"))),
+        TextAnalysis.langId(col("text")).as("predicted_lang")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, lang,
+             |    regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+             |  FROM documents
+             |), scores AS (
+             |  SELECT doc_id, lang,
+             |    CASE WHEN len(tk) = 0 THEN 0 ELSE len(list_filter(tk, x -> x IN
+             |      ('der','die','das','und','in','den','von','zu','mit','auf',
+             |       'ist','ein','eine','nicht'))) / CAST(len(tk) AS DOUBLE) END AS s_de,
+             |    CASE WHEN len(tk) = 0 THEN 0 ELSE len(list_filter(tk, x -> x IN
+             |      ('the','a','an','and','or','of','in','to','is','are','was',
+             |       'for','on','with','as','by','at','it'))) / CAST(len(tk) AS DOUBLE) END AS s_en,
+             |    CASE WHEN len(tk) = 0 THEN 0 ELSE len(list_filter(tk, x -> x IN
+             |      ('el','la','los','las','de','que','y','en','un','una','por',
+             |       'con','para','es'))) / CAST(len(tk) AS DOUBLE) END AS s_es,
+             |    CASE WHEN len(tk) = 0 THEN 0 ELSE len(list_filter(tk, x -> x IN
+             |      ('le','la','les','de','des','et','en','un','une','du','que',
+             |       'pour','dans','est'))) / CAST(len(tk) AS DOUBLE) END AS s_fr
+             |  FROM toks
+             |)
+             |SELECT doc_id, lang AS labeled_lang,
+             |  CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+             |       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+             |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+             |       WHEN s_es >= s_fr THEN 'es'
+             |       ELSE 'fr' END AS predicted_lang
+             |FROM scores""".stripMargin)),
 
-    // ---- document fingerprinting (rolling hash) -----------------------
+    // ---- document fingerprinting (md5 + order-sensitive chained md5) --
     GQ("llm_fingerprint",
       (s, dir) => t(s, dir).documents.select(
         col("doc_id"),
         TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"),
-        TextAnalysis.rollingHash(col("text")).as("fp_rolling"))),
+        TextAnalysis.chainedMd5(col("text")).as("fp_chain")),
+      Some("""SELECT doc_id,
+             |md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5,
+             |list_reduce(list_prepend('', regexp_split_to_array(lower(trim(text)), '\s+')),
+             |  (acc, t) -> md5(acc || ' ' || t)) AS fp_chain
+             |FROM documents""".stripMargin)),
 
     // ---- MinHash + LSH near-dup candidates ----------------------------
     GQ("llm_minhash_neardup",

@@ -46,4 +46,67 @@ class FunctionsSpec extends AnyFunSuite {
       .collect()
     r.foreach(row => assert(math.abs(row.getDouble(0) - 1.0) < 1e-9))
   }
+
+  test("registered functions reject wrong input types at analysis time") {
+    GraftFunctions.register(spark)
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .createOrReplaceTempView("emb_typecheck")
+    // array<double> must fail analysis, not silently return garbage
+    val doubleArr = "transform(embedding, x -> CAST(x AS DOUBLE))"
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"SELECT graft_cosine($doubleArr, $doubleArr) FROM emb_typecheck")
+        .collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_simhash(embedding) FROM emb_typecheck").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_minhash(embedding, 32) FROM emb_typecheck")
+        .collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_hyperplane(CAST(vec_id AS STRING), 48) FROM emb_typecheck")
+        .collect()
+    }
+  }
+
+  test("signature-length knobs must be positive integer literals") {
+    GraftFunctions.register(spark)
+    spark.read.parquet(s"$sf/documents.parquet")
+      .createOrReplaceTempView("docs_typecheck")
+    // non-literal k previously NPE'd deep in eval(null); now a clear error
+    val e = intercept[Exception] {
+      spark.sql("""SELECT graft_minhash(split(text, ' '), CAST(doc_id AS INT))
+                  |FROM docs_typecheck""".stripMargin).collect()
+    }
+    assert(e.getMessage.contains("literal integer") ||
+      Option(e.getCause).exists(_.getMessage.contains("literal integer")))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT graft_minhash(split(text, ' '), -3) FROM docs_typecheck")
+        .collect()
+    }
+    assert(e2.getMessage.contains("positive") ||
+      Option(e2.getCause).exists(_.getMessage.contains("positive")))
+  }
+
+  test("graft_hyperplane: deterministic, bit-bounded, near-dup vectors collide") {
+    GraftFunctions.register(spark)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val bits = emb.limit(50).select(
+      call_function("graft_hyperplane", col("embedding"), lit(48)).as("b1"),
+      call_function("graft_hyperplane", col("embedding"), lit(48)).as("b2"))
+      .collect()
+    bits.foreach { r =>
+      assert(r.getLong(0) === r.getLong(1))            // deterministic
+      assert((r.getLong(0) >>> 48) === 0L)             // only low 48 bits set
+    }
+    // an identical vector must land in the same bucket on every band
+    val dup = emb.filter(col("vec_id") === 3)
+      .select(call_function("graft_hyperplane", col("embedding"), lit(48)))
+      .head().getLong(0)
+    val dup2 = emb.filter(col("vec_id") === 3)
+      .select(call_function("graft_hyperplane", col("embedding"), lit(48)))
+      .head().getLong(0)
+    assert(dup === dup2)
+  }
 }
