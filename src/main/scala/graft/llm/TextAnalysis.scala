@@ -117,4 +117,28 @@ object TextAnalysis {
     val toks = split(lower(trim(text)), "\\s+")
     aggregate(toks, lit(""), (acc, t) => md5(concat(acc, lit(" "), t)))
   }
+
+  /** Engine-portable deterministic sampling predicate: keep a row when
+    * the first two hex chars of its content fingerprint fall below the
+    * threshold derived from `fraction` (resolution 1/256). Reproducible
+    * across runs, engines, partitionings and cluster sizes — the
+    * property a training pipeline needs for stable held-out splits,
+    * which `rand()` / TABLESAMPLE cannot give. Content-keyed, so exact
+    * duplicates land on the same side of the split.
+    */
+  def sampleByFingerprint(text: Column, fraction: Double): Column = {
+    require(fraction > 0.0 && fraction <= 1.0,
+      s"fraction must be in (0,1], got $fraction")
+    val buckets = math.max(1, math.round(fraction * 256).toInt)
+    val thr = f"${buckets - 1}%02x"
+    substring(fingerprintMd5(text), 1, 2) <= lit(thr)
+  }
+
+  /** Canonical text normalization for training corpora: lowercase, strip
+    * everything but [a-z0-9] and whitespace, collapse whitespace runs,
+    * trim. Pure codegen'd regexp chain — map-side at any scale.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " "))
 }

@@ -122,6 +122,39 @@ object Llm {
              |  (acc, t) -> md5(acc || ' ' || t)) AS fp_chain
              |FROM documents""".stripMargin)),
 
+    // ---- vocabulary building: corpus-wide token top-k -----------------
+    // explode → count → top-k: map-side partial agg keeps the shuffle at
+    // |vocab| not |tokens|; TakeOrderedAndProject caps the sort at k
+    GQ("llm_vocab_topk",
+      (s, dir) => t(s, dir).documents
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok").asc)
+        .limit(100),
+      Some("""SELECT tok, count(*) AS n FROM (
+             |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+             |  FROM documents)
+             |WHERE tok <> '' GROUP BY 1
+             |ORDER BY n DESC, tok ASC LIMIT 100""".stripMargin)),
+
+    // ---- deterministic content-keyed sampling (~10%) ------------------
+    GQ("llm_sample",
+      (s, dir) => t(s, dir).documents
+        .filter(TextAnalysis.sampleByFingerprint(col("text"), 0.1))
+        .select(col("doc_id"), col("lang")),
+      Some("""SELECT doc_id, lang FROM documents
+             |WHERE substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 2) <= '19'""".stripMargin)),
+
+    // ---- canonical text normalization ---------------------------------
+    GQ("llm_normalize",
+      (s, dir) => t(s, dir).documents.select(col("doc_id"),
+        TextAnalysis.normalize(col("text")).as("norm_text")),
+      Some("""SELECT doc_id,
+             |trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+             |  '\s+', ' ', 'g')) AS norm_text
+             |FROM documents""".stripMargin)),
+
     // ---- MinHash + LSH near-dup candidates ----------------------------
     GQ("llm_minhash_neardup",
       (s, dir) => Dedup.minhashNearDup(t(s, dir).documents,
@@ -176,10 +209,25 @@ object Llm {
         .groupBy(col("centroid_id"))
         .agg(count(lit(1)).as("n_members"))),
 
-    // ---- embedding near-dup via hyperplane LSH ------------------------
+    // ---- embedding near-dup via banded hyperplane LSH -----------------
+    // The synthetic embeddings are near-orthogonal random vectors (max
+    // pairwise cosine ≈ 0.6 at every SF), so near-dup detection over the
+    // raw table is vacuously empty. Instead the query plants exact
+    // duplicates by unioning an id-shifted copy of the table: identical
+    // vectors produce identical LSH sign bits, every band collides, and
+    // recall is deterministically 100% — which makes the output exactly
+    // one (i, i+OFFSET, 1.0) row per vector and therefore DuckDB-oracle
+    // checkable end to end (banding + verification both exercised).
     GQ("llm_embedding_neardup",
-      (s, dir) => Dedup.embeddingNearDup(t(s, dir).embeddings,
-        dim = 64, minCosine = 0.8)),
+      (s, dir) => {
+        val emb = t(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+        val shifted = emb.select(
+          (col("vec_id") + lit(10000000L)).as("vec_id"), col("embedding"))
+        Dedup.embeddingNearDup(emb.union(shifted), dim = 64, minCosine = 0.95)
+      },
+      Some("""SELECT vec_id AS id_a, vec_id + 10000000 AS id_b,
+             |CAST(1.0 AS DOUBLE) AS cosine
+             |FROM embeddings""".stripMargin)),
 
     // ---- multimodal: decode + metadata + frame sampling ---------------
     GQ("llm_multimodal_decode",

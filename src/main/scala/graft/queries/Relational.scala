@@ -613,6 +613,70 @@ object Relational {
              |    - (k.k * INTERVAL '15 minutes') AS w_start,
              |  count(*) AS n_events, round(sum(value), 4) AS total_value
              |FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS k) k
-             |GROUP BY 1""".stripMargin))
+             |GROUP BY 1""".stripMargin)),
+
+    // ---- as-of join (operators.AsOfJoin): every purchase gets the most
+    // recent prior click of the same user — union + one window pass, one
+    // shuffle; oracled against DuckDB's native ASOF LEFT JOIN
+    GQ("q34_asof_join",
+      (s, dir) => {
+        val ev = t(s, dir).events
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        // no-match rows keep explicit sentinels: a null timestamp's
+        // engine-side encodings (NaT vs NULL) can't be hash-compared
+        graft.operators.AsOfJoin.backward(purchases, clicks,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          rightCols = Seq("event_id"))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            coalesce(col("asof_ts"), lit("1970-01-01").cast("timestamp"))
+              .as("asof_ts"),
+            coalesce(col("asof_event_id"), lit(-1L)).as("asof_event_id"))
+      },
+      Some("""SELECT p.event_id, p.user_id, p.ts,
+             |  coalesce(c.ts, TIMESTAMP '1970-01-01') AS asof_ts,
+             |  coalesce(c.event_id, -1) AS asof_event_id
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             |ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin)),
+
+    // ---- range/interval join (operators.RangeJoin): per error event,
+    // count + sum same-user events in the preceding 5 minutes — binned
+    // interval join (equi-join on time bucket + exact re-filter), never
+    // a nested-loop; oracled against DuckDB's inequality join
+    GQ("q35_range_join",
+      (s, dir) => {
+        val ev = t(s, dir).events
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("e_id"), col("user_id"),
+            expr("ts - INTERVAL 5 MINUTE").as("lo"), col("ts").as("hi"))
+        val all = ev.select(col("user_id"), col("ts").as("r_ts"),
+          col("event_id").as("r_id"), col("value").as("r_value"))
+        val pairs = graft.operators.RangeJoin.intervalJoin(
+            errors, all, keys = Seq("user_id"),
+            leftLo = "lo", leftHi = "hi", rightTs = "r_ts",
+            bucketSeconds = 300)
+          .filter(col("r_id") =!= col("e_id"))
+        val agg = pairs.groupBy(col("e_id"))
+          .agg(count(lit(1)).as("n_prior"),
+            round(sum(col("r_value")), 4).as("sum_value"))
+        errors.select(col("e_id"), col("user_id"))
+          .join(agg, Seq("e_id"), "left_outer")
+          .select(col("e_id").as("event_id"), col("user_id"),
+            coalesce(col("n_prior"), lit(0L)).as("n_prior"),
+            coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      },
+      Some("""SELECT e.event_id, e.user_id,
+             |  count(r.event_id) AS n_prior,
+             |  round(coalesce(sum(r.value), 0), 4) AS sum_value
+             |FROM (SELECT * FROM events WHERE event_type = 'error') e
+             |LEFT JOIN events r
+             |  ON r.user_id = e.user_id
+             |  AND r.ts >= e.ts - INTERVAL 5 MINUTE
+             |  AND r.ts <= e.ts
+             |  AND r.event_id <> e.event_id
+             |GROUP BY 1, 2""".stripMargin))
   )
 }

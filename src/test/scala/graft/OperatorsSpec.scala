@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{AsOfJoin, RangeJoin}
+import graft.llm.TextAnalysis
+
+/** As-of / range join semantics pinned against brute-force formulations,
+  * plus deterministic-sampling invariants.
+  */
+class OperatorsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = core.Sessions.local(4, "graft-ops-test")
+  import spark.implicits._
+
+  test("as-of backward join matches brute-force most-recent-prior lookup") {
+    val left = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 15L),
+      (4L, "c", 5L)).toDF("l_id", "k", "lt")
+    val right = Seq((100L, "a", 8L), (101L, "a", 10L), (102L, "a", 19L),
+      (103L, "b", 16L), (104L, "b", 1L)).toDF("r_id", "k", "rt")
+    val got = AsOfJoin.backward(left, right, keys = Seq("k"),
+      leftTs = "lt", rightTs = "rt", rightCols = Seq("r_id"))
+      .select("l_id", "asof_r_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    // l_id=1 at t=10: right 101 is at EXACTLY 10 → inclusive match
+    assert(got === Map(1L -> 101L, 2L -> 102L, 3L -> 104L, 4L -> -1L))
+  }
+
+  test("as-of join on events equals window-free brute force") {
+    val ev = core.Tables(spark, "/root/testdata/sf0.001").events
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val fast = AsOfJoin.backward(purchases, clicks, Seq("user_id"),
+      "ts", "ts", Seq("event_id"))
+      .select(col("event_id"), col("asof_event_id"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // brute force: inequality join + argmax(ts, event_id) struct
+    val brute = purchases.as("p")
+      .join(clicks.as("c"),
+        col("p.user_id") === col("c.user_id") && col("c.ts") <= col("p.ts"),
+        "left_outer")
+      .groupBy(col("p.event_id").as("event_id"))
+      .agg(max(struct(col("c.ts"), col("c.event_id"))).as("m"))
+      .select(col("event_id"), col("m.event_id").as("match_id"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(fast === brute)
+  }
+
+  test("interval join matches brute-force inequality join") {
+    val ev = core.Tables(spark, "/root/testdata/sf0.001").events
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), col("user_id"),
+        expr("ts - INTERVAL 5 MINUTE").as("lo"), col("ts").as("hi"))
+    val all = ev.select(col("user_id"), col("ts").as("r_ts"),
+      col("event_id").as("r_id"))
+    val fast = RangeJoin.intervalJoin(errors, all, Seq("user_id"),
+      "lo", "hi", "r_ts", bucketSeconds = 300)
+      .select("e_id", "r_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = errors.join(all,
+        errors("user_id") === all("user_id") &&
+          col("r_ts") >= col("lo") && col("r_ts") <= col("hi"))
+      .select("e_id", "r_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast === brute)
+    assert(fast.nonEmpty)
+  }
+
+  test("interval join with bucket much smaller than interval still exact") {
+    val left = Seq((1L, "k", 0L, 100L)).toDF("l_id", "k", "lo", "hi")
+    val right = Seq(("k", -1L), ("k", 0L), ("k", 50L), ("k", 100L),
+      ("k", 101L)).toDF("k", "rt")
+    val got = RangeJoin.intervalJoin(left, right, Seq("k"),
+      "lo", "hi", "rt", bucketSeconds = 7)
+      .select("rt").collect().map(_.getLong(0)).toSet
+    assert(got === Set(0L, 50L, 100L))   // inclusive bounds, no dups
+  }
+
+  test("deterministic sampling: stable, content-keyed, ~fraction rate") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val s1 = docs.filter(TextAnalysis.sampleByFingerprint(col("text"), 0.1))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = docs.repartition(7)
+      .filter(TextAnalysis.sampleByFingerprint(col("text"), 0.1))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 === s2)                      // partitioning-independent
+    val n = docs.count().toDouble
+    assert(s1.size > n * 0.03 && s1.size < n * 0.25)  // ~10% ± noise
+  }
+
+  test("normalize: lowercase, punctuation stripped, whitespace collapsed") {
+    val out = Seq("  Hello,   WORLD!!  42\tok ").toDF("text")
+      .select(TextAnalysis.normalize(col("text"))).head().getString(0)
+    assert(out === "hello world 42 ok")
+  }
+}
