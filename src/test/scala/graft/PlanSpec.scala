@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{AsOfJoin, RangeJoin}
+import graft.llm.Similarity
+
+/** Physical-plan shape assertions: the scale properties the operators
+  * claim (shuffle counts, pushdown, join strategy, top-k short-circuit)
+  * are pinned here so a refactor that silently regresses the plan — the
+  * kind of regression invisible at test-data scale but fatal at 100 TB —
+  * fails the suite.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = core.Sessions.local(4, "graft-plan-test")
+
+  val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def countShuffles(p: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(p).length +
+      "Exchange rangepartitioning".r.findAllIn(p).length
+
+  test("as-of join: exactly one shuffle, no nested-loop or cartesian join") {
+    val ev = core.Tables(spark, sf).events
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val p = plan(AsOfJoin.backward(purchases, clicks, Seq("user_id"),
+      "ts", "ts", Seq("event_id")))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the whole operator costs ONE hash shuffle (for the window), same
+    // as a sort-merge join — the property that makes it viable at scale
+    assert(countShuffles(p) === 1, p)
+  }
+
+  test("range join plans as an equi join, never a nested loop") {
+    val ev = core.Tables(spark, sf).events
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), col("user_id"),
+        expr("ts - INTERVAL 5 MINUTE").as("lo"), col("ts").as("hi"))
+    val all = ev.select(col("user_id"), col("ts").as("r_ts"),
+      col("event_id").as("r_id"))
+    val p = plan(RangeJoin.intervalJoin(errors, all, Seq("user_id"),
+      "lo", "hi", "r_ts", bucketSeconds = 300))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("filter and projection push down to the parquet scan") {
+    val q = Registry.all.find(_.name == "q2_filter_project").get
+    val p = plan(q.run(spark, sf))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(!p.contains("PushedFilters: []"), p)
+    // projection pruning: the scan must not read the wide l_comment-less
+    // full schema — ReadSchema lists only referenced columns
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_tax"), read)
+  }
+
+  test("brute-force top-k short-circuits via TakeOrderedAndProject") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toIndexedSeq
+    val p = plan(Similarity.bruteForceTopK(emb, q, 10))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)  // no global sort
+  }
+
+  test("centroid assignment is map-side only: zero shuffles") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = Similarity.seedCentroids(emb, 8)
+    val p = plan(Similarity.assignToCentroids(emb, cents))
+    assert(countShuffles(p) === 0, p)
+  }
+}
