@@ -277,19 +277,32 @@ object Dedup {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
+      // step 1 — neighbor-min propagation (one join + one aggregation)
       val neighborMin = sym
         .join(labels, sym("v") === labels("doc_id"))
         .groupBy(col("u").as("doc_id"))
         .agg(min(col("group_id")).as("n_min"))
-      val updated = labels.join(neighborMin, Seq("doc_id"), "left_outer")
+      val propagated = labels.join(neighborMin, Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
           least(col("group_id"), coalesce(col("n_min"), col("group_id")))
-            .as("group_id"),
-          (col("n_min") < col("group_id")).as("improved"))
+            .as("group_id"))
+      // step 2 — pointer jumping: replace my label with my label's label.
+      // Labels are node ids, so the lookup is a self-join; this halves
+      // label-chain depth every superstep, turning O(diameter) rounds
+      // into O(log n) — a 5M-node near-dup chain converges in ~23
+      // supersteps instead of 5M (Shiloach–Vishkin shortcutting).
+      val jumped = propagated.as("a")
+        .join(propagated.select(col("doc_id").as("j_id"),
+          col("group_id").as("j_grp")),
+          col("a.group_id") === col("j_id"), "left_outer")
+        .select(col("a.doc_id").as("doc_id"),
+          coalesce(col("j_grp"), col("a.group_id")).as("group_id"))
         .localCheckpoint(true)
-      changed = updated.filter(col("improved")).count()
+      changed = jumped.join(labels.select(col("doc_id"),
+          col("group_id").as("old_grp")), Seq("doc_id"))
+        .filter(col("group_id") < col("old_grp")).count()
       labels.unpersist()
-      labels = updated.select("doc_id", "group_id").localCheckpoint(true)
+      labels = jumped
       iter += 1
     }
     sym.unpersist()

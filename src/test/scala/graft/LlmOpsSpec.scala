@@ -122,6 +122,17 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("transitive grouping converges on a 300-link chain (pointer jumping)") {
+    // chain 0-1-2-...-300: diameter 300 >> maxIter 50, so the distributed
+    // path only converges because pointer jumping halves chain depth per
+    // superstep (O(log n) rounds); without it this throws at maxIter
+    val chain = (0L until 300L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val groups = Dedup.transitiveGroups(chain, localThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups.size === 301)
+    assert(groups.values.forall(_ === 0L))
+  }
+
   test("corpus dedup drops planted duplicate chain, keeps the rest") {
     val base = docs.filter(col("doc_id") === 2).select("text")
       .head().getString(0)
