@@ -54,6 +54,26 @@ object Streaming {
       },
       Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type,
              |count(*) AS n_events, round(sum(value), 4) AS total_value
-             |FROM events GROUP BY 1, 2""".stripMargin))
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // REAL stream-stream interval join (watermark-bounded state), oracled
+    // with the equivalent batch inequality join
+    GQ("stream_interval_join",
+      (s, dir) => {
+        val name = "graft_stream_ssjoin"
+        val q = EventStreams.purchaseClickJoin(
+            EventStreams.readEvents(s, s"$dir/events.parquet"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try { q.processAllAvailable() } finally { q.stop() }
+        s.table(name)
+      },
+      Some("""SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts,
+             |  c.event_id AS c_id, c.ts AS c_ts
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             |  ON p.user_id = c.user_id
+             |  AND c.ts >= p.ts - INTERVAL 10 MINUTE
+             |  AND c.ts <= p.ts""".stripMargin))
   )
 }

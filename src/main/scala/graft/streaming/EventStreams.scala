@@ -85,6 +85,31 @@ object EventStreams {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
 
+  /** Watermarked stream-stream interval join: each purchase event joined
+    * to the same user's click events from the preceding 10 minutes.
+    * Both sides carry watermarks and the join condition bounds the event
+    * times against each other, which is exactly what lets Spark expire
+    * buffered rows: a click older than (purchase watermark − 10 min) can
+    * never match again and is dropped from state — finite join state on
+    * an unbounded stream, the only viable shape at 100 TB/day.
+    */
+  def purchaseClickJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("p_id"), col("p_user").as("user_id"), col("p_ts"),
+        col("c_id"), col("c_ts"))
+  }
+
   // ---- custom state: flatMapGroupsWithState sessionizer ---------------
 
   final case class Ev(ts: java.sql.Timestamp, user_id: Long, value: Double)

@@ -45,6 +45,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(n > 0)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val q = EventStreams.purchaseClickJoin(
+        EventStreams.readEvents(spark, s"$sf/events.parquet"))
+      .writeStream.format("memory").queryName("t_ssjoin")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("t_ssjoin").collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSet
+    val batch = EventStreams.purchaseClickJoin(batchEvents).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("custom-state sessionizer runs as a real stream and matches batch") {
     val ev = EventStreams.readEvents(spark, s"$sf/events.parquet")
       .select(col("ts"), col("user_id"), col("value"))
