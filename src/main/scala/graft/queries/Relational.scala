@@ -677,6 +677,35 @@ object Relational {
              |  AND r.ts >= e.ts - INTERVAL 5 MINUTE
              |  AND r.ts <= e.ts
              |  AND r.event_id <> e.event_id
-             |GROUP BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // ---- exact percentiles (linear interpolation — quantile_cont) -----
+    GQ("q36_percentiles",
+      (s, dir) => t(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+          round(expr("percentile(l_quantity, 0.25)"), 4).as("q25_qty")),
+      Some("""SELECT l_returnflag,
+             |round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+             |round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+             |round(quantile_cont(l_quantity, 0.25), 4) AS q25_qty
+             |FROM lineitem GROUP BY 1""".stripMargin)),
+
+    // ---- RANGE-frame window (interval-bounded trailing aggregate) -----
+    GQ("q37_range_frame_window",
+      (s, dir) => t(s, dir).orders
+        .select(col("o_custkey"), col("o_orderkey"),
+          expr("""round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 |ORDER BY o_orderdate
+                 |RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW), 4)
+                 |""".stripMargin).as("trailing_90d")),
+      Some("""SELECT o_custkey, o_orderkey,
+             |round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             |  ORDER BY o_orderdate
+             |  RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW), 4)
+             |  AS trailing_90d
+             |FROM orders""".stripMargin))
   )
 }
