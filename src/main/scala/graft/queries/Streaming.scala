@@ -16,6 +16,23 @@ import graft.streaming.EventStreams
   */
 object Streaming {
 
+  /** Run a streaming query body with a bounded state-partition count.
+    * Streaming state cost scales with the shuffle-partition count bound
+    * into the query at start (one state store per partition per stateful
+    * operator), and unlike batch shuffles AQE never coalesces it — at
+    * test scale 32 near-empty state stores are pure overhead, and on a
+    * real cluster the partition count should be sized to state volume,
+    * not inherited from the batch default. Restores the session setting
+    * afterwards so batch plans are unaffected.
+    */
+  private def withStreamPartitions[A](s: org.apache.spark.sql.SparkSession,
+      n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   val queries: Seq[GQ] = Seq(
 
     GQ("q24_session_window",
@@ -43,7 +60,7 @@ object Streaming {
              |FROM s GROUP BY user_id, sid""".stripMargin)),
 
     GQ("stream_hourly_counts",
-      (s, dir) => {
+      (s, dir) => withStreamPartitions(s, 8) {
         val name = "graft_stream_hourly"
         val q = EventStreams.hourlyCounts(
             EventStreams.readEvents(s, s"$dir/events.parquet"))
@@ -59,7 +76,7 @@ object Streaming {
     // REAL stream-stream interval join (watermark-bounded state), oracled
     // with the equivalent batch inequality join
     GQ("stream_interval_join",
-      (s, dir) => {
+      (s, dir) => withStreamPartitions(s, 8) {
         val name = "graft_stream_ssjoin"
         val q = EventStreams.purchaseClickJoin(
             EventStreams.readEvents(s, s"$dir/events.parquet"))
