@@ -1,0 +1,155 @@
+package graft.llm
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Real container-header synthesis + parsing for the multimodal surface.
+  *
+  * The byte layouts are public file-format knowledge:
+  *  - PNG: 8-byte signature, then the IHDR chunk — width/height as
+  *    big-endian int32 at offsets 16/20 (PNG spec, W3C).
+  *  - BMP: "BM" magic; BITMAPINFOHEADER width/height as little-endian
+  *    int32 at offsets 18/22 (Windows BMP spec).
+  *  - WAV: RIFF/"WAVE" with a canonical 44-byte PCM header — channels
+  *    (LE16 @22), sample rate (LE32 @24), bits/sample (LE16 @34), data
+  *    size (LE32 @40).
+  *  - AVI: RIFF/"AVI " with a LIST/hdrl/avih main header — µs/frame,
+  *    total frames, width, height inside the 56-byte avih payload.
+  *
+  * `parse` is the real metadata-decode path (magic-byte dispatch + field
+  * reads with bounds checks); only pixel/sample decoding remains out of
+  * scope for this container. The writers exist so the synthetic corpus
+  * carries well-formed payloads and round-trip tests can pin the parser.
+  */
+object MediaHeaders {
+
+  final case class Meta(format: String, width: Int, height: Int,
+      nFrames: Int, sampleRate: Int, durationMs: Int)
+
+  // ---- writers --------------------------------------------------------
+
+  private val PngSig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a,
+    0x1a, 0x0a)
+
+  def pngBytes(width: Int, height: Int, tail: Array[Byte]): Array[Byte] = {
+    val b = ByteBuffer.allocate(8 + 8 + 13 + tail.length)
+      .order(ByteOrder.BIG_ENDIAN)
+    b.put(PngSig)
+    b.putInt(13).put("IHDR".getBytes("US-ASCII"))
+    b.putInt(width).putInt(height)
+    b.put(8.toByte).put(6.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    b.put(tail)
+    b.array()
+  }
+
+  def bmpBytes(width: Int, height: Int, tail: Array[Byte]): Array[Byte] = {
+    val b = ByteBuffer.allocate(54 + tail.length).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte)
+    b.putInt(54 + tail.length)          // file size
+    b.putInt(0).putInt(54)              // reserved, pixel-data offset
+    b.putInt(40)                        // BITMAPINFOHEADER size
+    b.putInt(width).putInt(height)
+    b.putShort(1).putShort(24)          // planes, bpp
+    b.putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+    b.put(tail)
+    b.array()
+  }
+
+  def wavBytes(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      nSamples: Int, tail: Array[Byte]): Array[Byte] = {
+    val dataSize = nSamples * channels * (bitsPerSample / 8)
+    val b = ByteBuffer.allocate(44 + tail.length).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1)                       // PCM
+    b.putShort(channels.toShort)
+    b.putInt(sampleRate)
+    b.putInt(sampleRate * channels * (bitsPerSample / 8))
+    b.putShort((channels * bitsPerSample / 8).toShort)
+    b.putShort(bitsPerSample.toShort)
+    b.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    b.put(tail)
+    b.array()
+  }
+
+  def aviBytes(width: Int, height: Int, nFrames: Int, microSecPerFrame: Int,
+      tail: Array[Byte]): Array[Byte] = {
+    // RIFF('AVI ' LIST('hdrl' avih(56-byte main header))) + tail
+    val b = ByteBuffer.allocate(12 + 12 + 8 + 56 + tail.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(4 + 12 + 8 + 56 + tail.length)
+    b.put("AVI ".getBytes("US-ASCII"))
+    b.put("LIST".getBytes("US-ASCII")).putInt(4 + 8 + 56)
+    b.put("hdrl".getBytes("US-ASCII"))
+    b.put("avih".getBytes("US-ASCII")).putInt(56)
+    b.putInt(microSecPerFrame)          // dwMicroSecPerFrame
+    b.putInt(0).putInt(0).putInt(0)     // maxBytesPerSec, padding, flags
+    b.putInt(nFrames)                   // dwTotalFrames
+    b.putInt(0).putInt(1).putInt(0)     // initialFrames, streams, bufSize
+    b.putInt(width).putInt(height)      // dwWidth, dwHeight
+    b.putInt(0).putInt(0).putInt(0).putInt(0)
+    b.put(tail)
+    b.array()
+  }
+
+  // ---- parser (the real decode path) ----------------------------------
+
+  private def beInt(p: Array[Byte], o: Int): Int =
+    ((p(o) & 0xff) << 24) | ((p(o + 1) & 0xff) << 16) |
+      ((p(o + 2) & 0xff) << 8) | (p(o + 3) & 0xff)
+
+  private def leInt(p: Array[Byte], o: Int): Int =
+    (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8) |
+      ((p(o + 2) & 0xff) << 16) | ((p(o + 3) & 0xff) << 24)
+
+  private def leShort(p: Array[Byte], o: Int): Int =
+    (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+
+  private def tag(p: Array[Byte], o: Int, t: String): Boolean =
+    p.length >= o + 4 && p(o) == t(0).toByte && p(o + 1) == t(1).toByte &&
+      p(o + 2) == t(2).toByte && p(o + 3) == t(3).toByte
+
+  /** Parse real container metadata from the payload's header bytes.
+    * Returns None for payloads that match no known magic (callers decide
+    * the fallback). Bounds-checked: truncated headers yield None, never
+    * an exception.
+    */
+  def parse(p: Array[Byte]): Option[Meta] = {
+    if (p.length >= 24 && p.startsWith(PngSig) && tag(p, 12, "IHDR"))
+      Some(Meta("png", beInt(p, 16), beInt(p, 20), 1, 0, 0))
+    else if (p.length >= 26 && p(0) == 'B'.toByte && p(1) == 'M'.toByte)
+      Some(Meta("bmp", leInt(p, 18), leInt(p, 22), 1, 0, 0))
+    else if (tag(p, 0, "RIFF") && tag(p, 8, "WAVE")) {
+      if (p.length < 44 || !tag(p, 12, "fmt ") || !tag(p, 36, "data")) None
+      else {
+        val channels = leShort(p, 22)
+        val rate = leInt(p, 24)
+        val bits = leShort(p, 34)
+        val dataSize = leInt(p, 40)
+        val bytesPerSample = math.max(1, channels * (bits / 8))
+        val nSamples = dataSize / bytesPerSample
+        val durMs = if (rate <= 0) 0
+          else ((nSamples.toLong * 1000L) / rate).toInt
+        Some(Meta("wav", 0, 0, nSamples, rate, durMs))
+      }
+    } else if (tag(p, 0, "RIFF") && tag(p, 8, "AVI ")) {
+      // scan chunk headers for 'avih' (fixed position in our writer, but
+      // scanning keeps the parser honest for padded real-world files)
+      var o = 12
+      var found: Option[Meta] = None
+      while (found.isEmpty && o + 8 <= p.length) {
+        if (tag(p, o, "LIST")) o += 12
+        else if (tag(p, o, "avih") && o + 8 + 56 <= p.length) {
+          val base = o + 8
+          val usPerFrame = leInt(p, base)
+          val frames = leInt(p, base + 16)
+          val w = leInt(p, base + 32)
+          val h = leInt(p, base + 36)
+          val durMs = ((frames.toLong * usPerFrame) / 1000L).toInt
+          found = Some(Meta("avi", w, h, frames, 0, durMs))
+        } else o += 8 + math.max(0, leInt(p, o + 4))
+      }
+      found
+    } else None
+  }
+}

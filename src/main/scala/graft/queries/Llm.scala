@@ -234,10 +234,11 @@ object Llm {
       (s, dir) => {
         val media = Multimodal.syntheticMedia(s, t(s, dir).documents)
         Multimodal.decodeAll(media).toDF()
-          .groupBy(col("kind"))
+          .groupBy(col("kind"), col("format"))
           .agg(count(lit(1)).as("n_media"),
             round(avg(col("width")), 4).as("avg_width"),
-            round(avg(col("n_frames")), 4).as("avg_frames"))
+            round(avg(col("n_frames")), 4).as("avg_frames"),
+            round(avg(col("sample_rate")), 4).as("avg_sample_rate"))
       }),
 
     GQ("llm_multimodal_frames",

@@ -169,6 +169,41 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("media header parse round-trips synthesized PNG/BMP/WAV/AVI exactly") {
+    import graft.llm.MediaHeaders
+    val tail = "payload-body".getBytes("UTF-8")
+    assert(MediaHeaders.parse(MediaHeaders.pngBytes(640, 480, tail)) ===
+      Some(MediaHeaders.Meta("png", 640, 480, 1, 0, 0)))
+    assert(MediaHeaders.parse(MediaHeaders.bmpBytes(123, 77, tail)) ===
+      Some(MediaHeaders.Meta("bmp", 123, 77, 1, 0, 0)))
+    assert(MediaHeaders.parse(MediaHeaders.wavBytes(16000, 1, 16, 32000, tail)) ===
+      Some(MediaHeaders.Meta("wav", 0, 0, 32000, 16000, 2000)))
+    assert(MediaHeaders.parse(MediaHeaders.aviBytes(320, 240, 12, 33333, tail)) ===
+      Some(MediaHeaders.Meta("avi", 320, 240, 12, 0, 399)))
+    assert(MediaHeaders.parse("not a media file".getBytes("UTF-8")).isEmpty)
+    assert(MediaHeaders.parse(Array[Byte](0x89.toByte, 'P')).isEmpty)
+  }
+
+  test("decoded media carries genuinely parsed container metadata") {
+    val media = Multimodal.syntheticMedia(spark, docs)
+    val decoded = Multimodal.decodeAll(media).collect()
+    // every synthesized payload is well-formed → no 'unknown' fallbacks
+    assert(decoded.forall(_.format != "unknown"))
+    decoded.foreach { d =>
+      d.kind match {
+        case "image" =>
+          assert(d.format == "png" || d.format == "bmp")
+          assert(d.width === 64 + (d.media_id % 512).toInt)  // parsed back
+        case "audio" =>
+          assert(d.format === "wav")
+          assert(d.sample_rate === 8000 * (1 + (d.media_id % 3).toInt))
+        case "video" =>
+          assert(d.format === "avi")
+          assert(d.n_frames === 1 + (d.media_id % 16).toInt)
+      }
+    }
+  }
+
   test("multimodal decode pipeline is deterministic and total") {
     val media = Multimodal.syntheticMedia(spark, docs)
     val d1 = Multimodal.decodeAll(media).collect().sortBy(_.media_id)
