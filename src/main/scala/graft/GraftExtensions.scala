@@ -6,9 +6,13 @@ import org.apache.spark.sql.SparkSessionExtensions
   * into any session built with
   * `spark.sql.extensions=graft.GraftExtensions` (or
   * `.withExtensions(new GraftExtensions)`), so external Spark apps get
-  * `graft_cosine` / `graft_minhash` / `graft_minhash_text` in SQL without
-  * touching graft code. The same registrations happen lazily via
-  * `GraftFunctions.register` for programmatic users.
+  * `graft_cosine` / `graft_minhash` / `graft_minhash_text` /
+  * `graft_simhash` / `graft_hyperplane` in SQL without touching graft
+  * code. The same registrations happen lazily via
+  * `GraftFunctions.register` for programmatic users; both paths share
+  * the literal-argument validation (a non-literal k/w/nBits fails with a
+  * clear message instead of an NPE) and the expressions themselves
+  * type-check their array inputs at analysis time.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -25,18 +29,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSignatureExpr].getName, "graft_minhash"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MinHashSignatureExpr(exprs(0),
-          exprs(1).eval(null).asInstanceOf[Number].intValue)))
+          GraftFunctions.litPosInt(exprs(1), "graft_minhash", "k"))))
     ext.injectFunction((
       FunctionIdentifier("graft_minhash_text"),
       new ExpressionInfo(classOf[MinHashTextExpr].getName, "graft_minhash_text"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MinHashTextExpr(exprs(0),
-          exprs(1).eval(null).asInstanceOf[Number].intValue,
-          exprs(2).eval(null).asInstanceOf[Number].intValue)))
+          GraftFunctions.litPosInt(exprs(1), "graft_minhash_text", "w"),
+          GraftFunctions.litPosInt(exprs(2), "graft_minhash_text", "k"))))
     ext.injectFunction((
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SimHashExpr(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hyperplane"),
+      new ExpressionInfo(classOf[HyperplaneBitsExpr].getName, "graft_hyperplane"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        HyperplaneBitsExpr(exprs(0),
+          GraftFunctions.litPosInt(exprs(1), "graft_hyperplane", "nBits"))))
   }
 }

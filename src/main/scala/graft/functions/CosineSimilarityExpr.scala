@@ -83,7 +83,7 @@ object GraftFunctions {
     * the expression at plan time). A non-literal column reference here
     * would otherwise NPE deep in eval(null) with no context.
     */
-  private def litPosInt(e: Expression, fn: String, arg: String): Int = {
+  private[graft] def litPosInt(e: Expression, fn: String, arg: String): Int = {
     if (!e.foldable)
       throw new IllegalArgumentException(
         s"$fn: argument '$arg' must be a literal integer, got non-foldable ${e.sql}")

@@ -89,6 +89,38 @@ class FunctionsSpec extends AnyFunSuite {
       Option(e2.getCause).exists(_.getMessage.contains("positive")))
   }
 
+  test("GraftExtensions wires every function into an extension-built session") {
+    val prev = spark // force base session creation first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val ext = SparkSession.builder()
+      .master("local[4]").appName("graft-ext-test")
+      .withExtensions(new graft.GraftExtensions)
+      .getOrCreate()
+    try {
+      ext.read.parquet(s"$sf/embeddings.parquet")
+        .createOrReplaceTempView("emb_ext_test")
+      val r = ext.sql(
+        """SELECT graft_cosine(embedding, embedding) AS c,
+          |graft_hyperplane(embedding, 48) AS h FROM emb_ext_test LIMIT 3"""
+          .stripMargin).collect()
+      r.foreach { row =>
+        assert(math.abs(row.getDouble(0) - 1.0) < 1e-9)
+        assert((row.getLong(1) >>> 48) === 0L)
+      }
+      // validation is shared with the programmatic path: bad k fails clearly
+      val e = intercept[Exception] {
+        ext.sql("SELECT graft_minhash(array('a','b'), 0)").collect()
+      }
+      assert(e.getMessage.contains("positive") ||
+        Option(e.getCause).exists(_.getMessage.contains("positive")))
+    } finally {
+      ext.catalog.dropTempView("emb_ext_test")
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("graft_hyperplane: deterministic, bit-bounded, near-dup vectors collide") {
     GraftFunctions.register(spark)
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
