@@ -45,14 +45,20 @@ object AsOfJoin {
         col(leftTs).as("__ts"), lit(1).as("__tag"),
         struct(leftCols.map(col): _*).as("__l"),
         lit(null).cast(rStructT).as("__r")): _*)
-    val r = right.select(
+    // a null-timestamp right row would sort FIRST under ascending order
+    // and then match every left row of its key — it can never legally
+    // match anything (null is not ≤ any ts), so drop it up front. Left
+    // rows with null timestamps stay: they sort first, see no preceding
+    // right rows, and come out with a null match — preserved, not
+    // silently dropped.
+    val r = right.filter(col(rightTs).isNotNull).select(
       keys.map(col) ++ Seq(
         col(rightTs).as("__ts"), lit(0).as("__tag"),
         lit(null).cast(lStructT).as("__l"),
         struct(payloadCols.map(col): _*).as("__r")): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc, col("__tag").asc)
+      .orderBy(col("__ts").asc_nulls_first, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     l.unionByName(r)

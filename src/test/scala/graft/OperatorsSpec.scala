@@ -52,6 +52,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fast === brute)
   }
 
+  test("as-of join: multi-key, null timestamps preserved not polluting") {
+    val left = Seq((1L, "a", "x", Some(10L)), (2L, "a", "y", Some(10L)),
+      (3L, "a", "x", None)).toDF("l_id", "k1", "k2", "lt")
+    val right = Seq((100L, "a", "x", Some(5L)), (101L, "a", "y", Some(7L)),
+      (102L, "a", "x", None)).toDF("r_id", "k1", "k2", "rt")
+    val got = AsOfJoin.backward(left, right, keys = Seq("k1", "k2"),
+      leftTs = "lt", rightTs = "rt", rightCols = Seq("r_id"))
+      .select("l_id", "asof_r_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    // multi-key: (a,x) matches 100, (a,y) matches 101 — never crossed;
+    // null-ts left row 3 survives with no match; null-ts right row 102
+    // matches nothing (it would otherwise pollute every (a,x) row)
+    assert(got === Map(1L -> 100L, 2L -> 101L, 3L -> -1L))
+  }
+
   test("interval join matches brute-force inequality join") {
     val ev = core.Tables(spark, "/root/testdata/sf0.001").events
     val errors = ev.filter(col("event_type") === "error")
