@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOfJoin, RangeJoin}
+
+/** Scale sanity for the join operators Spark lacks natively (the
+  * DistributedScaleCheck pattern applied to AsOfJoin/RangeJoin): run at
+  * tens of millions of rows — 1000× the sf0.1 events table — and
+  * validate exactness against the brute-force formulation on a sampled
+  * key subset (the full brute force is quadratic and infeasible, which
+  * is the point of these operators).
+  *
+  * Usage: runMain graft.OperatorScaleCheck [nRight] [nKeys]
+  * Defaults: 20M right rows / 2M left rows over 500k keys.
+  */
+object OperatorScaleCheck {
+
+  def main(args: Array[String]): Unit = {
+    val nRight = args.headOption.map(_.toLong).getOrElse(20_000_000L)
+    val nLeft = nRight / 10
+    val nKeys = args.lift(1).map(_.toLong).getOrElse(500_000L)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // deterministic pseudo-random timestamps from the row id (no rand():
+    // reruns and the sampled-key validation must see identical data;
+    // xxhash64 avoids ANSI long-overflow that a multiplicative hash hits)
+    val left = spark.range(nLeft).select(col("id").as("l_id"),
+      pmod(col("id"), lit(nKeys)).as("k"),
+      pmod(xxhash64(col("id"), lit(1)), lit(1L << 40)).as("ts"))
+      .persist()
+    val right = spark.range(nRight).select(col("id").as("r_id"),
+      pmod(xxhash64(col("id"), lit(2)), lit(nKeys)).as("k"),
+      pmod(xxhash64(col("id"), lit(3)), lit(1L << 40)).as("ts"))
+      .persist()
+    println(s"[scale] left=${left.count()} right=${right.count()} keys=$nKeys")
+
+    // ---- as-of join ----------------------------------------------------
+    var t0 = System.nanoTime()
+    val asof = AsOfJoin.backward(left, right, Seq("k"), "ts", "ts",
+      Seq("r_id"))
+    val nAsof = asof.count()
+    val asofSec = (System.nanoTime() - t0) / 1e9
+    println(f"[scale] asof: $nAsof rows in $asofSec%.1f s (one shuffle)")
+    require(nAsof == nLeft, s"as-of must preserve every left row: $nAsof")
+
+    // sampled-key exactness: brute force on 5 keys only
+    val sampleKeys = (0L until 5L).map(_ * (nKeys / 7) + 1)
+    val lS = left.filter(col("k").isin(sampleKeys: _*))
+    val rS = right.filter(col("k").isin(sampleKeys: _*))
+    val fast = AsOfJoin.backward(lS, rS, Seq("k"), "ts", "ts", Seq("r_id"))
+      .select(col("l_id"), col("asof_r_id")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    val brute = lS.as("l").join(rS.as("r"),
+        col("l.k") === col("r.k") && col("r.ts") <= col("l.ts"), "left_outer")
+      .groupBy(col("l.l_id").as("l_id"))
+      .agg(max(struct(col("r.ts"), col("r.r_id"))).as("m"))
+      .select(col("l_id"), col("m.r_id")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    require(fast == brute, "as-of sampled-key mismatch vs brute force")
+    println(s"[scale] asof: sampled-key brute-force check OK (${fast.size} rows)")
+
+    // ---- range join ----------------------------------------------------
+    // window sized so the expected pair count is substantial
+    // (~nLeft × perKeyRight × window/2^40 ≈ 600k at the defaults)
+    val window = 1L << 33
+    val lInt = left.select(col("l_id"), col("k"), col("ts").as("lo"),
+      (col("ts") + window).as("hi"))
+    t0 = System.nanoTime()
+    val ranged = RangeJoin.intervalJoin(lInt, right, Seq("k"),
+      "lo", "hi", "ts", bucketSeconds = window)
+    val nRange = ranged.count()
+    val rangeSec = (System.nanoTime() - t0) / 1e9
+    println(f"[scale] range: $nRange pairs in $rangeSec%.1f s (equi-join plan)")
+
+    val fastR = RangeJoin.intervalJoin(
+        lInt.filter(col("k").isin(sampleKeys: _*)), rS, Seq("k"),
+        "lo", "hi", "ts", bucketSeconds = window)
+      .select("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteR = lInt.filter(col("k").isin(sampleKeys: _*)).as("l")
+      .join(rS.as("r"), col("l.k") === col("r.k") &&
+        col("r.ts") >= col("l.lo") && col("r.ts") <= col("l.hi"))
+      .select(col("l.l_id"), col("r.r_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    require(fastR == bruteR, "range sampled-key mismatch vs brute force")
+    println(s"[scale] range: sampled-key brute-force check OK (${fastR.size} pairs)")
+
+    println(f"""{"asof_rows":$nAsof,"asof_sec":$asofSec%.1f,"range_pairs":$nRange,"range_sec":$rangeSec%.1f,"n_right":$nRight,"n_keys":$nKeys}""")
+    spark.stop()
+  }
+}
