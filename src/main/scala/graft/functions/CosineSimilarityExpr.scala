@@ -34,6 +34,9 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // pure + deterministic → literal inputs constant-fold at plan time
+  override def foldable: Boolean = children.forall(_.foldable)
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]

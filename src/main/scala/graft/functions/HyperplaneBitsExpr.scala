@@ -60,6 +60,8 @@ case class HyperplaneBitsExpr(child: Expression, nBits: Int)
 
   override def dataType: DataType = LongType
 
+  override def foldable: Boolean = child.foldable
+
   override def nullSafeEval(input: Any): Any =
     HyperplaneUtil.compute(input.asInstanceOf[ArrayData], nBits)
 

@@ -138,6 +138,8 @@ case class MinHashTextExpr(child: Expression, w: Int, k: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  override def foldable: Boolean = child.foldable
+
   override def nullSafeEval(input: Any): Any = {
     val r = MinHashUtil.computeText(input.asInstanceOf[ArrayData], w, k)
     if (r.isEmpty) null else new GenericArrayData(r)
@@ -173,6 +175,8 @@ case class MinHashSignatureExpr(child: Expression, k: Int)
     MinHashUtil.requireStringArray(child, prettyName)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def foldable: Boolean = child.foldable
 
   override def nullSafeEval(input: Any): Any =
     new GenericArrayData(

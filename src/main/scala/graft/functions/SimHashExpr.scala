@@ -58,6 +58,7 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     MinHashUtil.requireStringArray(child, prettyName)
   override def dataType: DataType = LongType
+  override def foldable: Boolean = child.foldable
 
   override def nullSafeEval(input: Any): Any =
     SimHashUtil.compute(input.asInstanceOf[ArrayData])

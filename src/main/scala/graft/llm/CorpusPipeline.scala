@@ -1,0 +1,45 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Opinionated end-to-end training-corpus preparation — the composition a
+  * data-curation user actually runs, wired from the individual operators:
+  *
+  *   annotate (lang-id, quality, token count)
+  *     → quality filter
+  *     → exact + MinHash near-dup dedup (transitive grouping)
+  *     → optional deterministic content-keyed sample
+  *
+  * Every stage is a DataFrame transformation: annotation and filtering
+  * are pure map-side codegen, dedup is the LSH pipeline (no O(n²) stage),
+  * sampling is a fingerprint predicate — so the whole pipeline scales as
+  * a linear scan plus the dedup shuffles regardless of corpus size, and
+  * is fully deterministic (same input → same kept set, any cluster
+  * shape).
+  */
+object CorpusPipeline {
+
+  /** Prepare a corpus: returns the input rows that survive, annotated
+    * with `lang_pred`, `quality` and `n_tokens`.
+    */
+  def prepare(docs: DataFrame, minQuality: Double = 0.3,
+      minJaccard: Double = 0.8,
+      sampleFraction: Option[Double] = None): DataFrame = {
+    val annotated = docs
+      .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+    val filtered = annotated.filter(col("quality") >= minQuality)
+    val deduped = Dedup.dedupCorpus(filtered, minJaccard = minJaccard)
+    sampleFraction.fold(deduped)(f =>
+      deduped.filter(TextAnalysis.sampleByFingerprint(col("text"), f)))
+  }
+
+  /** Per-predicted-language summary of a prepared corpus. */
+  def summary(prepared: DataFrame): DataFrame =
+    prepared.groupBy(col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("quality")), 4).as("avg_quality"),
+        sum(col("n_tokens")).as("total_tokens"))
+}

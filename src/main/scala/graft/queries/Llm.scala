@@ -170,6 +170,14 @@ object Llm {
       (s, dir) => Dedup.dedupCorpus(t(s, dir).documents, minJaccard = 0.8)
         .select(col("doc_id"), col("lang"), col("source"))),
 
+    // ---- end-to-end corpus preparation pipeline -----------------------
+    // annotate → quality-filter → dedup → summarize; rows-only (the
+    // dedup stage is LSH-based), stage invariants pinned in LlmOpsSpec
+    GQ("llm_pipeline_e2e",
+      (s, dir) => graft.llm.CorpusPipeline.summary(
+        graft.llm.CorpusPipeline.prepare(t(s, dir).documents,
+          minQuality = 0.2, minJaccard = 0.8))),
+
     // ---- SimHash near-dup (banded pigeonhole + Hamming verify) --------
     GQ("llm_simhash_neardup",
       (s, dir) => Dedup.simhashNearDup(t(s, dir).documents,

@@ -169,6 +169,28 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus pipeline: monotone stages, threshold respected, deterministic") {
+    import graft.llm.CorpusPipeline
+    val prepared = CorpusPipeline.prepare(docs, minQuality = 0.2,
+      minJaccard = 0.6).cache()
+    val n = prepared.count()
+    assert(n > 0 && n <= docs.count())
+    // every surviving row respects the quality floor and is annotated
+    val bad = prepared.filter(col("quality") < 0.2).count()
+    assert(bad === 0)
+    assert(prepared.columns.toSet.intersect(
+      Set("lang_pred", "quality", "n_tokens")).size === 3)
+    // sampling stage strictly reduces (at ~10% it can't keep everything)
+    val sampled = CorpusPipeline.prepare(docs, minQuality = 0.2,
+      minJaccard = 0.6, sampleFraction = Some(0.1)).count()
+    assert(sampled < n)
+    // deterministic end to end
+    val n2 = CorpusPipeline.prepare(docs, minQuality = 0.2,
+      minJaccard = 0.6).count()
+    assert(n2 === n)
+    prepared.unpersist()
+  }
+
   test("media header parse round-trips synthesized PNG/BMP/WAV/AVI exactly") {
     import graft.llm.MediaHeaders
     val tail = "payload-body".getBytes("UTF-8")
