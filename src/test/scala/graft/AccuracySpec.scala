@@ -25,6 +25,24 @@ class AccuracySpec extends AnyFunSuite {
     }
   }
 
+  test("count-min sketch heavy hitters: overestimate-only, bounded error") {
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val n = toks.count()
+    val eps = 0.001
+    val sketch = toks.stat.countMinSketch("tok", eps, 0.99, 42)
+    val exact = toks.groupBy("tok").count()
+      .orderBy(col("count").desc, col("tok").asc).limit(20)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    exact.foreach { case (tok, cnt) =>
+      val est = sketch.estimateCount(tok)
+      // count-min never underestimates; error bounded by eps × stream size
+      assert(est >= cnt, s"$tok: est=$est < exact=$cnt")
+      assert(est <= cnt + (eps * n).toLong + 1, s"$tok: est=$est exact=$cnt")
+    }
+  }
+
   test("k-means refinement preserves centroid count and improves spread") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val seeds = Similarity.seedCentroids(emb, 8)
