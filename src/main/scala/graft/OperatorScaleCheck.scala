@@ -50,10 +50,15 @@ object OperatorScaleCheck {
     println(f"[scale] asof: $nAsof rows in $asofSec%.1f s (one shuffle)")
     require(nAsof == nLeft, s"as-of must preserve every left row: $nAsof")
 
-    // sampled-key exactness: brute force on 5 keys only
+    // sampled-key exactness: brute force on 5 keys only. The right side
+    // is deduplicated on (k, ts) first: the operator's window breaks
+    // (k, ts) ties arbitrarily while the brute force's max(struct) is
+    // deterministic, so a duplicate-timestamp collision would flake the
+    // comparison without being a real disagreement.
     val sampleKeys = (0L until 5L).map(_ * (nKeys / 7) + 1)
     val lS = left.filter(col("k").isin(sampleKeys: _*))
     val rS = right.filter(col("k").isin(sampleKeys: _*))
+      .dropDuplicates("k", "ts")
     val fast = AsOfJoin.backward(lS, rS, Seq("k"), "ts", "ts", Seq("r_id"))
       .select(col("l_id"), col("asof_r_id")).collect()
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))

@@ -198,6 +198,9 @@ object Dedup {
       bands: Int = 4): DataFrame = {
     require(maxHamming < bands, "pigeonhole needs maxHamming < bands")
     val bits = 64 / bands
+    // 1L << 64 wraps to 1 (Scala shifts are mod 64): a full-width band
+    // needs an explicit all-ones mask or every band_val collapses to 0
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
     // (doc_id, simhash) is two longs per doc — cache it so the banded
     // self-join below computes each signature once, not twice
     val sigs = docs
@@ -206,7 +209,7 @@ object Dedup {
     val banded = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until bands).map { b =>
         shiftrightunsigned(col("simhash"), b * bits)
-          .bitwiseAND(lit((1L << bits) - 1))
+          .bitwiseAND(lit(mask))
       }: _*)).as(Seq("band_id", "band_val")))
     val cands = banded.select(col("band_id"), col("band_val"),
         col("doc_id").as("id_a"), col("simhash").as("sig_a"))
@@ -362,10 +365,12 @@ object Dedup {
     * joined back for exact-cosine verification, so the wide vectors are
     * never exploded through the banding shuffle.
     */
-  def embeddingNearDup(emb: DataFrame, dim: Int = 64,
+  def embeddingNearDup(emb: DataFrame,
       minCosine: Double = 0.95, nBits: Int = 48, bands: Int = 4): DataFrame = {
     require(nBits % bands == 0 && nBits <= 64, "bands must divide nBits ≤ 64")
     val bitsPerBand = nBits / bands
+    // same mod-64 shift wrap guard as simhashNearDup
+    val mask = if (bitsPerBand == 64) -1L else (1L << bitsPerBand) - 1
     val vecs = emb.select(col("vec_id"), col("embedding"))
     val sigs = vecs
       .select(col("vec_id"), hyperplaneBits(col("embedding"), nBits).as("hb"))
@@ -373,7 +378,7 @@ object Dedup {
     val banded = sigs.select(col("vec_id"),
       posexplode(array((0 until bands).map { b =>
         shiftrightunsigned(col("hb"), b * bitsPerBand)
-          .bitwiseAND(lit((1L << bitsPerBand) - 1))
+          .bitwiseAND(lit(mask))
       }: _*)).as(Seq("band_id", "band_val")))
     val cands = banded.select(col("band_id"), col("band_val"),
         col("vec_id").as("id_a"))

@@ -133,12 +133,15 @@ object MediaHeaders {
         Some(Meta("wav", 0, 0, nSamples, rate, durMs))
       }
     } else if (tag(p, 0, "RIFF") && tag(p, 8, "AVI ")) {
-      // scan chunk headers for 'avih' (fixed position in our writer, but
-      // scanning keeps the parser honest for padded real-world files)
+      // scan top-level chunk headers for the hdrl LIST and its avih.
+      // RIFF rules honored: chunks are word-aligned (odd sizes carry a
+      // pad byte), and only the 'hdrl' LIST is descended into — movi
+      // lists hold frame data whose bytes could false-positive as tags
       var o = 12
       var found: Option[Meta] = None
       while (found.isEmpty && o + 8 <= p.length) {
-        if (tag(p, o, "LIST")) o += 12
+        val size = leInt(p, o + 4)
+        if (tag(p, o, "LIST") && tag(p, o + 8, "hdrl")) o += 12
         else if (tag(p, o, "avih") && o + 8 + 56 <= p.length) {
           val base = o + 8
           val usPerFrame = leInt(p, base)
@@ -147,7 +150,7 @@ object MediaHeaders {
           val h = leInt(p, base + 36)
           val durMs = ((frames.toLong * usPerFrame) / 1000L).toInt
           found = Some(Meta("avi", w, h, frames, 0, durMs))
-        } else o += 8 + math.max(0, leInt(p, o + 4))
+        } else o += 8 + math.max(0, size) + (math.max(0, size) & 1)
       }
       found
     } else None

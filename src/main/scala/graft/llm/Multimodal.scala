@@ -72,7 +72,9 @@ object Multimodal {
               else MediaHeaders.bmpBytes(w, h, body)
             MediaRow(id, "image", payload)
           case 1 =>
-            val rate = 8000 * (1 + (id % 3).toInt)     // 8/16/24 kHz
+            // modulus independent of the id % 3 kind split, so rates
+            // actually vary across 8/16/24 kHz
+            val rate = 8000 * (1 + ((id / 3) % 3).toInt)
             val nSamples = rate * (1 + (id % 5).toInt) // 1-5 seconds
             MediaRow(id, "audio",
               MediaHeaders.wavBytes(rate, 1, 16, nSamples, body))

@@ -86,7 +86,12 @@ object TextAnalysis {
     val scores = langScores(text)
     val best = scores.map { case (lang, sc) => struct(sc.as("s"), lit(lang).as("l")) }
       .reduce((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
-    when(best.getField("s") <= 0.0, "und").otherwise(best.getField("l"))
+    // null text short-circuits to 'und': without the guard, every score
+    // comparison is null and the reduce silently keeps the first
+    // language instead of admitting ignorance
+    when(text.isNull, "und")
+      .when(best.getField("s") <= 0.0, "und")
+      .otherwise(best.getField("l"))
   }
 
   /** Stable document fingerprint: md5 of whitespace-normalized lowercase

@@ -47,11 +47,16 @@ object AsOfJoin {
         lit(null).cast(rStructT).as("__r")): _*)
     // a null-timestamp right row would sort FIRST under ascending order
     // and then match every left row of its key — it can never legally
-    // match anything (null is not ≤ any ts), so drop it up front. Left
-    // rows with null timestamps stay: they sort first, see no preceding
-    // right rows, and come out with a null match — preserved, not
-    // silently dropped.
-    val r = right.filter(col(rightTs).isNotNull).select(
+    // match anything (null is not ≤ any ts), so drop it up front. The
+    // same goes for null KEYS: Window.partitionBy groups null keys into
+    // one partition, which would make null match null — SQL equi-join
+    // (and ASOF) semantics say NULL never equals NULL, so null-keyed
+    // right rows are dropped too. Left rows with null timestamps or
+    // null keys stay: they meet no right rows and come out with a null
+    // match — preserved, not silently dropped.
+    val rightFilter = keys.map(col(_).isNotNull)
+      .foldLeft(col(rightTs).isNotNull)(_ && _)
+    val r = right.filter(rightFilter).select(
       keys.map(col) ++ Seq(
         col(rightTs).as("__ts"), lit(0).as("__tag"),
         lit(null).cast(lStructT).as("__l"),

@@ -103,7 +103,8 @@ object Llm {
              |  FROM toks
              |)
              |SELECT doc_id, lang AS labeled_lang,
-             |  CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+             |  CASE WHEN s_en IS NULL THEN 'und'
+             |       WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
              |       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
              |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
              |       WHEN s_es >= s_fr THEN 'es'
@@ -231,7 +232,7 @@ object Llm {
         val emb = t(s, dir).embeddings.select(col("vec_id"), col("embedding"))
         val shifted = emb.select(
           (col("vec_id") + lit(10000000L)).as("vec_id"), col("embedding"))
-        Dedup.embeddingNearDup(emb.union(shifted), dim = 64, minCosine = 0.95)
+        Dedup.embeddingNearDup(emb.union(shifted), minCosine = 0.95)
       },
       Some("""SELECT vec_id AS id_a, vec_id + 10000000 AS id_b,
              |CAST(1.0 AS DOUBLE) AS cosine

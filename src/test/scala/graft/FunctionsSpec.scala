@@ -132,13 +132,14 @@ class FunctionsSpec extends AnyFunSuite {
       assert(r.getLong(0) === r.getLong(1))            // deterministic
       assert((r.getLong(0) >>> 48) === 0L)             // only low 48 bits set
     }
-    // an identical vector must land in the same bucket on every band
-    val dup = emb.filter(col("vec_id") === 3)
+    // two DISTINCT rows carrying the same embedding must produce the
+    // same bits (cross-row bucket collision, not just determinism)
+    val v = emb.filter(col("vec_id") === 3).select("embedding")
+      .head().getSeq[Float](0)
+    import spark.implicits._
+    val two = Seq((1L, v), (2L, v)).toDF("id", "embedding")
       .select(call_function("graft_hyperplane", col("embedding"), lit(48)))
-      .head().getLong(0)
-    val dup2 = emb.filter(col("vec_id") === 3)
-      .select(call_function("graft_hyperplane", col("embedding"), lit(48)))
-      .head().getLong(0)
-    assert(dup === dup2)
+      .collect().map(_.getLong(0))
+    assert(two(0) === two(1))
   }
 }

@@ -102,7 +102,7 @@ class LlmOpsSpec extends AnyFunSuite {
       .head().getSeq[Float](0)
     val planted = Seq((9100L, v)).toDF("vec_id", "embedding")
     val all = emb.select("vec_id", "embedding").union(planted)
-    val dups = Dedup.embeddingNearDup(all, dim = 64, minCosine = 0.99)
+    val dups = Dedup.embeddingNearDup(all, minCosine = 0.99)
       .collect()
     assert(dups.exists(r => r.getLong(0) == 3L && r.getLong(1) == 9100L &&
       r.getDouble(2) >= 0.999))
@@ -218,12 +218,16 @@ class LlmOpsSpec extends AnyFunSuite {
           assert(d.width === 64 + (d.media_id % 512).toInt)  // parsed back
         case "audio" =>
           assert(d.format === "wav")
-          assert(d.sample_rate === 8000 * (1 + (d.media_id % 3).toInt))
+          assert(d.sample_rate === 8000 * (1 + ((d.media_id / 3) % 3).toInt))
         case "video" =>
           assert(d.format === "avi")
           assert(d.n_frames === 1 + (d.media_id % 16).toInt)
       }
     }
+    // the sample-rate field must actually vary, or the parser's rate
+    // read is never exercised beyond one value
+    assert(decoded.filter(_.kind == "audio").map(_.sample_rate)
+      .distinct.length >= 2)
   }
 
   test("multimodal decode pipeline is deterministic and total") {

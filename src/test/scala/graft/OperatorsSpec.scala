@@ -52,11 +52,13 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fast === brute)
   }
 
-  test("as-of join: multi-key, null timestamps preserved not polluting") {
-    val left = Seq((1L, "a", "x", Some(10L)), (2L, "a", "y", Some(10L)),
-      (3L, "a", "x", None)).toDF("l_id", "k1", "k2", "lt")
-    val right = Seq((100L, "a", "x", Some(5L)), (101L, "a", "y", Some(7L)),
-      (102L, "a", "x", None)).toDF("r_id", "k1", "k2", "rt")
+  test("as-of join: multi-key, null keys/timestamps preserved not polluting") {
+    val left = Seq((1L, Some("a"), "x", Some(10L)),
+      (2L, Some("a"), "y", Some(10L)), (3L, Some("a"), "x", None),
+      (4L, None, "x", Some(10L))).toDF("l_id", "k1", "k2", "lt")
+    val right = Seq((100L, Some("a"), "x", Some(5L)),
+      (101L, Some("a"), "y", Some(7L)), (102L, Some("a"), "x", None),
+      (103L, None, "x", Some(5L))).toDF("r_id", "k1", "k2", "rt")
     val got = AsOfJoin.backward(left, right, keys = Seq("k1", "k2"),
       leftTs = "lt", rightTs = "rt", rightCols = Seq("r_id"))
       .select("l_id", "asof_r_id").collect()
@@ -64,8 +66,10 @@ class OperatorsSpec extends AnyFunSuite {
       .toMap
     // multi-key: (a,x) matches 100, (a,y) matches 101 — never crossed;
     // null-ts left row 3 survives with no match; null-ts right row 102
-    // matches nothing (it would otherwise pollute every (a,x) row)
-    assert(got === Map(1L -> 100L, 2L -> 101L, 3L -> -1L))
+    // matches nothing (it would otherwise pollute every (a,x) row);
+    // null-keyed rows 4/103 never meet (SQL: NULL ≠ NULL) but row 4
+    // still comes out
+    assert(got === Map(1L -> 100L, 2L -> 101L, 3L -> -1L, 4L -> -1L))
   }
 
   test("interval join matches brute-force inequality join") {
