@@ -54,4 +54,18 @@ class SourcesSpec extends AnyFunSuite {
     val back = spark.read.json(path)
     assert(back.count() === region.count())
   }
+
+  test("partitioned ORC sink round-trips with filter pushdown") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val path = tmp("orc")
+    Sinks.orc(orders, path, partitionBy = Seq("o_orderstatus"))
+    val back = spark.read.orc(path)
+    assert(back.count() === orders.count())
+    val filtered = back.filter(col("o_totalprice") > 100000.0)
+    // predicate reaches the ORC scan (row-group skipping territory)
+    val p = filtered.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"), p)
+    assert(filtered.count() ===
+      orders.filter(col("o_totalprice") > 100000.0).count())
+  }
 }
