@@ -48,5 +48,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         HyperplaneBitsExpr(exprs(0),
           GraftFunctions.litPosInt(exprs(1), "graft_hyperplane", "nBits"))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_count_in_set"),
+      new ExpressionInfo(classOf[TokenSetCountExpr].getName, "graft_count_in_set"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TokenSetCountExpr(exprs(0),
+          GraftFunctions.litStringSeq(exprs(1), "graft_count_in_set", "set"))))
   }
 }

@@ -98,6 +98,33 @@ object GraftFunctions {
     }
   }
 
+  /** Evaluate a function argument that must be a foldable array of
+    * non-null string literals (marker/stopword sets baked into the
+    * expression at plan time).
+    */
+  private[graft] def litStringSeq(e: Expression, fn: String,
+      arg: String): Seq[String] = {
+    val ok = e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, _) => e.foldable
+      case _ => false
+    }
+    if (!ok)
+      throw new IllegalArgumentException(
+        s"$fn: argument '$arg' must be a literal array<string>, got ${e.sql}")
+    e.eval(null) match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        (0 until a.numElements()).map { i =>
+          val s = a.getUTF8String(i)
+          if (s == null) throw new IllegalArgumentException(
+            s"$fn: argument '$arg' must not contain nulls")
+          s.toString
+        }
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument '$arg' must be a literal array<string>, got $other")
+    }
+  }
+
   /** Register SQL-callable graft functions on a session. Idempotent. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -123,6 +150,11 @@ object GraftFunctions {
       "graft_hyperplane",
       exprs => HyperplaneBitsExpr(exprs(0),
         litPosInt(exprs(1), "graft_hyperplane", "nBits")),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_count_in_set",
+      exprs => TokenSetCountExpr(exprs(0),
+        litStringSeq(exprs(1), "graft_count_in_set", "set")),
       "built-in")
   }
 

@@ -38,14 +38,27 @@ object TextAnalysis {
   private val StopwordsEn = Seq("the", "a", "an", "and", "or", "of", "in",
     "to", "is", "are", "was", "for", "on", "with", "as", "by", "at", "it")
 
+  /** Occurrence count of tokens belonging to a fixed marker set, via the
+    * fused native expression (functions.TokenSetCountExpr): one compiled
+    * pass with a hash probe per token. The HOF formulation
+    * `size(filter(toks, _.isin(markers)))` runs the lambda interpreted
+    * with a linear literal scan per element — a real cost on the
+    * full-corpus lang-id/quality scans.
+    */
+  def countInSet(toks: Column, markers: Seq[String]): Column = {
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_count_in_set", toks,
+      array(markers.map(lit): _*))
+  }
+
   /** Fraction of tokens that are English stopwords — a quality/fluency
     * signal (natural prose sits around 0.3–0.5; keyword soup near 0).
     */
   def stopwordRatio(text: Column): Column = {
     val toks = split(lower(trim(text)), "\\s+")
-    val stops = filter(toks, t => t.isin(StopwordsEn: _*))
     when(size(toks) === 0, 0.0)
-      .otherwise(size(stops) / size(toks).cast("double"))
+      .otherwise(countInSet(toks, StopwordsEn) / size(toks).cast("double"))
   }
 
   /** Composite quality score in [0,1]: length sweet-spot × low punctuation
@@ -77,7 +90,7 @@ object TextAnalysis {
     val toks = split(lower(trim(text)), "\\s+")
     LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
       lang -> when(size(toks) === 0, 0.0)
-        .otherwise(size(filter(toks, t => t.isin(markers: _*))) /
+        .otherwise(countInSet(toks, markers) /
           size(toks).cast("double"))
     }
   }

@@ -121,6 +121,26 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_count_in_set equals the HOF filter formulation") {
+    GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val markers = Seq("the", "a", "an", "and", "or", "of", "in", "to")
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val both = docs.limit(200).select(
+      call_function("graft_count_in_set", toks,
+        array(markers.map(lit): _*)).as("native"),
+      size(filter(toks, t => t.isin(markers: _*))).as("hof"))
+    both.collect().foreach(r => assert(r.getInt(0) === r.getInt(1)))
+    // non-literal set argument fails clearly
+    docs.createOrReplaceTempView("docs_cis")
+    val e = intercept[Exception] {
+      spark.sql("""SELECT graft_count_in_set(split(text, ' '), split(text, ' '))
+                  |FROM docs_cis""".stripMargin).collect()
+    }
+    assert(e.getMessage.contains("literal array") ||
+      Option(e.getCause).exists(_.getMessage.contains("literal array")))
+  }
+
   test("graft_hyperplane: deterministic, bit-bounded, near-dup vectors collide") {
     GraftFunctions.register(spark)
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
