@@ -85,6 +85,18 @@ object EventStreams {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
 
+  /** Streaming exact dedup: drop rows repeating an event_id within the
+    * watermark horizon — the streaming form of `Dedup.exact` for an
+    * at-least-once ingest feed. dropDuplicatesWithinWatermark keeps
+    * per-key state only until the watermark passes it, so dedup state is
+    * bounded no matter how long the stream runs (a plain dropDuplicates
+    * on a stream grows state forever).
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Watermarked stream-stream interval join: each purchase event joined
     * to the same user's click events from the preceding 10 minutes.
     * Both sides carry watermarks and the join condition bounds the event

@@ -59,6 +59,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming dedup drops planted duplicates within the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(minutes: Int) = new java.sql.Timestamp(
+      base.getTime + minutes * 60000L)
+    // ids 1..5, with 2 and 4 duplicated (same id, near timestamps)
+    mem.addData((1L, t(0), 1.0), (2L, t(1), 2.0), (2L, t(2), 2.0),
+      (3L, t(3), 3.0), (4L, t(4), 4.0), (4L, t(4), 4.0), (5L, t(5), 5.0))
+    val deduped = EventStreams.dedupEvents(
+      mem.toDF().toDF("event_id", "ts", "value"))
+    val q = deduped.writeStream.format("memory").queryName("t_dedup")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val ids = spark.table("t_dedup").select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("custom-state sessionizer runs as a real stream and matches batch") {
     val ev = EventStreams.readEvents(spark, s"$sf/events.parquet")
       .select(col("ts"), col("user_id"), col("value"))
