@@ -54,11 +54,13 @@ object OperatorScaleCheck {
     // is deduplicated on (k, ts) first: the operator's window breaks
     // (k, ts) ties arbitrarily while the brute force's max(struct) is
     // deterministic, so a duplicate-timestamp collision would flake the
-    // comparison without being a real disagreement.
+    // comparison without being a real disagreement. The dedup itself
+    // must be DETERMINISTIC across the separate fast/brute jobs
+    // (dropDuplicates keeps a fetch-order-dependent row), hence max().
     val sampleKeys = (0L until 5L).map(_ * (nKeys / 7) + 1)
     val lS = left.filter(col("k").isin(sampleKeys: _*))
     val rS = right.filter(col("k").isin(sampleKeys: _*))
-      .dropDuplicates("k", "ts")
+      .groupBy("k", "ts").agg(max(col("r_id")).as("r_id"))
     val fast = AsOfJoin.backward(lS, rS, Seq("k"), "ts", "ts", Seq("r_id"))
       .select(col("l_id"), col("asof_r_id")).collect()
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))

@@ -125,8 +125,20 @@ object GraftFunctions {
     }
   }
 
-  /** Register SQL-callable graft functions on a session. Idempotent. */
+  // per-session registration guard: column builders call register() on
+  // every invocation (langScores alone calls it four times per column),
+  // so short-circuit repeat registrations instead of re-replacing all
+  // functions and spamming "replaced a previously registered function"
+  // warnings. Weak keys: a stopped session must not be pinned in memory.
+  private val registeredSessions =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Register SQL-callable graft functions on a session. Idempotent and
+    * cheap to call repeatedly.
+    */
   def register(spark: SparkSession): Unit = {
+    if (registeredSessions.put(spark, java.lang.Boolean.TRUE) != null) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine",
       exprs => CosineSimilarityExpr(exprs(0), exprs(1)),

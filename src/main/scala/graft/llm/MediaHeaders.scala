@@ -137,20 +137,24 @@ object MediaHeaders {
       // RIFF rules honored: chunks are word-aligned (odd sizes carry a
       // pad byte), and only the 'hdrl' LIST is descended into — movi
       // lists hold frame data whose bytes could false-positive as tags
-      var o = 12
+      // offset tracked as Long: a corrupt chunk size near Int.MaxValue
+      // must walk o past the payload end, not wrap negative and index
+      // out of bounds (parse is contractually total)
+      var o = 12L
       var found: Option[Meta] = None
       while (found.isEmpty && o + 8 <= p.length) {
-        val size = leInt(p, o + 4)
-        if (tag(p, o, "LIST") && tag(p, o + 8, "hdrl")) o += 12
-        else if (tag(p, o, "avih") && o + 8 + 56 <= p.length) {
-          val base = o + 8
+        val oi = o.toInt
+        val size = math.max(0, leInt(p, oi + 4)).toLong
+        if (tag(p, oi, "LIST") && tag(p, oi + 8, "hdrl")) o += 12
+        else if (tag(p, oi, "avih") && o + 8 + 56 <= p.length) {
+          val base = oi + 8
           val usPerFrame = leInt(p, base)
           val frames = leInt(p, base + 16)
           val w = leInt(p, base + 32)
           val h = leInt(p, base + 36)
           val durMs = ((frames.toLong * usPerFrame) / 1000L).toInt
           found = Some(Meta("avi", w, h, frames, 0, durMs))
-        } else o += 8 + math.max(0, size) + (math.max(0, size) & 1)
+        } else o += 8L + size + (size & 1L)
       }
       found
     } else None

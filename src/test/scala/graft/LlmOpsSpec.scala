@@ -204,6 +204,12 @@ class LlmOpsSpec extends AnyFunSuite {
       Some(MediaHeaders.Meta("avi", 320, 240, 12, 0, 399)))
     assert(MediaHeaders.parse("not a media file".getBytes("UTF-8")).isEmpty)
     assert(MediaHeaders.parse(Array[Byte](0x89.toByte, 'P')).isEmpty)
+    // corrupt AVI with a near-Int.MaxValue chunk size: must return None,
+    // not wrap the scan offset negative and throw
+    val corrupt = "RIFF".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0) ++
+      "AVI ".getBytes("US-ASCII") ++ "junk".getBytes("US-ASCII") ++
+      Array[Byte](-1, -1, -1, 0x7f) ++ Array.fill[Byte](32)(0)
+    assert(MediaHeaders.parse(corrupt).isEmpty)
   }
 
   test("decoded media carries genuinely parsed container metadata") {
