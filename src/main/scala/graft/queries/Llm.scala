@@ -147,6 +147,20 @@ object Llm {
       Some("""SELECT doc_id, lang FROM documents
              |WHERE substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 2) <= '19'""".stripMargin)),
 
+    // ---- exact-size reproducible sample (top-k by content hash) -------
+    // ORDER BY fingerprint LIMIT k plans as TakeOrderedAndProject — a
+    // per-partition heap + driver merge of k rows, never a global sort;
+    // the deterministic complement to the fixed-RATE md5-prefix sample
+    GQ("llm_sample_k",
+      (s, dir) => t(s, dir).documents
+        .select(col("doc_id"),
+          TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+        .orderBy(col("fp").asc, col("doc_id").asc)
+        .limit(50),
+      Some("""SELECT doc_id,
+             |md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+             |FROM documents ORDER BY fp ASC, doc_id ASC LIMIT 50""".stripMargin)),
+
     // ---- canonical text normalization ---------------------------------
     GQ("llm_normalize",
       (s, dir) => t(s, dir).documents.select(col("doc_id"),

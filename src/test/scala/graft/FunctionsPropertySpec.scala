@@ -91,6 +91,14 @@ object FunctionsPropertySpec extends Properties("GraftKernels") {
           .contains(MediaHeaders.Meta("avi", w, h, frames, 0, durMs))
     }
 
+  property("token-set count equals naive occurrence count") =
+    forAll(genTokens, Gen.choose(0, 6).flatMap(n =>
+      Gen.listOfN(n, genToken))) { (toks, markers) =>
+      val set = graft.functions.TokenSetCountUtil.buildSet(markers)
+      val native = graft.functions.TokenSetCountUtil.count(utf8Array(toks), set)
+      native == toks.count(markers.toSet)
+    }
+
   property("truncated payloads never throw, they return None") =
     forAll(genTail) { bytes =>
       // any short/garbage prefix must parse to None or a real container,
