@@ -68,9 +68,13 @@ object EdgeListIngest {
       .select(col("src"), col("dst"), col("roadId"), col("cost"))
   }
 
-  /** Full pipeline: CSV path → cached PropertyGraph. */
+  /** Full pipeline: CSV path → cached PropertyGraph. The raw scan is
+    * cached: node derivation, edge dedup and both endpoint-resolution
+    * broadcasts all read it, so an uncached build re-parses the CSV
+    * three times before the graph caches fill.
+    */
   def build(spark: SparkSession, path: String): PropertyGraph = {
-    val raw = readRaw(spark, path)
+    val raw = readRaw(spark, path).cache()
     val n = nodes(raw)
     val e = edges(raw, n)
     PropertyGraph(n, e)

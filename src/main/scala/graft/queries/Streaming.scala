@@ -73,6 +73,27 @@ object Streaming {
              |count(*) AS n_events, round(sum(value), 4) AS total_value
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // REAL streaming dedup (dropDuplicatesWithinWatermark). The events
+    // table has unique event_ids, so the contract here is exactness:
+    // dedup of an already-unique stream must return the input verbatim
+    // (the dup-dropping half is pinned by StreamingSpec's planted-dup
+    // MemoryStream test — a file source can't plant dups without
+    // synthesizing input data)
+    GQ("stream_dedup",
+      (s, dir) => withStreamPartitions(s, 8) {
+        val name = "graft_stream_dedup"
+        val q = EventStreams.dedupEvents(
+            EventStreams.readEvents(s, s"$dir/events.parquet"))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            round(col("value"), 4).as("value"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try { q.processAllAvailable() } finally { q.stop() }
+        s.table(name)
+      },
+      Some("""SELECT event_id, user_id, event_type, round(value, 4) AS value
+             |FROM events""".stripMargin)),
+
     // REAL stream-stream interval join (watermark-bounded state), oracled
     // with the equivalent batch inequality join
     GQ("stream_interval_join",
