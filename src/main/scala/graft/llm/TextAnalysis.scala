@@ -96,12 +96,22 @@ object TextAnalysis {
   }
 
   def langId(text: Column): Column = {
+    // argmax via array_max over (score, rank, lang) structs: each score
+    // expression appears ONCE in the plan. The earlier when()-chain
+    // reduce duplicated the accumulated branches per comparison level —
+    // 2^(n-1) copies of the first language's whole score tree — which
+    // bloated codegen compilation and evaluation. Rank = reverse sorted
+    // position, so score ties resolve to the alphabetically-first
+    // language, identical to the chain's keep-first semantics (and to
+    // the DuckDB oracle's CASE order).
     val scores = langScores(text)
-    val best = scores.map { case (lang, sc) => struct(sc.as("s"), lit(lang).as("l")) }
-      .reduce((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
+    val n = scores.size
+    val packed = array(scores.zipWithIndex.map { case ((lang, sc), i) =>
+      struct(sc.as("s"), lit(n - 1 - i).as("r"), lit(lang).as("l"))
+    }: _*)
+    val best = array_max(packed)
     // null text short-circuits to 'und': without the guard, every score
-    // comparison is null and the reduce silently keeps the first
-    // language instead of admitting ignorance
+    // is null and argmax would pick an arbitrary language
     when(text.isNull, "und")
       .when(best.getField("s") <= 0.0, "und")
       .otherwise(best.getField("l"))
