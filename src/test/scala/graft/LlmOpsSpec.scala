@@ -169,6 +169,19 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("langId ties resolve to the alphabetically-first language") {
+    // 'the' is an en marker, 'el' an es marker → scores tie at 0.5 and
+    // en (earlier in sorted order) must win; 'la de' ties es/fr at 1.0
+    // → es. Pins the argmax tiebreak the DuckDB oracle's CASE order
+    // encodes, across rewrites of the argmax formulation.
+    val rows = Seq((1L, "the el"), (2L, "la de"), (3L, "zzz qqq"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.llm.TextAnalysis.langId(col("text")).as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows === Map(1L -> "en", 2L -> "es", 3L -> "und"))
+  }
+
   test("corpus pipeline: monotone stages, threshold respected, deterministic") {
     import graft.llm.CorpusPipeline
     val prepared = CorpusPipeline.prepare(docs, minQuality = 0.2,
