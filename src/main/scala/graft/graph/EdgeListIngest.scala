@@ -77,6 +77,7 @@ object EdgeListIngest {
     val raw = readRaw(spark, path).cache()
     val n = nodes(raw)
     val e = edges(raw, n)
-    PropertyGraph(n, e)
+    // raw is registered so unpersistAll() can release it with the graph
+    PropertyGraph(n, e, underlying = Seq(raw))
   }
 }

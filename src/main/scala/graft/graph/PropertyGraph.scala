@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   * `nodes`: (nodeId: String, x: Double, y: Double)
   * `edges`: (src: String, dst: String, roadId: String, cost: Double)
   */
-final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
+final case class PropertyGraph(nodes: DataFrame, edges: DataFrame,
+    underlying: Seq[DataFrame] = Nil) {
 
   /** The algorithm projection: parallel edges pre-aggregated to min cost
     * per (src, dst) — sound for every shortest-path semantic and the
@@ -21,7 +22,13 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     edges.groupBy("src", "dst").agg(min("cost").as("cost")).cache()
 
   def cache(): this.type = { nodes.cache(); edges.cache(); this }
+
+  /** Releases the graph caches AND any upstream cached frames the
+    * builder registered (e.g. the raw CSV scan) — without the latter,
+    * loops like SliceSweep would accumulate unreachable cached scans.
+    */
   def unpersistAll(): Unit = {
     nodes.unpersist(); edges.unpersist(); projection.unpersist()
+    underlying.foreach(_.unpersist())
   }
 }

@@ -36,13 +36,14 @@ object CorpusPipeline {
     // their evaluation AND a fresh codegen compilation per stage (~3×
     // the whole pipeline's cost, measured at sf0.1)
     val filtered = annotated.filter(col("quality") >= minQuality).cache()
-    val deduped = Dedup.dedupCorpus(filtered, minJaccard = minJaccard)
-    // dedupCorpus returns an eagerly-materialized frame, so the cache
-    // can be dropped before returning
-    val out = sampleFraction.fold(deduped)(f =>
-      deduped.filter(TextAnalysis.sampleByFingerprint(col("text"), f)))
-    filtered.unpersist()
-    out
+    try {
+      // dedupCorpus returns an eagerly-materialized frame, so the cache
+      // can be dropped before returning (finally: a dedup failure must
+      // not pin the annotated corpus for the rest of the session)
+      val deduped = Dedup.dedupCorpus(filtered, minJaccard = minJaccard)
+      sampleFraction.fold(deduped)(f =>
+        deduped.filter(TextAnalysis.sampleByFingerprint(col("text"), f)))
+    } finally filtered.unpersist()
   }
 
   /** Per-predicted-language summary of a prepared corpus. */

@@ -33,6 +33,20 @@ object Streaming {
     try body finally s.conf.set(key, prev)
   }
 
+  /** Run a streaming DataFrame to completion into a named memory sink
+    * and return the sink table — the shared protocol of every streaming
+    * driver query (8 state partitions, processAllAvailable, stop).
+    */
+  private def runToMemory(s: org.apache.spark.sql.SparkSession,
+      name: String, mode: String)(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    withStreamPartitions(s, 8) {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      s.table(name)
+    }
+
   val queries: Seq[GQ] = Seq(
 
     GQ("q24_session_window",
@@ -60,15 +74,9 @@ object Streaming {
              |FROM s GROUP BY user_id, sid""".stripMargin)),
 
     GQ("stream_hourly_counts",
-      (s, dir) => withStreamPartitions(s, 8) {
-        val name = "graft_stream_hourly"
-        val q = EventStreams.hourlyCounts(
-            EventStreams.readEvents(s, s"$dir/events.parquet"))
-          .writeStream.format("memory").queryName(name)
-          .outputMode("complete").start()
-        try { q.processAllAvailable() } finally { q.stop() }
-        s.table(name)
-      },
+      (s, dir) => runToMemory(s, "graft_stream_hourly", "complete")(
+        EventStreams.hourlyCounts(
+          EventStreams.readEvents(s, s"$dir/events.parquet"))),
       Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type,
              |count(*) AS n_events, round(sum(value), 4) AS total_value
              |FROM events GROUP BY 1, 2""".stripMargin)),
@@ -80,32 +88,20 @@ object Streaming {
     // MemoryStream test — a file source can't plant dups without
     // synthesizing input data)
     GQ("stream_dedup",
-      (s, dir) => withStreamPartitions(s, 8) {
-        val name = "graft_stream_dedup"
-        val q = EventStreams.dedupEvents(
+      (s, dir) => runToMemory(s, "graft_stream_dedup", "append")(
+        EventStreams.dedupEvents(
             EventStreams.readEvents(s, s"$dir/events.parquet"))
           .select(col("event_id"), col("user_id"), col("event_type"),
-            round(col("value"), 4).as("value"))
-          .writeStream.format("memory").queryName(name)
-          .outputMode("append").start()
-        try { q.processAllAvailable() } finally { q.stop() }
-        s.table(name)
-      },
+            round(col("value"), 4).as("value"))),
       Some("""SELECT event_id, user_id, event_type, round(value, 4) AS value
              |FROM events""".stripMargin)),
 
     // REAL stream-stream interval join (watermark-bounded state), oracled
     // with the equivalent batch inequality join
     GQ("stream_interval_join",
-      (s, dir) => withStreamPartitions(s, 8) {
-        val name = "graft_stream_ssjoin"
-        val q = EventStreams.purchaseClickJoin(
-            EventStreams.readEvents(s, s"$dir/events.parquet"))
-          .writeStream.format("memory").queryName(name)
-          .outputMode("append").start()
-        try { q.processAllAvailable() } finally { q.stop() }
-        s.table(name)
-      },
+      (s, dir) => runToMemory(s, "graft_stream_ssjoin", "append")(
+        EventStreams.purchaseClickJoin(
+          EventStreams.readEvents(s, s"$dir/events.parquet"))),
       Some("""SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts,
              |  c.event_id AS c_id, c.ts AS c_ts
              |FROM (SELECT * FROM events WHERE event_type = 'purchase') p

@@ -47,13 +47,23 @@ object EventStreams {
           s"graft-stream-${math.abs(f.getAbsolutePath.hashCode)}")
         staged.mkdirs()
         val target = new java.io.File(staged, f.getName)
-        if (!target.exists()) java.nio.file.Files.copy(
-          f.toPath, target.toPath)
+        // re-copy when the source changed: a stale staged copy would make
+        // the stream silently read OLD data while batch oracles read the
+        // regenerated file
+        if (!target.exists() || target.lastModified < f.lastModified ||
+            target.length != f.length)
+          java.nio.file.Files.copy(f.toPath, target.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         staged.getAbsolutePath
       }
+    // no maxFilesPerTrigger chunking: with multi-file input, per-file
+    // micro-batches would advance the watermark between files (files are
+    // not event-time-ordered), silently dropping "late" rows in stateful
+    // operators — one batch keeps the finite-replay contract (streaming
+    // result ≡ batch result) deterministic; multi-batch semantics are
+    // exercised by the MemoryStream specs instead
     spark.readStream
       .schema(rawSchema)
-      .option("maxFilesPerTrigger", "1")
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
