@@ -6,12 +6,27 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR (default sf0.1) on local[32] and prints ONE JSON
   * line {"metric":...,"value":total_sec,"queries":{name:sec,...}}.
   *
-  * Each query is forced with .count() (full plan execution, no result
-  * materialization on the driver beyond the count).
+  * Each query is forced with a `noop`-format write: every output column
+  * is fully evaluated and serialized into InternalRows, but nothing lands
+  * on disk or the driver. A bare .count() would let Catalyst prune
+  * projections the count doesn't need, under-measuring exactly the
+  * map-side expression work (langid, quality, normalize, ...).
+  *
+  * The JSON also records /proc/loadavg at start and end: a loaded machine
+  * inflates wall-clock timings 3-20x (observed round 2), so a bench run
+  * is self-diagnosing about ambient contention.
   */
 object Bench {
+  private def loadavg(): String =
+    try {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).trim.split("\\s+")
+      s"[${s(0)},${s(1)},${s(2)}]"
+    } catch { case _: Throwable => "[]" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val loadStart = loadavg()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -27,7 +42,8 @@ object Bench {
       .as("k")).groupBy("k").count().count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       name -> (System.nanoTime() - t0) / 1e9
@@ -56,7 +72,7 @@ object Bench {
       val yn = med(graft.algo.LocalKernels.yen(lg, s, d, 3))
       f"""{"dijkstra_ms":$dj%.1f,"astar_ms":$as%.1f,"yen3_ms":$yn%.1f,"nodes":${lg.n}}"""
     } catch { case _: Throwable => "{}" }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"graph_kernels":$kernels,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"graph_kernels":$kernels,"loadavg_start":$loadStart,"loadavg_end":${loadavg()},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -155,24 +155,33 @@ object DistributedSSSP {
   }
 
   /** Reconstruct the source→target path from the (nodeId, dist, pred)
-    * state of a single-source run. Driver-side walk over the collected
-    * predecessor map — the path itself is at most diameter-long, never
-    * data-scale.
+    * state of a single-source run — WITHOUT ever collecting the state.
+    *
+    * Backward walk, one bounded lookup per hop: each step filters the
+    * localCheckpoint'ed state on a single nodeId (an in-memory columnar
+    * scan with per-batch min/max pruning, no shuffle) and returns at most
+    * one row. Driver memory is O(path length) — at most the graph
+    * diameter — never O(|reachable nodes|); on a billion-node graph the
+    * former is thousands of rows where a full-state collect OOMs the
+    * driver. Job count is path-length, each job trivially cheap against
+    * cached state; the walk is inherently sequential (each hop's pred is
+    * known only after the previous lookup), so hops cannot batch.
     */
   def reconstructPath(state: DataFrame, source: String, target: String)
       : Option[(Seq[String], Seq[Double])] = {
-    val rows = state.select("nodeId", "dist", "pred").collect()
-      .map(r => r.getString(0) -> ((r.getDouble(1), r.getString(2)))).toMap
-    if (!rows.contains(target)) return None
     val nodes = scala.collection.mutable.ArrayBuffer.empty[String]
     val dists = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val seen = scala.collection.mutable.HashSet.empty[String]
     var cur = target
-    var guard = 0
-    while (cur != source && guard <= rows.size) {
-      val (d, p) = rows(cur)
-      nodes += cur; dists += d; cur = p; guard += 1
+    while (cur != source) {
+      if (!seen.add(cur)) return None // corrupt pred chain (cycle) guard
+      val row = state.filter(col("nodeId") === cur)
+        .select(col("dist"), col("pred")).limit(1).collect()
+      if (row.isEmpty) return None // target unreachable
+      nodes += cur
+      dists += row(0).getDouble(0)
+      cur = row(0).getString(1)
     }
-    if (cur != source) return None
     nodes += source; dists += 0.0
     Some((nodes.reverse.toSeq, dists.reverse.toSeq))
   }

@@ -34,12 +34,35 @@ object Graph {
   val Dst = "2802"
 
   // Memoize the built graph per (session, path): the 8 graph queries share
-  // one ingest instead of re-reading the CSV per query.
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, PropertyGraph]()
-  def graphFor(spark: SparkSession, path: String): PropertyGraph =
-    cache.computeIfAbsent(s"${spark.hashCode}:$path",
-      _ => EdgeListIngest.build(spark, path).cache())
+  // one ingest instead of re-reading the CSV per query. A WeakHashMap on
+  // the session would never evict here — the cached PropertyGraph's
+  // DataFrames strongly reference their SparkSession, so the value would
+  // pin the weak key forever. Instead: key on session identity (not
+  // hashCode, which can collide) and purge entries whose SparkContext has
+  // stopped on every access, plus an explicit release() for callers that
+  // cycle sessions on a live context.
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), PropertyGraph]()
+  def graphFor(spark: SparkSession, path: String): PropertyGraph = {
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      if (it.next().getKey._1.sparkContext.isStopped) it.remove()
+    }
+    cache.computeIfAbsent((spark, path),
+      { case (s, p) => EdgeListIngest.build(s, p).cache() })
+  }
+
+  /** Drop and unpersist every graph cached for `spark`. */
+  def release(spark: SparkSession): Unit = {
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq spark) {
+        if (!spark.sparkContext.isStopped) e.getValue.unpersistAll()
+        it.remove()
+      }
+    }
+  }
 
   private def g(s: SparkSession): PropertyGraph = graphFor(s, edgeListPath)
 

@@ -20,13 +20,19 @@ object Llm {
   private def t(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables(s, dir)
 
-  /** Query vector: embedding of vec_id 0, fetched once per (session, dir). */
-  private val qvecCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[Float]]()
+  /** Query vector: embedding of vec_id 0, fetched once per (session, dir).
+    * Weak session key — the cached Seq[Float] holds no session reference,
+    * so a dropped session's entry is collectable (unlike Graph.cache).
+    */
+  private val qvecCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.concurrent.TrieMap[String, Seq[Float]]]())
   private def queryVec(s: org.apache.spark.sql.SparkSession, dir: String): Seq[Float] =
-    qvecCache.computeIfAbsent(s"${s.hashCode}:$dir", _ =>
-      t(s, dir).embeddings.filter(col("vec_id") === 0)
-        .select("embedding").head().getSeq[Float](0).toIndexedSeq)
+    qvecCache.computeIfAbsent(s,
+        _ => scala.collection.concurrent.TrieMap.empty)
+      .getOrElseUpdate(dir,
+        t(s, dir).embeddings.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0).toIndexedSeq)
 
   val queries: Seq[GQ] = Seq(
 
