@@ -34,6 +34,81 @@ object Llm {
         t(s, dir).embeddings.filter(col("vec_id") === 0)
           .select("embedding").head().getSeq[Float](0).toIndexedSeq)
 
+  /** DuckDB oracle SQL for the seeded k-means / IVF pipeline. The
+    * pipeline is fully deterministic (seeds = lowest vec_ids, fixed
+    * iteration count), so it is SQL-expressible end to end:
+    *  - assignment argmax mirrors assignToCentroids' greatest(struct(sim,
+    *    c_id)) tie-break via ORDER BY sim DESC, c_id DESC;
+    *  - centroid refinement mirrors CentroidMean (double sum / count,
+    *    cast to float — the float cast absorbs summation-order noise);
+    *  - cosine is the same double-precision formulation the
+    *    llm_ann_bruteforce oracle already hash-matches with.
+    */
+  private object KmOracle {
+    def cos(a: String, b: String): String =
+      s"""(list_sum(list_transform(list_zip($a, $b),
+         |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         | / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |  * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""".stripMargin
+
+    /** Nearest-centroid assignment of every embedding against `cents`. */
+    def assign(cents: String, out: String): String =
+      s"""sim_$out AS (
+         |  SELECT e.vec_id, e.embedding, s.c_id,
+         |         ${cos("e.embedding", "s.c_vec")} AS sim
+         |  FROM embeddings e CROSS JOIN $cents s),
+         |$out AS (
+         |  SELECT vec_id, embedding, c_id AS centroid_id FROM (
+         |    SELECT vec_id, embedding, c_id,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, c_id DESC) AS rn
+         |    FROM sim_$out) WHERE rn = 1)""".stripMargin
+
+    /** Element-wise mean of each centroid's members (CentroidMean). */
+    def refine(asg: String, out: String): String =
+      s"""$out AS (
+         |  SELECT c_id, list(CAST(v AS FLOAT) ORDER BY pos) AS c_vec FROM (
+         |    SELECT centroid_id AS c_id, pos, avg(CAST(val AS DOUBLE)) AS v FROM (
+         |      SELECT centroid_id, unnest(embedding) AS val,
+         |             generate_subscripts(embedding, 1) AS pos FROM $asg)
+         |    GROUP BY 1, 2) GROUP BY 1)""".stripMargin
+
+    def seeds(n: Int): String =
+      s"""seeds AS (SELECT vec_id AS c_id, embedding AS c_vec
+         |  FROM embeddings ORDER BY vec_id ASC LIMIT $n)""".stripMargin
+
+    /** seeds16 → assign → one k-means refine → re-assign → probe top-4
+      * centroids → exact cosine top-20 inside the probed buckets.
+      */
+    val ivfSql: String =
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |${seeds(16)},
+         |${assign("seeds", "asg0")},
+         |${refine("asg0", "ref1")},
+         |${assign("ref1", "asg1")},
+         |probes AS (SELECT c_id FROM (
+         |    SELECT r.c_id, ${cos("r.c_vec", "(SELECT qv FROM q)")} AS sim
+         |    FROM ref1 r)
+         |  ORDER BY sim DESC, c_id ASC LIMIT 4)
+         |SELECT vec_id,
+         |       round(${cos("embedding", "(SELECT qv FROM q)")}, 6) AS cosine
+         |FROM asg1 WHERE centroid_id IN (SELECT c_id FROM probes)
+         |ORDER BY cosine DESC, vec_id ASC LIMIT 20""".stripMargin
+
+    /** seeds8 → 3 × (assign → refine) → final assign → cluster sizes. */
+    val kmeansSql: String =
+      s"""WITH ${seeds(8)},
+         |${assign("seeds", "k_asg0")},
+         |${refine("k_asg0", "k_ref1")},
+         |${assign("k_ref1", "k_asg1")},
+         |${refine("k_asg1", "k_ref2")},
+         |${assign("k_ref2", "k_asg2")},
+         |${refine("k_asg2", "k_ref3")},
+         |${assign("k_ref3", "k_asgF")}
+         |SELECT centroid_id, count(*) AS n_members
+         |FROM k_asgF GROUP BY 1""".stripMargin
+  }
+
   val queries: Seq[GQ] = Seq(
 
     // ---- exact dedup (hash-groupBy on normalized fingerprint) ---------
@@ -230,13 +305,15 @@ object Llm {
         val assigned = Similarity.assignToCentroids(emb, refined)
         Similarity.ivfTopK(s, assigned, refined, queryVec(s, dir),
           k = 20, nProbe = 4)
-      }),
+      },
+      Some(KmOracle.ivfSql)),
 
     // ---- k-means document clustering over embeddings ------------------
     GQ("llm_kmeans_clusters",
       (s, dir) => Similarity.kmeans(s, t(s, dir).embeddings, k = 8, iters = 3)
         .groupBy(col("centroid_id"))
-        .agg(count(lit(1)).as("n_members"))),
+        .agg(count(lit(1)).as("n_members")),
+      Some(KmOracle.kmeansSql)),
 
     // ---- embedding near-dup via banded hyperplane LSH -----------------
     // The synthetic embeddings are near-orthogonal random vectors (max
