@@ -47,6 +47,16 @@ object DistributedScaleCheck {
     println(f"[check] distributed single-pair: dist=${got.getOrElse(Double.NaN)}%.6f in $tPair%.1f s (delta=$delta)")
     require(got.exists(g => math.abs(g - expect) < 1e-9), "single-pair mismatch")
 
+    // path reconstruction: per-hop bounded lookups only (never a full
+    // state collect) — must agree with the sequential kernel's total
+    t0 = System.nanoTime()
+    val rec = DistributedSSSP.reconstructPath(
+      state.filter(col("source") === src), src, dst)
+    val tRec = (System.nanoTime() - t0) / 1e9
+    require(rec.exists(r => math.abs(r._2.last - expect) < 1e-9),
+      "path reconstruction mismatch")
+    println(f"[check] reconstructed path: ${rec.get._1.length} nodes in $tRec%.1f s (one ≤1-row lookup per hop)")
+
     // distributed full SSSP (no early exit) — the long-iteration stressor
     t0 = System.nanoTime()
     val full = DistributedSSSP.run(spark, pg.projection, Seq(src), delta = delta)
