@@ -117,8 +117,13 @@ object DistributedSSSP {
         case Some(rest) => rest.union(improved).localCheckpoint(true)
       }
 
-      if (newFrontier.isEmpty) done = true
-      else {
+      if (newFrontier.isEmpty) {
+        done = true
+        // release the final (empty-or-stale) checkpoints: Yen runs this
+        // kernel K×hops times per query, so per-run leftovers accumulate
+        improved.unpersist()
+        if (newFrontier ne improved) newFrontier.unpersist()
+      } else {
         val nImproved = improved.count()
         val newState =
           if (nImproved == 0) state
@@ -151,6 +156,7 @@ object DistributedSSSP {
       iter += 1
     }
     e.unpersist()
+    if (frontier ne state) frontier.unpersist()
     state
   }
 

@@ -81,7 +81,10 @@ object ShortestPaths {
       // heuristic bias of A* only prunes a sequential search; at cluster
       // scale the frontier kernel subsumes it.
       val state = DistributedSSSP.run(spark, g.projection, Seq(src), Some(dst))
-      DistributedSSSP.reconstructPath(state.filter(col("source") === src), src, dst)
+      val res = DistributedSSSP.reconstructPath(
+        state.filter(col("source") === src), src, dst)
+      state.unpersist()
+      res
     }
   }
 
