@@ -120,9 +120,11 @@ object DistributedSSSP {
       if (newFrontier.isEmpty) {
         done = true
         // release the final (empty-or-stale) checkpoints: Yen runs this
-        // kernel K×hops times per query, so per-run leftovers accumulate
-        improved.unpersist()
-        if (newFrontier ne improved) newFrontier.unpersist()
+        // kernel K×hops times per query, so per-run leftovers accumulate.
+        // Checkpoints.release, not unpersist — the latter is a no-op on
+        // checkpointed frames (CacheManager never saw them).
+        graft.core.Checkpoints.release(improved)
+        if (newFrontier ne improved) graft.core.Checkpoints.release(newFrontier)
       } else {
         val nImproved = improved.count()
         val newState =
@@ -133,8 +135,14 @@ object DistributedSSSP {
                 state("nodeId") === col("i_nodeId"), "left_anti")
             .union(improved)
             .localCheckpoint(true)
-        if (newState ne state) state.unpersist()
-        frontier.unpersist()
+        if (newState ne state) graft.core.Checkpoints.release(state)
+        // the old frontier may alias the live state (iteration 1 with no
+        // improvement): release only when it isn't the surviving frame
+        if (frontier ne newState) graft.core.Checkpoints.release(frontier)
+        // delta mode wraps improved into a separate union checkpoint; the
+        // bare improved checkpoint is then dead once newState/newFrontier
+        // are materialized
+        if (newFrontier ne improved) graft.core.Checkpoints.release(improved)
         state = newState
         frontier = newFrontier
         // frontier-level early exit for SINGLE-source single-target
@@ -156,22 +164,30 @@ object DistributedSSSP {
       iter += 1
     }
     e.unpersist()
-    if (frontier ne state) frontier.unpersist()
+    if (frontier ne state) graft.core.Checkpoints.release(frontier)
     state
   }
 
   /** Reconstruct the source→target path from the (nodeId, dist, pred)
     * state of a single-source run — WITHOUT ever collecting the state.
     *
-    * Backward walk, one bounded lookup per hop: each step filters the
-    * localCheckpoint'ed state on a single nodeId (an in-memory columnar
-    * scan with per-batch min/max pruning, no shuffle) and returns at most
-    * one row. Driver memory is O(path length) — at most the graph
-    * diameter — never O(|reachable nodes|); on a billion-node graph the
-    * former is thousands of rows where a full-state collect OOMs the
-    * driver. Job count is path-length, each job trivially cheap against
-    * cached state; the walk is inherently sequential (each hop's pred is
-    * known only after the previous lookup), so hops cannot batch.
+    * Backward walk, one lookup job per hop: each step filters the
+    * checkpointed state on a single nodeId and collects the ≤1 matching
+    * row. Driver memory is O(path length) — at most the graph diameter —
+    * never O(|reachable nodes|); on a billion-node graph the former is
+    * thousands of rows where a full-state collect OOMs the driver.
+    *
+    * Cost honesty: each lookup is a map-only pass over the cached state
+    * partitions (a checkpoint is a raw RDD scan — no columnar min/max
+    * skipping applies), so the walk costs path-hops × one parallel scan,
+    * no shuffles. The hops cannot batch — each hop's pred is known only
+    * after the previous lookup — and a single full filter pass per hop
+    * beats limit(1)'s incremental partition waves (one job, not several,
+    * per hop). For diameters where hops × scan dominates, the trade is
+    * still the right one: the alternative collect is not slow, it is
+    * fatal. A jump-table (pointer-doubling) variant would cut this to
+    * log(diameter) passes at the price of log(diameter) full shuffles —
+    * strictly worse below diameters of ~10·(shuffle/scan cost ratio).
     */
   def reconstructPath(state: DataFrame, source: String, target: String)
       : Option[(Seq[String], Seq[Double])] = {
@@ -182,7 +198,7 @@ object DistributedSSSP {
     while (cur != source) {
       if (!seen.add(cur)) return None // corrupt pred chain (cycle) guard
       val row = state.filter(col("nodeId") === cur)
-        .select(col("dist"), col("pred")).limit(1).collect()
+        .select(col("dist"), col("pred")).collect()
       if (row.isEmpty) return None // target unreachable
       nodes += cur
       dists += row(0).getDouble(0)

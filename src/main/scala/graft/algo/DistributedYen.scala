@@ -27,7 +27,7 @@ object DistributedYen {
     val state = DistributedSSSP.run(spark, edges, Seq(src),
       target = Some(dst), bannedEdges = bannedE, bannedNodes = bannedN)
     val res = DistributedSSSP.reconstructPath(state, src, dst)
-    state.unpersist()
+    graft.core.Checkpoints.release(state)
     res.map { case (ns, cs) => Path(ns.toVector, cs.toVector) }
   }
 

@@ -83,7 +83,7 @@ object ShortestPaths {
       val state = DistributedSSSP.run(spark, g.projection, Seq(src), Some(dst))
       val res = DistributedSSSP.reconstructPath(
         state.filter(col("source") === src), src, dst)
-      state.unpersist()
+      graft.core.Checkpoints.release(state)
       res
     }
   }

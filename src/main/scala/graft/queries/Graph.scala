@@ -66,6 +66,15 @@ object Graph {
 
   private def g(s: SparkSession): PropertyGraph = graphFor(s, edgeListPath)
 
+  /** Every graph oracle encodes slice-1 facts — the CSV path itself, the
+    * hop bounds, and the frozen Yen goldens. When GRAFT_EDGELIST points
+    * the Spark side at a different slice, the oracles must drop away
+    * (rows-only check) rather than compare slice N against slice-1 SQL.
+    * Env is immutable per JVM, so evaluating at class-init is sound.
+    */
+  private def sliceOracle(sql: => String): Option[String] =
+    if (edgeListPath == DefaultEdgeList) Some(sql) else None
+
   /** DuckDB oracle SQL for the iterative graph queries.
     *
     * The shortest-path family is oracled with a hop-bounded chained
@@ -163,7 +172,7 @@ object Graph {
         pg.nodes.agg(count(lit(1)).as("n_nodes"))
           .crossJoin(pg.edges.agg(count(lit(1)).as("n_edges")))
       },
-      Some(s"""WITH raw AS (
+      sliceOracle(s"""WITH raw AS (
               |  SELECT * FROM read_csv('${DefaultEdgeList}', header=true,
               |    columns={'XCoord':'DOUBLE','YCoord':'DOUBLE',
               |      'START_NODE':'VARCHAR','END_NODE':'VARCHAR',
@@ -182,7 +191,7 @@ object Graph {
     // each path node equals its SSSP distance (prefix-optimality).
     GQ("g2_dijkstra_path",
       (s, _) => ShortestPaths.dijkstraPath(s, g(s), Src, Dst),
-      Some(s"""${Oracle.singleSourcePrefix}
+      sliceOracle(s"""${Oracle.singleSourcePrefix}
               |SELECT CAST((SELECT max(back) FROM w) - back AS INT) AS seq,
               |       node AS node_id, dist AS cost
               |FROM w""".stripMargin)),
@@ -190,7 +199,7 @@ object Graph {
     // G1 summary: count + Max (neo4j-code.txt:19-36).
     GQ("g3_dijkstra_summary",
       (s, _) => ShortestPaths.dijkstraSummary(s, g(s), Src, Dst),
-      Some(s"""${Oracle.singleSourcePrefix}
+      sliceOracle(s"""${Oracle.singleSourcePrefix}
               |SELECT (SELECT count(*) FROM w) AS path_node_number,
               |       (SELECT round(dist, 4) FROM fin WHERE node = '$Dst')
               |         AS total_cost""".stripMargin)),
@@ -203,7 +212,7 @@ object Graph {
       (s, _) => ShortestPaths.sssp(s, g(s), Src)
         .select(col("node_id"), round(col("distance"), 4).as("distance"))
         .orderBy(col("distance").asc, col("node_id").asc),
-      Some(s"""WITH RECURSIVE ${Oracle.edgesCte},
+      sliceOracle(s"""WITH RECURSIVE ${Oracle.edgesCte},
               |${Oracle.chain(Src, Oracle.HopsSingle)}
               |SELECT node AS node_id, round(dist, 4) AS distance
               |FROM s${Oracle.HopsSingle}
@@ -215,7 +224,7 @@ object Graph {
     // oracle applies verbatim (unique optimum ⇒ same path, same count).
     GQ("g5_astar_summary",
       (s, _) => ShortestPaths.astarSummary(s, g(s), Src, Dst),
-      Some(s"""${Oracle.singleSourcePrefix}
+      sliceOracle(s"""${Oracle.singleSourcePrefix}
               |SELECT (SELECT count(*) FROM w) AS path_node_number,
               |       (SELECT round(dist, 4) FROM fin WHERE node = '$Dst')
               |         AS total_cost""".stripMargin)),
@@ -234,7 +243,7 @@ object Graph {
           round(aggregate(col("costs"), lit(0.0), (acc, x) => acc + x), 4)
             .as("reduce_total"),
           col("total_cost")),
-      Some("""SELECT CAST(i AS INT) AS path_index,
+      sliceOracle("""SELECT CAST(i AS INT) AS path_index,
              |       CAST(n AS INT) AS path_node_number,
              |       CAST(r AS DOUBLE) AS reduce_total,
              |       CAST(t AS DOUBLE) AS total_cost
@@ -260,7 +269,7 @@ object Graph {
             col("target_id").asc)
           .limit(10)
       },
-      Some({
+      sliceOracle({
         val srcVals = (0 until 200).map(i => s"('${i * 17 + 1}')").mkString(",")
         s"""WITH ${Oracle.edgesCte},
            |srcs AS MATERIALIZED (SELECT id FROM (VALUES $srcVals) v(id)
@@ -286,7 +295,7 @@ object Graph {
           .select(col("nodeId").as("node_id"), col("x"), col("y"),
             coalesce(round(col("distance"), 4), lit(-1.0)).as("sssp"))
       },
-      Some(s"""WITH ${Oracle.edgesCte},
+      sliceOracle(s"""WITH ${Oracle.edgesCte},
               |${Oracle.chain(Src, Oracle.HopsSingle)},
               |fin AS MATERIALIZED (SELECT node, dist FROM s${Oracle.HopsSingle}),
               |nds AS (SELECT DISTINCT START_NODE, XCoord, YCoord FROM raw)

@@ -135,6 +135,37 @@ class GraphAlgoSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed kernel releases every checkpoint it creates") {
+    // Dataset.unpersist() is a no-op on localCheckpoint'ed frames, so the
+    // kernel must release through Checkpoints.release — assert the
+    // persistent-RDD registry returns to its pre-run population (suites
+    // run sequentially in the forked test JVM, so the diff is ours)
+    val rnd = new scala.util.Random(41)
+    val edges = (for {
+      _ <- 0 until 200
+      u = rnd.nextInt(30); v = rnd.nextInt(30)
+      if u != v
+    } yield (s"n$u", s"n$v", 1.0 + rnd.nextInt(20) / 4.0)).distinct
+    val edf = edges.toDF("src", "dst", "cost")
+      .groupBy("src", "dst").agg(org.apache.spark.sql.functions.min("cost").as("cost"))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    for (delta <- Seq(None, Some(3.0))) {
+      val state = DistributedSSSP.run(spark, edf, Seq("n0"), delta = delta)
+      core.Checkpoints.release(state)
+    }
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked persistent RDDs: $leaked")
+  }
+
+  test("graphFor memoizes per session; release drops and rebuilds") {
+    val pg1 = queries.Graph.graphFor(spark, slice1)
+    assert(queries.Graph.graphFor(spark, slice1) eq pg1)
+    queries.Graph.release(spark)
+    val pg2 = queries.Graph.graphFor(spark, slice1)
+    assert(pg2 ne pg1)
+    assert(pg2.nodes.count() === 3705L)
+  }
+
   test("multigraph parallel edges survive; exact duplicates collapse") {
     val raw = Seq(
       (0.0, 0.0, "a", "b", "r1", 5.0),

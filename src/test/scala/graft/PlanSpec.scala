@@ -101,8 +101,24 @@ class PlanSpec extends AnyFunSuite {
       val scan = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
       assert(scan.contains("centroid_id"), p)
       assert(!scan.matches(".*PartitionFilters: \\[\\].*"), p)
-      // and the probe really read fewer files than a full scan would
-      assert(probed.count() > 0)
+      // and the probe really read fewer files than the index holds:
+      // execute, then compare the scan's numFiles metric against the
+      // file count on disk (16 centroid dirs, 2 probed)
+      assert(probed.collect().nonEmpty)
+      val executed = probed.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case other => other
+      }
+      val scanned = executed.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.sum
+      import scala.jdk.CollectionConverters._
+      val onDiskFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .iterator().asScala.count(_.toString.endsWith(".parquet"))
+      assert(scanned > 0 && scanned < onDiskFiles,
+        s"scanned $scanned of $onDiskFiles files — probe did not prune")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }

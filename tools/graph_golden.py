@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Dev-only independent graph oracle (no Spark, no DuckDB recursion).
+"""Dev-only independent graph oracle (no Spark).
 
 Computes, over the slice-1 edge list with the ingest dedup semantics
 (distinct START_NODE ids; distinct (src,dst,roadId,cost) tuples with both
@@ -10,11 +10,21 @@ endpoints present; min cost per (src,dst)):
      the minimal hop count among minimum-cost paths (exact double math) —
      the number of chained relaxation steps the DuckDB oracle CTE needs.
   3. The same hop bound for the g7 200-source set (max over sources).
-  4. Yen k=3 loopless shortest paths 2022->2802 (independent of the Scala
+  4. A uniqueness audit of the 2022->2802 optimum: every node on the path
+     must have exactly ONE in-edge satisfying dist(u) + cost == dist(v)
+     in exact doubles — the premise that makes the oracle's backward-walk
+     CTE emit one row per hop.
+  5. Yen k=3 loopless shortest paths 2022->2802 (independent of the Scala
      kernel): per path node count, total cost, reduce-over-running-costs.
+  6. With --duckdb-check: run the same chained-relaxation CTE the Graph
+     oracles embed and bit-compare every distance against Dijkstra —
+     reproduces the "bit-identical fixpoint" claim in queries/Graph.scala.
 
 All arithmetic is IEEE double with the same left-fold order as the engine
-kernels (dist(u) + cost), so the printed values are bit-comparable.
+kernels (dist(u) + cost), so the printed values are bit-comparable. r4()
+rounds via Decimal(repr(x)) — the shortest decimal representation — which
+is exactly what Spark's round()/BigDecimal.valueOf(double) rounds, so
+frozen goldens agree with the engine's HALF_UP at the 4th decimal.
 """
 import csv
 import heapq
@@ -98,42 +108,20 @@ def hop_bound(out, dist):
     return max(hops.values())
 
 
-def yen(out, src, dst, k):
-    d0, p0 = dijkstra(out, src, dst)
-    first = path_of(p0, src, dst)
-    if first is None:
-        return []
-    accepted = [(first, d0)]
-    cands = []
-    seen = {tuple(first)}
-    last_dev = 0
-    while len(accepted) < k:
-        prev, prev_dist = accepted[-1]
-        for i in range(last_dev, len(prev) - 1):
-            spur, root = prev[i], prev[: i + 1]
-            root_cost = prev_dist[prev[i]]
-            banned_e = {(spur, p[i + 1]) for p, _ in accepted
-                        if len(p) > i + 1 and p[: i + 1] == root}
-            banned_n = frozenset(root[:-1])
-            dd, pp = dijkstra(out, spur, banned_n, frozenset(banned_e))
-            sp = path_of(pp, spur, dst)
-            if sp is not None:
-                nodes = tuple(root[:-1] + sp)
-                if nodes not in seen:
-                    seen.add(nodes)
-                    total = root_cost + dd[dst]
-                    heapq.heappush(cands, (total, nodes, i, root_cost,
-                                           tuple(dd[n] for n in sp)))
-        if not cands:
-            break
-        total, nodes, dev, root_cost, spur_d = heapq.heappop(cands)
-        prev_running = [accepted[-1][1][n] for n in nodes[:dev]]
-        running = prev_running + [root_cost + x for x in spur_d]
-        accepted.append((list(nodes), dict(zip(nodes, running))))
-        last_dev = dev
-        yield_path = (list(nodes), running)
-        print("  yen accepted:", len(nodes), "nodes total", running[-1])
-    return accepted
+def audit_path_uniqueness(out, dist, path):
+    """Exactly one exact-double-optimal pred per non-source path node —
+    the premise of the oracle's backward-walk CTE (one row per hop)."""
+    inc = {}
+    for u, vs in out.items():
+        for v, c in vs:
+            inc.setdefault(v, []).append((u, c))
+    ambiguous = []
+    for v in path[1:]:
+        preds = [u for u, c in inc.get(v, ())
+                 if u in dist and dist[u] + c == dist[v]]
+        if len(preds) != 1:
+            ambiguous.append((v, preds))
+    return ambiguous
 
 
 def r4(x):
@@ -141,31 +129,13 @@ def r4(x):
                                            rounding=ROUND_HALF_UP))
 
 
-def main():
-    ids, out = load()
-    print("nodes", len(ids))
-    dist, pred = dijkstra(out, SRC)
-    p = path_of(pred, SRC, DST)
-    print("g2 path nodes:", len(p), "total:", repr(dist[DST]),
-          "r4:", r4(dist[DST]))
-    print("g4 reachable:", len(dist))
-    print("hop bound (2022):", hop_bound(out, dist))
-
-    hmax, missing = 0, 0
-    for i in range(200):
-        s = str(i * 17 + 1)
-        if s not in ids:
-            missing += 1
-            continue
-        d, _ = dijkstra(out, s)
-        hmax = max(hmax, hop_bound(out, d))
-    print("g7 sources present:", 200 - missing, "hop bound:", hmax)
-
-    # Yen k=3 with the same Lawler restriction as the kernels
-    print("yen k=3:")
-    # re-run a clean yen that RETURNS running costs per accepted path
-    d0, p0 = dijkstra(out, SRC)
-    first = path_of(p0, SRC, DST)
+def yen3(out, src, dst):
+    """Yen k=3 with the same Lawler restriction as the engine kernels.
+    Returns [(nodes, running_costs)] with engine-identical double folds."""
+    d0, p0 = dijkstra(out, src)
+    first = path_of(p0, src, dst)
+    if first is None:
+        return []
     accepted = [(first, [d0[n] for n in first])]
     cands = []
     seen = {tuple(first)}
@@ -179,7 +149,7 @@ def main():
                         if len(p) > i + 1 and p[: i + 1] == root}
             banned_n = frozenset(root[:-1])
             dd, pp = dijkstra(out, spur, banned_n, frozenset(banned_e))
-            sp = path_of(pp, spur, DST)
+            sp = path_of(pp, spur, dst)
             if sp is not None:
                 nodes = tuple(root[:-1] + sp)
                 if nodes not in seen:
@@ -192,12 +162,76 @@ def main():
         total, nodes, dev, running = heapq.heappop(cands)
         accepted.append((list(nodes), list(running)))
         last_dev = dev
-    for idx, (nodes, running) in enumerate(accepted):
+    return accepted
+
+
+def duckdb_check(dist, hops=80):
+    """Re-run the Graph-oracle relaxation CTE and bit-compare every
+    distance — reproduces queries/Graph.scala's fixpoint claim."""
+    import duckdb
+    edges = f"""raw AS MATERIALIZED (
+      SELECT * FROM read_csv('{PATH}', header=true,
+        columns={{'XCoord':'DOUBLE','YCoord':'DOUBLE','START_NODE':'VARCHAR',
+          'END_NODE':'VARCHAR','EDGE':'VARCHAR','LENGTH':'DOUBLE'}})
+      WHERE START_NODE IS NOT NULL),
+    ids AS MATERIALIZED (SELECT DISTINCT START_NODE FROM raw),
+    edges AS MATERIALIZED (SELECT src, dst, min(cost) AS cost FROM (
+      SELECT DISTINCT START_NODE AS src, END_NODE AS dst, EDGE, LENGTH AS cost
+      FROM raw WHERE END_NODE IN (SELECT * FROM ids)) GROUP BY 1, 2)"""
+    steps = [f"s0 AS MATERIALIZED (SELECT '{SRC}' AS node, "
+             "CAST(0.0 AS DOUBLE) AS dist)"]
+    for i in range(1, hops + 1):
+        steps.append(f"""s{i} AS MATERIALIZED (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM s{i-1}
+        UNION ALL
+        SELECT e.dst AS node, s.dist + e.cost AS dist
+        FROM s{i-1} s JOIN edges e ON s.node = e.src) GROUP BY 1)""")
+    sql = f"WITH {edges},\n{','.join(steps)}\nSELECT node, dist FROM s{hops}"
+    got = dict(duckdb.connect().execute(sql).fetchall())
+    bad = [(k, got.get(k), dist[k]) for k in dist if got.get(k) != dist[k]]
+    extra = set(got) - set(dist)
+    print(f"duckdb-check: {len(dist)} nodes, bit-mismatches: {len(bad)}, "
+          f"extra rows: {len(extra)}")
+    if bad:
+        print("  first mismatches:", bad[:5])
+        sys.exit(1)
+
+
+def main():
+    ids, out = load()
+    print("nodes", len(ids))
+    dist, pred = dijkstra(out, SRC)
+    p = path_of(pred, SRC, DST)
+    print("g2 path nodes:", len(p), "total:", repr(dist[DST]),
+          "r4:", r4(dist[DST]))
+    print("g4 reachable:", len(dist))
+    print("hop bound (2022):", hop_bound(out, dist))
+
+    amb = audit_path_uniqueness(out, dist, p)
+    print("path pred-uniqueness: OK" if not amb
+          else f"path pred-uniqueness: AMBIGUOUS at {amb}")
+
+    hmax, missing = 0, 0
+    for i in range(200):
+        s = str(i * 17 + 1)
+        if s not in ids:
+            missing += 1
+            continue
+        d, _ = dijkstra(out, s)
+        hmax = max(hmax, hop_bound(out, d))
+    print("g7 sources present:", 200 - missing, "hop bound:", hmax)
+
+    print("yen k=3:")
+    for idx, (nodes, running) in enumerate(yen3(out, SRC, DST)):
         reduce_total = 0.0
         for x in running:
             reduce_total = reduce_total + x
         print(f"  path {idx}: n={len(nodes)} total={repr(running[-1])} "
               f"r4_total={r4(running[-1])} r4_reduce={r4(reduce_total)}")
+
+    if "--duckdb-check" in sys.argv:
+        duckdb_check(dist)
 
 
 if __name__ == "__main__":
