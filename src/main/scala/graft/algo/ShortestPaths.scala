@@ -90,6 +90,12 @@ object ShortestPaths {
 
   /** G2: single-source all-targets distances (delta-stepping semantics —
     * same fixpoint, bucket scheduling is an implementation detail).
+    *
+    * Above the local threshold the result is a projection over the
+    * kernel's checkpointed state — it stays in executor storage for the
+    * frame's lifetime. A caller that has fully consumed the result may
+    * free it immediately with `core.Checkpoints.release(result)`
+    * (ContextCleaner frees it on GC otherwise).
     */
   def sssp(spark: SparkSession, g: PropertyGraph, src: String): DataFrame = {
     import spark.implicits._
@@ -108,7 +114,9 @@ object ShortestPaths {
   /** G3: all-pairs (or source-subset) shortest path distances.
     * `sources = None` means every node — only sane below the local
     * threshold; at scale pass an explicit source set and the multi-source
-    * distributed kernel relaxes them in one pass.
+    * distributed kernel relaxes them in one pass. Distributed results are
+    * checkpoint-backed like sssp's — release with Checkpoints.release
+    * when fully consumed.
     */
   def apsp(spark: SparkSession, g: PropertyGraph,
       sources: Option[Seq[String]] = None): DataFrame = {

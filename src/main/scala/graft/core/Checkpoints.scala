@@ -20,14 +20,19 @@ import org.apache.spark.sql.DataFrame
   */
 object Checkpoints {
 
-  /** Free the storage behind `df` now. Safe to call more than once. */
-  def release(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-        ()
-      case _ =>
-        df.unpersist()
-        ()
+  /** Free the storage behind `df` now. Safe to call more than once.
+    *
+    * Walks the analyzed plan and unpersists EVERY checkpoint-scan leaf,
+    * so it also works on frames *derived* from a checkpoint (the
+    * distributed sssp/apsp results are projections over the kernel's
+    * final state) — callers that are done with such a result can release
+    * it. Only call when no other live frame shares the checkpoint.
+    */
+  def release(df: DataFrame): Unit = {
+    val leaves = df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr
     }
+    if (leaves.isEmpty) { df.unpersist(); () }
+    else leaves.foreach(_.rdd.unpersist(blocking = false))
+  }
 }

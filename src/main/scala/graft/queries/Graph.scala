@@ -12,11 +12,14 @@ import graft.graph.{EdgeListIngest, PropertyGraph}
   *
   * These read the Shenzhen edge list from the read-only reference checkout
   * (slice selectable via GRAFT_EDGELIST); the driver's sfDir is irrelevant
-  * to them. The ingest-count query is DuckDB-oracle-checkable (read_csv);
-  * the iterative algorithms are not SQL-expressible, so they carry no
-  * oracle and are instead cross-validated by the ScalaTest suite
-  * (local CSR kernel ≡ distributed relaxation kernel ≡ ScalaCheck
-  * properties, SURVEY §5.2.3).
+  * to them. EVERY query carries a DuckDB oracle on the default slice:
+  * ingest counts via read_csv, the iterative shortest-path family via a
+  * hop-bounded chained relaxation CTE that is bit-identical to the
+  * Dijkstra kernels (see `Oracle` below and SURVEY §5.2.6), Yen via
+  * goldens frozen from the independent Python implementation. The
+  * slice-1-specific oracles drop to rows-only under a GRAFT_EDGELIST
+  * override; the ScalaTest suite (local CSR ≡ distributed relaxation ≡
+  * ScalaCheck properties, SURVEY §5.2.3) cross-validates on every slice.
   */
 object Graph {
 
@@ -172,8 +175,11 @@ object Graph {
         pg.nodes.agg(count(lit(1)).as("n_nodes"))
           .crossJoin(pg.edges.agg(count(lit(1)).as("n_edges")))
       },
-      sliceOracle(s"""WITH raw AS (
-              |  SELECT * FROM read_csv('${DefaultEdgeList}', header=true,
+      // slice-generic (derives counts from whatever CSV the engine read),
+      // so it stays active under GRAFT_EDGELIST — unlike the slice-1
+      // oracles below
+      Some(s"""WITH raw AS (
+              |  SELECT * FROM read_csv('${edgeListPath}', header=true,
               |    columns={'XCoord':'DOUBLE','YCoord':'DOUBLE',
               |      'START_NODE':'VARCHAR','END_NODE':'VARCHAR',
               |      'EDGE':'VARCHAR','LENGTH':'DOUBLE'})

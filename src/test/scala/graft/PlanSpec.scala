@@ -115,8 +115,10 @@ class PlanSpec extends AnyFunSuite {
           f.metrics("numFiles").value
       }.sum
       import scala.jdk.CollectionConverters._
-      val onDiskFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-        .iterator().asScala.count(_.toString.endsWith(".parquet"))
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      val onDiskFiles =
+        try walk.iterator().asScala.count(_.toString.endsWith(".parquet"))
+        finally walk.close()
       assert(scanned > 0 && scanned < onDiskFiles,
         s"scanned $scanned of $onDiskFiles files — probe did not prune")
     } finally {

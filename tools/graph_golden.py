@@ -86,14 +86,19 @@ def path_of(pred, src, dst):
     return p[::-1]
 
 
-def hop_bound(out, dist):
-    """max over v of minimal hops among exact-double-optimal paths."""
-    order = sorted(dist, key=lambda v: dist[v])
-    hops = {}
+def incoming(out):
     inc = {}
     for u, vs in out.items():
         for v, c in vs:
             inc.setdefault(v, []).append((u, c))
+    return inc
+
+
+def hop_bound(out, dist):
+    """max over v of minimal hops among exact-double-optimal paths."""
+    order = sorted(dist, key=lambda v: dist[v])
+    hops = {}
+    inc = incoming(out)
     for v in order:
         if dist[v] == 0.0:
             hops[v] = 0
@@ -111,10 +116,7 @@ def hop_bound(out, dist):
 def audit_path_uniqueness(out, dist, path):
     """Exactly one exact-double-optimal pred per non-source path node —
     the premise of the oracle's backward-walk CTE (one row per hop)."""
-    inc = {}
-    for u, vs in out.items():
-        for v, c in vs:
-            inc.setdefault(v, []).append((u, c))
+    inc = incoming(out)
     ambiguous = []
     for v in path[1:]:
         preds = [u for u, c in inc.get(v, ())
@@ -165,9 +167,15 @@ def yen3(out, src, dst):
     return accepted
 
 
-def duckdb_check(dist, hops=80):
-    """Re-run the Graph-oracle relaxation CTE and bit-compare every
-    distance — reproduces queries/Graph.scala's fixpoint claim."""
+# Must match queries/Graph.scala Oracle.HopsSingle — main() asserts the
+# measured hop bound fits under it, so drift fails loudly.
+ORACLE_HOPS_SINGLE = 80
+
+
+def duckdb_check(dist, hops=ORACLE_HOPS_SINGLE):
+    """Re-run the Graph-oracle relaxation CTE (same step count as
+    Oracle.HopsSingle) and bit-compare every distance — reproduces
+    queries/Graph.scala's fixpoint claim."""
     import duckdb
     edges = f"""raw AS MATERIALIZED (
       SELECT * FROM read_csv('{PATH}', header=true,
@@ -206,7 +214,11 @@ def main():
     print("g2 path nodes:", len(p), "total:", repr(dist[DST]),
           "r4:", r4(dist[DST]))
     print("g4 reachable:", len(dist))
-    print("hop bound (2022):", hop_bound(out, dist))
+    hb = hop_bound(out, dist)
+    print("hop bound (2022):", hb)
+    assert hb <= ORACLE_HOPS_SINGLE, (
+        f"hop bound {hb} exceeds Oracle.HopsSingle={ORACLE_HOPS_SINGLE} — "
+        "raise the constant in queries/Graph.scala AND here")
 
     amb = audit_path_uniqueness(out, dist, p)
     print("path pred-uniqueness: OK" if not amb
