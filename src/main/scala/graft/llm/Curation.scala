@@ -1,0 +1,193 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline needs
+  * beyond dedup/similarity: PII redaction, benchmark-contamination
+  * detection, repetition-based quality stats (the Gopher-rule family),
+  * per-stratum weighted sampling, and sequence packing.
+  *
+  * Scale notes per operator are on each method; the common theme is that
+  * everything is either pure map-side (redaction, sampling) or a
+  * standard keyed aggregation whose shuffle width is bounded by the data
+  * it must group (repetition stats, contamination) — no all-pairs
+  * stages, no driver-side materialization beyond O(buckets) subtotals.
+  */
+object Curation {
+
+  // ---- PII redaction ---------------------------------------------------
+
+  // Deliberately simple patterns sharing the Java-regex / RE2 common
+  // subset, so the DuckDB oracle runs the byte-identical regex. Order
+  // matters: emails first (their domains contain dots that the IP
+  // pattern must not see), then IPv4, then dashed phone extensions.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private val PhoneRe = "\\b[0-9]{3}-[0-9]{4}\\b"
+
+  def piiCounts(text: Column): (Column, Column, Column) =
+    (regexp_count(text, lit(EmailRe)),
+      regexp_count(text, lit(Ipv4Re)),
+      regexp_count(text, lit(PhoneRe)))
+
+  /** Replace emails / IPv4 addresses / dashed phone numbers with typed
+    * placeholder tokens. Pure codegen'd regexp chain: map-side, zero
+    * shuffles, linear in corpus bytes at any scale.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** SQL fragments for the DuckDB oracle (same regexes, RE2 dialect). */
+  def redactSql(textExpr: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace($textExpr,
+       |  '$EmailRe', '<EMAIL>', 'g'),
+       |  '$Ipv4Re', '<IP>', 'g'),
+       |  '$PhoneRe', '<PHONE>', 'g')""".stripMargin
+
+  def countSql(textExpr: String, re: String): String =
+    s"CAST(len(regexp_extract_all($textExpr, '$re')) AS INT)"
+
+  def emailRe: String = EmailRe
+  def ipv4Re: String = Ipv4Re
+  def phoneRe: String = PhoneRe
+
+  // ---- benchmark-contamination detection -------------------------------
+
+  /** Per-document n-gram overlap against a benchmark corpus: the
+    * fraction of each document's DISTINCT word w-grams that also occur
+    * anywhere in `bench`. Training pipelines run exactly this check
+    * before shipping a corpus (decontamination against eval sets).
+    *
+    * Scale design: the benchmark side is eval sets — thousands of
+    * documents, not billions — so its distinct-shingle table is
+    * broadcast; the corpus side is one explode + one aggregation keyed
+    * by doc_id (shuffle width = distinct shingles per doc, bounded by
+    * document length). No corpus×bench join ever materializes: the
+    * broadcast hash probe marks hits in the map stage. Documents
+    * shorter than w tokens have no w-grams and drop out (no score is
+    * the honest answer, not 0.0).
+    */
+  def contamination(docs: DataFrame, bench: DataFrame, w: Int = 5)
+      : DataFrame = {
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(Dedup.shinglesFromTokens(col("toks"), w)).as("ng"))
+
+    val benchGrams = grams(bench).select(col("ng")).distinct()
+      .withColumn("__hit", lit(1))
+
+    grams(docs)
+      .join(broadcast(benchGrams), Seq("ng"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_contaminated"))
+      .withColumn("contamination",
+        round(col("n_contaminated") / col("n_ngrams").cast("double"), 4))
+  }
+
+  // ---- repetition / quality statistics (Gopher-rule family) ------------
+
+  /** Per-document token-repetition statistics: token and type counts,
+    * most-frequent-token share, fraction of tokens that are repeats,
+    * mean token length — the signals behind the published "repetitious
+    * document" quality filters — plus the keep/drop verdict.
+    *
+    * Scale design: explode → two-level aggregation. The first groupBy
+    * keys on (doc_id, token) with map-side partial aggregation, so the
+    * shuffle carries one row per distinct token per document (≈ the
+    * size of the corpus' per-doc vocabularies, far below token count);
+    * the second collapses to one row per document. Never quadratic in
+    * document length, unlike the HOF formulation
+    * `transform(distinct, d -> size(filter(toks, eq(d))))`.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+
+    val perTok = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+
+    perTok.groupBy(col("doc_id"))
+      .agg(
+        sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        round(max(col("cnt")) / sum(col("cnt")).cast("double"), 4)
+          .as("top_token_ratio"),
+        round(sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)) /
+          sum(col("cnt")).cast("double"), 4).as("dup_token_ratio"),
+        round(sum(length(col("tok")) * col("cnt")) /
+          sum(col("cnt")).cast("double"), 4).as("mean_token_len"))
+      .withColumn("keep",
+        col("top_token_ratio") <= 0.2 &&
+          col("mean_token_len") >= 3.0 && col("mean_token_len") <= 10.0)
+  }
+
+  // ---- per-stratum weighted sampling -----------------------------------
+
+  /** Deterministic content-keyed sampling with a different rate per
+    * stratum (the corpus-mixing primitive: "keep 30% of en, 5% of fr").
+    * Same md5-prefix predicate as TextAnalysis.sampleByFingerprint —
+    * reproducible across runs, engines and partitionings — with the
+    * threshold chosen per stratum value. Pure map-side: scales as a
+    * scan, immune to stratum skew (no shuffle keys on the stratum at
+    * all, unlike exact-k-per-stratum window designs).
+    *
+    * Rate resolution is 1/256 (two hex chars); rates are clamped to
+    * [1/256, 1] like sampleByFingerprint. Strata absent from `rates`
+    * fall back to `defaultRate`.
+    */
+  def weightedSampleFilter(text: Column, stratum: Column,
+      rates: Map[String, Double], defaultRate: Double): Column = {
+    val thr = rates.toSeq.sortBy(_._1).foldRight(
+      lit(hexThreshold(defaultRate)): Column) { case ((k, r), acc) =>
+      when(stratum === k, lit(hexThreshold(r))).otherwise(acc)
+    }
+    substring(TextAnalysis.fingerprintMd5(text), 1, 2) <= thr
+  }
+
+  /** Two-hex-char upper bound implementing rate `r` (shared with the
+    * oracle SQL builder so both engines compare against the same
+    * literal).
+    */
+  def hexThreshold(r: Double): String = {
+    require(r > 0.0 && r <= 1.0, s"rate must be in (0,1], got $r")
+    f"${math.max(1, math.round(r * 256).toInt) - 1}%02x"
+  }
+
+  // ---- sequence packing ------------------------------------------------
+
+  /** Concat-and-chunk sequence packing: lay every document's tokens end
+    * to end in doc_id order and cut the stream into fixed `capacity`
+    * training sequences. Emits, per document, its global token offset
+    * and the [first_seq, last_seq] range of sequences it lands in —
+    * the bookkeeping a tokenize-and-pack job needs to write shards.
+    *
+    * Scale design: the global token offset is an exact prefix sum over
+    * doc_id order, computed by operators.PrefixSum — two linear passes
+    * plus an O(buckets) driver-side subtotal prefix, never the
+    * single-partition `OVER (ORDER BY ...)` window that a naive SQL
+    * formulation plans. Callers done with the result should
+    * `graft.core.Checkpoints.release` it (PrefixSum materializes the
+    * range-partitioning once; release frees those blocks).
+    */
+  def packSequences(docs: DataFrame, capacity: Int = 512,
+      buckets: Int = 32): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    val withTok = docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    graft.operators.PrefixSum.running(withTok, "doc_id", "n_tokens", buckets)
+      .select(col("doc_id"), col("n_tokens"),
+        (col("running_total") - col("n_tokens")).as("start_tok"),
+        floor((col("running_total") - col("n_tokens")) / capacity)
+          .as("first_seq"),
+        floor((col("running_total") - 1) / capacity).as("last_seq"))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
+  }
+}

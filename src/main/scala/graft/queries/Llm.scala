@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.GQ
 import graft.core.Tables
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings`
   * (north-star surface, SURVEY §7.4): dedup family, similarity search,
@@ -108,6 +108,12 @@ object Llm {
          |SELECT centroid_id, count(*) AS n_members
          |FROM k_asgF GROUP BY 1""".stripMargin
   }
+
+  /** Corpus-mixing rates for llm_weighted_sample ('zh' deliberately
+    * absent — it exercises the default-rate fallback).
+    */
+  private val SampleRates = Map(
+    "en" -> 0.30, "de" -> 0.20, "es" -> 0.10, "fr" -> 0.05)
 
   val queries: Seq[GQ] = Seq(
 
@@ -334,6 +340,115 @@ object Llm {
       Some("""SELECT vec_id AS id_a, vec_id + 10000000 AS id_b,
              |CAST(1.0 AS DOUBLE) AS cosine
              |FROM embeddings""".stripMargin)),
+
+    // ---- PII redaction ------------------------------------------------
+    // The synthetic corpus carries no PII, so the query PLANTS one email,
+    // one IPv4 and one phone number per document (derived from doc_id —
+    // deterministic, so the DuckDB oracle plants the identical text) and
+    // then redacts + counts. Exercises the real operator end to end:
+    // counts confirm detection, the redacted text confirms replacement.
+    GQ("llm_pii_redact",
+      (s, dir) => {
+        val planted = t(s, dir).documents.select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id"),
+            lit("@example.com from 10.0."), col("doc_id") % 256,
+            lit("."), col("doc_id") % 100,
+            lit(" call 555-0"),
+            lpad(col("doc_id") % 1000, 3, "0")).as("ptext"))
+        val (em, ip, ph) = Curation.piiCounts(col("ptext"))
+        planted.select(col("doc_id"),
+          em.as("n_emails"), ip.as("n_ips"), ph.as("n_phones"),
+          Curation.redactPii(col("ptext")).as("redacted"))
+      },
+      Some(s"""WITH p AS (SELECT doc_id,
+             |  concat(text, ' contact user', doc_id, '@example.com from 10.0.',
+             |         doc_id % 256, '.', doc_id % 100, ' call 555-0',
+             |         lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')) AS ptext
+             |  FROM documents)
+             |SELECT doc_id,
+             |  ${Curation.countSql("ptext", Curation.emailRe)} AS n_emails,
+             |  ${Curation.countSql("ptext", Curation.ipv4Re)} AS n_ips,
+             |  ${Curation.countSql("ptext", Curation.phoneRe)} AS n_phones,
+             |  ${Curation.redactSql("ptext")} AS redacted
+             |FROM p""".stripMargin)),
+
+    // ---- benchmark-contamination detection ----------------------------
+    // Benchmark set = the 20 lowest doc_ids (stand-in for an eval set);
+    // score = fraction of each doc's distinct 5-grams found in it.
+    GQ("llm_contamination",
+      (s, dir) => {
+        val d = t(s, dir).documents
+        Curation.contamination(d, d.filter(col("doc_id") < 20), w = 5)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+             |  FROM documents),
+             |grams AS (
+             |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+4], ' ') AS ng
+             |  FROM (SELECT doc_id, tk, generate_subscripts(tk, 1) AS i FROM toks)
+             |  WHERE i + 4 <= len(tk)),
+             |bench AS (SELECT DISTINCT ng FROM grams WHERE doc_id < 20)
+             |SELECT g.doc_id, count(*) AS n_ngrams,
+             |  CAST(sum(CASE WHEN b.ng IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             |    AS n_contaminated,
+             |  round(sum(CASE WHEN b.ng IS NULL THEN 0 ELSE 1 END)
+             |    / CAST(count(*) AS DOUBLE), 4) AS contamination
+             |FROM grams g LEFT JOIN bench b USING (ng)
+             |GROUP BY 1""".stripMargin)),
+
+    // ---- repetition / quality stats (Gopher-rule family) --------------
+    GQ("llm_repetition_stats",
+      (s, dir) => Curation.repetitionStats(t(s, dir).documents),
+      Some("""WITH tf AS (
+             |  SELECT doc_id, tok, count(*) AS cnt FROM (
+             |    SELECT doc_id,
+             |      unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+             |    FROM documents) WHERE tok <> '' GROUP BY 1, 2),
+             |agg AS (
+             |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             |    count(*) AS n_types,
+             |    round(max(cnt) / CAST(sum(cnt) AS DOUBLE), 4) AS top_token_ratio,
+             |    round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)
+             |      / CAST(sum(cnt) AS DOUBLE), 4) AS dup_token_ratio,
+             |    round(sum(length(tok) * cnt)
+             |      / CAST(sum(cnt) AS DOUBLE), 4) AS mean_token_len
+             |  FROM tf GROUP BY 1)
+             |SELECT *, (top_token_ratio <= 0.2 AND mean_token_len >= 3.0
+             |           AND mean_token_len <= 10.0) AS keep
+             |FROM agg""".stripMargin)),
+
+    // ---- per-stratum weighted sampling (corpus mixing) ----------------
+    GQ("llm_weighted_sample",
+      (s, dir) => t(s, dir).documents
+        .filter(Curation.weightedSampleFilter(col("text"), col("lang"),
+          SampleRates, defaultRate = 0.02))
+        .select(col("doc_id"), col("lang")),
+      Some(s"""SELECT doc_id, lang FROM documents
+             |WHERE substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 2)
+             |  <= CASE lang
+             |${SampleRates.toSeq.sorted.map { case (k, r) =>
+                 s"       WHEN '$k' THEN '${Curation.hexThreshold(r)}'"
+               }.mkString("\n")}
+             |       ELSE '${Curation.hexThreshold(0.02)}' END""".stripMargin)),
+
+    // ---- sequence packing (concat-and-chunk shard bookkeeping) --------
+    GQ("llm_seq_pack",
+      (s, dir) => Curation.packSequences(t(s, dir).documents,
+        capacity = 512, buckets = 16),
+      Some("""WITH t AS (SELECT doc_id,
+             |    len(regexp_split_to_array(trim(text), '\s+')) AS ntok
+             |  FROM documents),
+             |c AS (SELECT doc_id, ntok,
+             |    sum(ntok) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct
+             |  FROM t)
+             |SELECT doc_id, CAST(ntok AS INT) AS n_tokens,
+             |  CAST(ct - ntok AS BIGINT) AS start_tok,
+             |  CAST((ct - ntok) // 512 AS BIGINT) AS first_seq,
+             |  CAST((ct - 1) // 512 AS BIGINT) AS last_seq,
+             |  CAST((ct - 1) // 512 - (ct - ntok) // 512 + 1 AS BIGINT) AS n_seqs
+             |FROM c""".stripMargin)),
 
     // ---- multimodal: decode + metadata + frame sampling ---------------
     GQ("llm_multimodal_decode",

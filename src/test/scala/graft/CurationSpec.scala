@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.Curation
+import graft.operators.PrefixSum
+
+/** Corpus-curation operators (llm.Curation) and the distributed prefix
+  * sum underneath sequence packing (operators.PrefixSum).
+  */
+class CurationSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = core.Sessions.local(4, "graft-curation-test")
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+  lazy val docs = spark.read.parquet(s"$sf/documents.parquet").cache()
+
+  // ---- PrefixSum -------------------------------------------------------
+
+  test("prefix sum matches a sequential scan, any bucket count") {
+    // shuffled input order — the operator must order by the key itself
+    val rows = Seq((7L, 10), (1L, 3), (5L, 1), (2L, 4), (9L, 2), (3L, 8))
+    val expected = rows.sortBy(_._1)
+      .scanLeft((0L, 0L)) { case ((_, acc), (k, w)) => (k, acc + w) }
+      .tail.toMap
+    for (buckets <- Seq(1, 3, 16)) {
+      val out = PrefixSum.running(
+        rows.toDF("k", "w"), "k", "w", buckets)
+      val got = out.select("k", "running_total").as[(Long, Long)]
+        .collect().toMap
+      assert(got === expected, s"buckets=$buckets")
+      graft.core.Checkpoints.release(out)
+    }
+  }
+
+  test("prefix sum never plans a single-partition global window") {
+    val df = docs.select(col("doc_id"), col("n_chars"))
+    val out = PrefixSum.running(df, "doc_id", "n_chars", 8)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"global-window shuffle found in:\n$plan")
+    graft.core.Checkpoints.release(out)
+  }
+
+  test("prefix sum releases its checkpoint blocks") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = PrefixSum.running(
+      docs.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars", 4)
+    out.count()
+    graft.core.Checkpoints.release(out)
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked RDD ids: $leaked")
+  }
+
+  // ---- sequence packing ------------------------------------------------
+
+  test("packSequences: offsets chain and sequence ranges are consistent") {
+    val out = Curation.packSequences(docs, capacity = 100, buckets = 8)
+    val rows = out.orderBy("doc_id").collect()
+    var expectedStart = 0L
+    rows.foreach { r =>
+      val (ntok, start) = (r.getAs[Int]("n_tokens"), r.getAs[Long]("start_tok"))
+      val (first, last) = (r.getAs[Long]("first_seq"), r.getAs[Long]("last_seq"))
+      assert(start === expectedStart, s"gap before doc ${r.getLong(0)}")
+      assert(first === start / 100)
+      assert(last === (start + ntok - 1) / 100)
+      assert(r.getAs[Long]("n_seqs") === last - first + 1)
+      expectedStart += ntok
+    }
+    graft.core.Checkpoints.release(out)
+  }
+
+  // ---- PII redaction ---------------------------------------------------
+
+  test("redactPii replaces emails, IPs and phones; counts match") {
+    val cases = Seq(
+      ("mail me at a.b+c@ex-1.org now", "mail me at <EMAIL> now", 1, 0, 0),
+      ("host 10.0.200.7 then 1.2.3.4", "host <IP> then <IP>", 0, 2, 0),
+      ("call 555-0199.", "call <PHONE>.", 0, 0, 1),
+      ("x@y.io on 8.8.8.8 tel 123-4567", "<EMAIL> on <IP> tel <PHONE>", 1, 1, 1),
+      ("no pii here at all", "no pii here at all", 0, 0, 0),
+      // version strings must NOT be eaten by the IP pattern (\b anchors,
+      // exactly four octets)
+      ("v1.2.3 released", "v1.2.3 released", 0, 0, 0))
+    val (em, ip, ph) = Curation.piiCounts(col("t"))
+    val got = cases.map(_._1).toDF("t")
+      .select(Curation.redactPii(col("t")), em, ip, ph)
+      .collect()
+    cases.zip(got).foreach { case ((in, want, e, i, p), r) =>
+      assert(r.getString(0) === want, in)
+      assert((r.getInt(1), r.getInt(2), r.getInt(3)) === ((e, i, p)), in)
+    }
+  }
+
+  // ---- contamination ---------------------------------------------------
+
+  test("contamination scores planted overlap exactly") {
+    // bench doc: tokens a..h → four 5-grams. corpus doc 100 shares the
+    // first 5 tokens (one contaminated 5-gram of its two); doc 101 is
+    // disjoint; doc 102 is too short for any 5-gram and must be absent.
+    val bench = Seq((0L, "a b c d e f g h")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (100L, "a b c d e zz"),
+      (101L, "p q r s t u"),
+      (102L, "x y z")).toDF("doc_id", "text")
+    val got = Curation.contamination(corpus, bench, w = 5)
+      .select("doc_id", "n_ngrams", "n_contaminated", "contamination")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === Map(
+      100L -> ((2L, 1L, 0.5)),
+      101L -> ((2L, 0L, 0.0))))
+  }
+
+  test("contamination broadcasts the benchmark side") {
+    val plan = Curation.contamination(docs, docs.filter(col("doc_id") < 20))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  // ---- repetition stats ------------------------------------------------
+
+  test("repetitionStats computes the Gopher-rule signals") {
+    val d = Seq(
+      (1L, "aa aa aa bb"), // top=3/4, dup=3/4, mean=2
+      (2L, "The the ZZZZ") // case-folded: the×2 + zzzz
+    ).toDF("doc_id", "text")
+    val got = Curation.repetitionStats(d).orderBy("doc_id").collect()
+    val r1 = got(0)
+    assert(r1.getAs[Long]("n_tokens") === 4L)
+    assert(r1.getAs[Long]("n_types") === 2L)
+    assert(r1.getAs[Double]("top_token_ratio") === 0.75)
+    assert(r1.getAs[Double]("dup_token_ratio") === 0.75)
+    assert(r1.getAs[Double]("mean_token_len") === 2.0)
+    assert(!r1.getAs[Boolean]("keep")) // top ratio over 0.2
+    val r2 = got(1)
+    assert(r2.getAs[Long]("n_tokens") === 3L)
+    assert(r2.getAs[Long]("n_types") === 2L)
+    assert(r2.getAs[Double]("top_token_ratio") === 0.6667)
+    assert(r2.getAs[Double]("mean_token_len") === 3.3333)
+  }
+
+  // ---- weighted sampling -----------------------------------------------
+
+  test("weighted sampling is deterministic, nested by rate, and falls back") {
+    def sample(rates: Map[String, Double], default: Double = 0.02) =
+      docs.filter(Curation.weightedSampleFilter(col("text"), col("lang"),
+          rates, default))
+        .select("doc_id").as[Long].collect().toSet
+
+    val lo = sample(Map("en" -> 0.05))
+    val hi = sample(Map("en" -> 0.30))
+    assert(sample(Map("en" -> 0.30)) === hi) // reproducible
+    assert(lo.subsetOf(hi)) // md5-prefix thresholds nest
+    // unknown strata use the default rate: an empty rate map at default r
+    // must equal the flat sampleByFingerprint predicate at the same r
+    val flat = docs.filter(
+        graft.llm.TextAnalysis.sampleByFingerprint(col("text"), 0.1))
+      .select("doc_id").as[Long].collect().toSet
+    assert(sample(Map.empty, 0.1) === flat)
+  }
+}
