@@ -42,8 +42,14 @@ object Bench {
       .as("k")).groupBy("k").count().count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
+        // release per-result materializations (PrefixSum checkpoint,
+        // distributed-kernel state) so earlier queries' storage doesn't
+        // distort later queries' memory budget; no-op for plain plans
+        graft.core.Checkpoints.release(df)
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       name -> (System.nanoTime() - t0) / 1e9

@@ -21,9 +21,15 @@ object Verify {
       .map(_.split(",").map(_.trim).toSet)
     def selected(name: String): Boolean = only.forall(_.contains(name))
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // free any blocks the query materialized for its own result
+        // (PrefixSum's range-partition checkpoint, distributed-kernel
+        // state) so one query's storage doesn't squat on the next ~70
+        // queries' execution memory; no-op for plain plans
+        graft.core.Checkpoints.release(df)
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

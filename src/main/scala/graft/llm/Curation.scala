@@ -108,7 +108,7 @@ object Curation {
     */
   def repetitionStats(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
-      explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      explode(Dedup.tokens(col("text"))).as("tok"))
       .filter(col("tok") =!= "")
 
     val perTok = toks.groupBy(col("doc_id"), col("tok"))
@@ -146,19 +146,10 @@ object Curation {
   def weightedSampleFilter(text: Column, stratum: Column,
       rates: Map[String, Double], defaultRate: Double): Column = {
     val thr = rates.toSeq.sortBy(_._1).foldRight(
-      lit(hexThreshold(defaultRate)): Column) { case ((k, r), acc) =>
-      when(stratum === k, lit(hexThreshold(r))).otherwise(acc)
+      lit(TextAnalysis.hexThreshold(defaultRate)): Column) { case ((k, r), acc) =>
+      when(stratum === k, lit(TextAnalysis.hexThreshold(r))).otherwise(acc)
     }
     substring(TextAnalysis.fingerprintMd5(text), 1, 2) <= thr
-  }
-
-  /** Two-hex-char upper bound implementing rate `r` (shared with the
-    * oracle SQL builder so both engines compare against the same
-    * literal).
-    */
-  def hexThreshold(r: Double): String = {
-    require(r > 0.0 && r <= 1.0, s"rate must be in (0,1], got $r")
-    f"${math.max(1, math.round(r * 256).toInt) - 1}%02x"
   }
 
   // ---- sequence packing ------------------------------------------------

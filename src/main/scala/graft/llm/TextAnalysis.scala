@@ -154,12 +154,17 @@ object TextAnalysis {
     * which `rand()` / TABLESAMPLE cannot give. Content-keyed, so exact
     * duplicates land on the same side of the split.
     */
-  def sampleByFingerprint(text: Column, fraction: Double): Column = {
-    require(fraction > 0.0 && fraction <= 1.0,
-      s"fraction must be in (0,1], got $fraction")
-    val buckets = math.max(1, math.round(fraction * 256).toInt)
-    val thr = f"${buckets - 1}%02x"
-    substring(fingerprintMd5(text), 1, 2) <= lit(thr)
+  def sampleByFingerprint(text: Column, fraction: Double): Column =
+    substring(fingerprintMd5(text), 1, 2) <= lit(hexThreshold(fraction))
+
+  /** Two-hex-char upper bound implementing sample rate `r` (resolution
+    * 1/256, clamped to [1/256, 1]). The single source of truth for the
+    * fingerprint-sampling threshold — Curation's per-stratum rates and
+    * the weighted-sample DuckDB oracle compare against the same literal.
+    */
+  def hexThreshold(r: Double): String = {
+    require(r > 0.0 && r <= 1.0, s"rate must be in (0,1], got $r")
+    f"${math.max(1, math.round(r * 256).toInt) - 1}%02x"
   }
 
   /** Canonical text normalization for training corpora: lowercase, strip

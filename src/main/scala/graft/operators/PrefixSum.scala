@@ -58,9 +58,12 @@ object PrefixSum {
 
     // O(buckets) rows to the driver — bounded by the caller's bucket
     // count, not by data volume (the IVF centroid collect pattern).
+    // NULL weights count as 0 (the coalesce also keeps the tuple decode
+    // below total when an entire bucket is NULL-weighted; the window sum
+    // agrees because sum() skips NULLs).
     val subtotals = parted
       .groupBy(col("__bucket"))
-      .agg(sum(col(weightCol).cast("long")).as("__sub"))
+      .agg(sum(coalesce(col(weightCol).cast("long"), lit(0L))).as("__sub"))
       .as[(Int, Long)]
       .collect()
       .sortBy(_._1)

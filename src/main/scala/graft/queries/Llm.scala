@@ -349,8 +349,10 @@ object Llm {
     // counts confirm detection, the redacted text confirms replacement.
     GQ("llm_pii_redact",
       (s, dir) => {
+        // coalesce: Spark concat NULL-propagates while DuckDB concat
+        // skips NULL arguments — '' makes both engines see the same text
         val planted = t(s, dir).documents.select(col("doc_id"),
-          concat(col("text"),
+          concat(coalesce(col("text"), lit("")),
             lit(" contact user"), col("doc_id"),
             lit("@example.com from 10.0."), col("doc_id") % 256,
             lit("."), col("doc_id") % 100,
@@ -362,7 +364,7 @@ object Llm {
           Curation.redactPii(col("ptext")).as("redacted"))
       },
       Some(s"""WITH p AS (SELECT doc_id,
-             |  concat(text, ' contact user', doc_id, '@example.com from 10.0.',
+             |  concat(coalesce(text, ''), ' contact user', doc_id, '@example.com from 10.0.',
              |         doc_id % 256, '.', doc_id % 100, ' call 555-0',
              |         lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')) AS ptext
              |  FROM documents)
@@ -428,9 +430,9 @@ object Llm {
              |WHERE substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 2)
              |  <= CASE lang
              |${SampleRates.toSeq.sorted.map { case (k, r) =>
-                 s"       WHEN '$k' THEN '${Curation.hexThreshold(r)}'"
+                 s"       WHEN '$k' THEN '${TextAnalysis.hexThreshold(r)}'"
                }.mkString("\n")}
-             |       ELSE '${Curation.hexThreshold(0.02)}' END""".stripMargin)),
+             |       ELSE '${TextAnalysis.hexThreshold(0.02)}' END""".stripMargin)),
 
     // ---- sequence packing (concat-and-chunk shard bookkeeping) --------
     GQ("llm_seq_pack",
