@@ -152,6 +152,40 @@ object Curation {
     substring(TextAnalysis.fingerprintMd5(text), 1, 2) <= thr
   }
 
+  // ---- end-to-end curation (all stages oracle-able) --------------------
+
+  /** Composed curation pipeline: repetition-quality filter →
+    * decontamination against `bench` → per-stratum weighted sample →
+    * PII redaction on the survivors. Unlike CorpusPipeline (whose dedup
+    * stage is LSH-based and therefore rows-only at the gate), every
+    * stage here is deterministic and engine-portable, so the WHOLE
+    * pipeline is DuckDB-oracle-checkable — the composition proof for
+    * the curation family.
+    *
+    * Scale: two doc_id-keyed aggregates of the same scan joined back to
+    * the corpus (shuffle width = |docs|), a broadcast contamination
+    * probe inside `contamination`, then map-side sample + redaction.
+    * Docs absent from the contamination output (shorter than w tokens)
+    * count as 0.0 — too short to overlap is not a reason to drop.
+    */
+  def curateCorpus(docs: DataFrame, bench: DataFrame,
+      rates: Map[String, Double], defaultRate: Double,
+      maxContamination: Double = 0.5, w: Int = 5): DataFrame = {
+    val stats = repetitionStats(docs).select("doc_id", "n_tokens", "keep")
+    val contam = contamination(docs, bench, w)
+      .select("doc_id", "contamination")
+    docs
+      .join(stats, Seq("doc_id"))
+      .join(contam, Seq("doc_id"), "left_outer")
+      .withColumn("contamination", coalesce(col("contamination"), lit(0.0)))
+      .filter(col("keep") && col("contamination") < maxContamination)
+      .filter(weightedSampleFilter(col("text"), col("lang"),
+        rates, defaultRate))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("contamination"),
+        md5(redactPii(col("text"))).as("redacted_fp"))
+  }
+
   // ---- sequence packing ------------------------------------------------
 
   /** Concat-and-chunk sequence packing: lay every document's tokens end

@@ -115,6 +115,62 @@ object Llm {
   private val SampleRates = Map(
     "en" -> 0.30, "de" -> 0.20, "es" -> 0.10, "fr" -> 0.05)
 
+  /** Shared DuckDB fragments for the curation family: the standalone
+    * queries and the composed llm_curation_e2e reuse the SAME CTE text,
+    * so the oracles cannot drift apart stage by stage.
+    */
+  private object CurOracle {
+    /** tf → agg → rep (doc_id, counts, ratios, keep). */
+    val repCtes: String =
+      """tf AS (
+        |  SELECT doc_id, tok, count(*) AS cnt FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |    FROM documents) WHERE tok <> '' GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |    count(*) AS n_types,
+        |    round(max(cnt) / CAST(sum(cnt) AS DOUBLE), 4) AS top_token_ratio,
+        |    round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)
+        |      / CAST(sum(cnt) AS DOUBLE), 4) AS dup_token_ratio,
+        |    round(sum(length(tok) * cnt)
+        |      / CAST(sum(cnt) AS DOUBLE), 4) AS mean_token_len
+        |  FROM tf GROUP BY 1),
+        |rep AS (
+        |  SELECT *, (top_token_ratio <= 0.2 AND mean_token_len >= 3.0
+        |             AND mean_token_len <= 10.0) AS keep
+        |  FROM agg)""".stripMargin
+
+    /** ctoks → cgrams → cbench → contam (doc_id, n_ngrams,
+      * n_contaminated, contamination); bench = doc_id < 20.
+      */
+    val contamCtes: String =
+      """ctoks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        |  FROM documents),
+        |cgrams AS (
+        |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+4], ' ') AS ng
+        |  FROM (SELECT doc_id, tk, generate_subscripts(tk, 1) AS i FROM ctoks)
+        |  WHERE i + 4 <= len(tk)),
+        |cbench AS (SELECT DISTINCT ng FROM cgrams WHERE doc_id < 20),
+        |contam AS (
+        |  SELECT g.doc_id, count(*) AS n_ngrams,
+        |    CAST(sum(CASE WHEN b.ng IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_contaminated,
+        |    round(sum(CASE WHEN b.ng IS NULL THEN 0 ELSE 1 END)
+        |      / CAST(count(*) AS DOUBLE), 4) AS contamination
+        |  FROM cgrams g LEFT JOIN cbench b USING (ng)
+        |  GROUP BY 1)""".stripMargin
+
+    /** Per-stratum md5-prefix threshold (the weighted-sample CASE). */
+    def sampleCase(col: String): String =
+      s"""CASE $col
+         |${SampleRates.toSeq.sorted.map { case (k, r) =>
+             s"       WHEN '$k' THEN '${TextAnalysis.hexThreshold(r)}'"
+           }.mkString("\n")}
+         |       ELSE '${TextAnalysis.hexThreshold(0.02)}' END""".stripMargin
+  }
+
   val queries: Seq[GQ] = Seq(
 
     // ---- exact dedup (hash-groupBy on normalized fingerprint) ---------
@@ -383,42 +439,15 @@ object Llm {
         val d = t(s, dir).documents
         Curation.contamination(d, d.filter(col("doc_id") < 20), w = 5)
       },
-      Some("""WITH toks AS (
-             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
-             |  FROM documents),
-             |grams AS (
-             |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+4], ' ') AS ng
-             |  FROM (SELECT doc_id, tk, generate_subscripts(tk, 1) AS i FROM toks)
-             |  WHERE i + 4 <= len(tk)),
-             |bench AS (SELECT DISTINCT ng FROM grams WHERE doc_id < 20)
-             |SELECT g.doc_id, count(*) AS n_ngrams,
-             |  CAST(sum(CASE WHEN b.ng IS NULL THEN 0 ELSE 1 END) AS BIGINT)
-             |    AS n_contaminated,
-             |  round(sum(CASE WHEN b.ng IS NULL THEN 0 ELSE 1 END)
-             |    / CAST(count(*) AS DOUBLE), 4) AS contamination
-             |FROM grams g LEFT JOIN bench b USING (ng)
-             |GROUP BY 1""".stripMargin)),
+      Some(s"""WITH ${CurOracle.contamCtes}
+             |SELECT doc_id, n_ngrams, n_contaminated, contamination
+             |FROM contam""".stripMargin)),
 
     // ---- repetition / quality stats (Gopher-rule family) --------------
     GQ("llm_repetition_stats",
       (s, dir) => Curation.repetitionStats(t(s, dir).documents),
-      Some("""WITH tf AS (
-             |  SELECT doc_id, tok, count(*) AS cnt FROM (
-             |    SELECT doc_id,
-             |      unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
-             |    FROM documents) WHERE tok <> '' GROUP BY 1, 2),
-             |agg AS (
-             |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
-             |    count(*) AS n_types,
-             |    round(max(cnt) / CAST(sum(cnt) AS DOUBLE), 4) AS top_token_ratio,
-             |    round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)
-             |      / CAST(sum(cnt) AS DOUBLE), 4) AS dup_token_ratio,
-             |    round(sum(length(tok) * cnt)
-             |      / CAST(sum(cnt) AS DOUBLE), 4) AS mean_token_len
-             |  FROM tf GROUP BY 1)
-             |SELECT *, (top_token_ratio <= 0.2 AND mean_token_len >= 3.0
-             |           AND mean_token_len <= 10.0) AS keep
-             |FROM agg""".stripMargin)),
+      Some(s"""WITH ${CurOracle.repCtes}
+             |SELECT * FROM rep""".stripMargin)),
 
     // ---- per-stratum weighted sampling (corpus mixing) ----------------
     GQ("llm_weighted_sample",
@@ -428,11 +457,31 @@ object Llm {
         .select(col("doc_id"), col("lang")),
       Some(s"""SELECT doc_id, lang FROM documents
              |WHERE substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 2)
-             |  <= CASE lang
-             |${SampleRates.toSeq.sorted.map { case (k, r) =>
-                 s"       WHEN '$k' THEN '${TextAnalysis.hexThreshold(r)}'"
-               }.mkString("\n")}
-             |       ELSE '${TextAnalysis.hexThreshold(0.02)}' END""".stripMargin)),
+             |  <= ${CurOracle.sampleCase("lang")}""".stripMargin)),
+
+    // ---- composed curation pipeline (every stage oracled) -------------
+    // quality filter (rep.keep) → decontaminate (< 0.5 vs the doc_id<20
+    // bench set; absent-from-contam = too short = 0.0) → weighted sample
+    // → PII-redact survivors (md5 fingerprint proves redaction ran).
+    // CorpusPipeline stays the LSH-dedup e2e (rows-only); this is the
+    // fully-deterministic composition the gate can hash end to end.
+    GQ("llm_curation_e2e",
+      (s, dir) => {
+        val d = t(s, dir).documents
+        Curation.curateCorpus(d, d.filter(col("doc_id") < 20),
+          SampleRates, defaultRate = 0.02, maxContamination = 0.5, w = 5)
+      },
+      Some(s"""WITH ${CurOracle.repCtes},
+             |${CurOracle.contamCtes}
+             |SELECT d.doc_id, d.lang, r.n_tokens,
+             |  coalesce(c.contamination, 0.0) AS contamination,
+             |  md5(${Curation.redactSql("d.text")}) AS redacted_fp
+             |FROM documents d
+             |JOIN rep r USING (doc_id)
+             |LEFT JOIN contam c USING (doc_id)
+             |WHERE r.keep AND coalesce(c.contamination, 0.0) < 0.5
+             |  AND substr(md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')), 1, 2)
+             |    <= ${CurOracle.sampleCase("d.lang")}""".stripMargin)),
 
     // ---- sequence packing (concat-and-chunk shard bookkeeping) --------
     GQ("llm_seq_pack",

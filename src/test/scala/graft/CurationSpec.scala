@@ -143,6 +143,37 @@ class CurationSpec extends AnyFunSuite {
     assert(r2.getAs[Double]("mean_token_len") === 3.3333)
   }
 
+  // ---- composed curation pipeline --------------------------------------
+
+  test("curateCorpus drops contaminated and low-quality docs, keeps rest") {
+    // plant: 9001 = exact copy of a benchmark doc (contamination 1.0),
+    // 9002 = degenerate repeated-token doc (top_token_ratio 1 → keep=false)
+    val benchText = docs.filter(col("doc_id") === 3)
+      .select("text").head().getString(0)
+    val extra = Seq(
+      (9001L, benchText, "en"),
+      (9002L, Array.fill(30)("spam").mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+    val corpus = docs.select("doc_id", "text", "lang").union(extra)
+    // rate 1.0 disables sampling so only the two filters decide
+    val out = Curation.curateCorpus(corpus,
+      corpus.filter(col("doc_id") < 20),
+      Map("en" -> 1.0), defaultRate = 1.0)
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(9001L), "benchmark duplicate survived")
+    assert(!ids.contains(9002L), "repetition-rule reject survived")
+    assert(ids.nonEmpty)
+    // every survivor passed the repetition rule and carries a redaction
+    // fingerprint + a coalesced contamination score
+    val keepers = Curation.repetitionStats(corpus)
+      .filter(col("keep")).select("doc_id").as[Long].collect().toSet
+    assert(ids.subsetOf(keepers))
+    out.collect().foreach { r =>
+      assert(r.getAs[String]("redacted_fp").length === 32)
+      assert(r.getAs[Double]("contamination") < 0.5)
+    }
+  }
+
   // ---- weighted sampling -----------------------------------------------
 
   test("weighted sampling is deterministic, nested by rate, and falls back") {
