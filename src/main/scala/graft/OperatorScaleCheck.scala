@@ -101,7 +101,40 @@ object OperatorScaleCheck {
     require(fastR == bruteR, "range sampled-key mismatch vs brute force")
     println(s"[scale] range: sampled-key brute-force check OK (${fastR.size} pairs)")
 
-    println(f"""{"asof_rows":$nAsof,"asof_sec":$asofSec%.1f,"range_pairs":$nRange,"range_sec":$rangeSec%.1f,"n_right":$nRight,"n_keys":$nKeys}""")
+    // ---- distributed prefix sum ---------------------------------------
+    // 20M-row exact running total through the two-pass bucket design; a
+    // single-partition window at this size would serialize the whole
+    // dataset through one task. Validated two ways: the global invariant
+    // (max running_total = total weight) and sampled-point exactness
+    // against brute-force filter-sums.
+    val base = spark.range(nRight).select(col("id"),
+      pmod(xxhash64(col("id"), lit(4)), lit(100L)).as("w"))
+    t0 = System.nanoTime()
+    val cum = graft.operators.PrefixSum.running(base, "id", "w", 64)
+    val agg0 = cum.agg(count(lit(1)), max("running_total")).head()
+    val (nCum, maxCum) = (agg0.getLong(0), agg0.getLong(1))
+    val cumSec = (System.nanoTime() - t0) / 1e9
+    println(f"[scale] prefix: $nCum rows in $cumSec%.1f s (64 buckets)")
+    val totalW = base.agg(sum("w")).head().getLong(0)
+    require(nCum == nRight, s"prefix sum dropped rows: $nCum")
+    require(maxCum == totalW,
+      s"prefix total $maxCum != weight total $totalW")
+    val samples = (1L to 5L).map(_ * (nRight / 7))
+    val gotP = cum.filter(col("id").isin(samples: _*))
+      .select("id", "running_total").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // all five oracle sums in ONE conditional-sum pass over base (five
+    // separate filter+agg jobs would rescan 20M rows five times)
+    val wantRow = base.agg(
+      sum(when(col("id") <= samples.head, col("w"))),
+      samples.tail.map(k => sum(when(col("id") <= k, col("w")))): _*).head()
+    val wantP = samples.zipWithIndex
+      .map { case (k, i) => k -> wantRow.getLong(i) }.toMap
+    require(gotP == wantP, "prefix sampled-point mismatch vs brute force")
+    graft.core.Checkpoints.release(cum)
+    println(s"[scale] prefix: sampled-point brute-force check OK (${gotP.size} points)")
+
+    println(f"""{"asof_rows":$nAsof,"asof_sec":$asofSec%.1f,"range_pairs":$nRange,"range_sec":$rangeSec%.1f,"prefix_sec":$cumSec%.1f,"n_right":$nRight,"n_keys":$nKeys}""")
     spark.stop()
   }
 }

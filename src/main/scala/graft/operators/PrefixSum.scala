@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Exact global running total (inclusive prefix sum) of a weight column
   * in the order of a UNIQUE key column — without ever collapsing the
@@ -13,74 +13,105 @@ import org.apache.spark.sql.functions._
   * one task, which is exactly the shape that dies first at 100 TB. This
   * operator computes the same result with the classic two-level scan:
   *
-  *  1. range-repartition on the key into `buckets` ordered ranges;
-  *  2. one tiny aggregation collects the per-bucket subtotals
+  *  1. range-repartition on the key into `buckets` ordered ranges
+  *     (the ONLY shuffle in the operator);
+  *  2. one tiny aggregation collects the per-partition subtotals
   *     (`buckets` rows — driver memory is O(buckets), never O(rows));
-  *  3. an exclusive prefix over those subtotals becomes each bucket's
-  *     offset, broadcast-joined back;
-  *  4. a window PARTITIONED by bucket adds the within-bucket running sum.
+  *  3. an exclusive prefix over those subtotals becomes each partition's
+  *     base offset, shipped to tasks as an O(buckets) closure map;
+  *  4. a PARTITION-LOCAL sort + a single mapPartitions accumulator pass
+  *     adds the within-partition running sum on top of the offset.
   *
-  * Every step is a narrow shuffle or a broadcast; wall-clock is two
-  * passes over the data and the only sort is partition-local. The result
-  * is independent of where the sampled range boundaries fall (the prefix
-  * sum over key order doesn't care how the order is cut into buckets) —
-  * but the boundaries themselves are sampled, so the partitioned frame
-  * is materialized ONCE (localCheckpoint) and both consumers (subtotal
-  * agg, final window) read that materialization; re-executing the range
+  * Step 4 deliberately avoids `sum() OVER (PARTITION BY bucket)`: the
+  * window's ClusteredDistribution requirement would re-shuffle the
+  * already-range-partitioned data a second time (RangePartitioning on
+  * the key does not satisfy clustering on the derived bucket id even
+  * though each range partition holds exactly one bucket). A running
+  * accumulator over a sorted partition is genuine per-partition
+  * imperative logic — the one place mapPartitions beats the declarative
+  * form. Measured at 20M rows (OperatorScaleCheck): one shuffle + one
+  * local sort, vs shuffle + shuffle + sort for the window variant.
+  *
+  * The result is independent of where the sampled range boundaries fall
+  * (a prefix sum doesn't care how the order is cut into buckets) — but
+  * the boundaries themselves are sampled, so the partitioned frame is
+  * materialized ONCE (localCheckpoint) and both consumers (subtotal agg,
+  * accumulator pass) read that materialization; re-executing the range
   * shuffle per consumer could re-sample different boundaries and tear
-  * the bucket ids out from under the offsets. Callers should
+  * the partition ids out from under the offsets. Callers should
   * `graft.core.Checkpoints.release` the RESULT when done with it.
   */
 object PrefixSum {
 
   /** Returns `df` plus a `running_total` long column: the inclusive
-    * prefix sum of `weightCol` ordered by `keyCol`.
+    * prefix sum of `weightCol` (cast to long; NULLs count as 0) ordered
+    * by `keyCol`.
     *
-    * `keyCol` must be unique per row (it is the total order; a tie would
-    * make the within-bucket window order — and thus the split of the
-    * running total across tied rows — nondeterministic).
+    * `keyCol` must be unique and non-null per row (it is the total
+    * order; a tie would make the within-partition accumulation order —
+    * and thus the split of the running total across tied rows —
+    * nondeterministic).
     */
   def running(df: DataFrame, keyCol: String, weightCol: String,
       buckets: Int = 32): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    // __bucket matters most: withColumn would REPLACE an existing one in
+    // place and the positional dropRight(2) below would strip real data
+    val reserved = Seq("__bucket", "__w", "running_total")
+    require(!df.columns.exists(reserved.contains),
+      s"input must not already have ${reserved.mkString("/")} columns")
 
     // Materialize one range-partitioning so every consumer below sees
     // the same sampled boundaries (and the expensive upstream plan runs
-    // once). spark_partition_id() of a range shuffle increases with the
-    // range order, which is what makes step 3's prefix correct.
-    val parted = df
-      .repartitionByRange(buckets, col(keyCol))
+    // once). Partition index of a range shuffle increases with the
+    // range order, which is what makes the offset prefix correct. The
+    // index is materialized INTO the checkpoint as a column: a runtime
+    // TaskContext.getPartitionId() in the final pass would lie under a
+    // downstream narrow coalesce (which computes several parent
+    // partitions inside one task — e.g. Verify's coalesce(1) writes),
+    // whereas checkpointed data cannot change underneath us.
+    val parted = df.repartitionByRange(buckets, col(keyCol))
       .withColumn("__bucket", spark_partition_id())
       .localCheckpoint()
-
-    val spark = parted.sparkSession
-    import spark.implicits._
+    val work = parted.withColumn("__w",
+      coalesce(col(weightCol).cast("long"), lit(0L)))
 
     // O(buckets) rows to the driver — bounded by the caller's bucket
     // count, not by data volume (the IVF centroid collect pattern).
-    // NULL weights count as 0 (the coalesce also keeps the tuple decode
-    // below total when an entire bucket is NULL-weighted; the window sum
-    // agrees because sum() skips NULLs).
-    val subtotals = parted
+    // Empty partitions are simply absent (they contribute 0 anyway).
+    val spark = parted.sparkSession
+    import spark.implicits._
+    val subtotals = work
       .groupBy(col("__bucket"))
-      .agg(sum(coalesce(col(weightCol).cast("long"), lit(0L))).as("__sub"))
+      .agg(sum(col("__w")).as("__sub"))
       .as[(Int, Long)]
       .collect()
       .sortBy(_._1)
 
-    // Exclusive prefix over the subtotals = each bucket's base offset.
-    // (Empty buckets are simply absent from both the agg and the join.)
-    val offsets = subtotals.map(_._2).scanLeft(0L)(_ + _).init
-    val offsetDf = subtotals.map(_._1).zip(offsets).toSeq
-      .toDF("__bucket", "__offset")
+    // Exclusive prefix over the subtotals = each partition's base
+    // offset; small enough to ride along in the task closure.
+    val offsets: Map[Int, Long] =
+      subtotals.map(_._1).zip(subtotals.map(_._2).scanLeft(0L)(_ + _).init)
+        .toMap
 
-    val w = Window.partitionBy(col("__bucket")).orderBy(col(keyCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    parted
-      .join(broadcast(offsetDf), Seq("__bucket"))
-      .withColumn("running_total",
-        sum(col(weightCol).cast("long")).over(w) + col("__offset"))
-      .drop("__bucket", "__offset")
+    val bIdx = work.schema.fieldIndex("__bucket")
+    val wIdx = work.schema.fieldIndex("__w")
+    val outSchema = df.schema.add("running_total", LongType,
+      nullable = false)
+    // One mapPartitions invocation sees exactly one bucket (bucket =
+    // partition index by construction, and the function sits below any
+    // caller-added repartitioning in the plan), so the offset is read
+    // from the first row's bucket id.
+    work
+      .sortWithinPartitions(col(keyCol))
+      .mapPartitions { it =>
+        var acc = 0L
+        var init = false
+        it.map { r =>
+          if (!init) { acc = offsets.getOrElse(r.getInt(bIdx), 0L); init = true }
+          acc += r.getLong(wIdx)
+          Row.fromSeq(r.toSeq.dropRight(2) :+ acc)
+        }
+      }(Encoders.row(outSchema))
   }
 }

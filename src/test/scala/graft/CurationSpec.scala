@@ -31,16 +31,26 @@ class CurationSpec extends AnyFunSuite {
       val got = out.select("k", "running_total").as[(Long, Long)]
         .collect().toMap
       assert(got === expected, s"buckets=$buckets")
+      // a narrow coalesce computes several parent partitions inside one
+      // task (Verify writes through coalesce(1)) — the bucket offsets
+      // must survive it, which is why the bucket id lives in the data
+      // and not in TaskContext.getPartitionId
+      val coalesced = out.coalesce(1)
+        .select("k", "running_total").as[(Long, Long)].collect().toMap
+      assert(coalesced === expected, s"coalesce(1), buckets=$buckets")
       graft.core.Checkpoints.release(out)
     }
   }
 
-  test("prefix sum never plans a single-partition global window") {
+  test("prefix sum result plan has no shuffle at all, let alone a global one") {
     val df = docs.select(col("doc_id"), col("n_chars"))
     val out = PrefixSum.running(df, "doc_id", "n_chars", 8)
     val plan = out.queryExecution.executedPlan.toString
+    // the one range shuffle is materialized inside running(); the result
+    // is checkpoint-scan → local sort → accumulator pass
     assert(!plan.contains("SinglePartition"),
       s"global-window shuffle found in:\n$plan")
+    assert(!plan.contains("Exchange"), s"residual shuffle found in:\n$plan")
     graft.core.Checkpoints.release(out)
   }
 
