@@ -147,6 +147,81 @@ object Dedup {
     verified
   }
 
+  /** EXACT n-gram Jaccard self-join at scale via prefix filtering
+    * (AllPairs, Bayardo et al. WWW'07; prefix-filter principle from
+    * SSJoin, Chaudhuri et al. ICDE'06). Unlike minhashNearDup this has
+    * recall 1.0 — every pair at or above the threshold is returned —
+    * while still never comparing all pairs:
+    *
+    *  1. order each doc's shingles by global rarity (document frequency
+    *     ascending, shingle ascending as the tiebreak — any TOTAL order
+    *     works for correctness; rarest-first minimizes candidates);
+    *  2. index only each doc's PREFIX — the first
+    *     |S| − ⌈t·|S|⌉ + 1 shingles. Two sets with Jaccard ≥ t have
+    *     |x∩y| ≥ t·max(|x|,|y|), so the intersection cannot fit inside
+    *     both suffixes and the prefixes must share a shingle;
+    *  3. candidate pairs come from an equi-join on prefix shingles,
+    *     pruned further by the size bound t·|x| ≤ |y| ≤ |x|/t;
+    *  4. exact set intersection verifies candidates.
+    *
+    * Shuffles are all narrow equi-joins/aggregations keyed on shingle or
+    * doc_id — the same plan shape at 100 TB, with AQE handling hot
+    * shingles. The threshold is a RATIONAL num/den so the prefix length,
+    * size filter and final test are integer arithmetic end to end — no
+    * float boundary cases, and a DuckDB oracle can reproduce the exact
+    * output (pairs are returned with integer intersection/union sizes).
+    */
+  def jaccardNearDup(docs: DataFrame, w: Int = 3,
+      minJacNum: Int = 3, minJacDen: Int = 5): DataFrame = {
+    require(minJacNum > 0 && minJacNum <= minJacDen,
+      s"threshold must be in (0,1]: $minJacNum/$minJacDen")
+    val sh = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shinglesFromTokens(col("toks"), w).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .cache() // read by the frequency agg, the prefix build and verify
+    val exploded = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val freq = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
+
+    // per-doc shingles sorted rarest-first; integer ceil via
+    // floor((sz·num + den − 1) / den) — exact for sizes < 2^50
+    val ordered = exploded.join(freq, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ord"),
+        count(lit(1)).as("sz"))
+    val ceilT = floor((col("sz") * minJacNum + (minJacDen - 1))
+      / lit(minJacDen)).cast("long")
+    val pref = ordered.select(col("doc_id"), col("sz"),
+      explode(slice(transform(col("ord"), x => x("s")),
+        lit(1), (col("sz") - ceilT + 1).cast("int"))).as("s"))
+
+    val cands = pref.select(col("s"), col("doc_id").as("id_a"),
+        col("sz").as("sz_a"))
+      .join(pref.select(col("s"), col("doc_id").as("id_b"),
+        col("sz").as("sz_b")), Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("sz_b") * minJacDen >= col("sz_a") * minJacNum &&
+        col("sz_a") * minJacDen >= col("sz_b") * minJacNum)
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    val verified = cands
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
+        Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+        Seq("id_b"))
+      .withColumn("n_common",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("n_union",
+        size(col("sh_a")) + size(col("sh_b")) - col("n_common"))
+      .filter(col("n_common") * minJacDen >= col("n_union") * minJacNum)
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        col("n_union").cast("long").as("n_union"))
+      .localCheckpoint(true)
+    sh.unpersist()
+    verified
+  }
+
   /** Brute-force n-gram Jaccard above a threshold — the small-data oracle
     * for minhashNearDup (O(n²); never the scale path, kept for validation
     * and for explicit small-input use).

@@ -318,6 +318,35 @@ object Llm {
       (s, dir) => Dedup.minhashNearDup(t(s, dir).documents,
         w = 3, k = 32, bands = 8, minJaccard = 0.3)),
 
+    // ---- exact n-gram Jaccard near-dup (prefix-filtered AllPairs) -----
+    // Exact (recall 1.0) unlike the LSH variants, so the brute-force
+    // DuckDB formulation hash-verifies the whole pipeline: tokenization,
+    // shingling, prefix-filter candidate generation and set-overlap
+    // verification. Integer num/den threshold — no float boundaries.
+    GQ("llm_jaccard_neardup",
+      (s, dir) => Dedup.jaccardNearDup(t(s, dir).documents,
+        w = 3, minJacNum = 3, minJacDen = 5),
+      Some("""WITH sh0 AS (
+             |  SELECT doc_id, list_distinct(list_transform(
+             |    range(1, len(t) - 1),
+             |    i -> array_to_string(t[i:i+2], ' '))) AS sh
+             |  FROM (SELECT doc_id,
+             |        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+             |          ' ') AS t
+             |        FROM documents)),
+             |sh AS (SELECT doc_id, sh, len(sh) AS sz FROM sh0 WHERE len(sh) > 0),
+             |esh AS (SELECT doc_id, sz, unnest(sh) AS s FROM sh),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |         count(*) AS n_common,
+             |         any_value(a.sz) AS sz_a, any_value(b.sz) AS sz_b
+             |  FROM esh a JOIN esh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b, n_common,
+             |       sz_a + sz_b - n_common AS n_union
+             |FROM inter
+             |WHERE n_common * 5 >= (sz_a + sz_b - n_common) * 3""".stripMargin)),
+
     // ---- SimHash collision groups -------------------------------------
     GQ("llm_simhash_groups",
       (s, dir) => t(s, dir).documents

@@ -49,6 +49,55 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(lsh.subsetOf(exact))
   }
 
+  test("prefix-filtered jaccard ≡ integer-math brute force, any threshold") {
+    // inline brute force with the SAME rational threshold arithmetic
+    // (ngramJaccardExact rounds to 4 decimals before filtering, which
+    // can disagree with the rational test exactly at the boundary)
+    def brute(d: org.apache.spark.sql.DataFrame, num: Int, den: Int) = {
+      val sh = d.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+      sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+        .crossJoin(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("n_common",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        .withColumn("n_union",
+          (size(col("sh_a")) + size(col("sh_b"))).cast("long") - col("n_common"))
+        .filter(col("n_common") * den >= col("n_union") * num)
+        .select("id_a", "id_b", "n_common", "n_union")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3))).toSet
+    }
+    val sample = docs.select("doc_id", "text")
+    for ((num, den) <- Seq((1, 10), (3, 10), (3, 5), (1, 1))) {
+      val fast = Dedup.jaccardNearDup(sample, w = 3,
+        minJacNum = num, minJacDen = den)
+      val got = fast.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSet
+      assert(got === brute(sample, num, den), s"threshold $num/$den")
+      graft.core.Checkpoints.release(fast)
+    }
+  }
+
+  test("prefix-filtered jaccard finds planted exact and near duplicates") {
+    val base = docs.filter(col("doc_id") === 2).select("text")
+      .head().getString(0)
+    val words = base.split(" ")
+    val mutated = words.zipWithIndex
+      .map { case (w, i) => if (i == words.length / 2) "zzqx" else w }
+      .mkString(" ")
+    val planted = Seq((9301L, base), (9302L, mutated)).toDF("doc_id", "text")
+    val all = docs.select("doc_id", "text").union(planted)
+    val out = Dedup.jaccardNearDup(all, w = 3, minJacNum = 3, minJacDen = 5)
+    val pairs = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // exact dup of doc 2: identical shingle sets → n_common == n_union
+    assert(pairs.exists(p => p._1 == 2L && p._2 == 9301L && p._3 == p._4))
+    // one-word mutation: still above 0.6 (recall 1.0 — no LSH luck needed)
+    assert(pairs.exists(p => p._1 == 9301L && p._2 == 9302L))
+    graft.core.Checkpoints.release(out)
+  }
+
   test("simhash: identical text → identical signature; planted dup collides") {
     val sig = docs.limit(5).select(col("text"))
       .withColumn("s1", Dedup.simhash(col("text")))
