@@ -215,4 +215,41 @@ object Curation {
         floor((col("running_total") - 1) / capacity).as("last_seq"))
       .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
   }
+
+  /** Split each document into fixed-size token windows with overlap —
+    * the chunking step of a context-window-bounded pretraining or
+    * retrieval pipeline (`chunkSize` tokens per chunk, chunk starts
+    * every `stride` tokens, so consecutive chunks overlap by
+    * chunkSize − stride). Every document yields ≥ 1 chunk; the last
+    * chunk is short when the token count doesn't fill the window.
+    *
+    * Pure map-side: tokens bound once per row (HOF-interpreted rule),
+    * chunk starts from an integer-arithmetic `sequence`, one
+    * posexplode. No shuffle, survives any scale as a scan. Chunk count
+    * is 1 + ⌈(n − chunkSize)/stride⌉ via integer ceil-div, clamped at
+    * zero so short docs emit exactly one chunk.
+    */
+  def chunkTokens(docs: DataFrame, chunkSize: Int = 64,
+      stride: Int = 48): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    require(stride >= 1 && stride <= chunkSize,
+      s"stride must be in [1, chunkSize], got $stride")
+    val n = size(col("toks"))
+    // floor of a possibly-negative double ratio differs between engines
+    // only below the greatest() clamp, so the clamp makes it exact
+    val extra = greatest(lit(0L),
+      floor((n - chunkSize + (stride - 1)) / lit(stride.toDouble))
+        .cast("long"))
+    docs
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0L), extra),
+          i => i * stride)).as(Seq("chunk_idx", "start_tok")),
+        col("toks"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        concat_ws(" ", slice(col("toks"),
+          (col("start_tok") + 1).cast("int"), lit(chunkSize))).as("chunk_text"),
+        least(lit(chunkSize.toLong), size(col("toks")) - col("start_tok"))
+          .cast("long").as("n_chunk_tokens"))
+  }
 }

@@ -347,6 +347,29 @@ object Llm {
              |FROM inter
              |WHERE n_common * 5 >= (sz_a + sz_b - n_common) * 3""".stripMargin)),
 
+    // ---- overlapping token-window chunking ----------------------------
+    // context-window-bounded chunk split (64-token windows, stride 48);
+    // integer-arithmetic starts → bit-identical chunk boundaries in both
+    // engines, so the map-side operator is hash-verified end to end
+    GQ("llm_chunk_split",
+      (s, dir) => Curation.chunkTokens(t(s, dir).documents,
+        chunkSize = 64, stride = 48),
+      Some("""WITH tk AS (
+             |  SELECT doc_id,
+             |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+             |      ' ') AS t
+             |  FROM documents),
+             |st AS (
+             |  SELECT doc_id, t,
+             |         unnest(range(0, 1 + greatest(0,
+             |           (len(t) - 64 + 47) // 48))) AS chunk_idx
+             |  FROM tk)
+             |SELECT doc_id, chunk_idx,
+             |       array_to_string(t[chunk_idx * 48 + 1 : chunk_idx * 48 + 64],
+             |         ' ') AS chunk_text,
+             |       least(64, len(t) - chunk_idx * 48) AS n_chunk_tokens
+             |FROM st""".stripMargin)),
+
     // ---- SimHash collision groups -------------------------------------
     GQ("llm_simhash_groups",
       (s, dir) => t(s, dir).documents

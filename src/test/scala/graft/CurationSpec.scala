@@ -83,6 +83,40 @@ class CurationSpec extends AnyFunSuite {
     graft.core.Checkpoints.release(out)
   }
 
+  test("chunkTokens matches a sequential reimplementation; edge cases") {
+    // planted edges: empty text (1 empty token after split), single word,
+    // exactly chunkSize, chunkSize+1 (forces a second, overlapping chunk)
+    val planted = Seq(
+      (9001L, ""),
+      (9002L, "solo"),
+      (9003L, (1 to 8).map("w" + _).mkString(" ")),
+      (9004L, (1 to 9).map("w" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    val all = docs.select(col("doc_id"), col("text")).union(planted)
+    val (cs, st) = (8, 5)
+    val got = Curation.chunkTokens(all, chunkSize = cs, stride = st)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3))).toMap
+    val want = all.collect().flatMap { r =>
+      val toks = r.getString(1).trim.toLowerCase
+        .replaceAll("\\s+", " ").split(" ", -1)
+      val n = toks.length
+      val nChunks = 1 + math.max(0,
+        math.ceil((n - cs).toDouble / st).toInt)
+      (0 until nChunks).map { i =>
+        val chunk = toks.slice(i * st, i * st + cs)
+        (r.getLong(0), i.toLong) ->
+          (chunk.mkString(" "), chunk.length.toLong)
+      }
+    }.toMap
+    assert(got === want)
+    // overlap invariant: consecutive chunks share chunkSize − stride
+    // tokens when the earlier chunk is full
+    val d4 = (0 to 1).map(i => got((9004L, i.toLong))._1.split(" ", -1))
+    assert(d4(0).drop(st).sameElements(d4(1).take(cs - st)))
+  }
+
   // ---- PII redaction ---------------------------------------------------
 
   test("redactPii replaces emails, IPs and phones; counts match") {
