@@ -680,13 +680,26 @@ object Relational {
              |GROUP BY 1, 2""".stripMargin)),
 
     // ---- exact percentiles (linear interpolation — quantile_cont) -----
+    // Exact percentiles via distributed selection
+    // (operators.DistributedPercentile), NOT the built-in percentile()
+    // aggregate: the built-in's buffer holds every value of the group,
+    // which is the canonical executor OOM at 100 TB. Results are
+    // bit-identical (same weighted interpolation), so the oracle is
+    // unchanged.
     GQ("q36_percentiles",
-      (s, dir) => t(s, dir).lineitem
-        .groupBy(col("l_returnflag"))
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
-          round(expr("percentile(l_quantity, 0.25)"), 4).as("q25_qty")),
+      (s, dir) => {
+        val li = t(s, dir).lineitem
+        val price = graft.operators.DistributedPercentile.exact(
+          li, "l_returnflag", "l_extendedprice",
+          Seq("p50" -> 0.5, "p95" -> 0.95))
+        val qty = graft.operators.DistributedPercentile.exact(
+          li, "l_returnflag", "l_quantity", Seq("q25_qty" -> 0.25))
+        price.join(qty, Seq("l_returnflag"))
+          .select(col("l_returnflag"),
+            round(col("p50"), 4).as("p50"),
+            round(col("p95"), 4).as("p95"),
+            round(col("q25_qty"), 4).as("q25_qty"))
+      },
       Some("""SELECT l_returnflag,
              |round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
              |round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,

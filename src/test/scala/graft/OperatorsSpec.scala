@@ -119,4 +119,52 @@ class OperatorsSpec extends AnyFunSuite {
       .select(TextAnalysis.normalize(col("text"))).head().getString(0)
     assert(out === "hello world 42 ok")
   }
+
+  test("distributed percentile ≡ built-in percentile(), bit for bit") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val ps = Seq("p0" -> 0.0, "p25" -> 0.25, "p50" -> 0.5,
+      "p95" -> 0.95, "p100" -> 1.0)
+    for (buckets <- Seq(1, 8)) {
+      val got = graft.operators.DistributedPercentile.exact(
+        li, "l_returnflag", "l_extendedprice", ps, buckets)
+        .collect().map(r => r.getString(0) ->
+          ps.indices.map(i => r.getDouble(i + 1))).toMap
+      val want = li.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, array(0.0, 0.25, 0.5, 0.95, 1.0))"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      assert(got.keySet === want.keySet, s"buckets=$buckets")
+      // exact equality, not tolerance: the operator mirrors the
+      // built-in's weighted interpolation form
+      got.foreach { case (g, vs) =>
+        vs.zip(want(g)).zipWithIndex.foreach { case ((a, b), i) =>
+          assert(a === b, s"group $g percentile ${ps(i)._1} buckets=$buckets")
+        }
+      }
+    }
+  }
+
+  test("distributed percentile: nulls ignored, singleton and tiny groups") {
+    val df = Seq(
+      ("a", Some(10.0)), ("a", Some(20.0)), ("a", None),
+      ("b", Some(5.0)),
+      ("c", None)).toDF("g", "v")
+    val got = graft.operators.DistributedPercentile.exact(
+      df, "g", "v", Seq("p50" -> 0.5, "p75" -> 0.75), buckets = 4)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    // group c has no non-null values → absent, like percentile()
+    assert(got.keySet === Set("a", "b"))
+    assert(got("a") === ((15.0, 17.5)))
+    assert(got("b") === ((5.0, 5.0)))
+  }
+
+  test("distributed percentile leaves no lingering checkpoint blocks") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    graft.operators.DistributedPercentile.exact(
+      li, "l_returnflag", "l_quantity", Seq("p50" -> 0.5)).collect()
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked RDDs: $leaked")
+  }
 }
