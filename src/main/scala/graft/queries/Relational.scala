@@ -683,23 +683,19 @@ object Relational {
     // Exact percentiles via distributed selection
     // (operators.DistributedPercentile), NOT the built-in percentile()
     // aggregate: the built-in's buffer holds every value of the group,
-    // which is the canonical executor OOM at 100 TB. Results are
-    // bit-identical (same weighted interpolation), so the oracle is
-    // unchanged.
+    // which is the canonical executor OOM at 100 TB. Values are
+    // bit-identical (same weighted interpolation, pinned in
+    // OperatorsSpec) and both columns here are NOT NULL, so the oracle
+    // is unchanged; one exactMulti call = one lineitem scan.
     GQ("q36_percentiles",
-      (s, dir) => {
-        val li = t(s, dir).lineitem
-        val price = graft.operators.DistributedPercentile.exact(
-          li, "l_returnflag", "l_extendedprice",
-          Seq("p50" -> 0.5, "p95" -> 0.95))
-        val qty = graft.operators.DistributedPercentile.exact(
-          li, "l_returnflag", "l_quantity", Seq("q25_qty" -> 0.25))
-        price.join(qty, Seq("l_returnflag"))
-          .select(col("l_returnflag"),
-            round(col("p50"), 4).as("p50"),
-            round(col("p95"), 4).as("p95"),
-            round(col("q25_qty"), 4).as("q25_qty"))
-      },
+      (s, dir) => graft.operators.DistributedPercentile.exactMulti(
+          t(s, dir).lineitem, "l_returnflag",
+          Seq("l_extendedprice" -> Seq("p50" -> 0.5, "p95" -> 0.95),
+            "l_quantity" -> Seq("q25_qty" -> 0.25)))
+        .select(col("l_returnflag"),
+          round(col("p50"), 4).as("p50"),
+          round(col("p95"), 4).as("p95"),
+          round(col("q25_qty"), 4).as("q25_qty")),
       Some("""SELECT l_returnflag,
              |round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
              |round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,

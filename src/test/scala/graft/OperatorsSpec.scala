@@ -158,6 +158,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got("b") === ((5.0, 5.0)))
   }
 
+  test("distributed percentile multi-column: one group all-NULL in one col") {
+    val df = Seq(
+      ("a", Some(1.0), Some(10.0)), ("a", Some(3.0), Some(30.0)),
+      ("b", Some(7.0), None)).toDF("g", "x", "y")
+    val rows = graft.operators.DistributedPercentile.exactMulti(
+      df, "g", Seq("x" -> Seq("x50" -> 0.5), "y" -> Seq("y50" -> 0.5)),
+      buckets = 3).collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet === Set("a", "b"))
+    assert(rows("a").getDouble(1) === 2.0 && rows("a").getDouble(2) === 20.0)
+    // b has values for x but only NULLs for y → NULL cell, row kept
+    assert(rows("b").getDouble(1) === 7.0 && rows("b").isNullAt(2))
+  }
+
   test("distributed percentile leaves no lingering checkpoint blocks") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
