@@ -96,6 +96,19 @@ object Streaming {
       Some("""SELECT event_id, user_id, event_type, round(value, 4) AS value
              |FROM events""".stripMargin)),
 
+    // REAL stream-static enrichment join: the stream joined against the
+    // static customer dimension (planned per micro-batch, zero streaming
+    // state for the join itself) feeding a complete-mode aggregation
+    GQ("stream_static_enrich",
+      (s, dir) => runToMemory(s, "graft_stream_enrich", "complete")(
+        EventStreams.enrichedSegmentTotals(
+          EventStreams.readEvents(s, s"$dir/events.parquet"),
+          Tables(s, dir).customer)),
+      Some("""SELECT c.c_mktsegment, e.event_type,
+             |count(*) AS n_events, round(sum(e.value), 4) AS total_value
+             |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+             |GROUP BY 1, 2""".stripMargin)),
+
     // REAL stream-stream interval join (watermark-bounded state), oracled
     // with the equivalent batch inequality join
     GQ("stream_interval_join",

@@ -132,6 +132,24 @@ object EventStreams {
         col("c_id"), col("c_ts"))
   }
 
+  /** Stream-static enrichment: join the event stream against a STATIC
+    * dimension table, then aggregate per enriched key. The static side
+    * needs no streaming state at all — it is planned as an ordinary
+    * (typically broadcast) join inside every micro-batch, so the
+    * pattern costs nothing as the stream runs unboundedly; this is the
+    * canonical shape for dimension enrichment at ingest time (vs the
+    * watermark-bounded state a stream-stream join needs). left_outer
+    * keeps events whose user has no dimension row (null segment).
+    */
+  def enrichedSegmentTotals(events: DataFrame,
+      customers: DataFrame): DataFrame =
+    events
+      .join(customers.select(col("c_custkey").as("user_id"),
+        col("c_mktsegment")), Seq("user_id"), "left_outer")
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("total_value"))
+
   // ---- custom state: flatMapGroupsWithState sessionizer ---------------
 
   final case class Ev(ts: java.sql.Timestamp, user_id: Long, value: Double)

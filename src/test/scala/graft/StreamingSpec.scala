@@ -59,6 +59,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-static enrichment: only the aggregation holds state") {
+    val q = EventStreams.enrichedSegmentTotals(
+        EventStreams.readEvents(spark, s"$sf/events.parquet"),
+        core.Tables(spark, sf).customer)
+      .writeStream.format("memory").queryName("t_enrich")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("t_enrich").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val batch = EventStreams.enrichedSegmentTotals(batchEvents,
+        core.Tables(spark, sf).customer).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // the static join side must NOT appear as a stateful operator —
+    // exactly one (the aggregation), or dimension state would grow with
+    // the stream
+    val stateOps = q.lastProgress.stateOperators
+    assert(stateOps.length === 1, stateOps.map(_.operatorName).mkString(","))
+    // the aggregation's state op is "stateStoreSave"; a stateful join
+    // would add a "symmetricHashJoin" operator
+    assert(stateOps(0).operatorName === "stateStoreSave",
+      stateOps(0).operatorName)
+  }
+
   test("streaming dedup drops planted duplicates within the watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
