@@ -153,4 +153,93 @@ object Similarity {
       .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(k)
   }
+
+  /** Exact k-NN JOIN: for every query vector, the k most-cosine-similar
+    * corpus vectors (the query's own vec_id excluded). The multi-query
+    * generalization of bruteForceTopK, and the batch shape of
+    * embedding-space retrieval/labelling jobs.
+    *
+    * Scale design — the naive formulation (crossJoin + window rank per
+    * query) materializes |corpus| × |queries| rows through a shuffle and
+    * then sorts per-query groups of corpus size; both die at 100 TB.
+    * Here each corpus partition keeps a BOUNDED per-query heap
+    * (queries × k entries), emits only its local top-k, and a final
+    * window ranks the partitions × k × queries survivors — the corpus
+    * is scanned once, nothing corpus-sized is shuffled or grouped. The
+    * query side is a driver-held array (bounded-collect contract, like
+    * the IVF centroid table): this is a many-few join, not many-many.
+    *
+    * Cosine accumulates left to right in double exactly like the native
+    * CosineSimilarityExpr / the DuckDB list_sum oracle formulation, so
+    * results are hash-comparable across engines. Ranking ties break by
+    * ascending vec_id on EXACT doubles (rounding only on output).
+    */
+  def knnJoin(emb: DataFrame, queries: Seq[(Long, Seq[Float])],
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(queries.nonEmpty, "need at least one query vector")
+    val spark = emb.sparkSession
+    val qArr = queries.map { case (id, v) => (id, v.toArray) }.toArray
+    val bq = spark.sparkContext.broadcast(qArr)
+
+    // head of the priority queue = the WORST kept candidate (lowest
+    // sim; ties: larger vec_id), so eviction is an O(log k) replace
+    val worstFirst: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+      def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    }
+    val midSchema = new org.apache.spark.sql.types.StructType()
+      .add("q_id", org.apache.spark.sql.types.LongType, nullable = false)
+      .add("vec_id", org.apache.spark.sql.types.LongType, nullable = false)
+      .add("sim", org.apache.spark.sql.types.DoubleType, nullable = false)
+    val partial = emb.select(col("vec_id"), col("embedding"))
+      .mapPartitions { it =>
+        val qs = bq.value
+        val heaps = qs.map(_ =>
+          new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+            worstFirst))
+        it.foreach { r =>
+          val id = r.getLong(0)
+          val v = r.getSeq[Float](1).toArray // unbox once per row
+          var qi = 0
+          while (qi < qs.length) {
+            val (qid, qv) = qs(qi)
+            if (id != qid && v.length == qv.length) {
+              // same accumulation order as CosineSimilarityExpr
+              var dot = 0.0; var na = 0.0; var nb = 0.0
+              var i = 0
+              while (i < v.length) {
+                val xi = v(i).toDouble; val yi = qv(i).toDouble
+                dot += xi * yi; na += xi * xi; nb += yi * yi
+                i += 1
+              }
+              val sim = dot / (math.sqrt(na) * math.sqrt(nb))
+              val h = heaps(qi)
+              if (h.size < k) h.enqueue((sim, id))
+              else if (worstFirst.compare((sim, id), h.head) < 0) {
+                // candidate orders BEFORE the current worst → better
+                h.dequeue(); h.enqueue((sim, id))
+              }
+            }
+            qi += 1
+          }
+        }
+        qs.iterator.zip(heaps.iterator).flatMap { case ((qid, _), h) =>
+          h.iterator.map { case (sim, id) =>
+            org.apache.spark.sql.Row(qid, id, sim)
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(midSchema))
+
+    // partitions × queries × k survivors — window cost is bounded by
+    // the partition count, not the corpus
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    partial
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"), round(col("sim"), 6).as("cosine"))
+  }
 }

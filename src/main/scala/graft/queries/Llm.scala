@@ -422,6 +422,29 @@ object Llm {
       },
       Some(KmOracle.ivfSql)),
 
+    // ---- exact k-NN join (multi-query top-k, per-partition heaps) -----
+    // 20 query vectors × top-5 each; exact, so the brute-force DuckDB
+    // cross-join formulation hash-verifies the heap + merge machinery
+    GQ("llm_knn_join",
+      (s, dir) => {
+        val emb = t(s, dir).embeddings
+        val queries = emb.filter(col("vec_id") < 20)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => r.getLong(0) -> r.getSeq[Float](1))
+          .sortBy(_._1).toSeq
+        Similarity.knnJoin(emb, queries, k = 5)
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv
+             |  FROM embeddings WHERE vec_id < 20),
+             |s AS (SELECT q.q_id, e.vec_id,
+             |    ${KmOracle.cos("e.embedding", "q.qv")} AS sim
+             |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+             |r AS (SELECT q_id, vec_id, sim,
+             |    row_number() OVER (PARTITION BY q_id
+             |      ORDER BY sim DESC, vec_id ASC) AS rn FROM s)
+             |SELECT q_id, vec_id, round(sim, 6) AS cosine
+             |FROM r WHERE rn <= 5""".stripMargin)),
+
     // ---- k-means document clustering over embeddings ------------------
     GQ("llm_kmeans_clusters",
       (s, dir) => Similarity.kmeans(s, t(s, dir).embeddings, k = 8, iters = 3)

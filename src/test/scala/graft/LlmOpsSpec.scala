@@ -132,6 +132,34 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(sims.sliding(2).forall { case Array(a, b) => a >= b })
   }
 
+  test("knn join ≡ crossJoin+window brute force; self excluded; dup ranks 1st") {
+    import org.apache.spark.sql.expressions.Window
+    // plant an exact duplicate of vec 0 so recall is provable, not lucky
+    val dup = emb.filter(col("vec_id") === 0)
+      .select(lit(777777L).as("vec_id"), col("embedding"))
+    val all = emb.select(col("vec_id"), col("embedding")).union(dup)
+    val queries = all.filter(col("vec_id") < 10)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).sortBy(_._1).toSeq
+    val got = Similarity.knnJoin(all, queries, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // brute force: every (query, corpus) pair through the same native
+    // cosine, ranked per query with the same tiebreak
+    val qdf = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val want = all.crossJoin(qdf).filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", Similarity.cosine(col("embedding"), col("qv")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
+      .select(col("q_id"), col("vec_id"), round(col("sim"), 6)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSet === want.toSet)
+    assert(got.length === want.length)
+    // no self matches; the planted duplicate is vec 0's rank-1 at cos 1.0
+    assert(!got.exists(p => p._1 == p._2))
+    assert(got.contains((0L, 777777L, 1.0)))
+  }
+
   test("IVF top-k recall vs brute force is reasonable on probed buckets") {
     val q = emb.filter(col("vec_id") === 7).select("embedding")
       .head().getSeq[Float](0).toIndexedSeq
