@@ -202,15 +202,20 @@ object Similarity {
             worstFirst))
         it.foreach { r =>
           val id = r.getLong(0)
-          val v = r.getSeq[Float](1).toArray // unbox once per row
+          // null embeddings are ignored (the native cosine yields NULL
+          // sim there, which a top-k can never rank)
+          val vSeq = if (r.isNullAt(1)) null else r.getSeq[Float](1)
+          val v = if (vSeq == null) null else vSeq.toArray // unbox once
           var qi = 0
-          while (qi < qs.length) {
+          while (v != null && qi < qs.length) {
             val (qid, qv) = qs(qi)
-            if (id != qid && v.length == qv.length) {
-              // same accumulation order as CosineSimilarityExpr
+            if (id != qid) {
+              // same accumulation order AND length semantics as
+              // CosineSimilarityExpr: min-length prefix, prefix norms
+              val n = math.min(v.length, qv.length)
               var dot = 0.0; var na = 0.0; var nb = 0.0
               var i = 0
-              while (i < v.length) {
+              while (i < n) {
                 val xi = v(i).toDouble; val yi = qv(i).toDouble
                 dot += xi * yi; na += xi * xi; nb += yi * yi
                 i += 1
