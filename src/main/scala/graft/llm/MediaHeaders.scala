@@ -92,6 +92,59 @@ object MediaHeaders {
     b.array()
   }
 
+  /** 24bpp BMP with a REAL pixel array: `rgb` is row-major top-down
+    * packed 0xRRGGBB; the writer lays out the spec's bottom-up BGR rows
+    * padded to 4-byte boundaries, with a correct pixel-data offset and
+    * file size. Pixel decode (below) round-trips it exactly.
+    */
+  def bmpBytesRgb(width: Int, height: Int, rgb: Array[Int]): Array[Byte] = {
+    require(rgb.length == width * height, s"need $width*$height pixels")
+    val stride = (width * 3 + 3) & ~3
+    val dataSize = stride * height
+    val b = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte)
+    b.putInt(54 + dataSize)
+    b.putInt(0).putInt(54)
+    b.putInt(40)
+    b.putInt(width).putInt(height)      // positive height = bottom-up
+    b.putShort(1).putShort(24)
+    b.putInt(0).putInt(dataSize).putInt(0).putInt(0).putInt(0).putInt(0)
+    var y = height - 1
+    while (y >= 0) {                    // bottom row first
+      var x = 0
+      while (x < width) {
+        val c = rgb(y * width + x)
+        b.put((c & 0xff).toByte)        // B
+        b.put(((c >> 8) & 0xff).toByte) // G
+        b.put(((c >> 16) & 0xff).toByte) // R
+        x += 1
+      }
+      var pad = stride - width * 3
+      while (pad > 0) { b.put(0.toByte); pad -= 1 }
+      y -= 1
+    }
+    b.array()
+  }
+
+  /** 16-bit mono PCM WAV whose data chunk holds the REAL samples (the
+    * text-tail variant `wavBytes` declares a size its body doesn't
+    * carry — fine for header parsing, useless for sample decode).
+    */
+  def wavBytesPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val b = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1).putShort(1)
+    b.putInt(sampleRate)
+    b.putInt(sampleRate * 2)
+    b.putShort(2).putShort(16)
+    b.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    samples.foreach(s => b.putShort(s))
+    b.array()
+  }
+
   // ---- parser (the real decode path) ----------------------------------
 
   private def beInt(p: Array[Byte], o: Int): Int =
@@ -158,5 +211,63 @@ object MediaHeaders {
       }
       found
     } else None
+  }
+
+  // ---- pixel / sample decode (real, for the uncompressed formats) -----
+
+  /** Decode a 24bpp uncompressed BMP's pixel array to row-major
+    * top-down packed 0xRRGGBB. Honors the header's pixel-data offset,
+    * 4-byte row stride padding and bottom-up row order (negative height
+    * = top-down, also handled). None for non-BMP, compressed, non-24bpp
+    * or truncated payloads — bounds-checked like parse().
+    */
+  def bmpPixels(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (p.length < 54 || p(0) != 'B'.toByte || p(1) != 'M'.toByte) return None
+    val off = leInt(p, 10)
+    val w = leInt(p, 18)
+    val hRaw = leInt(p, 22)
+    val bpp = leShort(p, 28)
+    val compression = leInt(p, 30)
+    val h = math.abs(hRaw)
+    if (w <= 0 || h <= 0 || bpp != 24 || compression != 0) return None
+    val stride = (w * 3 + 3) & ~3
+    if (off < 0 || off.toLong + stride.toLong * h > p.length) return None
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      // positive height: rows stored bottom-up
+      val srcRow = if (hRaw > 0) h - 1 - y else y
+      var x = 0
+      var o = off + srcRow * stride
+      while (x < w) {
+        val bl = p(o) & 0xff; val g = p(o + 1) & 0xff; val r = p(o + 2) & 0xff
+        out(y * w + x) = (r << 16) | (g << 8) | bl
+        x += 1; o += 3
+      }
+      y += 1
+    }
+    Some((w, h, out))
+  }
+
+  /** Decode a 16-bit PCM WAV's data chunk to samples. The sample count
+    * is bounded by BOTH the declared data size and the actual payload
+    * length (truncated files yield the prefix, never an exception).
+    * None for non-WAV or non-16-bit payloads.
+    */
+  def wavSamples(p: Array[Byte]): Option[Array[Short]] = {
+    if (!(tag(p, 0, "RIFF") && tag(p, 8, "WAVE")) || p.length < 44 ||
+      !tag(p, 12, "fmt ") || !tag(p, 36, "data")) return None
+    if (leShort(p, 34) != 16) return None
+    val declared = math.max(0, leInt(p, 40))
+    val avail = p.length - 44
+    val n = math.min(declared, avail) / 2
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      out(i) = ((p(44 + 2 * i) & 0xff) |
+        ((p(44 + 2 * i + 1) & 0xff) << 8)).toShort
+      i += 1
+    }
+    Some(out)
   }
 }

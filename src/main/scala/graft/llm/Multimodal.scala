@@ -8,12 +8,15 @@ import org.apache.spark.sql.functions._
   *
   * Metadata decode is REAL: `MediaHeaders.parse` reads actual PNG / BMP /
   * WAV / AVI container headers (magic-byte dispatch + bounds-checked
-  * field reads at the formats' public offsets). Only pixel/sample
-  * decoding is out of scope for this container (no image/audio libs
-  * ship here) — the deterministic `FakeCodec` stands in ONLY for
-  * payloads whose magic matches no known container, and for the
-  * content-feature vector (in production: a JNI/JavaCV decode feeding an
-  * embedding model; the plan shape is unchanged).
+  * field reads at the formats' public offsets). Pixel/sample decode is
+  * REAL for the uncompressed formats: 24bpp BMP rasters (stride-padded
+  * bottom-up rows → RGB → Rec.601 luma histogram) and 16-bit PCM WAV
+  * (samples → rms/peak/zero-crossings/energy envelope). Compressed
+  * codecs (PNG deflate, AVI frame formats) are out of scope for this
+  * container (no codec libs ship here) — the deterministic `FakeCodec`
+  * stands in for their content features and for payloads whose magic
+  * matches no known container (in production: a JNI/JavaCV decode
+  * feeding an embedding model; the plan shape is unchanged).
   *
   * Scale notes: decode is per-row CPU-bound work with no shuffle —
   * `mapPartitions` keeps codec state (in production the native decoder
@@ -54,9 +57,13 @@ object Multimodal {
   /** Synthesize a media table with WELL-FORMED binary payloads from the
     * documents table: PNG or BMP for images, PCM WAV for audio, AVI for
     * video — headers written by MediaHeaders with deterministic
-    * dimensions derived from doc_id, document text appended as the
-    * payload body. Stands in for reading real blobs from parquet binary
-    * columns while keeping every downstream byte-parse genuine.
+    * dimensions derived from doc_id. BMP payloads carry a REAL pixel
+    * array (deterministic per-pixel gradient) and WAV payloads REAL
+    * 16-bit PCM samples (integer triangle wave), so the pixel/sample
+    * decode downstream is genuine; PNG/AVI bodies are opaque text bytes
+    * (their codecs are compressed and out of scope). Stands in for
+    * reading real blobs from parquet binary columns while keeping every
+    * downstream byte-parse genuine.
     */
   def syntheticMedia(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
@@ -69,15 +76,32 @@ object Multimodal {
         (id % 3) match {
           case 0 =>
             val payload = if (id % 2 == 0) MediaHeaders.pngBytes(w, h, body)
-              else MediaHeaders.bmpBytes(w, h, body)
+              else {
+                // small real raster: dims capped so the synthetic corpus
+                // stays MBs, pixels a deterministic id-keyed gradient
+                val (pw, ph) = (16 + (id % 48).toInt, 16 + ((id / 5) % 48).toInt)
+                val rgb = Array.tabulate(pw * ph) { i =>
+                  val x = i % pw; val y = i / pw
+                  (((x * 7 + id) % 256).toInt << 16) |
+                    (((y * 5 + id / 3) % 256).toInt << 8) |
+                    ((x + y + id) % 256).toInt
+                }
+                MediaHeaders.bmpBytesRgb(pw, ph, rgb)
+              }
             MediaRow(id, "image", payload)
           case 1 =>
             // modulus independent of the id % 3 kind split, so rates
             // actually vary across 8/16/24 kHz
             val rate = 8000 * (1 + ((id / 3) % 3).toInt)
-            val nSamples = rate * (1 + (id % 5).toInt) // 1-5 seconds
-            MediaRow(id, "audio",
-              MediaHeaders.wavBytes(rate, 1, 16, nSamples, body))
+            val nSamples = rate * (1 + (id % 5).toInt) / 100 // 10-50 ms
+            // integer triangle wave, period keyed off the id
+            val period = 64 + (id % 192).toInt
+            val samples = Array.tabulate(nSamples) { i =>
+              val ph = i % period
+              val tri = if (ph < period / 2) ph else period - ph
+              ((tri * 4096 / math.max(1, period / 2)) - 2048).toShort
+            }
+            MediaRow(id, "audio", MediaHeaders.wavBytesPcm16(rate, samples))
           case _ =>
             val frames = 1 + (id % 16).toInt
             MediaRow(id, "video",
@@ -86,9 +110,62 @@ object Multimodal {
       }
   }
 
-  /** Batch decode: one codec context per partition, rows streamed through
-    * it. Real header parse first; deterministic fallback for unknown
-    * magic keeps the operator total.
+  /** 8-bin luma histogram over a decoded RGB raster, L1-normalized —
+    * a REAL content feature (Rec.601 integer luma), not a byte hash.
+    */
+  def lumaHistogram(rgb: Array[Int], bins: Int = 8): Array[Float] = {
+    val out = new Array[Float](bins)
+    if (rgb.isEmpty) return out
+    var i = 0
+    while (i < rgb.length) {
+      val c = rgb(i)
+      val r = (c >> 16) & 0xff; val g = (c >> 8) & 0xff; val b = c & 0xff
+      val luma = (r * 299 + g * 587 + b * 114) / 1000 // 0..255
+      out(math.min(bins - 1, luma * bins / 256)) += 1f
+      i += 1
+    }
+    var j = 0
+    while (j < bins) { out(j) /= rgb.length; j += 1 }
+    out
+  }
+
+  /** Real audio features from PCM samples: [rms, peak, zero-crossing
+    * rate, mean, |mean|, energy thirds] — 8 dims, amplitudes normalized
+    * to [-1, 1] against the 16-bit range.
+    */
+  def pcmFeatures(samples: Array[Short]): Array[Float] = {
+    val out = new Array[Float](8)
+    val n = samples.length
+    if (n == 0) return out
+    var sum = 0.0; var sumSq = 0.0; var peak = 0.0; var zc = 0
+    val third = math.max(1, n / 3)
+    val e = new Array[Double](3)
+    var i = 0
+    while (i < n) {
+      val s = samples(i) / 32768.0
+      sum += s; sumSq += s * s
+      if (math.abs(s) > peak) peak = math.abs(s)
+      if (i > 0 && (samples(i) >= 0) != (samples(i - 1) >= 0)) zc += 1
+      e(math.min(2, i / third)) += s * s
+      i += 1
+    }
+    out(0) = math.sqrt(sumSq / n).toFloat
+    out(1) = peak.toFloat
+    out(2) = zc.toFloat / n
+    out(3) = (sum / n).toFloat
+    out(4) = math.abs(sum / n).toFloat
+    out(5) = (e(0) / n).toFloat; out(6) = (e(1) / n).toFloat
+    out(7) = (e(2) / n).toFloat
+    out
+  }
+
+  /** Batch decode: one codec context per partition, rows streamed
+    * through it. Header parse is real for all four containers;
+    * pixel/sample decode is REAL for the uncompressed ones (24bpp BMP
+    * rasters → luma histogram, 16-bit PCM WAV → signal stats), while
+    * compressed codecs (PNG deflate, AVI frame codecs — no codec libs
+    * in this container) keep the deterministic byte-hash feature, as
+    * does unknown magic. Totality either way.
     */
   def decodeAll(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
     import media.sparkSession.implicits._
@@ -97,9 +174,17 @@ object Multimodal {
       rows.map { r =>
         MediaHeaders.parse(r.payload) match {
           case Some(m) =>
+            val feature = m.format match {
+              case "bmp" => MediaHeaders.bmpPixels(r.payload)
+                .map { case (_, _, rgb) => lumaHistogram(rgb) }
+                .getOrElse(FakeCodec.feature(r.payload))
+              case "wav" => MediaHeaders.wavSamples(r.payload)
+                .map(pcmFeatures)
+                .getOrElse(FakeCodec.feature(r.payload))
+              case _ => FakeCodec.feature(r.payload)
+            }
             DecodedRow(r.media_id, r.kind, m.format, m.width, m.height,
-              m.nFrames, m.sampleRate, m.durationMs,
-              FakeCodec.feature(r.payload))
+              m.nFrames, m.sampleRate, m.durationMs, feature)
           case None =>
             val (w, h, f) = FakeCodec.decode(r.payload)
             DecodedRow(r.media_id, r.kind, "unknown", w, h,

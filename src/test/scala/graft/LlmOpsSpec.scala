@@ -302,6 +302,63 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(MediaHeaders.parse(corrupt).isEmpty)
   }
 
+  test("BMP pixel decode round-trips exactly; WAV sample decode too") {
+    import graft.llm.MediaHeaders
+    // 3×2 raster with distinct channel values, including row-padding
+    // (3 px * 3 B = 9 B → stride 12) and bottom-up storage
+    val rgb = Array(0xff0000, 0x00ff00, 0x0000ff, 0x102030, 0x405060, 0x708090)
+    val bmp = MediaHeaders.bmpBytesRgb(3, 2, rgb)
+    val Some((w, h, back)) = MediaHeaders.bmpPixels(bmp)
+    assert((w, h) === ((3, 2)))
+    assert(back.toSeq === rgb.toSeq)
+    // header parse still agrees on the dims
+    assert(MediaHeaders.parse(bmp).map(m => (m.width, m.height)) ===
+      Some((3, 2)))
+    // truncated pixel array → None, not an exception
+    assert(MediaHeaders.bmpPixels(bmp.dropRight(1)).isEmpty)
+
+    val samples = Array[Short](0, 1000, -1000, 32767, -32768, 42)
+    val wav = MediaHeaders.wavBytesPcm16(8000, samples)
+    assert(MediaHeaders.wavSamples(wav).map(_.toSeq) === Some(samples.toSeq))
+    assert(MediaHeaders.parse(wav).map(m => (m.sampleRate, m.nFrames)) ===
+      Some((8000, 6)))
+    // declared size beyond the actual payload → prefix, no exception
+    assert(MediaHeaders.wavSamples(wav.dropRight(2)).map(_.toSeq) ===
+      Some(samples.dropRight(1).toSeq))
+  }
+
+  test("decoded features are real content stats for BMP and WAV") {
+    import graft.llm.MediaHeaders
+    // all-white 2×2 → all luma mass in the top bin
+    val white = MediaHeaders.bmpBytesRgb(2, 2, Array.fill(4)(0xffffff))
+    val hWhite = Multimodal.lumaHistogram(
+      MediaHeaders.bmpPixels(white).get._3)
+    assert(hWhite(7) === 1.0f && hWhite.take(7).forall(_ === 0.0f))
+    // all-black → bottom bin
+    val hBlack = Multimodal.lumaHistogram(Array.fill(4)(0))
+    assert(hBlack(0) === 1.0f)
+    // constant full-scale signal: rms = peak = 1 (within float), zcr 0
+    val dc = Array.fill[Short](100)(32767)
+    val f = Multimodal.pcmFeatures(dc)
+    assert(math.abs(f(0) - 32767.0 / 32768.0) < 1e-6)
+    assert(f(1) === (32767.0 / 32768.0).toFloat)
+    assert(f(2) === 0.0f)
+    // alternating sign: maximal zero-crossing rate
+    val alt = Array.tabulate[Short](100)(i => if (i % 2 == 0) 1000 else -1000)
+    assert(Multimodal.pcmFeatures(alt)(2) === 0.99f)
+    // the pipeline actually uses these: decoded bmp/wav features are
+    // histograms/stats, not byte hashes
+    val media = Multimodal.syntheticMedia(spark, docs)
+    val decoded = Multimodal.decodeAll(media).collect()
+    decoded.filter(_.format == "bmp").foreach { d =>
+      assert(math.abs(d.feature.sum - 1.0f) < 1e-5) // L1-normalized histogram
+    }
+    decoded.filter(_.format == "wav").foreach { d =>
+      assert(d.feature(1) <= 1.0f && d.feature(0) <= d.feature(1)) // rms ≤ peak
+      assert(d.feature(1) > 0.0f) // triangle wave is not silence
+    }
+  }
+
   test("decoded media carries genuinely parsed container metadata") {
     val media = Multimodal.syntheticMedia(spark, docs)
     val decoded = Multimodal.decodeAll(media).collect()
@@ -311,7 +368,11 @@ class LlmOpsSpec extends AnyFunSuite {
       d.kind match {
         case "image" =>
           assert(d.format == "png" || d.format == "bmp")
-          assert(d.width === 64 + (d.media_id % 512).toInt)  // parsed back
+          // parsed back from the actual header bytes
+          if (d.format == "png")
+            assert(d.width === 64 + (d.media_id % 512).toInt)
+          else
+            assert(d.width === 16 + (d.media_id % 48).toInt)
         case "audio" =>
           assert(d.format === "wav")
           assert(d.sample_rate === 8000 * (1 + ((d.media_id / 3) % 3).toInt))
