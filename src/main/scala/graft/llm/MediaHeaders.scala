@@ -16,9 +16,11 @@ import java.nio.{ByteBuffer, ByteOrder}
   *    total frames, width, height inside the 56-byte avih payload.
   *
   * `parse` is the real metadata-decode path (magic-byte dispatch + field
-  * reads with bounds checks); only pixel/sample decoding remains out of
-  * scope for this container. The writers exist so the synthetic corpus
-  * carries well-formed payloads and round-trip tests can pin the parser.
+  * reads with bounds checks). Pixel/sample decode is real for the
+  * uncompressed formats (`bmpPixels`, `wavSamples`); compressed codecs
+  * (PNG deflate, AVI frame formats) stay out of scope for this
+  * container. The writers exist so the synthetic corpus carries
+  * well-formed payloads and round-trip tests can pin the parsers.
   */
 object MediaHeaders {
 
@@ -171,7 +173,8 @@ object MediaHeaders {
     if (p.length >= 24 && p.startsWith(PngSig) && tag(p, 12, "IHDR"))
       Some(Meta("png", beInt(p, 16), beInt(p, 20), 1, 0, 0))
     else if (p.length >= 26 && p(0) == 'B'.toByte && p(1) == 'M'.toByte)
-      Some(Meta("bmp", leInt(p, 18), leInt(p, 22), 1, 0, 0))
+      // negative height = top-down row order, not a negative dimension
+      Some(Meta("bmp", leInt(p, 18), math.abs(leInt(p, 22)), 1, 0, 0))
     else if (tag(p, 0, "RIFF") && tag(p, 8, "WAVE")) {
       if (p.length < 44 || !tag(p, 12, "fmt ") || !tag(p, 36, "data")) None
       else {
@@ -230,9 +233,17 @@ object MediaHeaders {
     val compression = leInt(p, 30)
     val h = math.abs(hRaw)
     if (w <= 0 || h <= 0 || bpp != 24 || compression != 0) return None
-    val stride = (w * 3 + 3) & ~3
-    if (off < 0 || off.toLong + stride.toLong * h > p.length) return None
-    val out = new Array[Int](w * h)
+    // ALL raster arithmetic in Long: corrupt header dims (w ~ 2^30)
+    // overflow Int stride/pixel-count math, sail past the bounds check
+    // and die on allocation — the totality contract forbids that
+    val strideL = (w.toLong * 3 + 3) & ~3L
+    if (off < 0 || off.toLong + strideL * h > p.length) return None
+    // implied by the length check (3 bytes/px on ≤2^31 payload bytes),
+    // but keep the direct guard independent of that reasoning
+    val nPx = w.toLong * h
+    if (nPx > Int.MaxValue) return None
+    val stride = strideL.toInt
+    val out = new Array[Int](nPx.toInt)
     var y = 0
     while (y < h) {
       // positive height: rows stored bottom-up
@@ -249,15 +260,18 @@ object MediaHeaders {
     Some((w, h, out))
   }
 
-  /** Decode a 16-bit PCM WAV's data chunk to samples. The sample count
-    * is bounded by BOTH the declared data size and the actual payload
-    * length (truncated files yield the prefix, never an exception).
-    * None for non-WAV or non-16-bit payloads.
+  /** Decode a MONO 16-bit PCM WAV's data chunk to samples. The sample
+    * count is bounded by BOTH the declared data size and the actual
+    * payload length (truncated files yield the prefix, never an
+    * exception). None for non-WAV, non-PCM, non-16-bit or multi-channel
+    * payloads — interleaved stereo decoded as one stream would feed
+    * garbage zero-crossing/mean stats downstream, so it falls back.
     */
   def wavSamples(p: Array[Byte]): Option[Array[Short]] = {
     if (!(tag(p, 0, "RIFF") && tag(p, 8, "WAVE")) || p.length < 44 ||
       !tag(p, 12, "fmt ") || !tag(p, 36, "data")) return None
-    if (leShort(p, 34) != 16) return None
+    if (leShort(p, 20) != 1 || leShort(p, 22) != 1 ||
+      leShort(p, 34) != 16) return None
     val declared = math.max(0, leInt(p, 40))
     val avail = p.length - 44
     val n = math.min(declared, avail) / 2

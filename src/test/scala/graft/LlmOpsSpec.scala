@@ -325,6 +325,21 @@ class LlmOpsSpec extends AnyFunSuite {
     // declared size beyond the actual payload → prefix, no exception
     assert(MediaHeaders.wavSamples(wav.dropRight(2)).map(_.toSeq) ===
       Some(samples.dropRight(1).toSeq))
+    // stereo 16-bit: header parses but sample decode declines (mono-only
+    // stats), falling back rather than mixing interleaved channels
+    val stereo = MediaHeaders.wavBytes(8000, 2, 16, 100,
+      Array.fill[Byte](400)(7))
+    assert(MediaHeaders.parse(stereo).nonEmpty)
+    assert(MediaHeaders.wavSamples(stereo).isEmpty)
+    // corrupt width ~2^30: Int stride math would overflow past the
+    // bounds check and throw on allocation — must be None, no exception
+    val evil = java.nio.ByteBuffer.allocate(54)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    evil.put('B'.toByte).put('M'.toByte).putInt(54).putInt(0).putInt(54)
+    evil.putInt(40).putInt(0x2AAAAAAB).putInt(3)
+    evil.putShort(1).putShort(24)
+    evil.putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+    assert(MediaHeaders.bmpPixels(evil.array()).isEmpty)
   }
 
   test("decoded features are real content stats for BMP and WAV") {
