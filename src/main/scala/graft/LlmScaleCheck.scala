@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale sanity for the round-3 operators (the OperatorScaleCheck
+  * pattern): run at 2-3 orders of magnitude above the sf0.1 bench corpus
+  * and validate exactness where brute force is feasible, planted-pair
+  * recall where it is not (completeness of prefix filtering is
+  * theorem-backed and spec-pinned at small scale; what scale adds is
+  * evidence the plan SHAPE survives — no collect blow-ups, no quadratic
+  * stage, wall-clock sane).
+  *
+  * Usage: runMain graft.LlmScaleCheck [nDocs] [nVecs] [nRows]
+  * Defaults: 200k docs / 1M vectors / 20M percentile rows.
+  */
+object LlmScaleCheck {
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toLong).getOrElse(200_000L)
+    val nVecs = args.lift(1).map(_.toLong).getOrElse(1_000_000L)
+    val nRows = args.lift(2).map(_.toLong).getOrElse(20_000_000L)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- jaccardNearDup: 200k synthetic docs + 1k planted near-dups ---
+    // 40 words per doc from a ~65k-word hash vocabulary (few accidental
+    // shingle collisions); each planted twin changes one middle word →
+    // Jaccard ≈ 35/41 ≈ 0.85, comfortably above the 0.6 threshold.
+    val nPlant = 1000L
+    val words = (0 until 40).map(j =>
+      concat(lit("w"), pmod(xxhash64(col("id"), lit(j)), lit(65536L))))
+    val base = spark.range(nDocs).select(col("id").as("doc_id"),
+      concat_ws(" ", words: _*).as("text"))
+    val twins = spark.range(nPlant).select(
+      (col("id") + 10_000_000L).as("doc_id"),
+      concat_ws(" ", words.zipWithIndex.map { case (w, j) =>
+        if (j == 20) lit("CHANGED") else w
+      }: _*).as("text"))
+    val docs = base.union(twins)
+    var t0 = System.nanoTime()
+    val pairs = graft.llm.Dedup.jaccardNearDup(docs, w = 3,
+      minJacNum = 3, minJacDen = 5)
+    val nPairs = pairs.count()
+    val jacSec = (System.nanoTime() - t0) / 1e9
+    println(f"[scale] jaccard: ${nDocs + nPlant} docs -> $nPairs pairs in $jacSec%.1f s")
+    // every planted (id, id+10M) twin must be found — recall 1.0, no LSH luck
+    val found = pairs
+      .filter(col("id_b") === col("id_a") + 10_000_000L &&
+        col("id_a") < nPlant)
+      .count()
+    require(found == nPlant, s"planted-twin recall $found/$nPlant")
+    println(s"[scale] jaccard: planted-twin recall $found/$nPlant OK")
+    graft.core.Checkpoints.release(pairs)
+
+    // ---- knnJoin: 1M 16-dim vectors, 8 queries, planted duplicates ----
+    // query q's exact duplicate is planted at id q+5M and must rank 1st;
+    // full exactness cross-checked against a crossJoin brute force for
+    // the same 8 queries (8M cosines — feasible, unlike all-pairs).
+    val dim = 16
+    val vecExpr = array((0 until dim).map(j =>
+      ((pmod(xxhash64(col("vec_id"), lit(j)), lit(2000L)) - 1000.0)
+        / 1000.0).cast("float")): _*)
+    val nQ = 8
+    val corpus0 = spark.range(nVecs).select(col("id").as("vec_id"))
+      .select(col("vec_id"), vecExpr.as("embedding"))
+    // the planted twin carries query q's exact vector (hash of q, id
+    // shifted only in the output alias)
+    val dups = spark.range(nQ).select(col("id").as("q"))
+      .select((col("q") + 5_000_000L).as("vec_id"),
+        array((0 until dim).map(j =>
+          ((pmod(xxhash64(col("q"), lit(j)), lit(2000L)) - 1000.0)
+            / 1000.0).cast("float")): _*).as("embedding"))
+    val corpus = corpus0.union(dups)
+    val queries = corpus0.filter(col("vec_id") < nQ)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).sortBy(_._1).toSeq
+    t0 = System.nanoTime()
+    val knn = graft.llm.Similarity.knnJoin(corpus, queries, k = 5).cache()
+    val nKnn = knn.count()
+    val knnSec = (System.nanoTime() - t0) / 1e9
+    println(f"[scale] knn: ${nVecs + nQ} vecs x $nQ queries -> $nKnn rows in $knnSec%.1f s")
+    val ranked = knn.collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.sortBy(-_.getDouble(2)).head
+      }
+    (0 until nQ).foreach { q =>
+      val top = ranked(q.toLong)
+      require(top.getLong(1) == q + 5_000_000L && top.getDouble(2) == 1.0,
+        s"query $q top-1 = (${top.getLong(1)}, ${top.getDouble(2)}), " +
+          "expected its planted duplicate at cosine 1.0")
+    }
+    println(s"[scale] knn: planted-duplicate top-1 for all $nQ queries OK")
+    // brute force over the same queries (8M-row crossJoin, window top-k)
+    val qdf = corpus0.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val brute = corpus.crossJoin(qdf).filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim",
+        graft.llm.Similarity.cosine(col("embedding"), col("qv")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("q_id"), col("vec_id"), round(col("sim"), 6).as("cosine"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = knn.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    require(got == brute, "knn mismatch vs crossJoin brute force")
+    println(s"[scale] knn: ≡ brute force on all $nQ queries (${got.size} rows) OK")
+    knn.unpersist()
+
+    // ---- DistributedPercentile: 20M rows, 5 groups, vs built-in -------
+    val pr = spark.range(nRows).select(
+      pmod(col("id"), lit(5L)).cast("string").as("g"),
+      (pmod(xxhash64(col("id"), lit(9)), lit(1_000_000L)).cast("double")
+        / 997.0).as("v"))
+    t0 = System.nanoTime()
+    val sel = graft.operators.DistributedPercentile.exact(
+      pr, "g", "v", Seq("p50" -> 0.5, "p99" -> 0.99), buckets = 64)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    val pSec = (System.nanoTime() - t0) / 1e9
+    println(f"[scale] percentile: $nRows rows in $pSec%.1f s (selection)")
+    val builtin = pr.groupBy(col("g"))
+      .agg(expr("percentile(v, array(0.5, 0.99))").as("ps"))
+      .collect().map(r => r.getString(0) -> {
+        val s = r.getSeq[Double](1); (s(0), s(1))
+      }).toMap
+    require(sel == builtin,
+      s"selection percentiles != built-in: $sel vs $builtin")
+    println(s"[scale] percentile: bit-identical to built-in on ${sel.size} groups OK")
+
+    println(f"""{"jaccard_docs":${nDocs + nPlant},"jaccard_pairs":$nPairs,"jaccard_sec":$jacSec%.1f,"knn_vecs":${nVecs + nQ},"knn_sec":$knnSec%.1f,"pct_rows":$nRows,"pct_sec":$pSec%.1f}""")
+    spark.stop()
+  }
+}
