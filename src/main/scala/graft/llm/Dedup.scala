@@ -188,21 +188,23 @@ object Dedup {
     val exploded = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val freq = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
 
-    // per-doc shingles sorted rarest-first; integer ceil via
-    // floor((sz·num + den − 1) / den) — exact for sizes < 2^50
-    val ordered = exploded.join(freq, Seq("s"))
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ord"),
-        count(lit(1)).as("sz"))
+    // Per-doc rarest-first rank + set size via two windows over the SAME
+    // doc_id partitioning (one shuffle + one sort, computed together by
+    // WindowExec) — no collect_list array ever materializes. Window
+    // partitions here are DOC-sized (bounded by document length), not
+    // corpus-sized, so the usual window-at-scale hazard doesn't apply.
+    // Prefix length |S| − ⌈t·|S|⌉ + 1 with integer ceil via
+    // floor((sz·num + den − 1) / den) — exact for sizes < 2^50.
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
     val ceilT = floor((col("sz") * minJacNum + (minJacDen - 1))
       / lit(minJacDen)).cast("long")
-    // posexplode: pos+1 = the shingle's 1-based rank in the doc's global
-    // sort order, which the positional filter below needs
-    val pref = ordered.select(col("doc_id"), col("sz"),
-      posexplode(slice(transform(col("ord"), x => x("s")),
-        lit(1), (col("sz") - ceilT + 1).cast("int")))
-        .as(Seq("p0", "s")))
-      .select(col("doc_id"), col("sz"), (col("p0") + 1).as("rn"), col("s"))
+    val pref = exploded.join(freq, Seq("s"))
+      .withColumn("sz", count(lit(1)).over(byDoc))
+      .withColumn("rn",
+        row_number().over(byDoc.orderBy(col("df"), col("s"))))
+      .filter(col("rn") <= col("sz") - ceilT + 1)
+      .select(col("doc_id"), col("sz"), col("rn"), col("s"))
       .cache() // both sides of the self-join below
 
     // Candidate pairs grouped so the PPJoin positional filter (Xiao et
