@@ -154,6 +154,58 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-bucketed APPROXIMATE k-NN join — the scale path when the query
+    * side is the whole corpus (knnJoin's driver-held query array stops
+    * making sense at millions of queries). Both sides bucket by
+    * centroid: every vector probes its `nProbe` nearest centroids
+    * (map-side, centroids inlined as literals — same zero-shuffle
+    * argmax as assignToCentroids, extended to top-nProbe), candidates
+    * come from the bucket equi-join, and a per-query window ranks them.
+    * Per-query candidate volume is Σ probed-bucket sizes ≈
+    * |corpus|·nProbe/nCentroids — the IVF contract: scale nCentroids
+    * with the corpus and the join stays bucket-local, never all-pairs.
+    *
+    * Approximate: a true neighbor outside every probed bucket is
+    * missed (recall measured against knnJoin in the spec). Fully
+    * deterministic (seeded centroids, fixed iteration), so the whole
+    * pipeline is DuckDB-expressible and the driver query is
+    * hash-verified end to end. Ties: centroid ranks break by c_id DESC
+    * (assignToCentroids' greatest-struct semantics), neighbor ranks by
+    * vec_id ASC.
+    */
+  def ivfKnnJoin(spark: SparkSession, emb: DataFrame, k: Int = 5,
+      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    require(k >= 1 && nProbe >= 1 && nCentroids >= nProbe,
+      s"need nCentroids >= nProbe >= 1 and k >= 1")
+    val seeds = seedCentroids(emb, nCentroids)
+    val refined = kmeansRefine(spark, assignToCentroids(emb, seeds)).cache()
+    val assigned = assignToCentroids(emb, refined)
+    val cents = refined.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    refined.unpersist()
+    // per-vector top-nProbe probe centroids: sort_array on literal
+    // struct candidates, negated sim for descending order — map-side
+    val cands = array(cents.map { case (id, v) =>
+      struct((-cosine(col("embedding"), litVec(v))).as("nsim"),
+        (-lit(id)).as("nc_id"))
+    }.toSeq: _*)
+    val probes = emb.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_vec"),
+        explode(slice(sort_array(cands), 1, nProbe)).as("p"))
+      .select(col("q_id"), col("q_vec"), (-col("p.nc_id")).as("probe_cid"))
+    val ranked = probes.join(assigned,
+        probes("probe_cid") === assigned("centroid_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("q_vec"), col("embedding")).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    ranked
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"), round(col("sim"), 6).as("cosine"))
+  }
+
   /** Exact k-NN JOIN: for every query vector, the k most-cosine-similar
     * corpus vectors (the query's own vec_id excluded). The multi-query
     * generalization of bruteForceTopK, and the batch shape of

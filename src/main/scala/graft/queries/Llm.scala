@@ -445,6 +445,37 @@ object Llm {
              |SELECT q_id, vec_id, round(sim, 6) AS cosine
              |FROM r WHERE rn <= 5""".stripMargin)),
 
+    // ---- IVF-bucketed approximate k-NN join (the ANN-join scale path)
+    // Deterministic end to end (seeded centroids, one refine iteration,
+    // literal-inlined probe ranking), so even the APPROXIMATE result is
+    // DuckDB-expressible and hash-verified: same buckets, same probes,
+    // same candidates, same ranks in both engines.
+    GQ("llm_knn_join_ivf",
+      (s, dir) => Similarity.ivfKnnJoin(s, t(s, dir).embeddings,
+        k = 5, nCentroids = 16, nProbe = 4),
+      Some(s"""WITH ${KmOracle.seeds(16)},
+             |${KmOracle.assign("seeds", "iasg0")},
+             |${KmOracle.refine("iasg0", "iref1")},
+             |${KmOracle.assign("iref1", "iasg1")},
+             |ip AS (
+             |  SELECT vec_id AS q_id, embedding AS q_vec,
+             |         c_id AS probe_cid FROM (
+             |    SELECT e.vec_id, e.embedding, s.c_id,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY ${KmOracle.cos("e.embedding", "s.c_vec")} DESC,
+             |          s.c_id DESC) AS rn
+             |    FROM embeddings e CROSS JOIN iref1 s) WHERE rn <= 4),
+             |icand AS (
+             |  SELECT p.q_id, a.vec_id,
+             |         ${KmOracle.cos("p.q_vec", "a.embedding")} AS sim
+             |  FROM ip p JOIN iasg1 a ON a.centroid_id = p.probe_cid
+             |  WHERE a.vec_id <> p.q_id),
+             |ir AS (SELECT q_id, vec_id, sim,
+             |    row_number() OVER (PARTITION BY q_id
+             |      ORDER BY sim DESC, vec_id ASC) AS rn FROM icand)
+             |SELECT q_id, vec_id, round(sim, 6) AS cosine
+             |FROM ir WHERE rn <= 5""".stripMargin)),
+
     // ---- k-means document clustering over embeddings ------------------
     GQ("llm_kmeans_clusters",
       (s, dir) => Similarity.kmeans(s, t(s, dir).embeddings, k = 8, iters = 3)

@@ -160,6 +160,36 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got.contains((0L, 777777L, 1.0)))
   }
 
+  test("IVF knn join: planted twins found (recall provable), deterministic") {
+    // a shifted exact copy of EVERY vector: each query's true top-1 is
+    // its twin, and an identical vector probes the identical centroid
+    // list, so IVF recall on twins is deterministically 1.0 — no
+    // bucketing luck involved
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val twins = base.select((col("vec_id") + 500000L).as("vec_id"),
+      col("embedding"))
+    val all = base.union(twins)
+    val out = Similarity.ivfKnnJoin(spark, all, k = 3,
+      nCentroids = 8, nProbe = 2)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val n = base.count()
+    // every base query's result contains its twin at cosine 1.0
+    val top = rows.groupBy(_._1)
+    (0L until n).foreach { q =>
+      assert(top(q).exists(p => p._2 == q + 500000L && p._3 == 1.0),
+        s"query $q missing its twin")
+    }
+    // well-formed: ≤ k rows per query, no self matches
+    assert(rows.groupBy(_._1).forall(_._2.length <= 3))
+    assert(!rows.exists(p => p._1 == p._2))
+    // deterministic: a second run is identical
+    val again = Similarity.ivfKnnJoin(spark, all, k = 3,
+      nCentroids = 8, nProbe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSet === again.toSet)
+  }
+
   test("IVF top-k recall vs brute force is reasonable on probed buckets") {
     val q = emb.filter(col("vec_id") === 7).select("embedding")
       .head().getSeq[Float](0).toIndexedSeq
