@@ -112,6 +112,33 @@ object LlmScaleCheck {
     println(s"[scale] knn: ≡ brute force on all $nQ queries (${got.size} rows) OK")
     knn.unpersist()
 
+    // ---- ivfKnnJoin: 40k vectors (20k + a twin each), corpus-vs-corpus
+    // Every vector is a query here, so candidate volume is
+    // n · nProbe · bucketSize — the knob that keeps it off all-pairs is
+    // nCentroids. Twin recall must be 1.0 (identical vectors share every
+    // probe), which exercises bucket assignment + join end to end at
+    // 20× the bench corpus.
+    val nIvf = 20_000L
+    val ivfBase = spark.range(nIvf).select(col("id").as("vec_id"))
+      .select(col("vec_id"), vecExpr.as("embedding"))
+    val ivfTwins = ivfBase.select((col("vec_id") + 20_000_000L).as("vec_id"),
+      col("embedding"))
+    t0 = System.nanoTime()
+    val ivfOut = graft.llm.Similarity.ivfKnnJoin(spark,
+        ivfBase.union(ivfTwins), k = 3, nCentroids = 64, nProbe = 2)
+      .cache()
+    val nIvfRows = ivfOut.count()
+    val ivfSec = (System.nanoTime() - t0) / 1e9
+    println(f"[scale] ivf-knn: ${2 * nIvf} vecs -> $nIvfRows rows in $ivfSec%.1f s")
+    val twinHits = ivfOut
+      .filter(col("vec_id") === col("q_id") + 20_000_000L &&
+        col("cosine") === 1.0)
+      .count()
+    require(twinHits == nIvf,
+      s"ivf twin recall $twinHits/$nIvf (base-side queries)")
+    println(s"[scale] ivf-knn: twin recall $twinHits/$nIvf OK")
+    ivfOut.unpersist()
+
     // ---- DistributedPercentile: 20M rows, 5 groups, vs built-in -------
     val pr = spark.range(nRows).select(
       pmod(col("id"), lit(5L)).cast("string").as("g"),
@@ -133,7 +160,7 @@ object LlmScaleCheck {
       s"selection percentiles != built-in: $sel vs $builtin")
     println(s"[scale] percentile: bit-identical to built-in on ${sel.size} groups OK")
 
-    println(f"""{"jaccard_docs":${nDocs + nPlant},"jaccard_pairs":$nPairs,"jaccard_sec":$jacSec%.1f,"knn_vecs":${nVecs + nQ},"knn_sec":$knnSec%.1f,"pct_rows":$nRows,"pct_sec":$pSec%.1f}""")
+    println(f"""{"jaccard_docs":${nDocs + nPlant},"jaccard_pairs":$nPairs,"jaccard_sec":$jacSec%.1f,"knn_vecs":${nVecs + nQ},"knn_sec":$knnSec%.1f,"ivf_vecs":${2 * nIvf},"ivf_sec":$ivfSec%.1f,"pct_rows":$nRows,"pct_sec":$pSec%.1f}""")
     spark.stop()
   }
 }

@@ -67,16 +67,22 @@ object Similarity {
     * which dominates k-means cost and is exactly the shuffle a 100 TB
     * corpus cannot afford).
     */
-  def assignToCentroids(emb: DataFrame, centroids: DataFrame): DataFrame = {
-    val cents = centroids.select(col("c_id"), col("c_vec")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+  def assignToCentroids(emb: DataFrame, centroids: DataFrame): DataFrame =
+    assignToCentroids(emb, centroids.select(col("c_id"), col("c_vec"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq)
+
+  /** Same, from already-collected centroids — callers that also need the
+    * centroid values locally (probe ranking) collect once, not twice.
+    */
+  def assignToCentroids(emb: DataFrame,
+      cents: Seq[(Long, Seq[Float])]): DataFrame = {
     require(cents.nonEmpty, "assignToCentroids: empty centroid table")
     val cands = cents.map { case (id, v) =>
       struct(cosine(col("embedding"), litVec(v)).as("sim"),
         lit(id).as("c_id"))
     }
     val best =
-      if (cands.length == 1) cands.head else greatest(cands.toSeq: _*)
+      if (cands.length == 1) cands.head else greatest(cands: _*)
     emb.select(col("vec_id"), col("embedding"),
       best.getField("c_id").as("centroid_id"))
   }
@@ -166,30 +172,41 @@ object Similarity {
     * with the corpus and the join stays bucket-local, never all-pairs.
     *
     * Approximate: a true neighbor outside every probed bucket is
-    * missed (recall measured against knnJoin in the spec). Fully
-    * deterministic (seeded centroids, fixed iteration), so the whole
-    * pipeline is DuckDB-expressible and the driver query is
+    * missed (recall vs exact knnJoin measured and floor-pinned in the
+    * spec; planted identical twins prove recall 1.0 on duplicates).
+    * Fully deterministic (seeded centroids, fixed iteration), so the
+    * whole pipeline is DuckDB-expressible and the driver query is
     * hash-verified end to end. Ties: centroid ranks break by c_id DESC
     * (assignToCentroids' greatest-struct semantics), neighbor ranks by
     * vec_id ASC.
+    *
+    * Contract: null embeddings are dropped up front; zero-norm vectors
+    * (NaN cosine) are undefined behavior — engines order NaN
+    * differently, so filter them out upstream. The literal-inlined
+    * centroid set caps nCentroids at ~100 (plan size grows per
+    * centroid); a deployment needing thousands of buckets would swap
+    * the inlined argmax for a broadcast centroid-table join — the
+    * bucket-join shape downstream is unchanged.
     */
   def ivfKnnJoin(spark: SparkSession, emb: DataFrame, k: Int = 5,
-      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+      nCentroids: Int = 16, nProbe: Int = 4, dim: Int = 64): DataFrame = {
     require(k >= 1 && nProbe >= 1 && nCentroids >= nProbe,
       s"need nCentroids >= nProbe >= 1 and k >= 1")
-    val seeds = seedCentroids(emb, nCentroids)
-    val refined = kmeansRefine(spark, assignToCentroids(emb, seeds)).cache()
-    val assigned = assignToCentroids(emb, refined)
+    val vecs = emb.filter(col("embedding").isNotNull)
+    val seeds = seedCentroids(vecs, nCentroids)
+    val refined =
+      kmeansRefine(spark, assignToCentroids(vecs, seeds), dim).cache()
     val cents = refined.collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
     refined.unpersist()
+    val assigned = assignToCentroids(vecs, cents)
     // per-vector top-nProbe probe centroids: sort_array on literal
     // struct candidates, negated sim for descending order — map-side
     val cands = array(cents.map { case (id, v) =>
       struct((-cosine(col("embedding"), litVec(v))).as("nsim"),
         (-lit(id)).as("nc_id"))
     }.toSeq: _*)
-    val probes = emb.select(col("vec_id").as("q_id"),
+    val probes = vecs.select(col("vec_id").as("q_id"),
         col("embedding").as("q_vec"),
         explode(slice(sort_array(cands), 1, nProbe)).as("p"))
       .select(col("q_id"), col("q_vec"), (-col("p.nc_id")).as("probe_cid"))

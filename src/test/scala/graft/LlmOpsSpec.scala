@@ -190,6 +190,32 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rows.toSet === again.toSet)
   }
 
+  test("IVF knn join recall vs exact knnJoin is floor-pinned") {
+    // the REAL approximation quality measurement (twins alone can't see
+    // a probe/bucket regression — duplicates always share the top
+    // bucket). Deterministic data → deterministic recall → a floor is
+    // safe to pin; measured 2026-08-12: 0.473 at 2/8 probes, 0.745 at
+    // 4/8, on the sf0.001 embeddings.
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val queries = base.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).sortBy(_._1).toSeq
+    val exact = Similarity.knnJoin(base, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfKnnJoin(spark, base, k = 5,
+      nCentroids = 8, nProbe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf & exact).size.toDouble / exact.size
+    info(f"IVF recall at nProbe=2/8: $recall%.3f")
+    assert(recall >= 0.4, f"recall collapsed: $recall%.3f")
+    // more probes must not lose recall
+    val ivf4 = Similarity.ivfKnnJoin(spark, base, k = 5,
+      nCentroids = 8, nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall4 = (ivf4 & exact).size.toDouble / exact.size
+    info(f"IVF recall at nProbe=4/8: $recall4%.3f")
+    assert(recall4 >= recall)
+  }
+
   test("IVF top-k recall vs brute force is reasonable on probed buckets") {
     val q = emb.filter(col("vec_id") === 7).select("embedding")
       .head().getSeq[Float](0).toIndexedSeq
