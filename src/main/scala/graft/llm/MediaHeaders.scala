@@ -129,22 +129,17 @@ object MediaHeaders {
   }
 
   /** 16-bit mono PCM WAV whose data chunk holds the REAL samples (the
-    * text-tail variant `wavBytes` declares a size its body doesn't
+    * text-tail variant of `wavBytes` declares a size its body doesn't
     * carry — fine for header parsing, useless for sample decode).
+    * Delegates to `wavBytes`, whose declared data size for
+    * (nSamples = samples.length, mono, 16-bit) is exactly the tail
+    * length here.
     */
   def wavBytesPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
-    val dataSize = samples.length * 2
-    val b = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
-    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
-    b.put("WAVE".getBytes("US-ASCII"))
-    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
-    b.putShort(1).putShort(1)
-    b.putInt(sampleRate)
-    b.putInt(sampleRate * 2)
-    b.putShort(2).putShort(16)
-    b.put("data".getBytes("US-ASCII")).putInt(dataSize)
-    samples.foreach(s => b.putShort(s))
-    b.array()
+    val tail = ByteBuffer.allocate(samples.length * 2)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(tail.putShort)
+    wavBytes(sampleRate, 1, 16, samples.length, tail.array())
   }
 
   // ---- parser (the real decode path) ----------------------------------

@@ -1,7 +1,9 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructType}
 
 /** Similarity search over an embedding column (ArrayType(FloatType)).
   *
@@ -205,7 +207,7 @@ object Similarity {
     val cands = array(cents.map { case (id, v) =>
       struct((-cosine(col("embedding"), litVec(v))).as("nsim"),
         (-lit(id)).as("nc_id"))
-    }.toSeq: _*)
+    }: _*)
     val probes = vecs.select(col("vec_id").as("q_id"),
         col("embedding").as("q_vec"),
         explode(slice(sort_array(cands), 1, nProbe)).as("p"))
@@ -215,9 +217,17 @@ object Similarity {
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"),
         cosine(col("q_vec"), col("embedding")).as("sim"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+    topKPerQuery(ranked, k)
+  }
+
+  /** Shared k-NN tail: rank (q_id, vec_id, sim) candidates per query —
+    * descending sim, ascending vec_id tiebreak on EXACT doubles — keep
+    * k, round only on output.
+    */
+  private def topKPerQuery(cands: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
-    ranked
+    cands
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("q_id"), col("vec_id"), round(col("sim"), 6).as("cosine"))
@@ -259,10 +269,10 @@ object Similarity {
         if (c != 0) c else java.lang.Long.compare(a._2, b._2)
       }
     }
-    val midSchema = new org.apache.spark.sql.types.StructType()
-      .add("q_id", org.apache.spark.sql.types.LongType, nullable = false)
-      .add("vec_id", org.apache.spark.sql.types.LongType, nullable = false)
-      .add("sim", org.apache.spark.sql.types.DoubleType, nullable = false)
+    val midSchema = new StructType()
+      .add("q_id", LongType, nullable = false)
+      .add("vec_id", LongType, nullable = false)
+      .add("sim", DoubleType, nullable = false)
     val partial = emb.select(col("vec_id"), col("embedding"))
       .mapPartitions { it =>
         val qs = bq.value
@@ -301,19 +311,12 @@ object Similarity {
           }
         }
         qs.iterator.zip(heaps.iterator).flatMap { case ((qid, _), h) =>
-          h.iterator.map { case (sim, id) =>
-            org.apache.spark.sql.Row(qid, id, sim)
-          }
+          h.iterator.map { case (sim, id) => Row(qid, id, sim) }
         }
-      }(org.apache.spark.sql.Encoders.row(midSchema))
+      }(Encoders.row(midSchema))
 
     // partitions × queries × k survivors — window cost is bounded by
     // the partition count, not the corpus
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("vec_id").asc)
-    partial
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("vec_id"), round(col("sim"), 6).as("cosine"))
+    topKPerQuery(partial, k)
   }
 }
