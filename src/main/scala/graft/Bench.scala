@@ -79,6 +79,17 @@ object Bench {
       f"""{"dijkstra_ms":$dj%.1f,"astar_ms":$as%.1f,"yen3_ms":$yn%.1f,"nodes":${lg.n}}"""
     } catch { case _: Throwable => "{}" }
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"graph_kernels":$kernels,"loadavg_start":$loadStart,"loadavg_end":${loadavg()},"sf":"$sfDir"}""")
+    // The harness that collects this output keeps only a ~2 KB stdout
+    // tail; with ~80 queries the full line above outgrows that window and
+    // its head (metric/total) gets truncated away. Repeat the headline
+    // numbers in a compact LAST line that always fits: total, per-family
+    // subtotals, the slowest 10 queries, kernels, load.
+    val slow = results.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
+    def fam(p: String): Double =
+      results.collect { case (k, v) if k.startsWith(p) => v }.sum
+    val fams = f""""q":${fam("q")}%.1f,"llm":${fam("llm")}%.1f,"g":${fam("g")}%.1f,"stream":${fam("stream")}%.1f"""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"family_sec":{$fams},"slowest":$slow,"graph_kernels":$kernels,"loadavg_start":$loadStart,"loadavg_end":${loadavg()},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -54,5 +54,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         TokenSetCountExpr(exprs(0),
           GraftFunctions.litStringSeq(exprs(1), "graft_count_in_set", "set"))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nearest_centroids"),
+      new ExpressionInfo(classOf[NearestCentroidsExpr].getName,
+        "graft_nearest_centroids"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        NearestCentroidsExpr(exprs(0),
+          GraftFunctions.litLongSeq(exprs(1), "graft_nearest_centroids", "ids"),
+          GraftFunctions.litFloatMatrix(exprs(2), "graft_nearest_centroids", "vecs"),
+          GraftFunctions.litPosInt(exprs(3), "graft_nearest_centroids", "n"))))
   }
 }

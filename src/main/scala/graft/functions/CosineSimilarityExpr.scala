@@ -125,6 +125,53 @@ object GraftFunctions {
     }
   }
 
+  /** Evaluate a function argument that must be a foldable array<bigint>
+    * literal (centroid-id tables baked into the expression at plan time).
+    */
+  private[graft] def litLongSeq(e: Expression, fn: String,
+      arg: String): Seq[Long] = {
+    val ok = e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, _) => e.foldable
+      case _ => false
+    }
+    if (!ok)
+      throw new IllegalArgumentException(
+        s"$fn: argument '$arg' must be a literal array<bigint>, got ${e.sql}")
+    e.eval(null) match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData => a.toLongArray().toSeq
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument '$arg' must be a literal array<bigint>, got $other")
+    }
+  }
+
+  /** Evaluate a function argument that must be a foldable
+    * array<array<float>> literal (centroid-vector tables).
+    */
+  private[graft] def litFloatMatrix(e: Expression, fn: String,
+      arg: String): Seq[Seq[Float]] = {
+    val ok = e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, _), _) => e.foldable
+      case _ => false
+    }
+    if (!ok)
+      throw new IllegalArgumentException(
+        s"$fn: argument '$arg' must be a literal array<array<float>>, got ${e.sql}")
+    e.eval(null) match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        (0 until a.numElements()).map { i =>
+          val row = a.getArray(i)
+          if (row == null) throw new IllegalArgumentException(
+            s"$fn: argument '$arg' must not contain null vectors")
+          row.toFloatArray().toSeq
+        }
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument '$arg' must be a literal array<array<float>>, got $other")
+    }
+  }
+
   // per-session registration guard: column builders call register() on
   // every invocation (langScores alone calls it four times per column),
   // so short-circuit repeat registrations instead of re-replacing all
@@ -167,6 +214,13 @@ object GraftFunctions {
       "graft_count_in_set",
       exprs => TokenSetCountExpr(exprs(0),
         litStringSeq(exprs(1), "graft_count_in_set", "set")),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nearest_centroids",
+      exprs => NearestCentroidsExpr(exprs(0),
+        litLongSeq(exprs(1), "graft_nearest_centroids", "ids"),
+        litFloatMatrix(exprs(2), "graft_nearest_centroids", "vecs"),
+        litPosInt(exprs(3), "graft_nearest_centroids", "n")),
       "built-in")
   }
 

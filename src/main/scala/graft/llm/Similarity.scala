@@ -44,6 +44,18 @@ object Similarity {
   private def litVec(v: Seq[Float]): Column =
     array(v.map(x => lit(x)): _*)
 
+  /** Heap ordering for bounded top-k: head = the WORST kept candidate
+    * (lowest sim; ties: larger vec_id), so eviction is an O(log k)
+    * replace. Serializable — it is closed over by executor-side tasks.
+    */
+  private val worstFirst: Ordering[(Double, Long)] =
+    new Ordering[(Double, Long)] with Serializable {
+      def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    }
+
   /** Exact brute-force cosine top-k against a literal query vector. */
   def bruteForceTopK(emb: DataFrame, query: Seq[Float], k: Int): DataFrame =
     emb.select(col("vec_id"),
@@ -60,14 +72,30 @@ object Similarity {
     emb.orderBy(col("vec_id").asc).limit(nCentroids)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
 
+  /** Top-`n` nearest centroid ids (cosine desc, ties to larger c_id) of
+    * the embedding column against a collected centroid table — the
+    * native NearestCentroidsExpr kernel. The table rides the plan as ONE
+    * literal pair (ids, matrix) shared by all rows, so plan size and
+    * codegen compile time are independent of the centroid count: the
+    * previous greatest/sort_array-over-literal-structs formulation grew
+    * the generated Java linearly with k, capping usable tables at ~100
+    * centroids and costing cold runs seconds of Janino compile.
+    */
+  private[graft] def nearestCentroids(emb: Column,
+      cents: Seq[(Long, Seq[Float])], n: Int): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    graft.functions.GraftFunctions.register(spark)
+    call_function("graft_nearest_centroids", emb,
+      typedLit(cents.map(_._1)), typedLit(cents.map(_._2)), lit(n))
+  }
+
   /** Assign every vector to its nearest centroid from an explicit
     * (c_id, c_vec) table. The centroid table is k rows by construction,
-    * so it is collected and inlined as literal vectors: the argmax
-    * becomes `greatest` over k struct(sim, c_id) candidates — a pure
-    * map-side projection with NO shuffle (the crossJoin + groupBy
+    * so it is collected and baked into a native argmax expression — a
+    * pure map-side projection with NO shuffle (the crossJoin + groupBy
     * formulation shuffled every embedding twice per assignment round,
     * which dominates k-means cost and is exactly the shuffle a 100 TB
-    * corpus cannot afford).
+    * corpus cannot afford). Null embeddings assign to a null centroid.
     */
   def assignToCentroids(emb: DataFrame, centroids: DataFrame): DataFrame =
     assignToCentroids(emb, centroids.select(col("c_id"), col("c_vec"))
@@ -79,14 +107,9 @@ object Similarity {
   def assignToCentroids(emb: DataFrame,
       cents: Seq[(Long, Seq[Float])]): DataFrame = {
     require(cents.nonEmpty, "assignToCentroids: empty centroid table")
-    val cands = cents.map { case (id, v) =>
-      struct(cosine(col("embedding"), litVec(v)).as("sim"),
-        lit(id).as("c_id"))
-    }
-    val best =
-      if (cands.length == 1) cands.head else greatest(cands: _*)
     emb.select(col("vec_id"), col("embedding"),
-      best.getField("c_id").as("centroid_id"))
+      element_at(nearestCentroids(col("embedding"), cents, 1), 1)
+        .as("centroid_id"))
   }
 
   def ivfAssign(spark: SparkSession, emb: DataFrame, nCentroids: Int = 16)
@@ -122,11 +145,16 @@ object Similarity {
     */
   def kmeans(spark: SparkSession, emb: DataFrame, k: Int, iters: Int = 5)
       : DataFrame = {
-    var cents = seedCentroids(emb, k)
+    // cache the corpus for the refine loop: every iteration re-reads it
+    // for assignment + mean aggregation, so an uncached loop costs
+    // 2·iters full corpus scans — the dominant I/O at 100 TB (disk-
+    // spillable storage level, same trade MLlib's KMeans makes)
+    val vecs = emb.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents = seedCentroids(vecs, k)
     var prev: Option[DataFrame] = None
     var i = 0
     while (i < iters) {
-      val next = kmeansRefine(spark, assignToCentroids(emb, cents)).cache()
+      val next = kmeansRefine(spark, assignToCentroids(vecs, cents)).cache()
       next.count()
       // drop the previous iteration's cached centroids — repeated kmeans
       // calls in a long-lived session must not accumulate cached blocks
@@ -135,8 +163,13 @@ object Similarity {
       cents = next
       i += 1
     }
-    val out = assignToCentroids(emb, cents)
+    // final assignment: collect the k refined centroids BEFORE releasing
+    // the loop caches, so the returned (lazy) plan holds only literals
+    val out = assignToCentroids(emb,
+      cents.select(col("c_id"), col("c_vec")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq)
     prev.foreach(_.unpersist())
+    vecs.unpersist()
     out
   }
 
@@ -184,11 +217,12 @@ object Similarity {
     *
     * Contract: null embeddings are dropped up front; zero-norm vectors
     * (NaN cosine) are undefined behavior — engines order NaN
-    * differently, so filter them out upstream. The literal-inlined
-    * centroid set caps nCentroids at ~100 (plan size grows per
-    * centroid); a deployment needing thousands of buckets would swap
-    * the inlined argmax for a broadcast centroid-table join — the
-    * bucket-join shape downstream is unchanged.
+    * differently, so filter them out upstream. The centroid table rides
+    * the plan as one reference object (NearestCentroidsExpr), so
+    * thousands of buckets are fine; beyond memory-resident table sizes a
+    * deployment would swap the map-side argmax for a broadcast
+    * centroid-table join — the bucket-join shape downstream is
+    * unchanged.
     */
   def ivfKnnJoin(spark: SparkSession, emb: DataFrame, k: Int = 5,
       nCentroids: Int = 16, nProbe: Int = 4, dim: Int = 64): DataFrame = {
@@ -202,16 +236,12 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
     refined.unpersist()
     val assigned = assignToCentroids(vecs, cents)
-    // per-vector top-nProbe probe centroids: sort_array on literal
-    // struct candidates, negated sim for descending order — map-side
-    val cands = array(cents.map { case (id, v) =>
-      struct((-cosine(col("embedding"), litVec(v))).as("nsim"),
-        (-lit(id)).as("nc_id"))
-    }: _*)
+    // per-vector top-nProbe probe centroids — the same native kernel as
+    // the assignment argmax, n = nProbe; map-side, no shuffle
     val probes = vecs.select(col("vec_id").as("q_id"),
         col("embedding").as("q_vec"),
-        explode(slice(sort_array(cands), 1, nProbe)).as("p"))
-      .select(col("q_id"), col("q_vec"), (-col("p.nc_id")).as("probe_cid"))
+        explode(nearestCentroids(col("embedding"), cents, nProbe))
+          .as("probe_cid"))
     val ranked = probes.join(assigned,
         probes("probe_cid") === assigned("centroid_id"))
       .filter(col("q_id") =!= col("vec_id"))
@@ -223,11 +253,45 @@ object Similarity {
   /** Shared k-NN tail: rank (q_id, vec_id, sim) candidates per query —
     * descending sim, ascending vec_id tiebreak on EXACT doubles — keep
     * k, round only on output.
+    *
+    * A per-partition bounded-heap pass runs BEFORE the window: each
+    * partition keeps at most k candidates per query it sees, so the
+    * window's shuffle moves ≤ partitions × queries × k rows instead of
+    * every candidate (the IVF join feeds |corpus|·nProbe/nCentroids
+    * candidates per query — at scale that shuffle, not the cosine math,
+    * is the bottleneck). Partial top-k is exact: per-query global top-k
+    * under the total order (sim desc, vec_id asc) survives any
+    * partition-local pre-filter that keeps each partition's local top-k.
     */
   private def topKPerQuery(cands: DataFrame, k: Int): DataFrame = {
+    val midSchema = new StructType()
+      .add("q_id", LongType, nullable = false)
+      .add("vec_id", LongType, nullable = false)
+      .add("sim", DoubleType, nullable = false)
+    val partial = cands.select(col("q_id"), col("vec_id"), col("sim"))
+      .mapPartitions { it =>
+        val heaps = new java.util.HashMap[
+          Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]()
+        it.foreach { r =>
+          if (!r.isNullAt(2)) {
+            val h = heaps.computeIfAbsent(r.getLong(0), _ =>
+              new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+                worstFirst))
+            val cand = (r.getDouble(2), r.getLong(1))
+            if (h.size < k) h.enqueue(cand)
+            else if (worstFirst.compare(cand, h.head) < 0) {
+              h.dequeue(); h.enqueue(cand)
+            }
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        heaps.entrySet().iterator().asScala.flatMap { e =>
+          e.getValue.iterator.map { case (sim, id) => Row(e.getKey, id, sim) }
+        }
+      }(Encoders.row(midSchema))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
-    cands
+    partial
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("q_id"), col("vec_id"), round(col("sim"), 6).as("cosine"))
@@ -261,14 +325,6 @@ object Similarity {
     val qArr = queries.map { case (id, v) => (id, v.toArray) }.toArray
     val bq = spark.sparkContext.broadcast(qArr)
 
-    // head of the priority queue = the WORST kept candidate (lowest
-    // sim; ties: larger vec_id), so eviction is an O(log k) replace
-    val worstFirst: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
-      def compare(a: (Double, Long), b: (Double, Long)): Int = {
-        val c = java.lang.Double.compare(b._1, a._1)
-        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
-      }
-    }
     val midSchema = new StructType()
       .add("q_id", LongType, nullable = false)
       .add("vec_id", LongType, nullable = false)

@@ -141,6 +141,52 @@ class FunctionsSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("literal array")))
   }
 
+  test("graft_nearest_centroids ≡ greatest/sort_array over literal structs") {
+    GraftFunctions.register(spark)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = emb.orderBy(col("vec_id").asc).limit(7)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    // the formulation the native kernel replaced: greatest over
+    // struct(cosine(emb, lit_vec), c_id) candidates — must agree on
+    // every row, including the argmax tiebreak, for n = 1 ...
+    val litCands = cents.map { case (id, v) =>
+      struct(call_function("graft_cosine", col("embedding"),
+        array(v.map(x => lit(x)): _*)).as("sim"), lit(id).as("c_id"))
+    }
+    val both = emb.select(
+      greatest(litCands: _*).getField("c_id").as("old_best"),
+      element_at(Similarity.nearestCentroids(col("embedding"), cents, 1), 1)
+        .as("new_best"),
+      // ... and on the full probe ordering for n = 3 (sim desc, c_id
+      // desc via ascending sort on negated fields)
+      transform(slice(sort_array(array(cents.map { case (id, v) =>
+        struct((-call_function("graft_cosine", col("embedding"),
+          array(v.map(x => lit(x)): _*))).as("nsim"), (-lit(id)).as("nc_id"))
+      }: _*)), 1, 3), p => -p.getField("nc_id")).as("old_top3"),
+      Similarity.nearestCentroids(col("embedding"), cents, 3).as("new_top3"))
+    both.collect().foreach { r =>
+      assert(r.getLong(0) === r.getLong(1))
+      assert(r.getSeq[Long](2) === r.getSeq[Long](3))
+    }
+  }
+
+  test("graft_nearest_centroids: ties to larger id, null-safe, n > k capped") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val v = Seq(1.0f, 2.0f, 3.0f)
+    // centroids 10 and 20 are identical → equal sims → larger id wins
+    val cents = Seq((10L, v), (20L, v), (5L, Seq(-1.0f, -2.0f, -3.0f)))
+    val rows = Seq((1L, Some(v)), (2L, None))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        Similarity.nearestCentroids(
+          col("embedding").cast("array<float>"), cents, 5).as("top"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Long](1))).toMap
+    assert(rows(1L) === Seq(20L, 10L, 5L)) // tie → 20 before 10; capped at k=3
+    assert(rows(2L) === null)              // null embedding → null result
+  }
+
   test("graft_hyperplane: deterministic, bit-bounded, near-dup vectors collide") {
     GraftFunctions.register(spark)
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
