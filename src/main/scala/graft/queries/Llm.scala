@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.GQ
 import graft.core.Tables
-import graft.llm.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Curation, Dedup, Multimodal, Scoring, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings`
   * (north-star surface, SURVEY §7.4): dedup family, similarity search,
@@ -606,6 +606,84 @@ object Llm {
              |  CAST((ct - 1) // 512 AS BIGINT) AS last_seq,
              |  CAST((ct - 1) // 512 - (ct - ntok) // 512 + 1 AS BIGINT) AS n_seqs
              |FROM c""".stripMargin)),
+
+    // ---- sharded inverted index (token → df + sorted postings) --------
+    // postings project to a CSV digest for the gate: the hash-compare
+    // sorts rows by every output column, which list-typed cells break
+    GQ("llm_inverted_index",
+      (s, dir) => Scoring.invertedIndex(t(s, dir).documents, shards = 16)
+        .select(col("tok"), col("shard"), col("df_shard"),
+          array_join(col("postings"), ",").as("postings_csv")),
+      Some("""SELECT tok, doc_id % 16 AS shard, count(*) AS df_shard,
+             |       array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings_csv
+             |FROM (SELECT doc_id, unnest(list_distinct(
+             |        regexp_split_to_array(lower(trim(text)), '\s+'))) AS tok
+             |      FROM documents)
+             |WHERE tok <> '' GROUP BY 1, 2""".stripMargin)),
+
+    // ---- BM25 retrieval scoring against a fixed query ------------------
+    // micro-unit integer summation makes the doc score order-independent
+    // → hash-oracled end to end (see llm.Scoring determinism contract)
+    GQ("llm_bm25",
+      (s, dir) => Scoring.bm25(t(s, dir).documents,
+        terms = Seq("spark", "query", "vector", "window")),
+      Some("""WITH mb AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+             |  FROM documents),
+             |mbl AS (SELECT doc_id, tk, len(tk) AS dl FROM mb),
+             |mst AS (SELECT count(*) AS n,
+             |        CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM mbl),
+             |mdf AS (SELECT tok, count(*) AS df FROM (
+             |    SELECT doc_id, unnest(list_distinct(tk)) AS tok FROM mbl)
+             |  WHERE tok IN ('spark','query','vector','window') GROUP BY 1),
+             |mtf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM (
+             |    SELECT doc_id, dl, unnest(tk) AS tok FROM mbl)
+             |  WHERE tok IN ('spark','query','vector','window') GROUP BY 1, 2, 3)
+             |SELECT t.doc_id, count(*) AS n_matched,
+             |  round(sum(CAST(round(
+             |    ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * (t.tf * (1.2 + 1))
+             |      / (t.tf + 1.2 * ((1 - 0.75) + (0.75 * t.dl) / s.avgdl))
+             |    * 1e6, 0) AS BIGINT)) / 1e6, 6) AS score
+             |FROM mtf t JOIN mdf d USING (tok) CROSS JOIN mst s
+             |GROUP BY 1""".stripMargin)),
+
+    // ---- bigram-LM perplexity scoring (self-trained, add-k smoothed) --
+    GQ("llm_bigram_nll",
+      (s, dir) => Scoring.bigramNll(t(s, dir).documents, k = 0.5),
+      Some("""WITH gb AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+             |  FROM documents),
+             |gbg AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+             |        FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM gb)
+             |        WHERE tk[i] <> '' AND tk[i+1] <> ''),
+             |gc2 AS (SELECT w1, w2, count(*) AS c2 FROM gbg GROUP BY 1, 2),
+             |gc1 AS (SELECT w1, sum(c2) AS c1 FROM gc2 GROUP BY 1),
+             |gv AS (SELECT count(DISTINCT tok) AS v FROM
+             |        (SELECT unnest(tk) AS tok FROM gb) WHERE tok <> ''),
+             |gm AS (SELECT c.w1, c.w2, CAST(round(
+             |    -ln((c.c2 + 0.5) / (p.c1 + 0.5 * (SELECT v FROM gv))) * 1e6, 0)
+             |    AS BIGINT) AS nll_micro
+             |  FROM gc2 c JOIN gc1 p USING (w1))
+             |SELECT b.doc_id, count(*) AS n_bigrams,
+             |  round(sum(m.nll_micro) / count(*) / 1e6, 6) AS avg_nll
+             |FROM gbg b JOIN gm m USING (w1, w2)
+             |GROUP BY 1""".stripMargin)),
+
+    // ---- deterministic content-keyed train/val/test split -------------
+    GQ("llm_split_assign",
+      (s, dir) => Scoring.splitAssign(t(s, dir).documents,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
+      Some {
+        val bounds = Scoring.hex4Bounds(
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        val fp = "substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 4)"
+        s"""SELECT doc_id, lang,
+           |  CASE ${bounds.init.map { case (n, b) =>
+                 s"WHEN $fp <= '$b' THEN '$n'"
+               }.mkString(" ")}
+           |       ELSE '${bounds.last._1}' END AS split
+           |FROM documents""".stripMargin
+      }),
 
     // ---- multimodal: decode + metadata + frame sampling ---------------
     GQ("llm_multimodal_decode",
