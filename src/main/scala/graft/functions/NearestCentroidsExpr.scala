@@ -39,9 +39,12 @@ object NearestCentroidsUtil {
 
   /** True iff candidate (simA, idA) ranks strictly before (simB, idB):
     * higher sim first, ties to the LARGER centroid id — the ordering of
-    * `greatest(struct(sim, c_id))` and of
+    * `greatest(struct(sim, c_id))` and, for non-NaN sims, of
     * `sort_array(struct(-sim, -c_id))`, which the DuckDB oracles mirror
-    * with ORDER BY sim DESC, c_id DESC.
+    * with ORDER BY sim DESC, c_id DESC. (A NaN sim — zero-norm vector,
+    * documented undefined behavior upstream — ranks FIRST here as in
+    * `greatest`, whereas the negated-sort formulation ranked it last:
+    * negation does not invert NaN's position.)
     */
   private def before(simA: Double, idA: Long, simB: Double, idB: Long): Boolean = {
     val c = cmpDouble(simA, simB)
@@ -143,4 +146,11 @@ case class NearestCentroidsExpr(child: Expression, ids: Seq[Long],
     copy(child = newChild)
 
   override def prettyName: String = "graft_nearest_centroids"
+
+  // the default Expression.toString flattens constructor args, which
+  // would inline the whole centroid matrix into every explain /
+  // treeString / UI plan render — elide it to its dimensions so plan
+  // STRINGS stay size-independent too, not just the generated code
+  override def toString: String =
+    s"$prettyName($child, k=${ids.length}, n=$n)"
 }

@@ -31,14 +31,23 @@ object Scoring {
   def invertedIndex(docs: DataFrame, shards: Int = 16,
       minDf: Long = 1L): DataFrame = {
     require(shards >= 1, s"shards must be >= 1, got $shards")
-    docs.select(col("doc_id"),
+    val idx = docs.select(col("doc_id"),
         explode(array_distinct(toks(col("text")))).as("tok"))
       .filter(col("tok") =!= "")
       .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)))
       .groupBy(col("tok"), col("shard"))
       .agg(count(lit(1)).as("df_shard"),
         sort_array(collect_list(col("doc_id"))).as("postings"))
-      .filter(col("df_shard") >= minDf)
+    if (minDf <= 1L) idx
+    else {
+      // minDf thresholds the token's GLOBAL df, not the per-shard count
+      // (a rare-in-every-shard but globally-common token must survive).
+      // The window runs over |vocab| × shards index rows, not the corpus.
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))
+      idx.withColumn("df_total", sum(col("df_shard")).over(w))
+        .filter(col("df_total") >= minDf)
+        .drop("df_total")
+    }
   }
 
   /** BM25 relevance of every document against a fixed query-term set
@@ -56,31 +65,37 @@ object Scoring {
     */
   def bm25(docs: DataFrame, terms: Seq[String], k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
-    require(terms.nonEmpty, "bm25: need at least one query term")
-    require(terms.forall(_.nonEmpty), "bm25: empty query term")
+    // query terms pass through the document tokenizer's normalization —
+    // an unlowered term would otherwise silently never match anything
+    val qTerms = terms.map(_.trim.toLowerCase).filter(_.nonEmpty).distinct
+    require(qTerms.nonEmpty, "bm25: need at least one non-empty query term")
+    // tokenize once: stats, dfs and the returned tf plan all derive from
+    // this checkpoint instead of re-scanning the corpus three times
+    // (Bench/Verify release it via core.Checkpoints after materializing)
     val base = docs.select(col("doc_id"), toks(col("text")).as("tk"))
       .withColumn("dl", size(col("tk")))
-    val Array(nDocs, sumDl) = base
-      .agg(count(lit(1)), sum(col("dl"))).head() match {
-        case r => Array(r.getLong(0), r.getLong(1))
-      }
+      .localCheckpoint()
+    val statsRow = base.agg(count(lit(1)), sum(col("dl"))).head()
+    val nDocs = statsRow.getLong(0)
+    require(nDocs > 0, "bm25: empty corpus")
+    val sumDl = statsRow.getLong(1)
     val avgdl = sumDl.toDouble / nDocs
     val dfMap = base
       .select(explode(array_distinct(col("tk"))).as("tok"))
-      .filter(col("tok").isin(terms: _*))
+      .filter(col("tok").isin(qTerms: _*))
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // idf per term, driver-computed from exact integers and inlined; a
     // term absent from the corpus has df = 0 and still gets its
     // (maximal) idf — it just never matches a row
-    val idf = terms.distinct.map { t =>
+    val idf = qTerms.map { t =>
       val df = dfMap.getOrElse(t, 0L).toDouble
       t -> math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
     }
     val idfCol = element_at(
       map(idf.flatMap { case (t, v) => Seq(lit(t), lit(v)) }: _*), col("tok"))
     val tf = base.select(col("doc_id"), col("dl"), explode(col("tk")).as("tok"))
-      .filter(col("tok").isin(terms: _*))
+      .filter(col("tok").isin(qTerms: _*))
       .groupBy(col("doc_id"), col("dl"), col("tok"))
       .agg(count(lit(1)).as("tf"))
     // literal arithmetic stays in the SAME shape as the oracle SQL
@@ -114,6 +129,10 @@ object Scoring {
   def bigramNll(docs: DataFrame, k: Double = 0.5): DataFrame = {
     require(k > 0, s"add-k smoothing needs k > 0, got $k")
     val base = docs.select(col("doc_id"), toks(col("text")).as("tk"))
+    // checkpoint the extracted bigrams: the returned plan reads them on
+    // BOTH sides of the scoring join (model counts + per-doc stream), so
+    // an unmaterialized subtree would tokenize the corpus twice more
+    // (Bench/Verify release the blocks via core.Checkpoints)
     val bigrams = base
       .select(col("doc_id"), explode(arrays_zip(
         slice(col("tk"), lit(1), greatest(size(col("tk")) - 1, lit(0))).as("w1"),
@@ -121,6 +140,7 @@ object Scoring {
         .as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .filter(col("w1") =!= "" && col("w2") =!= "")
+      .localCheckpoint()
     val c2 = bigrams.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))

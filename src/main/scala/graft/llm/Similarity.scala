@@ -148,8 +148,14 @@ object Similarity {
     // cache the corpus for the refine loop: every iteration re-reads it
     // for assignment + mean aggregation, so an uncached loop costs
     // 2·iters full corpus scans — the dominant I/O at 100 TB (disk-
-    // spillable storage level, same trade MLlib's KMeans makes)
-    val vecs = emb.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // spillable storage level, same trade MLlib's KMeans makes).
+    // If the CALLER already persisted emb, reuse their cache and leave
+    // its lifecycle alone — persist+unpersist here would silently drop
+    // a cache the caller still depends on (CacheManager keys by plan).
+    val callerCached =
+      emb.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val vecs = if (callerCached) emb
+      else emb.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents = seedCentroids(vecs, k)
     var prev: Option[DataFrame] = None
     var i = 0
@@ -169,7 +175,7 @@ object Similarity {
       cents.select(col("c_id"), col("c_vec")).collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq)
     prev.foreach(_.unpersist())
-    vecs.unpersist()
+    if (!callerCached) vecs.unpersist()
     out
   }
 
@@ -263,11 +269,13 @@ object Similarity {
     * under the total order (sim desc, vec_id asc) survives any
     * partition-local pre-filter that keeps each partition's local top-k.
     */
+  /** (q_id, vec_id, sim) row shape shared by the heap passes. */
+  private val candSchema = new StructType()
+    .add("q_id", LongType, nullable = false)
+    .add("vec_id", LongType, nullable = false)
+    .add("sim", DoubleType, nullable = false)
+
   private def topKPerQuery(cands: DataFrame, k: Int): DataFrame = {
-    val midSchema = new StructType()
-      .add("q_id", LongType, nullable = false)
-      .add("vec_id", LongType, nullable = false)
-      .add("sim", DoubleType, nullable = false)
     val partial = cands.select(col("q_id"), col("vec_id"), col("sim"))
       .mapPartitions { it =>
         val heaps = new java.util.HashMap[
@@ -288,10 +296,17 @@ object Similarity {
         heaps.entrySet().iterator().asScala.flatMap { e =>
           e.getValue.iterator.map { case (sim, id) => Row(e.getKey, id, sim) }
         }
-      }(Encoders.row(midSchema))
+      }(Encoders.row(candSchema))
+    rankTail(partial, k)
+  }
+
+  /** Final exact ranking over already-bounded candidates: one window
+    * pass, rounding only on output.
+    */
+  private def rankTail(bounded: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
-    partial
+    bounded
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("q_id"), col("vec_id"), round(col("sim"), 6).as("cosine"))
@@ -325,10 +340,6 @@ object Similarity {
     val qArr = queries.map { case (id, v) => (id, v.toArray) }.toArray
     val bq = spark.sparkContext.broadcast(qArr)
 
-    val midSchema = new StructType()
-      .add("q_id", LongType, nullable = false)
-      .add("vec_id", LongType, nullable = false)
-      .add("sim", DoubleType, nullable = false)
     val partial = emb.select(col("vec_id"), col("embedding"))
       .mapPartitions { it =>
         val qs = bq.value
@@ -369,10 +380,11 @@ object Similarity {
         qs.iterator.zip(heaps.iterator).flatMap { case ((qid, _), h) =>
           h.iterator.map { case (sim, id) => Row(qid, id, sim) }
         }
-      }(Encoders.row(midSchema))
+      }(Encoders.row(candSchema))
 
-    // partitions × queries × k survivors — window cost is bounded by
-    // the partition count, not the corpus
-    topKPerQuery(partial, k)
+    // partitions × queries × k survivors, already partition-bounded —
+    // go straight to the ranking window (a second heap pass would only
+    // add a serialization boundary)
+    rankTail(partial, k)
   }
 }

@@ -42,6 +42,18 @@ class ScoringSpec extends AnyFunSuite {
     } finally idx.unpersist()
   }
 
+  test("invertedIndex minDf thresholds GLOBAL df, not per-shard counts") {
+    import spark.implicits._
+    // 'duo' appears in two docs landing in DIFFERENT shards (df_shard = 1
+    // each) — a per-shard threshold would wrongly drop it at minDf = 2
+    val docs = Seq((0L, "duo alpha"), (1L, "duo beta"), (2L, "solo"))
+      .toDF("doc_id", "text")
+    val idx = Scoring.invertedIndex(docs, shards = 2, minDf = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(idx.map(_._1).distinct.sorted === Seq("duo"))
+    assert(idx.sortBy(_._2) === Seq(("duo", 0L, 1L), ("duo", 1L, 1L)))
+  }
+
   test("bm25 matches a hand-computed three-document golden") {
     import spark.implicits._
     val docs = Seq(
@@ -95,7 +107,10 @@ class ScoringSpec extends AnyFunSuite {
       assert(a.join(b, Seq("doc_id"))
         .filter(a("split") =!= b("split")).count() === 0)
       // identical text ⇒ identical split (dups never straddle train/test)
-      val dup = docsDf.limit(1).union(docsDf.limit(1))
+      // (orderBy before limit: a bare limit(1) may pick different rows
+      // per evaluation, which would make this vacuous or flaky)
+      val one = docsDf.orderBy("doc_id").limit(1)
+      val dup = one.union(one)
       val dupSplits = Scoring.splitAssign(dup, splits)
         .select("split").collect().map(_.getString(0))
       assert(dupSplits.distinct.length === 1)
