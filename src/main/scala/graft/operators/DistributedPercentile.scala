@@ -60,19 +60,47 @@ object DistributedPercentile {
     */
   def exactMulti(df: DataFrame, groupCol: String,
       specs: Seq[(String, Seq[(String, Double)])],
+      buckets: Int = 32): DataFrame =
+    exactKeys(df, Seq(groupCol), specs, buckets)
+
+  private def containsBinary(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case BinaryType => true
+      case s: StructType => s.fields.exists(f => containsBinary(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => containsBinary(a.elementType)
+      case m: org.apache.spark.sql.types.MapType =>
+        containsBinary(m.keyType) || containsBinary(m.valueType)
+      case _ => false
+    }
+
+  /** Fully general form: compound group key (`groupCols`, in output
+    * order) × multiple value columns. The key travels as ONE struct
+    * through the range partitioning (structs order field-by-field, so
+    * the partition ranges respect the compound key) and unpacks back
+    * into its columns in the output.
+    */
+  def exactKeys(df: DataFrame, groupCols: Seq[String],
+      specs: Seq[(String, Seq[(String, Double)])],
       buckets: Int = 32): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
     require(specs.nonEmpty && specs.forall(_._2.nonEmpty),
       "need at least one percentile per value column")
     require(specs.forall(_._2.forall { case (_, p) => p >= 0.0 && p <= 1.0 }),
       s"percentiles must be in [0,1]: $specs")
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
-    require(df.schema(groupCol).dataType != BinaryType,
-      "BinaryType group keys unsupported: Array[Byte] equality is " +
-        "referential in the driver-side offset maps")
+    groupCols.foreach { g =>
+      require(!containsBinary(df.schema(g).dataType),
+        s"BinaryType group key '$g' unsupported: Array[Byte] equality is " +
+          "referential in the driver-side offset maps")
+    }
     val spark = df.sparkSession
 
-    // (tag, group, value) rows: one pass over df covers every column
-    val tagged = df.select(col(groupCol).as("__g"),
+    // (tag, group, value) rows: one pass over df covers every column;
+    // the compound key packs into a single ordered struct column
+    val keyCol =
+      if (groupCols.size == 1) col(groupCols.head)
+      else struct(groupCols.map(col): _*)
+    val tagged = df.select(keyCol.as("__g"),
       explode(array(specs.zipWithIndex.map { case ((vc, _), i) =>
         struct(lit(i).as("__t"), col(vc).cast("double").as("__v"))
       }: _*)).as("__tv"))
@@ -156,10 +184,14 @@ object DistributedPercentile {
             }
           }
         }
-        Row.fromSeq(g +: cells)
+        // a compound key arrives as a struct Row — unpack to its columns
+        val keyCells =
+          if (groupCols.size == 1) Seq(g)
+          else g.asInstanceOf[Row].toSeq
+        Row.fromSeq(keyCells ++ cells)
       }
-      val outSchema = specs.flatMap(_._2).foldLeft(new StructType()
-        .add(parted.schema.fields(0).copy(name = groupCol))) {
+      val outSchema = specs.flatMap(_._2).foldLeft(
+        groupCols.foldLeft(new StructType()) { (s, gc) => s.add(df.schema(gc)) }) {
         case (s, (name, _)) => s.add(name, DoubleType, nullable = true)
       }
       spark.createDataFrame(

@@ -702,6 +702,25 @@ object Relational {
              |round(quantile_cont(l_quantity, 0.25), 4) AS q25_qty
              |FROM lineitem GROUP BY 1""".stripMargin)),
 
+    // ---- exact percentiles over a COMPOUND group key ------------------
+    // exactKeys packs (l_returnflag, l_linestatus) into one ordered
+    // struct through the range partitioning and unpacks it on output —
+    // same distributed-selection machinery, multi-column key
+    GQ("q38_percentiles_compound_key",
+      (s, dir) => graft.operators.DistributedPercentile.exactKeys(
+          t(s, dir).lineitem, Seq("l_returnflag", "l_linestatus"),
+          Seq("l_extendedprice" -> Seq("p50" -> 0.5, "p90" -> 0.9),
+            "l_discount" -> Seq("p50_disc" -> 0.5)))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          round(col("p50"), 4).as("p50"),
+          round(col("p90"), 4).as("p90"),
+          round(col("p50_disc"), 4).as("p50_disc")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+             |round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+             |round(quantile_cont(l_discount, 0.5), 4) AS p50_disc
+             |FROM lineitem GROUP BY 1, 2""".stripMargin)),
+
     // ---- RANGE-frame window (interval-bounded trailing aggregate) -----
     GQ("q37_range_frame_window",
       (s, dir) => t(s, dir).orders

@@ -171,6 +171,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows("b").getDouble(1) === 7.0 && rows("b").isNullAt(2))
   }
 
+  test("distributed percentile compound key ≡ built-in grouped by both, bit for bit") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val got = graft.operators.DistributedPercentile.exactKeys(
+      li, Seq("l_returnflag", "l_linestatus"),
+      Seq("l_extendedprice" -> Seq("p50" -> 0.5, "p95" -> 0.95)), buckets = 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    val want = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(expr("percentile(l_extendedprice, array(0.5, 0.95))"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> {
+        val s = r.getSeq[Double](2); (s(0), s(1))
+      }).toMap
+    assert(got === want)
+    assert(got.size > 1) // the compound key actually splits groups
+  }
+
   test("distributed percentile leaves no lingering checkpoint blocks") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
