@@ -63,5 +63,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           GraftFunctions.litLongSeq(exprs(1), "graft_nearest_centroids", "ids"),
           GraftFunctions.litFloatMatrix(exprs(2), "graft_nearest_centroids", "vecs"),
           GraftFunctions.litPosInt(exprs(3), "graft_nearest_centroids", "n"))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomContainsExpr].getName,
+        "graft_bloom_contains"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BloomContainsExpr(exprs(0), new BloomBits(
+          GraftFunctions.litLongSeq(exprs(1), "graft_bloom_contains", "words").toArray,
+          GraftFunctions.litPosInt(exprs(2), "graft_bloom_contains", "k")))))
   }
 }

@@ -222,6 +222,12 @@ object GraftFunctions {
         litFloatMatrix(exprs(2), "graft_nearest_centroids", "vecs"),
         litPosInt(exprs(3), "graft_nearest_centroids", "n")),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_contains",
+      exprs => BloomContainsExpr(exprs(0), new BloomBits(
+        litLongSeq(exprs(1), "graft_bloom_contains", "words").toArray,
+        litPosInt(exprs(2), "graft_bloom_contains", "k"))),
+      "built-in")
   }
 
   /** Column-API form (requires register() on the active session). */

@@ -91,6 +91,58 @@ object Curation {
         round(col("n_contaminated") / col("n_ngrams").cast("double"), 4))
   }
 
+  /** Bloom-accelerated contamination — SAME RESULT as `contamination`
+    * (the Bloom pre-filter has no false negatives and a left-semi
+    * verify join removes its false positives), different scale shape:
+    * instead of broadcasting the benchmark's distinct-shingle TABLE,
+    * only a compact bit array (~10 bits per benchmark shingle) reaches
+    * every task, and the verify join's probe side shrinks to the
+    * bloom-positive shingles — ≈ true hits + fp-rate·|corpus shingles|.
+    * Use this when the eval suite is itself large (millions of
+    * shingles, where a broadcast hash table stops fitting) — the
+    * filter grows 10 bits per entry where the table grows ~50 bytes.
+    *
+    * The filter is sized to the next power of two ≥ 10 bits/shingle
+    * (k = 7 → ~1% false positives), capped at 2^28 bits = 32 MB of
+    * driver/task memory; past the cap the fp rate degrades gracefully
+    * and correctness is unaffected (the verify join stays exact).
+    */
+  def contaminationBloom(docs: DataFrame, bench: DataFrame, w: Int = 5)
+      : DataFrame = {
+    val spark = docs.sparkSession
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(Dedup.shinglesFromTokens(col("toks"), w)).as("ng"))
+    // materialized once: the filter build AND the verify join read it
+    // (Bench/Verify release the blocks via core.Checkpoints)
+    val benchGrams = grams(bench).select(col("ng")).distinct()
+      .localCheckpoint()
+    val nBench = benchGrams.count()
+    val targetBits = math.min(1L << 28, math.max(1L << 16, nBench * 10))
+    val numBits =
+      if (java.lang.Long.bitCount(targetBits) == 1) targetBits
+      else java.lang.Long.highestOneBit(targetBits) << 1
+    val numHashes = 7
+    import spark.implicits._
+    val words = benchGrams.as[String]
+      .select(new graft.functions.BloomBuild((numBits / 64).toInt, numHashes)
+        .toColumn).head()
+    graft.functions.GraftFunctions.register(spark)
+    val bloomHit = call_function("graft_bloom_contains", col("ng"),
+      typedLit(words.toSeq), lit(numHashes))
+    val dg = grams(docs)
+    val total = dg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ngrams"))
+    val hits = dg.filter(bloomHit)
+      .join(benchGrams, Seq("ng"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+    total.join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_ngrams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("n_contaminated"), lit(0L)) /
+          col("n_ngrams").cast("double"), 4).as("contamination"))
+  }
+
   // ---- repetition / quality statistics (Gopher-rule family) ------------
 
   /** Per-document token-repetition statistics: token and type counts,

@@ -549,6 +549,19 @@ object Llm {
              |SELECT doc_id, n_ngrams, n_contaminated, contamination
              |FROM contam""".stripMargin)),
 
+    // ---- bloom-accelerated contamination (same oracle: the bloom is a
+    // pre-filter with exact verify, so results are identical — only the
+    // scale shape differs: a ~10-bit/shingle bit array replaces the
+    // broadcast shingle table, and the verify join sees only candidates)
+    GQ("llm_contamination_bloom",
+      (s, dir) => {
+        val d = t(s, dir).documents
+        Curation.contaminationBloom(d, d.filter(col("doc_id") < 20), w = 5)
+      },
+      Some(s"""WITH ${CurOracle.contamCtes}
+             |SELECT doc_id, n_ngrams, n_contaminated, contamination
+             |FROM contam""".stripMargin)),
+
     // ---- repetition / quality stats (Gopher-rule family) --------------
     GQ("llm_repetition_stats",
       (s, dir) => Curation.repetitionStats(t(s, dir).documents),

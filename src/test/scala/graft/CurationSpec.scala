@@ -165,6 +165,45 @@ class CurationSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("contaminationBloom ≡ contamination on the real table and planted edges") {
+    // identical output contract: the bloom pre-filter admits no false
+    // negatives and the left-semi verify removes its false positives
+    val bench = docs.filter(col("doc_id") < 20)
+    val a = Curation.contamination(docs, bench, w = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val b = Curation.contaminationBloom(docs, bench, w = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(a === b)
+    // planted micro-case incl. a too-short doc (absent from both)
+    val smallBench = Seq((0L, "a b c d e f g h")).toDF("doc_id", "text")
+    val corpus = Seq((100L, "a b c d e zz"), (101L, "p q r s t u"),
+      (102L, "x y z")).toDF("doc_id", "text")
+    val got = Curation.contaminationBloom(corpus, smallBench, w = 5)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === Map(100L -> ((2L, 1L, 0.5)), 101L -> ((2L, 0L, 0.0))))
+  }
+
+  test("bloom filter: no false negatives, fp rate near design point") {
+    import graft.functions.{BloomBits, BloomBuild}
+    val spark2 = spark
+    import spark2.implicits._
+    val keys = (0 until 2000).map(i => s"key-$i")
+    val words = keys.toDF("k").as[String]
+      .select(new BloomBuild(numWords = 512, numHashes = 7).toColumn).head()
+    val bloom = new BloomBits(words.toArray, 7)
+    import org.apache.spark.unsafe.types.UTF8String
+    // every inserted key answers true — the exactness premise
+    keys.foreach(k => assert(bloom.contains(UTF8String.fromString(k)), k))
+    // absent keys mostly answer false (512 words = 32768 bits for 2000
+    // keys ≈ 16 bits/key → well under 1% fp; allow a loose 5% bound)
+    val fp = (0 until 2000).count(i =>
+      bloom.contains(UTF8String.fromString(s"absent-$i"))) / 2000.0
+    assert(fp < 0.05, s"false-positive rate $fp")
+  }
+
   // ---- repetition stats ------------------------------------------------
 
   test("repetitionStats computes the Gopher-rule signals") {
