@@ -66,21 +66,29 @@ final class BloomBits(val words: Array[Long], val numHashes: Int)
       s.numBytes(), numHashes)
 }
 
-/** Typed aggregator building the filter over a Dataset[String]: buffer =
-  * the bit words, reduce = set k bits, merge = bitwise OR — fully
-  * map-side combinable, so the build is one pass + one O(filter-size)
-  * merge tree, never a shuffle of the keys.
+/** Typed aggregator building the filter over RAW key bytes (feed it
+  * `col.cast("binary")`, which for strings is a raw copy of the UTF-8
+  * bytes — NOT a decode): buffer = the bit words, reduce = set k bits,
+  * merge = bitwise OR — fully map-side combinable, so the build is one
+  * pass + one O(filter-size) merge tree, never a shuffle of the keys.
+  *
+  * Raw bytes matter for the exactness contract: the probe side hashes
+  * UTF8String storage in place, and a build over decoded JVM Strings
+  * would round-trip malformed UTF-8 through U+FFFD replacement and hash
+  * DIFFERENT bytes — a false negative the verify join cannot repair.
+  * (Also why this is not `df.stat.bloomFilter`: the built-in probe
+  * allocates a byte[] copy per row and hashes through the String
+  * detour; this probe is zero-copy on the column's storage.)
   */
 class BloomBuild(numWords: Int, numHashes: Int)
-    extends Aggregator[String, Array[Long], Array[Long]] {
+    extends Aggregator[Array[Byte], Array[Long], Array[Long]] {
   require(numWords >= 1 && java.lang.Long.bitCount(numWords.toLong * 64) == 1,
     s"numWords must make a power-of-two bit count, got $numWords")
 
   override def zero: Array[Long] = new Array[Long](numWords)
 
-  override def reduce(b: Array[Long], key: String): Array[Long] = {
-    val bytes = key.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    BloomHash.setBits(b, bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length,
+  override def reduce(b: Array[Long], key: Array[Byte]): Array[Long] = {
+    BloomHash.setBits(b, key, Platform.BYTE_ARRAY_OFFSET, key.length,
       numHashes)
     b
   }

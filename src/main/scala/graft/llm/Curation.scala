@@ -110,13 +110,14 @@ object Curation {
   def contaminationBloom(docs: DataFrame, bench: DataFrame, w: Int = 5)
       : DataFrame = {
     val spark = docs.sparkSession
-    def grams(df: DataFrame): DataFrame = df
+    def shingled(df: DataFrame): DataFrame = df
       .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        explode(Dedup.shinglesFromTokens(col("toks"), w)).as("ng"))
+        Dedup.shinglesFromTokens(col("toks"), w).as("sh"))
     // materialized once: the filter build AND the verify join read it
     // (Bench/Verify release the blocks via core.Checkpoints)
-    val benchGrams = grams(bench).select(col("ng")).distinct()
+    val benchGrams = shingled(bench)
+      .select(explode(col("sh")).as("ng")).distinct()
       .localCheckpoint()
     val nBench = benchGrams.count()
     val targetBits = math.min(1L << 28, math.max(1L << 16, nBench * 10))
@@ -125,19 +126,35 @@ object Curation {
       else java.lang.Long.highestOneBit(targetBits) << 1
     val numHashes = 7
     import spark.implicits._
-    val words = benchGrams.as[String]
+    // build over RAW utf-8 bytes (cast binary = raw copy) so build and
+    // probe hash identical byte sequences — see BloomBuild's scaladoc
+    val words = benchGrams.select(col("ng").cast("binary")).as[Array[Byte]]
       .select(new graft.functions.BloomBuild((numBits / 64).toInt, numHashes)
         .toColumn).head()
-    graft.functions.GraftFunctions.register(spark)
-    val bloomHit = call_function("graft_bloom_contains", col("ng"),
-      typedLit(words.toSeq), lit(numHashes))
-    val dg = grams(docs)
-    val total = dg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ngrams"))
-    val hits = dg.filter(bloomHit)
+    // the filter (up to 32 MB) attaches as ONE plan reference object via
+    // the package bridge — boxing it through a function-registry literal
+    // would round-trip every word through the driver per plan copy
+    val bloom = new graft.functions.BloomBits(words, numHashes)
+    def bloomHit(c: Column): Column =
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.BloomContainsExpr(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(c), bloom))
+    // n_ngrams is the distinct-shingle array's SIZE — map-side, no
+    // explode/shuffle; only the hits path explodes (the short-doc
+    // drop-out keeps parity with `contamination`: no shingles, no row).
+    // The corpus is tokenized twice (total + hits) — the alternative,
+    // checkpointing corpus-sized shingle arrays, costs more than the
+    // second scan at any interesting scale.
+    val total = shingled(docs)
+      .select(col("doc_id"), size(col("sh")).as("n_ngrams"))
+      .filter(col("n_ngrams") > 0)
+    val hits = shingled(docs)
+      .select(col("doc_id"), explode(col("sh")).as("ng"))
+      .filter(bloomHit(col("ng")))
       .join(benchGrams, Seq("ng"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
     total.join(hits, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), col("n_ngrams"),
+      .select(col("doc_id"), col("n_ngrams").cast("long").as("n_ngrams"),
         coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
         round(coalesce(col("n_contaminated"), lit(0L)) /
           col("n_ngrams").cast("double"), 4).as("contamination"))

@@ -191,7 +191,8 @@ class CurationSpec extends AnyFunSuite {
     val spark2 = spark
     import spark2.implicits._
     val keys = (0 until 2000).map(i => s"key-$i")
-    val words = keys.toDF("k").as[String]
+    val words = keys.toDF("k")
+      .select(col("k").cast("binary")).as[Array[Byte]]
       .select(new BloomBuild(numWords = 512, numHashes = 7).toColumn).head()
     val bloom = new BloomBits(words.toArray, 7)
     import org.apache.spark.unsafe.types.UTF8String
