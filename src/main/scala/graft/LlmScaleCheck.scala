@@ -160,7 +160,90 @@ object LlmScaleCheck {
       s"selection percentiles != built-in: $sel vs $builtin")
     println(s"[scale] percentile: bit-identical to built-in on ${sel.size} groups OK")
 
-    println(f"""{"jaccard_docs":${nDocs + nPlant},"jaccard_pairs":$nPairs,"jaccard_sec":$jacSec%.1f,"knn_vecs":${nVecs + nQ},"knn_sec":$knnSec%.1f,"ivf_vecs":${2 * nIvf},"ivf_sec":$ivfSec%.1f,"pct_rows":$nRows,"pct_sec":$pSec%.1f}""")
+    // ---- bm25 + bigramNll + invertedIndex over the synthetic corpus ---
+    // `docs` reuses the jaccard corpus (~200k 40-token docs, ~65k-word
+    // vocabulary). Query terms are hash-vocabulary words: each appears
+    // in ~ 40/65536 of docs, so dfs are in the hundreds — a realistic
+    // selective retrieval query.
+    val bmTerms = Seq("w0", "w7", "w123", "w4096")
+    t0 = System.nanoTime()
+    val bm = graft.llm.Scoring.bm25(docs, bmTerms).cache()
+    val bmRows = bm.count()
+    val bmSec = (System.nanoTime() - t0) / 1e9
+    val bmBad = bm.filter(col("n_matched") > bmTerms.size ||
+      col("score") <= 0.0).count()
+    require(bmRows > 0 && bmBad == 0,
+      s"bm25: $bmRows rows, $bmBad violate n_matched<=|terms| / score>0")
+    println(f"[scale] bm25: ${nDocs + nPlant} docs -> $bmRows scored in $bmSec%.1f s")
+    bm.unpersist(); graft.core.Checkpoints.release(bm)
+
+    t0 = System.nanoTime()
+    val lm = graft.llm.Scoring.bigramNll(docs).cache()
+    val lmRows = lm.count()
+    val lmSec = (System.nanoTime() - t0) / 1e9
+    // every doc has 40 tokens → 39 bigrams → exactly one row per doc,
+    // positive NLL (probabilities are < 1 under add-k smoothing)
+    val lmBad = lm.filter(col("n_bigrams") =!= 39 || col("avg_nll") <= 0.0)
+      .count()
+    require(lmRows == nDocs + nPlant && lmBad == 0,
+      s"bigramNll: $lmRows rows (want ${nDocs + nPlant}), $lmBad bad")
+    println(f"[scale] bigram-nll: $lmRows docs scored in $lmSec%.1f s")
+    lm.unpersist(); graft.core.Checkpoints.release(lm)
+
+    t0 = System.nanoTime()
+    val inv = graft.llm.Scoring.invertedIndex(docs, shards = 64)
+    val invRows = inv.count()
+    val invSec = (System.nanoTime() - t0) / 1e9
+    require(invRows > 0, "invertedIndex: empty")
+    println(f"[scale] inverted-index: $invRows (tok,shard) rows in $invSec%.1f s")
+
+    // ---- contaminationBloom ≡ contamination at 20× bench scale --------
+    // bench = 10k docs → ~380k distinct shingles → a 4M-bit filter; the
+    // equality check proves the bloom pre-filter + exact verify rebuilds
+    // the broadcast operator's result bit-for-bit at scale.
+    val benchDocs = docs.filter(col("doc_id") < 10_000L)
+    t0 = System.nanoTime()
+    val cb = graft.llm.Curation.contaminationBloom(docs, benchDocs, w = 5)
+      .cache()
+    val cbRows = cb.count()
+    val cbSec = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val cbx = graft.llm.Curation.contamination(docs, benchDocs, w = 5).cache()
+    cbx.count()
+    val cxSec = (System.nanoTime() - t0) / 1e9
+    val diff = cb.as("a").join(cbx.as("b"), Seq("doc_id"), "full_outer")
+      .filter(coalesce(col("a.n_ngrams"), lit(-1L)) =!=
+          coalesce(col("b.n_ngrams"), lit(-1L)) ||
+        coalesce(col("a.n_contaminated"), lit(-1L)) =!=
+          coalesce(col("b.n_contaminated"), lit(-1L)))
+      .count()
+    require(diff == 0, s"contaminationBloom != contamination on $diff docs")
+    println(f"[scale] contamination: bloom $cbSec%.1f s ≡ broadcast $cxSec%.1f s over $cbRows docs OK")
+    cb.unpersist(); cbx.unpersist()
+    graft.core.Checkpoints.release(cb); graft.core.Checkpoints.release(cbx)
+
+    // ---- assignToCentroids at 1024 centroids (the de-capped path) -----
+    // The literal-struct formulation this replaced died (plan/codegen
+    // blow-up) near ~100 centroids; the reference-object kernel must
+    // handle 1024 as one map-side projection over the 1M-vector corpus.
+    val centSeeds = corpus0.filter(col("vec_id") < 1024L)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    t0 = System.nanoTime()
+    val asg = graft.llm.Similarity.assignToCentroids(corpus0, centSeeds)
+    val centIds = centSeeds.map(_._1).toSet
+    val asgBad = asg.filter(!col("centroid_id").isin(centIds.toSeq: _*)).count()
+    val asgRows = asg.count()
+    val asgSec = (System.nanoTime() - t0) / 1e9
+    require(asgRows == nVecs && asgBad == 0,
+      s"assign: $asgRows rows (want $nVecs), $asgBad outside centroid set")
+    // a vector that IS centroid j must assign to j (cosine 1 with
+    // itself; distinct hash vectors make exact ties vanishingly rare)
+    val selfOk = asg.filter(col("vec_id") < 1024L)
+      .filter(col("vec_id") === col("centroid_id")).count()
+    require(selfOk == 1024L, s"self-assignment $selfOk/1024")
+    println(f"[scale] assign: $nVecs vecs x 1024 centroids in $asgSec%.1f s, self-assignment 1024/1024 OK")
+
+    println(f"""{"jaccard_docs":${nDocs + nPlant},"jaccard_pairs":$nPairs,"jaccard_sec":$jacSec%.1f,"knn_vecs":${nVecs + nQ},"knn_sec":$knnSec%.1f,"ivf_vecs":${2 * nIvf},"ivf_sec":$ivfSec%.1f,"pct_rows":$nRows,"pct_sec":$pSec%.1f,"bm25_sec":$bmSec%.1f,"bigram_sec":$lmSec%.1f,"invidx_sec":$invSec%.1f,"contam_bloom_sec":$cbSec%.1f,"assign1024_sec":$asgSec%.1f}""")
     spark.stop()
   }
 }

@@ -110,14 +110,19 @@ object Curation {
   def contaminationBloom(docs: DataFrame, bench: DataFrame, w: Int = 5)
       : DataFrame = {
     val spark = docs.sparkSession
-    def shingled(df: DataFrame): DataFrame = df
+    // the explode sits DIRECTLY over the shingle HOF with `toks` bound
+    // one projection below: hoisting the shingle array into its own
+    // projection (e.g. to take size() map-side) lets CollapseProject
+    // substitute the tokenizer into the HOF lambda, which then
+    // re-tokenizes the document PER ELEMENT — a measured ~9× slowdown
+    // (the interpreted-HOF trap; Generate blocks the collapse)
+    def grams(df: DataFrame): DataFrame = df
       .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        Dedup.shinglesFromTokens(col("toks"), w).as("sh"))
+        explode(Dedup.shinglesFromTokens(col("toks"), w)).as("ng"))
     // materialized once: the filter build AND the verify join read it
     // (Bench/Verify release the blocks via core.Checkpoints)
-    val benchGrams = shingled(bench)
-      .select(explode(col("sh")).as("ng")).distinct()
+    val benchGrams = grams(bench).select(col("ng")).distinct()
       .localCheckpoint()
     val nBench = benchGrams.count()
     val targetBits = math.min(1L << 28, math.max(1L << 16, nBench * 10))
@@ -139,22 +144,18 @@ object Curation {
       org.apache.spark.sql.graftbridge.ColumnBridge.column(
         graft.functions.BloomContainsExpr(
           org.apache.spark.sql.graftbridge.ColumnBridge.expression(c), bloom))
-    // n_ngrams is the distinct-shingle array's SIZE — map-side, no
-    // explode/shuffle; only the hits path explodes (the short-doc
-    // drop-out keeps parity with `contamination`: no shingles, no row).
-    // The corpus is tokenized twice (total + hits) — the alternative,
-    // checkpointing corpus-sized shingle arrays, costs more than the
-    // second scan at any interesting scale.
-    val total = shingled(docs)
-      .select(col("doc_id"), size(col("sh")).as("n_ngrams"))
-      .filter(col("n_ngrams") > 0)
-    val hits = shingled(docs)
-      .select(col("doc_id"), explode(col("sh")).as("ng"))
-      .filter(bloomHit(col("ng")))
+    // the corpus is shingled twice (total + hits) — the price of NOT
+    // broadcasting the bench table; both passes stay in the safe
+    // generator shape, and `total`'s shuffle is |docs| rows after
+    // map-side partial aggregation. (The alternative — checkpointing
+    // corpus-sized shingle streams — costs more than the second scan.)
+    val dg = grams(docs)
+    val total = dg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ngrams"))
+    val hits = dg.filter(bloomHit(col("ng")))
       .join(benchGrams, Seq("ng"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
     total.join(hits, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), col("n_ngrams").cast("long").as("n_ngrams"),
+      .select(col("doc_id"), col("n_ngrams"),
         coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
         round(coalesce(col("n_contaminated"), lit(0L)) /
           col("n_ngrams").cast("double"), 4).as("contamination"))
