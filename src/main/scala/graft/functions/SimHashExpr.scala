@@ -13,11 +13,27 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * MinHashTextExpr.
   */
 object SimHashUtil {
-  @inline private def mix(z0: Long): Long = {
-    var z = z0
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
+  // md5 is stateful and not thread-safe; one instance per executor thread
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Per-token 64-bit hash = the first 8 md5 bytes, big-endian — i.e.
+    * the value of the first 16 hex chars of the standard md5 string.
+    * Chosen over xxhash64/FNV for ENGINE PORTABILITY: any SQL engine
+    * with an md5() function reproduces it (the DuckDB oracle parses
+    * those 16 hex digits positionally), which is what lets the simhash
+    * queries carry hash-checked oracles instead of rows-only entries.
+    */
+  def tokenHash(bytes: Array[Byte]): Long = {
+    val d = md5.get()
+    d.reset()
+    val h = d.digest(bytes)
+    ((h(0) & 0xffL) << 56) | ((h(1) & 0xffL) << 48) |
+      ((h(2) & 0xffL) << 40) | ((h(3) & 0xffL) << 32) |
+      ((h(4) & 0xffL) << 24) | ((h(5) & 0xffL) << 16) |
+      ((h(6) & 0xffL) << 8) | (h(7) & 0xffL)
   }
 
   def compute(toks: ArrayData): Long = {
@@ -28,14 +44,7 @@ object SimHashUtil {
     while (i < n) {
       val s = toks.getUTF8String(i)
       if (s != null && seen.add(s.toString)) {
-        // FNV-1a over utf8 bytes, then avalanche
-        val bytes = s.getBytes
-        var h = 0xcbf29ce484222325L
-        var bi = 0
-        while (bi < bytes.length) {
-          h ^= (bytes(bi) & 0xffL); h *= 0x100000001b3L; bi += 1
-        }
-        h = mix(h)
+        val h = tokenHash(s.getBytes)
         var j = 0
         while (j < 64) {
           if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1

@@ -109,6 +109,42 @@ object Llm {
          |FROM k_asgF GROUP BY 1""".stripMargin
   }
 
+  /** Shared DuckDB CTEs recomputing the engine's 64-bit SimHash entirely
+    * in SQL: per-token hash = first 16 md5 hex digits parsed
+    * positionally (exactly SimHashUtil.tokenHash's big-endian md5
+    * prefix — the hash was CHOSEN for this portability), bit votes over
+    * distinct tokens, unsigned signature reassembled from 2^j powers
+    * and converted to Spark's signed long. `ssig` exposes both the
+    * unsigned form (`u`, for band arithmetic) and the signed `simhash`.
+    */
+  private object SimOracle {
+    val ctes: String =
+      """spw(j, p) AS (SELECT 0, CAST(1 AS HUGEINT)
+        |  UNION ALL SELECT j+1, p*2 FROM spw WHERE j < 63),
+        |pw16(i, w) AS (SELECT 16, CAST(1 AS HUGEINT)
+        |  UNION ALL SELECT i-1, w*16 FROM pw16 WHERE i > 1),
+        |stok AS (SELECT doc_id, unnest(list_distinct(
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+        |      ' '))) AS tok
+        |  FROM documents),
+        |shash AS (
+        |  SELECT s.doc_id, s.tok,
+        |    sum((strpos('0123456789abcdef', substr(md5(s.tok), p.i, 1)) - 1)
+        |        * p.w) AS h
+        |  FROM stok s CROSS JOIN pw16 p GROUP BY 1, 2),
+        |sbit AS (
+        |  SELECT h.doc_id, b.j, b.p,
+        |    CASE WHEN sum(CASE WHEN (h.h // b.p) % 2 = 1 THEN 1 ELSE -1 END) > 0
+        |      THEN 1 ELSE 0 END AS bit
+        |  FROM shash h CROSS JOIN spw b GROUP BY 1, 2, 3),
+        |ssig AS (
+        |  SELECT doc_id, sum(bit * p) AS u,
+        |    CAST(CASE WHEN sum(bit * p) >= (SELECT p FROM spw WHERE j = 63)
+        |      THEN sum(bit * p) - 2 * (SELECT p FROM spw WHERE j = 63)
+        |      ELSE sum(bit * p) END AS BIGINT) AS simhash
+        |  FROM sbit GROUP BY 1)""".stripMargin
+  }
+
   /** Corpus-mixing rates for llm_weighted_sample ('zh' deliberately
     * absent — it exercises the default-rate fallback).
     */
@@ -370,10 +406,12 @@ object Llm {
              |       least(64, len(t) - chunk_idx * 48) AS n_chunk_tokens
              |FROM st""".stripMargin)),
 
-    // ---- SimHash collision groups -------------------------------------
+    // ---- SimHash signatures (md5-derived token hash → full-SQL oracle)
     GQ("llm_simhash_groups",
       (s, dir) => t(s, dir).documents
-        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))),
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash")),
+      Some(s"""WITH RECURSIVE ${SimOracle.ctes}
+             |SELECT doc_id, simhash FROM ssig""".stripMargin)),
 
     // ---- end-to-end corpus dedup (exact + MinHash + transitive groups)
     GQ("llm_dedup_corpus",
@@ -389,9 +427,28 @@ object Llm {
           minQuality = 0.2, minJaccard = 0.8))),
 
     // ---- SimHash near-dup (banded pigeonhole + Hamming verify) --------
+    // band values from the UNSIGNED signature via pure arithmetic
+    // (u // 2^(16b) % 2^16 ≡ shiftrightunsigned + mask); Hamming via
+    // bit_count∘xor on the signed longs — same two's-complement bits
     GQ("llm_simhash_neardup",
       (s, dir) => Dedup.simhashNearDup(t(s, dir).documents,
-        maxHamming = 3, bands = 4)),
+        maxHamming = 3, bands = 4),
+      Some(s"""WITH RECURSIVE ${SimOracle.ctes},
+             |sbands AS (SELECT j // 16 AS band_id, p AS bp
+             |  FROM spw WHERE j % 16 = 0),
+             |sbanded AS (
+             |  SELECT g.doc_id, g.simhash, b.band_id,
+             |    CAST((g.u // b.bp) % 65536 AS BIGINT) AS band_val
+             |  FROM ssig g CROSS JOIN sbands b),
+             |spairs AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    a.simhash AS sig_a, b.simhash AS sig_b
+             |  FROM sbanded a JOIN sbanded b
+             |    ON a.band_id = b.band_id AND a.band_val = b.band_val
+             |    AND a.doc_id < b.doc_id)
+             |SELECT id_a, id_b,
+             |  CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+             |FROM spairs WHERE bit_count(xor(sig_a, sig_b)) <= 3""".stripMargin)),
 
     // ---- brute-force cosine top-k (exact ANN baseline) ----------------
     GQ("llm_ann_bruteforce",
