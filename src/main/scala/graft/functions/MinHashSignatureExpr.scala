@@ -27,24 +27,38 @@ object MinHashUtil {
         s"$fn requires an array<string> argument, got ${other.sql}")
     }
 
-  /** Murmur-style 64-bit avalanche finalizer (splitmix64 mix). */
-  @inline private def mix(z0: Long): Long = {
-    var z = z0
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
+  /** (h1, h2) hash pair of one shingle: the two 8-byte halves of its
+    * md5, big-endian, h2 forced odd. Engine-portable by construction —
+    * a SQL oracle reproduces both halves by parsing the md5 hex string
+    * positionally (hex chars 1–16 and 17–32), which is what lets the
+    * minhash family carry hash-checked oracles. The k-family values
+    * h_i = h1 + i·h2 wrap mod 2^64 and compare as SIGNED longs (the
+    * oracle mirrors with an unsigned-to-signed CASE before min()).
+    */
+  @inline private def pairFromDigest(d: Array[Byte]): (Long, Long) = {
+    @inline def be(o: Int): Long =
+      ((d(o) & 0xffL) << 56) | ((d(o + 1) & 0xffL) << 48) |
+        ((d(o + 2) & 0xffL) << 40) | ((d(o + 3) & 0xffL) << 32) |
+        ((d(o + 4) & 0xffL) << 24) | ((d(o + 5) & 0xffL) << 16) |
+        ((d(o + 6) & 0xffL) << 8) | (d(o + 7) & 0xffL)
+    (be(0), be(8) | 1L)
+  }
+
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
   }
 
   def compute(arr: ArrayData, k: Int): Array[Long] = {
     val mins = Array.fill(k)(Long.MaxValue)
     val n = arr.numElements()
+    val d = md5.get()
     var i = 0
     while (i < n) {
       val s = arr.getUTF8String(i)
       if (s != null) {
-        val base = hashUtf8(s)
-        val h1 = mix(base)
-        val h2 = mix(base ^ 0x9e3779b97f4a7c15L) | 1L
+        d.reset()
+        val (h1, h2) = pairFromDigest(d.digest(s.getBytes))
         var j = 0
         var h = h1
         while (j < k) {
@@ -58,37 +72,15 @@ object MinHashUtil {
     mins
   }
 
-  /** FNV-1a 64-bit over the string's utf8 bytes (then mixed above). */
-  @inline private def hashUtf8(s: UTF8String): Long = {
-    val bytes = s.getBytes
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < bytes.length) {
-      h ^= (bytes(i) & 0xffL)
-      h *= 0x100000001b3L
-      i += 1
-    }
-    h
-  }
-
-  @inline private def fnvBytes(h0: Long, bytes: Array[Byte]): Long = {
-    var h = h0
-    var i = 0
-    while (i < bytes.length) {
-      h ^= (bytes(i) & 0xffL)
-      h *= 0x100000001b3L
-      i += 1
-    }
-    h
-  }
-
   /** Fused tokens→w-gram-shingles→MinHash: one pass over the token
-    * array, no intermediate shingle strings or arrays. The shingle hash
-    * for window [i, i+w) is FNV-1a over the tokens' utf8 bytes with a
-    * space separator — identical to hashing the `concat_ws(" ", ...)`
-    * string, so it IS a MinHash over the same shingle set the verifier
-    * materializes. Returns null-marker (length 0) when fewer than w
-    * tokens.
+    * array, no intermediate shingle strings or arrays. The shingle
+    * digest for window [i, i+w) streams the tokens' utf8 bytes with a
+    * space separator — identical to `md5(concat_ws(" ", ...))`, so it
+    * IS a MinHash over the same shingle set the verifier materializes.
+    * Duplicate windows re-hash but cannot change any minimum, so the
+    * signature equals one over the DISTINCT shingle set (what the SQL
+    * oracle computes). Returns null-marker (length 0) when fewer than
+    * w tokens.
     */
   def computeText(toks: ArrayData, w: Int, k: Int): Array[Long] = {
     val n = toks.numElements()
@@ -101,19 +93,19 @@ object MinHashUtil {
       tokBytes(i) = if (s == null) Array.emptyByteArray else s.getBytes
       i += 1
     }
-    val space = ' '.toByte
+    val space = Array(' '.toByte)
     val mins = Array.fill(k)(Long.MaxValue)
+    val d = md5.get()
     i = 0
     while (i <= n - w) {
-      var h = 0xcbf29ce484222325L
+      d.reset()
       var j = 0
       while (j < w) {
-        if (j > 0) { h ^= (space & 0xffL); h *= 0x100000001b3L }
-        h = fnvBytes(h, tokBytes(i + j))
+        if (j > 0) d.update(space)
+        d.update(tokBytes(i + j))
         j += 1
       }
-      val h1 = mix(h)
-      val h2 = mix(h ^ 0x9e3779b97f4a7c15L) | 1L
+      val (h1, h2) = pairFromDigest(d.digest())
       var s = h1
       j = 0
       while (j < k) {

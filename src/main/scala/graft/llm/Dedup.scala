@@ -95,19 +95,24 @@ object Dedup {
       .filter(col("sig").isNotNull)
       .cache()
 
-    // explode into (band_id, band_hash) keys — ids only, narrow shuffle
+    // explode into (band_id, band_key) keys — ids only, narrow shuffle.
+    // The key is the band's signature VALUES joined as a string, not a
+    // hash of them: same bucketing (equal slices ⇔ equal keys, with no
+    // hash-collision caveat), and engine-portable — the DuckDB oracle
+    // rebuilds the identical keys, which a xxhash64 band key precluded
     val banded = withSig.select(
       col("doc_id"),
       posexplode(array((0 until bands).map { b =>
-        xxhash64(concat_ws(",",
-          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))
-      }: _*)).as(Seq("band_id", "band_hash")))
+        concat_ws(",",
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
+            .cast("array<string>"))
+      }: _*)).as(Seq("band_id", "band_key")))
 
     // candidate id pairs: self-join within bucket, ordered to dedupe (a<b)
-    val cands = banded.select(col("band_id"), col("band_hash"),
+    val cands = banded.select(col("band_id"), col("band_key"),
         col("doc_id").as("id_a"))
-      .join(banded.select(col("band_id"), col("band_hash"),
-        col("doc_id").as("id_b")), Seq("band_id", "band_hash"))
+      .join(banded.select(col("band_id"), col("band_key"),
+        col("doc_id").as("id_b")), Seq("band_id", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")

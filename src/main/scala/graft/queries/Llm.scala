@@ -145,6 +145,65 @@ object Llm {
         |  FROM sbit GROUP BY 1)""".stripMargin
   }
 
+  /** DuckDB CTE chain recomputing the MinHash-LSH near-dup pipeline over
+    * source table `src` (w=3, k=32, bands=8): md5-half double-hash
+    * signatures (MinHashUtil.pairFromDigest), value-keyed band buckets,
+    * candidate self-join, exact-Jaccard verification. Ends with `mver`
+    * (id_a, id_b, jaccard rounded 4dp) — callers filter to their
+    * threshold. Shared by llm_minhash_neardup and llm_dedup_corpus so
+    * the two oracles cannot drift.
+    */
+  private def minhashCtes(src: String): String =
+    s"""mpw(j, p) AS (SELECT 0, CAST(1 AS HUGEINT)
+       |  UNION ALL SELECT j+1, p*2 FROM mpw WHERE j < 63),
+       |mpw16(i, w) AS (SELECT 16, CAST(1 AS HUGEINT)
+       |  UNION ALL SELECT i-1, w*16 FROM mpw16 WHERE i > 1),
+       |midx(i) AS (SELECT 0 UNION ALL SELECT i+1 FROM midx WHERE i < 31),
+       |mtwo AS (SELECT 2 * p AS m64, p AS m63 FROM mpw WHERE j = 63),
+       |msh0 AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(1, len(t) - 1),
+       |    i -> array_to_string(t[i:i+2], ' '))) AS sh
+       |  FROM (SELECT doc_id,
+       |        string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+       |          ' ') AS t
+       |        FROM $src)),
+       |msh AS (SELECT doc_id, sh FROM msh0 WHERE len(sh) > 0),
+       |mng AS (SELECT doc_id, unnest(sh) AS ng FROM msh),
+       |mhash AS (
+       |  SELECT g.doc_id, g.ng,
+       |    sum((strpos('0123456789abcdef', substr(md5(g.ng), p.i, 1)) - 1)
+       |        * p.w) AS h1,
+       |    sum((strpos('0123456789abcdef', substr(md5(g.ng), p.i + 16, 1)) - 1)
+       |        * p.w) AS h2r
+       |  FROM mng g CROSS JOIN mpw16 p GROUP BY 1, 2),
+       |mraw AS (
+       |  SELECT h.doc_id, x.i,
+       |    CAST(CASE
+       |      WHEN ((h.h1 + x.i * (h.h2r - (h.h2r % 2) + 1)) % t.m64) >= t.m63
+       |      THEN ((h.h1 + x.i * (h.h2r - (h.h2r % 2) + 1)) % t.m64) - t.m64
+       |      ELSE ((h.h1 + x.i * (h.h2r - (h.h2r % 2) + 1)) % t.m64)
+       |    END AS BIGINT) AS hv
+       |  FROM mhash h CROSS JOIN midx x CROSS JOIN mtwo t),
+       |msig AS (SELECT doc_id, i, min(hv) AS v FROM mraw GROUP BY 1, 2),
+       |mband AS (
+       |  SELECT doc_id, i // 4 AS band_id,
+       |    array_to_string(list(CAST(v AS VARCHAR) ORDER BY i), ',') AS band_key
+       |  FROM msig GROUP BY 1, 2),
+       |mcand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM mband a JOIN mband b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+       |    AND a.doc_id < b.doc_id),
+       |mver AS (
+       |  SELECT c.id_a, c.id_b,
+       |    round(len(list_intersect(x.sh, y.sh)) /
+       |      CAST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))
+       |        AS DOUBLE), 4) AS jaccard
+       |  FROM mcand c
+       |  JOIN msh x ON x.doc_id = c.id_a
+       |  JOIN msh y ON y.doc_id = c.id_b)""".stripMargin
+
   /** Corpus-mixing rates for llm_weighted_sample ('zh' deliberately
     * absent — it exercises the default-rate fallback).
     */
@@ -350,9 +409,18 @@ object Llm {
              |FROM documents""".stripMargin)),
 
     // ---- MinHash + LSH near-dup candidates ----------------------------
+    // Hash-oracled end to end: the signature's double-hash family
+    // derives from md5 halves (MinHashUtil.pairFromDigest) and band keys
+    // are the raw slice values, so DuckDB rebuilds the SAME signatures,
+    // the SAME buckets, the SAME candidate pairs, then verifies exact
+    // Jaccard just like the operator. The recursive CTEs supply 2^j /
+    // 16^j powers and the 0..31 family index.
     GQ("llm_minhash_neardup",
       (s, dir) => Dedup.minhashNearDup(t(s, dir).documents,
-        w = 3, k = 32, bands = 8, minJaccard = 0.3)),
+        w = 3, k = 32, bands = 8, minJaccard = 0.3),
+      Some(s"""WITH RECURSIVE ${minhashCtes("documents")}
+             |SELECT id_a, id_b, jaccard FROM mver
+             |WHERE jaccard >= 0.3""".stripMargin)),
 
     // ---- exact n-gram Jaccard near-dup (prefix-filtered AllPairs) -----
     // Exact (recall 1.0) unlike the LSH variants, so the brute-force
@@ -414,17 +482,106 @@ object Llm {
              |SELECT doc_id, simhash FROM ssig""".stripMargin)),
 
     // ---- end-to-end corpus dedup (exact + MinHash + transitive groups)
+    // Fully oracled since the LSH stage went engine-portable: exact-
+    // dedup survivors feed the shared minhash CTEs, near-dup pairs at
+    // jaccard ≥ 0.8 become undirected edges, a recursive CTE computes
+    // each component's transitive closure (min reachable label ≡
+    // transitiveGroups' min-label CC), and non-minimal members drop.
     GQ("llm_dedup_corpus",
       (s, dir) => Dedup.dedupCorpus(t(s, dir).documents, minJaccard = 0.8)
-        .select(col("doc_id"), col("lang"), col("source"))),
+        .select(col("doc_id"), col("lang"), col("source")),
+      Some(s"""WITH RECURSIVE surv AS (
+             |  SELECT d.* FROM documents d JOIN (
+             |    SELECT min(doc_id) AS doc_id FROM (
+             |      SELECT doc_id,
+             |        md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+             |      FROM documents) GROUP BY fp) k USING (doc_id)),
+             |${minhashCtes("surv")},
+             |mpairs AS (SELECT id_a, id_b FROM mver WHERE jaccard >= 0.8),
+             |medge(a, b) AS (SELECT id_a, id_b FROM mpairs
+             |  UNION SELECT id_b, id_a FROM mpairs),
+             |mcomp(doc, lbl) AS (
+             |  SELECT DISTINCT a, a FROM medge
+             |  UNION
+             |  SELECT e.b, c.lbl FROM mcomp c JOIN medge e ON e.a = c.doc),
+             |mdrop AS (
+             |  SELECT doc FROM (SELECT doc, min(lbl) AS group_id
+             |    FROM mcomp GROUP BY 1) WHERE doc <> group_id)
+             |SELECT doc_id, lang, source FROM surv
+             |WHERE doc_id NOT IN (SELECT doc FROM mdrop)""".stripMargin)),
 
     // ---- end-to-end corpus preparation pipeline -----------------------
-    // annotate → quality-filter → dedup → summarize; rows-only (the
-    // dedup stage is LSH-based), stage invariants pinned in LlmOpsSpec
+    // annotate → quality-filter → dedup → summarize. Fully oracled now
+    // that the LSH dedup stage is engine-portable: the SQL composes the
+    // llm_langid / llm_quality_score expressions, the exact-dedup
+    // fingerprint, the shared minhash CTEs and the CC drop set, then
+    // aggregates per predicted language like CorpusPipeline.summary.
     GQ("llm_pipeline_e2e",
       (s, dir) => graft.llm.CorpusPipeline.summary(
         graft.llm.CorpusPipeline.prepare(t(s, dir).documents,
-          minQuality = 0.2, minJaccard = 0.8))),
+          minQuality = 0.2, minJaccard = 0.8)),
+      Some(s"""WITH RECURSIVE ptok AS (
+             |  SELECT doc_id, text,
+             |    regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+             |  FROM documents),
+             |pscore AS (
+             |  SELECT doc_id, text,
+             |    CASE WHEN len(tk) = 0 THEN 0 ELSE len(list_filter(tk, x -> x IN
+             |      ('der','die','das','und','in','den','von','zu','mit','auf',
+             |       'ist','ein','eine','nicht'))) / CAST(len(tk) AS DOUBLE) END AS s_de,
+             |    CASE WHEN len(tk) = 0 THEN 0 ELSE len(list_filter(tk, x -> x IN
+             |      ('the','a','an','and','or','of','in','to','is','are','was',
+             |       'for','on','with','as','by','at','it'))) / CAST(len(tk) AS DOUBLE) END AS s_en,
+             |    CASE WHEN len(tk) = 0 THEN 0 ELSE len(list_filter(tk, x -> x IN
+             |      ('el','la','los','las','de','que','y','en','un','una','por',
+             |       'con','para','es'))) / CAST(len(tk) AS DOUBLE) END AS s_es,
+             |    CASE WHEN len(tk) = 0 THEN 0 ELSE len(list_filter(tk, x -> x IN
+             |      ('le','la','les','de','des','et','en','un','une','du','que',
+             |       'pour','dans','est'))) / CAST(len(tk) AS DOUBLE) END AS s_fr
+             |  FROM ptok),
+             |pann AS (
+             |  SELECT doc_id, text,
+             |    CASE WHEN s_en IS NULL THEN 'und'
+             |         WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+             |         WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+             |         WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+             |         WHEN s_es >= s_fr THEN 'es'
+             |         ELSE 'fr' END AS lang_pred,
+             |    round((least(length(text) / 500.0, 1.0)
+             |     + 1.0 - least(4 * (CASE WHEN length(text) = 0 THEN 0
+             |         ELSE length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))
+             |           / CAST(length(text) AS DOUBLE) END), 1.0)
+             |     + least(3 * (CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\\s+')) = 0 THEN 0
+             |         ELSE len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+             |           x -> x IN ('the','a','an','and','or','of','in','to','is','are',
+             |                      'was','for','on','with','as','by','at','it')))
+             |           / CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS DOUBLE)
+             |       END), 1.0)) / 3, 4) AS quality,
+             |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens
+             |  FROM pscore),
+             |pfilt AS (SELECT * FROM pann WHERE quality >= 0.2),
+             |surv AS (
+             |  SELECT p.* FROM pfilt p JOIN (
+             |    SELECT min(doc_id) AS doc_id FROM (
+             |      SELECT doc_id,
+             |        md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+             |      FROM pfilt) GROUP BY fp) k USING (doc_id)),
+             |${minhashCtes("surv")},
+             |mpairs AS (SELECT id_a, id_b FROM mver WHERE jaccard >= 0.8),
+             |medge(a, b) AS (SELECT id_a, id_b FROM mpairs
+             |  UNION SELECT id_b, id_a FROM mpairs),
+             |mcomp(doc, lbl) AS (
+             |  SELECT DISTINCT a, a FROM medge
+             |  UNION
+             |  SELECT e.b, c.lbl FROM mcomp c JOIN medge e ON e.a = c.doc),
+             |mdrop AS (
+             |  SELECT doc FROM (SELECT doc, min(lbl) AS group_id
+             |    FROM mcomp GROUP BY 1) WHERE doc <> group_id)
+             |SELECT lang_pred, count(*) AS n_docs,
+             |  round(avg(quality), 4) AS avg_quality,
+             |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+             |FROM surv WHERE doc_id NOT IN (SELECT doc FROM mdrop)
+             |GROUP BY 1""".stripMargin)),
 
     // ---- SimHash near-dup (banded pigeonhole + Hamming verify) --------
     // band values from the UNSIGNED signature via pure arithmetic
