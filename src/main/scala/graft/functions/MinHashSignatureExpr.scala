@@ -35,24 +35,13 @@ object MinHashUtil {
     * h_i = h1 + i·h2 wrap mod 2^64 and compare as SIGNED longs (the
     * oracle mirrors with an unsigned-to-signed CASE before min()).
     */
-  @inline private def pairFromDigest(d: Array[Byte]): (Long, Long) = {
-    @inline def be(o: Int): Long =
-      ((d(o) & 0xffL) << 56) | ((d(o + 1) & 0xffL) << 48) |
-        ((d(o + 2) & 0xffL) << 40) | ((d(o + 3) & 0xffL) << 32) |
-        ((d(o + 4) & 0xffL) << 24) | ((d(o + 5) & 0xffL) << 16) |
-        ((d(o + 6) & 0xffL) << 8) | (d(o + 7) & 0xffL)
-    (be(0), be(8) | 1L)
-  }
-
-  private val md5 = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
+  @inline private def pairFromDigest(d: Array[Byte]): (Long, Long) =
+    (DigestUtil.beLong(d, 0), DigestUtil.beLong(d, 8) | 1L)
 
   def compute(arr: ArrayData, k: Int): Array[Long] = {
     val mins = Array.fill(k)(Long.MaxValue)
     val n = arr.numElements()
-    val d = md5.get()
+    val d = DigestUtil.md5.get()
     var i = 0
     while (i < n) {
       val s = arr.getUTF8String(i)
@@ -95,7 +84,7 @@ object MinHashUtil {
     }
     val space = Array(' '.toByte)
     val mins = Array.fill(k)(Long.MaxValue)
-    val d = md5.get()
+    val d = DigestUtil.md5.get()
     i = 0
     while (i <= n - w) {
       d.reset()

@@ -13,12 +13,6 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * MinHashTextExpr.
   */
 object SimHashUtil {
-  // md5 is stateful and not thread-safe; one instance per executor thread
-  private val md5 = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
   /** Per-token 64-bit hash = the first 8 md5 bytes, big-endian — i.e.
     * the value of the first 16 hex chars of the standard md5 string.
     * Chosen over xxhash64/FNV for ENGINE PORTABILITY: any SQL engine
@@ -27,13 +21,9 @@ object SimHashUtil {
     * queries carry hash-checked oracles instead of rows-only entries.
     */
   def tokenHash(bytes: Array[Byte]): Long = {
-    val d = md5.get()
+    val d = DigestUtil.md5.get()
     d.reset()
-    val h = d.digest(bytes)
-    ((h(0) & 0xffL) << 56) | ((h(1) & 0xffL) << 48) |
-      ((h(2) & 0xffL) << 40) | ((h(3) & 0xffL) << 32) |
-      ((h(4) & 0xffL) << 24) | ((h(5) & 0xffL) << 16) |
-      ((h(6) & 0xffL) << 8) | (h(7) & 0xffL)
+    DigestUtil.beLong(d.digest(bytes), 0)
   }
 
   def compute(toks: ArrayData): Long = {

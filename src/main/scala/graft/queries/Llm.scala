@@ -204,6 +204,71 @@ object Llm {
        |  JOIN msh x ON x.doc_id = c.id_a
        |  JOIN msh y ON y.doc_id = c.id_b)""".stripMargin
 
+  /** Shared DuckDB fragments for the text-annotation family: the
+    * standalone llm_langid / llm_quality_score oracles and the composed
+    * llm_pipeline_e2e reuse the SAME text, so the oracles cannot drift
+    * (the CurOracle convention).
+    */
+  private object TextOracle {
+    /** Per-language marker-score select items over a token-array column
+      * `tk` (langScores' stopword-hit fractions).
+      */
+    val scoreCols: String =
+      """    CASE WHEN len(tk) = 0 THEN 0 ELSE len(list_filter(tk, x -> x IN
+        |      ('der','die','das','und','in','den','von','zu','mit','auf',
+        |       'ist','ein','eine','nicht'))) / CAST(len(tk) AS DOUBLE) END AS s_de,
+        |    CASE WHEN len(tk) = 0 THEN 0 ELSE len(list_filter(tk, x -> x IN
+        |      ('the','a','an','and','or','of','in','to','is','are','was',
+        |       'for','on','with','as','by','at','it'))) / CAST(len(tk) AS DOUBLE) END AS s_en,
+        |    CASE WHEN len(tk) = 0 THEN 0 ELSE len(list_filter(tk, x -> x IN
+        |      ('el','la','los','las','de','que','y','en','un','una','por',
+        |       'con','para','es'))) / CAST(len(tk) AS DOUBLE) END AS s_es,
+        |    CASE WHEN len(tk) = 0 THEN 0 ELSE len(list_filter(tk, x -> x IN
+        |      ('le','la','les','de','des','et','en','un','une','du','que',
+        |       'pour','dans','est'))) / CAST(len(tk) AS DOUBLE) END AS s_fr""".stripMargin
+
+    /** Arg-max over the score columns with keep-first tie semantics. */
+    val langCase: String =
+      """CASE WHEN s_en IS NULL THEN 'und'
+        |       WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+        |       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |       WHEN s_es >= s_fr THEN 'es'
+        |       ELSE 'fr' END""".stripMargin
+
+    /** TextAnalysis.qualityScore over a text column expression. */
+    def qualityExpr(text: String): String =
+      s"""round((least(length($text) / 500.0, 1.0)
+         | + 1.0 - least(4 * (CASE WHEN length($text) = 0 THEN 0
+         |     ELSE length(regexp_replace($text, '[^!-/:-@\\[-`{-~]', '', 'g'))
+         |       / CAST(length($text) AS DOUBLE) END), 1.0)
+         | + least(3 * (CASE WHEN len(regexp_split_to_array(lower(trim($text)), '\\s+')) = 0 THEN 0
+         |     ELSE len(list_filter(regexp_split_to_array(lower(trim($text)), '\\s+'),
+         |       x -> x IN ('the','a','an','and','or','of','in','to','is','are',
+         |                  'was','for','on','with','as','by','at','it')))
+         |       / CAST(len(regexp_split_to_array(lower(trim($text)), '\\s+')) AS DOUBLE)
+         |   END), 1.0)) / 3, 4)""".stripMargin
+  }
+
+  /** Near-dup transitive-grouping drop set over `mver` (the minhashCtes
+    * tail): pairs at `threshold` become undirected edges, a recursive
+    * CTE computes each component's transitive closure, and `mdrop`
+    * holds every member except its component's minimum (exactly
+    * Dedup.transitiveGroups' min-label CC). Shared by llm_dedup_corpus
+    * and llm_pipeline_e2e.
+    */
+  private def ccDropCtes(threshold: String): String =
+    s"""mpairs AS (SELECT id_a, id_b FROM mver WHERE jaccard >= $threshold),
+       |medge(a, b) AS (SELECT id_a, id_b FROM mpairs
+       |  UNION SELECT id_b, id_a FROM mpairs),
+       |mcomp(doc, lbl) AS (
+       |  SELECT DISTINCT a, a FROM medge
+       |  UNION
+       |  SELECT e.b, c.lbl FROM mcomp c JOIN medge e ON e.a = c.doc),
+       |mdrop AS (
+       |  SELECT doc FROM (SELECT doc, min(lbl) AS group_id
+       |    FROM mcomp GROUP BY 1) WHERE doc <> group_id)""".stripMargin
+
   /** Corpus-mixing rates for llm_weighted_sample ('zh' deliberately
     * absent — it exercises the default-rate fallback).
     */
@@ -302,17 +367,8 @@ object Llm {
       (s, dir) => t(s, dir).documents.select(
         col("doc_id"),
         TextAnalysis.qualityScore(col("text")).as("quality")),
-      Some("""SELECT doc_id,
-             |round((least(length(text) / 500.0, 1.0)
-             | + 1.0 - least(4 * (CASE WHEN length(text) = 0 THEN 0
-             |     ELSE length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g'))
-             |       / CAST(length(text) AS DOUBLE) END), 1.0)
-             | + least(3 * (CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\s+')) = 0 THEN 0
-             |     ELSE len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
-             |       x -> x IN ('the','a','an','and','or','of','in','to','is','are',
-             |                  'was','for','on','with','as','by','at','it')))
-             |       / CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE)
-             |   END), 1.0)) / 3, 4) AS quality
+      Some(s"""SELECT doc_id,
+             |${TextOracle.qualityExpr("text")} AS quality
              |FROM documents""".stripMargin)),
 
     // ---- language ID (n-gram/stopword heuristic) ----------------------
@@ -320,33 +376,17 @@ object Llm {
       (s, dir) => t(s, dir).documents.select(
         col("doc_id"), col("lang").as("labeled_lang"),
         TextAnalysis.langId(col("text")).as("predicted_lang")),
-      Some("""WITH toks AS (
+      Some(s"""WITH toks AS (
              |  SELECT doc_id, lang,
-             |    regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+             |    regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
              |  FROM documents
              |), scores AS (
              |  SELECT doc_id, lang,
-             |    CASE WHEN len(tk) = 0 THEN 0 ELSE len(list_filter(tk, x -> x IN
-             |      ('der','die','das','und','in','den','von','zu','mit','auf',
-             |       'ist','ein','eine','nicht'))) / CAST(len(tk) AS DOUBLE) END AS s_de,
-             |    CASE WHEN len(tk) = 0 THEN 0 ELSE len(list_filter(tk, x -> x IN
-             |      ('the','a','an','and','or','of','in','to','is','are','was',
-             |       'for','on','with','as','by','at','it'))) / CAST(len(tk) AS DOUBLE) END AS s_en,
-             |    CASE WHEN len(tk) = 0 THEN 0 ELSE len(list_filter(tk, x -> x IN
-             |      ('el','la','los','las','de','que','y','en','un','una','por',
-             |       'con','para','es'))) / CAST(len(tk) AS DOUBLE) END AS s_es,
-             |    CASE WHEN len(tk) = 0 THEN 0 ELSE len(list_filter(tk, x -> x IN
-             |      ('le','la','les','de','des','et','en','un','une','du','que',
-             |       'pour','dans','est'))) / CAST(len(tk) AS DOUBLE) END AS s_fr
+             |${TextOracle.scoreCols}
              |  FROM toks
              |)
              |SELECT doc_id, lang AS labeled_lang,
-             |  CASE WHEN s_en IS NULL THEN 'und'
-             |       WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
-             |       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
-             |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
-             |       WHEN s_es >= s_fr THEN 'es'
-             |       ELSE 'fr' END AS predicted_lang
+             |  ${TextOracle.langCase} AS predicted_lang
              |FROM scores""".stripMargin)),
 
     // ---- document fingerprinting (md5 + order-sensitive chained md5) --
@@ -479,7 +519,8 @@ object Llm {
       (s, dir) => t(s, dir).documents
         .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash")),
       Some(s"""WITH RECURSIVE ${SimOracle.ctes}
-             |SELECT doc_id, simhash FROM ssig""".stripMargin)),
+             |SELECT d.doc_id, s.simhash
+             |FROM documents d LEFT JOIN ssig s USING (doc_id)""".stripMargin)),
 
     // ---- end-to-end corpus dedup (exact + MinHash + transitive groups)
     // Fully oracled since the LSH stage went engine-portable: exact-
@@ -497,16 +538,7 @@ object Llm {
              |        md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
              |      FROM documents) GROUP BY fp) k USING (doc_id)),
              |${minhashCtes("surv")},
-             |mpairs AS (SELECT id_a, id_b FROM mver WHERE jaccard >= 0.8),
-             |medge(a, b) AS (SELECT id_a, id_b FROM mpairs
-             |  UNION SELECT id_b, id_a FROM mpairs),
-             |mcomp(doc, lbl) AS (
-             |  SELECT DISTINCT a, a FROM medge
-             |  UNION
-             |  SELECT e.b, c.lbl FROM mcomp c JOIN medge e ON e.a = c.doc),
-             |mdrop AS (
-             |  SELECT doc FROM (SELECT doc, min(lbl) AS group_id
-             |    FROM mcomp GROUP BY 1) WHERE doc <> group_id)
+             |${ccDropCtes("0.8")}
              |SELECT doc_id, lang, source FROM surv
              |WHERE doc_id NOT IN (SELECT doc FROM mdrop)""".stripMargin)),
 
@@ -526,37 +558,12 @@ object Llm {
              |  FROM documents),
              |pscore AS (
              |  SELECT doc_id, text,
-             |    CASE WHEN len(tk) = 0 THEN 0 ELSE len(list_filter(tk, x -> x IN
-             |      ('der','die','das','und','in','den','von','zu','mit','auf',
-             |       'ist','ein','eine','nicht'))) / CAST(len(tk) AS DOUBLE) END AS s_de,
-             |    CASE WHEN len(tk) = 0 THEN 0 ELSE len(list_filter(tk, x -> x IN
-             |      ('the','a','an','and','or','of','in','to','is','are','was',
-             |       'for','on','with','as','by','at','it'))) / CAST(len(tk) AS DOUBLE) END AS s_en,
-             |    CASE WHEN len(tk) = 0 THEN 0 ELSE len(list_filter(tk, x -> x IN
-             |      ('el','la','los','las','de','que','y','en','un','una','por',
-             |       'con','para','es'))) / CAST(len(tk) AS DOUBLE) END AS s_es,
-             |    CASE WHEN len(tk) = 0 THEN 0 ELSE len(list_filter(tk, x -> x IN
-             |      ('le','la','les','de','des','et','en','un','une','du','que',
-             |       'pour','dans','est'))) / CAST(len(tk) AS DOUBLE) END AS s_fr
+             |${TextOracle.scoreCols}
              |  FROM ptok),
              |pann AS (
              |  SELECT doc_id, text,
-             |    CASE WHEN s_en IS NULL THEN 'und'
-             |         WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
-             |         WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
-             |         WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
-             |         WHEN s_es >= s_fr THEN 'es'
-             |         ELSE 'fr' END AS lang_pred,
-             |    round((least(length(text) / 500.0, 1.0)
-             |     + 1.0 - least(4 * (CASE WHEN length(text) = 0 THEN 0
-             |         ELSE length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))
-             |           / CAST(length(text) AS DOUBLE) END), 1.0)
-             |     + least(3 * (CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\\s+')) = 0 THEN 0
-             |         ELSE len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
-             |           x -> x IN ('the','a','an','and','or','of','in','to','is','are',
-             |                      'was','for','on','with','as','by','at','it')))
-             |           / CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS DOUBLE)
-             |       END), 1.0)) / 3, 4) AS quality,
+             |    ${TextOracle.langCase} AS lang_pred,
+             |    ${TextOracle.qualityExpr("text")} AS quality,
              |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens
              |  FROM pscore),
              |pfilt AS (SELECT * FROM pann WHERE quality >= 0.2),
@@ -567,16 +574,7 @@ object Llm {
              |        md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
              |      FROM pfilt) GROUP BY fp) k USING (doc_id)),
              |${minhashCtes("surv")},
-             |mpairs AS (SELECT id_a, id_b FROM mver WHERE jaccard >= 0.8),
-             |medge(a, b) AS (SELECT id_a, id_b FROM mpairs
-             |  UNION SELECT id_b, id_a FROM mpairs),
-             |mcomp(doc, lbl) AS (
-             |  SELECT DISTINCT a, a FROM medge
-             |  UNION
-             |  SELECT e.b, c.lbl FROM mcomp c JOIN medge e ON e.a = c.doc),
-             |mdrop AS (
-             |  SELECT doc FROM (SELECT doc, min(lbl) AS group_id
-             |    FROM mcomp GROUP BY 1) WHERE doc <> group_id)
+             |${ccDropCtes("0.8")}
              |SELECT lang_pred, count(*) AS n_docs,
              |  round(avg(quality), 4) AS avg_quality,
              |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
