@@ -179,6 +179,30 @@ object Similarity {
     out
   }
 
+  /** L2 norm of a float-vector column, quantized to integer micro-units
+    * (round(‖v‖·1e6) as long). The micro quantization is what makes
+    * norms SUMMABLE with a hash-checked oracle: integer sums are
+    * order-independent, where a double sum depends on partial-
+    * aggregation order (the llm.Scoring determinism contract).
+    */
+  def l2NormMicro(v: Column): Column =
+    round(sqrt(aggregate(
+      transform(v, x => x.cast("double") * x.cast("double")),
+      lit(0.0d), (acc, x) => acc + x)) * 1e6, 0).cast("long")
+
+  /** Element-wise mean embedding per group (the CentroidMean typed
+    * Aggregator through the untyped-aggregation bridge): map-side
+    * combinable, shuffle = groups × dim. The float-cast finish absorbs
+    * double summation-order noise — the same contract the k-means
+    * refine oracle relies on.
+    */
+  def meanPool(emb: DataFrame, groupCol: Column, dim: Int = 64): DataFrame =
+    emb.groupBy(groupCol.as("group_id"))
+      .agg(count(lit(1)).as("n_vecs"),
+        udaf(new graft.functions.CentroidMean(dim),
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+          .apply(col("embedding")).as("pooled"))
+
   /** IVF probe: search only the `nProbe` centroids closest to the query.
     * At scale the assignment is written partitioned by centroid_id
     * (Sinks.parquet(partitionBy = Seq("centroid_id"))) so this becomes a

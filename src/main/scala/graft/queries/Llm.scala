@@ -715,6 +715,47 @@ object Llm {
              |CAST(1.0 AS DOUBLE) AS cosine
              |FROM embeddings""".stripMargin)),
 
+    // ---- embedding vector ops: per-group L2 norms + mean pooling ------
+    // pooled means project to micro-unit-int CSV (float-to-string
+    // formatting diverges between engines; scaled integers don't), and
+    // norms sum as micro-unit integers — both per the Scoring
+    // determinism contract, so the whole query hash-verifies
+    GQ("llm_vector_ops",
+      (s, dir) => {
+        val emb = t(s, dir).embeddings
+        val norms = emb.select(pmod(col("vec_id"), lit(8L)).as("group_id"),
+            Similarity.l2NormMicro(col("embedding")).as("norm_micro"))
+          .groupBy(col("group_id"))
+          .agg(sum(col("norm_micro")).as("sum_norm_micro"))
+        Similarity.meanPool(emb, pmod(col("vec_id"), lit(8L)))
+          .join(norms, Seq("group_id"))
+          .select(col("group_id"), col("n_vecs"), col("sum_norm_micro"),
+            concat_ws(",", transform(col("pooled"), x =>
+              round(x.cast("double") * 10000, 0).cast("long").cast("string")))
+              .as("pooled_csv"))
+      },
+      Some("""WITH vb AS (
+             |  SELECT vec_id % 8 AS group_id, embedding,
+             |    CAST(round(sqrt(list_sum(list_transform(embedding,
+             |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 1e6, 0)
+             |      AS BIGINT) AS norm_micro
+             |  FROM embeddings),
+             |vpool AS (
+             |  SELECT group_id, pos, CAST(avg(CAST(val AS DOUBLE)) AS FLOAT) AS m
+             |  FROM (SELECT group_id, unnest(embedding) AS val,
+             |        generate_subscripts(embedding, 1) AS pos FROM vb)
+             |  GROUP BY 1, 2),
+             |vcsv AS (
+             |  SELECT group_id, array_to_string(list(
+             |    CAST(CAST(round(CAST(m AS DOUBLE) * 10000, 0) AS BIGINT) AS VARCHAR)
+             |    ORDER BY pos), ',') AS pooled_csv
+             |  FROM vpool GROUP BY 1)
+             |SELECT v.group_id, count(*) AS n_vecs,
+             |  CAST(sum(v.norm_micro) AS BIGINT) AS sum_norm_micro,
+             |  any_value(c.pooled_csv) AS pooled_csv
+             |FROM vb v JOIN vcsv c USING (group_id)
+             |GROUP BY 1""".stripMargin)),
+
     // ---- PII redaction ------------------------------------------------
     // The synthetic corpus carries no PII, so the query PLANTS one email,
     // one IPv4 and one phone number per document (derived from doc_id —

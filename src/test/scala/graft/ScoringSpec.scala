@@ -96,6 +96,26 @@ class ScoringSpec extends AnyFunSuite {
     assert(!out.contains(3L))
   }
 
+  test("l2NormMicro and meanPool match hand-computed vectors") {
+    import spark.implicits._
+    import graft.llm.Similarity
+    val df = Seq(
+      (0L, Seq(3.0f, 4.0f)),   // ‖v‖ = 5
+      (2L, Seq(1.0f, 0.0f)),   // unit
+      (4L, Seq(0.0f, 2.0f))
+    ).toDF("vec_id", "embedding")
+    val norms = df.select(col("vec_id"),
+        Similarity.l2NormMicro(col("embedding")).as("nm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(norms === Map(0L -> 5000000L, 2L -> 1000000L, 4L -> 2000000L))
+    // one group (all even ids % 2 = 0): mean = ((3+1+0)/3, (4+0+2)/3)
+    val pooled = Similarity.meanPool(df, pmod(col("vec_id"), lit(2L)), dim = 2)
+      .collect()
+    assert(pooled.length === 1 && pooled.head.getLong(1) === 3L)
+    val vec = pooled.head.getSeq[Float](2)
+    assert(math.abs(vec(0) - 4.0f / 3) < 1e-6 && math.abs(vec(1) - 2.0f) < 1e-6)
+  }
+
   test("splitAssign: total, deterministic, duplicate-stable, ~fractions") {
     val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
     val a = Scoring.splitAssign(docsDf, splits).cache()
