@@ -160,6 +160,26 @@ object LlmScaleCheck {
       s"selection percentiles != built-in: $sel vs $builtin")
     println(s"[scale] percentile: bit-identical to built-in on ${sel.size} groups OK")
 
+    // ---- minhashNearDup at 201k docs, planted EXACT duplicates --------
+    // an exact twin shares the full signature, hence every band → LSH
+    // recall is structurally 1.0 (no hash luck); exercises the
+    // md5-family signatures + value-keyed banding + verify join at
+    // 40× the bench corpus
+    val mhTwins = spark.range(nPlant).select(
+      (col("id") + 30_000_000L).as("doc_id"),
+      concat_ws(" ", words: _*).as("text"))
+    t0 = System.nanoTime()
+    val mhPairs = graft.llm.Dedup.minhashNearDup(base.union(mhTwins),
+      w = 3, k = 32, bands = 8, minJaccard = 0.9)
+    val mhFound = mhPairs
+      .filter(col("id_b") === col("id_a") + 30_000_000L &&
+        col("id_a") < nPlant && col("jaccard") === 1.0)
+      .count()
+    val mhSec = (System.nanoTime() - t0) / 1e9
+    require(mhFound == nPlant, s"minhash exact-twin recall $mhFound/$nPlant")
+    println(f"[scale] minhash: ${nDocs + nPlant} docs, exact-twin recall $mhFound/$nPlant in $mhSec%.1f s")
+    graft.core.Checkpoints.release(mhPairs)
+
     // ---- bm25 + bigramNll + invertedIndex over the synthetic corpus ---
     // `docs` reuses the jaccard corpus (~200k 40-token docs, ~65k-word
     // vocabulary). Query terms are hash-vocabulary words: each appears
