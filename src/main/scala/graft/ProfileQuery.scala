@@ -2,15 +2,16 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev utility: time one registry query (same session config + noop
-  * forcing as Bench) without paying for the other ~75. Repeats N times
-  * so cache-warm vs cold cost is visible.
+/** Dev utility: time registry queries (same session config + noop
+  * forcing as Bench) without paying for the other ~75. Repeats N times,
+  * interleaving the named queries per rep, so cache-warm vs cold cost and
+  * ambient-load noise are both visible.
   *
-  * Usage: runMain graft.ProfileQuery <queryName> [sfDir] [reps]
+  * Usage: runMain graft.ProfileQuery <name[,name...]> [sfDir] [reps]
   */
 object ProfileQuery {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(',').toSeq
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(2).map(_.toInt).getOrElse(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -24,13 +25,15 @@ object ProfileQuery {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1L << 20).selectExpr("id % 7 AS k").groupBy("k").count()
       .count() // JIT/scheduler warmup, as in Bench
-    val fn = SparkEntry.queries(name)
     (1 to reps).foreach { i =>
-      val t0 = System.nanoTime()
-      val df = fn(spark, sfDir)
-      df.write.format("noop").mode("overwrite").save()
-      graft.core.Checkpoints.release(df)
-      println(f"[profile] $name rep$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      names.foreach { name =>
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        val df = fn(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
+        graft.core.Checkpoints.release(df)
+        println(f"[profile] $name rep$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
     }
     spark.stop()
   }

@@ -30,6 +30,46 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Paragraph-level exact dedup (RefinedWeb/Dolma-style): drop every
+    * repeated paragraph CORPUS-WIDE, keeping only its first occurrence
+    * (ordered by doc_id, then position), and reassemble each document
+    * from its surviving paragraphs. The corpus has no newline structure,
+    * so "paragraph" is re-expressed as a deterministic non-overlapping
+    * `chunkSize`-token window (Curation.chunkTokens with stride =
+    * chunkSize) — the unit is different, the dedup semantics are the
+    * published ones.
+    *
+    * Returns (doc_id, n_chunks, n_kept, text_dedup); docs whose every
+    * chunk was seen earlier survive with n_kept = 0 and empty text.
+    *
+    * Scale: chunking is map-side; the first-occurrence rule is one
+    * window pass hash-partitioned by chunk fingerprint (group size =
+    * duplicate multiplicity, never corpus-sized); reassembly is one
+    * groupBy(doc_id). Three narrow shuffles, nothing quadratic, no
+    * broadcast — the same plan at 100 TB.
+    */
+  def paragraphDedup(docs: DataFrame, chunkSize: Int = 16): DataFrame = {
+    val chunks = Curation.chunkTokens(docs, chunkSize, chunkSize)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_text"),
+        md5(col("chunk_text")).as("fp"))
+    val firstSeen = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp"))
+      .orderBy(col("doc_id").asc, col("chunk_idx").asc)
+    val kept = chunks
+      .withColumn("rn", row_number().over(firstSeen))
+      .filter(col("rn") === 1)
+    val rebuilt = kept.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
+        s => s.getField("chunk_text"))).as("text_dedup"))
+    chunks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+      .join(rebuilt, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
   // ---- MinHash + LSH --------------------------------------------------
 
   /** Normalized whitespace tokens of a text column. Materialize this as

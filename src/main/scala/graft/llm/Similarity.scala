@@ -179,6 +179,65 @@ object Similarity {
     out
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. '23): k-means
+    * the corpus, then inside each cluster drop every vector that has a
+    * LOWER-id neighbor with cosine ≥ `minCosine` — one deterministic
+    * representative (the lowest id) survives per semantic-duplicate set,
+    * without computing a transitive closure. Returns the survivors as
+    * (vec_id, centroid_id).
+    *
+    * Scale design — this is exactly why SemDeDup clusters first: the
+    * pairwise cosine test runs only INSIDE clusters, so the self-join is
+    * bucket-local (one shuffle per side on centroid_id, candidate volume
+    * Σ cluster² instead of corpus²). k scales with the corpus to keep
+    * clusters bounded; the assignment itself is the zero-shuffle
+    * map-side argmax (assignToCentroids). The two join branches re-run
+    * that map-side assignment rather than caching it — recompute is one
+    * scan + argmax, cheaper at scale than pinning a corpus-sized cache.
+    */
+  def semanticDedup(spark: SparkSession, emb: DataFrame, k: Int = 8,
+      iters: Int = 2, minCosine: Double = 0.95): DataFrame = {
+    val assigned = kmeans(spark, emb, k, iters)
+    val a = assigned.select(col("centroid_id"),
+      col("vec_id").as("a_id"), col("embedding").as("a_vec"))
+    val b = assigned.select(col("centroid_id"),
+      col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+    val dropped = a.join(b, Seq("centroid_id"))
+      .filter(col("a_id") < col("b_id") &&
+        cosine(col("a_vec"), col("b_vec")) >= minCosine)
+      .select(col("b_id").as("vec_id")).distinct()
+    assigned.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("centroid_id"))
+  }
+
+  /** Symmetric per-vector int8 quantization — the standard embedding
+    * compression step before shipping vectors to an ANN index (scale =
+    * max|v|/127, q_i = round(v_i/scale) ∈ [-127, 127]). Returns per
+    * vector the scale, the quantized checksums (exact integer sums, so
+    * order-independent and oracle-hashable) and the worst reconstruction
+    * error, scaled to nano-units per the Scoring determinism contract.
+    * Pure map-side: one projection, no shuffle, survives any scale as a
+    * scan. Zero vectors quantize to all-zero with zero error.
+    */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val vd = transform(col("embedding"), x => x.cast("double"))
+    val nano = (c: Column) => round(c * 1e9, 0).cast("long")
+    emb.select(col("vec_id"), vd.as("vd"),
+        (array_max(transform(vd, x => abs(x))) / lit(127.0)).as("scale"))
+      .select(col("vec_id"), col("vd"), col("scale"),
+        transform(col("vd"), x =>
+          when(col("scale") === 0.0, lit(0.0))
+            .otherwise(round(x / col("scale"), 0))).as("q"))
+      .select(col("vec_id"),
+        nano(col("scale")).as("scale_nano"),
+        aggregate(col("q"), lit(0.0), (acc, x) => acc + x)
+          .cast("long").as("q_sum"),
+        aggregate(col("q"), lit(0.0), (acc, x) => acc + abs(x))
+          .cast("long").as("q_l1"),
+        nano(array_max(zip_with(col("vd"), col("q"),
+          (x, qi) => abs(x - qi * col("scale"))))).as("max_err_nano"))
+  }
+
   /** L2 norm of a float-vector column, quantized to integer micro-units
     * (round(‖v‖·1e6) as long). The micro quantization is what makes
     * norms SUMMABLE with a hash-checked oracle: integer sums are

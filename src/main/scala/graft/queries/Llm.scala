@@ -51,12 +51,15 @@ object Llm {
          | / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
          |  * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""".stripMargin
 
-    /** Nearest-centroid assignment of every embedding against `cents`. */
-    def assign(cents: String, out: String): String =
+    /** Nearest-centroid assignment of every `src` embedding against
+      * `cents`.
+      */
+    def assign(cents: String, out: String, src: String = "embeddings")
+        : String =
       s"""sim_$out AS (
          |  SELECT e.vec_id, e.embedding, s.c_id,
          |         ${cos("e.embedding", "s.c_vec")} AS sim
-         |  FROM embeddings e CROSS JOIN $cents s),
+         |  FROM $src e CROSS JOIN $cents s),
          |$out AS (
          |  SELECT vec_id, embedding, c_id AS centroid_id FROM (
          |    SELECT vec_id, embedding, c_id,
@@ -73,9 +76,9 @@ object Llm {
          |             generate_subscripts(embedding, 1) AS pos FROM $asg)
          |    GROUP BY 1, 2) GROUP BY 1)""".stripMargin
 
-    def seeds(n: Int): String =
+    def seeds(n: Int, src: String = "embeddings"): String =
       s"""seeds AS (SELECT vec_id AS c_id, embedding AS c_vec
-         |  FROM embeddings ORDER BY vec_id ASC LIMIT $n)""".stripMargin
+         |  FROM $src ORDER BY vec_id ASC LIMIT $n)""".stripMargin
 
     /** seeds16 → assign → one k-means refine → re-assign → probe top-4
       * centroids → exact cosine top-20 inside the probed buckets.
@@ -94,6 +97,30 @@ object Llm {
          |       round(${cos("embedding", "(SELECT qv FROM q)")}, 6) AS cosine
          |FROM asg1 WHERE centroid_id IN (SELECT c_id FROM probes)
          |ORDER BY cosine DESC, vec_id ASC LIMIT 20""".stripMargin
+
+    /** llm_semantic_dedup: originals ∪ id-shifted exact copies →
+      * seeds8 → 2 × (assign → refine) → final assign → drop every
+      * vector with a lower-id same-cluster neighbor at cosine ≥ 0.95.
+      * Mirrors Similarity.semanticDedup(k = 8, iters = 2) exactly.
+      */
+    val semanticSql: String =
+      s"""WITH aug AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000000, embedding FROM embeddings),
+         |${seeds(8, "aug")},
+         |${assign("seeds", "s_asg0", "aug")},
+         |${refine("s_asg0", "s_ref1")},
+         |${assign("s_ref1", "s_asg1", "aug")},
+         |${refine("s_asg1", "s_ref2")},
+         |${assign("s_ref2", "s_asgF", "aug")},
+         |sdrop AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM s_asgF a JOIN s_asgF b ON a.centroid_id = b.centroid_id
+         |    AND a.vec_id < b.vec_id
+         |  WHERE ${cos("a.embedding", "b.embedding")} >= 0.95)
+         |SELECT vec_id, centroid_id FROM s_asgF
+         |WHERE vec_id NOT IN (SELECT vec_id FROM sdrop)""".stripMargin
 
     /** seeds8 → 3 × (assign → refine) → final assign → cluster sizes. */
     val kmeansSql: String =
@@ -514,6 +541,44 @@ object Llm {
              |       least(64, len(t) - chunk_idx * 48) AS n_chunk_tokens
              |FROM st""".stripMargin)),
 
+    // ---- paragraph-level exact dedup (first occurrence wins) ----------
+    // "Paragraph" = non-overlapping 16-token window (the corpus has no
+    // newline structure); the corpus genuinely contains repeated windows
+    // at this width (78 at sf0.01), so the dedup is exercised without
+    // planting. Oracle mirrors chunking, the first-occurrence window
+    // rank, and ordered reassembly.
+    GQ("llm_paragraph_dedup",
+      (s, dir) => Dedup.paragraphDedup(t(s, dir).documents, chunkSize = 16),
+      Some("""WITH tk AS (
+             |  SELECT doc_id,
+             |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+             |      ' ') AS t
+             |  FROM documents),
+             |st AS (
+             |  SELECT doc_id, t,
+             |         unnest(range(0, 1 + greatest(0,
+             |           (len(t) - 16 + 15) // 16))) AS chunk_idx
+             |  FROM tk),
+             |cc AS (
+             |  SELECT doc_id, chunk_idx,
+             |         array_to_string(t[chunk_idx * 16 + 1 : chunk_idx * 16 + 16],
+             |           ' ') AS chunk_text
+             |  FROM st),
+             |rk AS (
+             |  SELECT doc_id, chunk_idx, chunk_text,
+             |         row_number() OVER (PARTITION BY md5(chunk_text)
+             |           ORDER BY doc_id, chunk_idx) AS rn
+             |  FROM cc),
+             |reb AS (
+             |  SELECT doc_id, count(*) AS n_kept,
+             |         string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS text_dedup
+             |  FROM rk WHERE rn = 1 GROUP BY 1),
+             |tot AS (SELECT doc_id, count(*) AS n_chunks FROM cc GROUP BY 1)
+             |SELECT t.doc_id, t.n_chunks,
+             |       coalesce(r.n_kept, 0) AS n_kept,
+             |       coalesce(r.text_dedup, '') AS text_dedup
+             |FROM tot t LEFT JOIN reb r USING (doc_id)""".stripMargin)),
+
     // ---- SimHash signatures (md5-derived token hash → full-SQL oracle)
     GQ("llm_simhash_groups",
       (s, dir) => t(s, dir).documents
@@ -755,6 +820,45 @@ object Llm {
              |  any_value(c.pooled_csv) AS pooled_csv
              |FROM vb v JOIN vcsv c USING (group_id)
              |GROUP BY 1""".stripMargin)),
+
+    // ---- SemDeDup-style semantic dedup --------------------------------
+    // The raw synthetic embeddings are near-orthogonal (max pairwise
+    // cosine ≈ 0.6), so — like llm_embedding_neardup — the query plants
+    // exact duplicates by unioning an id-shifted copy: every copy has a
+    // lower-id twin at cosine 1.0 in the same cluster and drops, every
+    // original survives. The k-means clustering, the within-cluster
+    // pairwise test and the drop rule are all recomputed in SQL.
+    GQ("llm_semantic_dedup",
+      (s, dir) => {
+        val emb = t(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+        val aug = emb.union(emb.select(
+          (col("vec_id") + lit(10000000L)).as("vec_id"), col("embedding")))
+        Similarity.semanticDedup(s, aug, k = 8, iters = 2, minCosine = 0.95)
+      },
+      Some(KmOracle.semanticSql)),
+
+    // ---- int8 embedding quantization ----------------------------------
+    GQ("llm_quantize",
+      (s, dir) => Similarity.quantizeInt8(t(s, dir).embeddings),
+      Some("""WITH qs AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd,
+             |    list_max(list_transform(embedding,
+             |      x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+             |  FROM embeddings),
+             |qq AS (
+             |  SELECT vec_id, vd, scale,
+             |    list_transform(vd, x -> CASE WHEN scale = 0 THEN 0.0
+             |      ELSE round(x / scale, 0) END) AS q
+             |  FROM qs)
+             |SELECT vec_id,
+             |  CAST(round(scale * 1e9, 0) AS BIGINT) AS scale_nano,
+             |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+             |  CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1,
+             |  CAST(round(list_max(list_transform(list_zip(vd, q),
+             |    p -> abs(p[1] - p[2] * scale))) * 1e9, 0) AS BIGINT)
+             |    AS max_err_nano
+             |FROM qq""".stripMargin)),
 
     // ---- PII redaction ------------------------------------------------
     // The synthetic corpus carries no PII, so the query PLANTS one email,

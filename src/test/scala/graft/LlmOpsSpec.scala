@@ -470,4 +470,57 @@ class LlmOpsSpec extends AnyFunSuite {
     val frames = Multimodal.sampleFrames(Multimodal.decodeAll(media))
     assert(frames.count() > 0)
   }
+
+  test("paragraph dedup keeps first occurrence, reassembles in order") {
+    // 4-token chunks: doc 1 = [a b c d][e f g h]; doc 2 repeats doc 1's
+    // first chunk then adds fresh text; doc 3 is an exact copy of doc 1;
+    // doc 4 repeats its own first chunk (within-doc duplicate)
+    val d = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d x y z w"),
+      (3L, "a b c d e f g h"),
+      (4L, "p q r s p q r s")).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(d, chunkSize = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) === ((2L, 2L, "a b c d e f g h")))
+    assert(out(2L) === ((2L, 1L, "x y z w"))) // first chunk seen in doc 1
+    assert(out(3L) === ((2L, 0L, "")))        // full copy → all dropped
+    assert(out(4L) === ((2L, 1L, "p q r s"))) // self-duplicate collapses
+  }
+
+  test("semantic dedup drops planted twins, keeps near-orthogonal set") {
+    val base = emb.select("vec_id", "embedding")
+    val twins = base.select((col("vec_id") + 10000000L).as("vec_id"),
+      col("embedding"))
+    val kept = Similarity.semanticDedup(spark, base.union(twins),
+      k = 8, iters = 2, minCosine = 0.95)
+      .collect().map(_.getLong(0)).toSet
+    val ids = base.collect().map(_.getLong(0)).toSet
+    // every original survives (no natural pair reaches 0.95), every
+    // planted twin has a lower-id duplicate in its own cluster → dropped
+    assert(kept === ids)
+  }
+
+  test("int8 quantization round-trips within scale/2 per element") {
+    val v = Seq((1L, Seq(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f))) // zero vector edge
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.quantizeInt8(v).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // vec 1: scale = 1/127; q = [64, -127, 32, 0] (0.5*127 = 63.5 → 64)
+    val (scaleNano, qSum, qL1, errNano) = rows(1L)
+    assert(scaleNano === math.round(1.0 / 127.0 * 1e9))
+    assert(qSum === (64L - 127L + 32L))
+    assert(qL1 === (64L + 127L + 32L))
+    // worst element error ≤ scale/2
+    assert(errNano <= scaleNano / 2 + 1)
+    // zero vector: all-zero quantization, zero error
+    assert(rows(2L) === ((0L, 0L, 0L, 0L)))
+    // real corpus: every element reconstructs within half a step
+    val bad = Similarity.quantizeInt8(emb)
+      .filter(col("max_err_nano") > col("scale_nano") / 2 + 1).count()
+    assert(bad === 0L)
+  }
 }
