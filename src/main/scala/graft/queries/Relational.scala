@@ -734,6 +734,93 @@ object Relational {
              |  ORDER BY o_orderdate
              |  RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW), 4)
              |  AS trailing_90d
-             |FROM orders""".stripMargin))
+             |FROM orders""".stripMargin)),
+
+    // ---- full outer join with unmatched rows on BOTH sides ------------
+    // odd-nation customers vs all-nation suppliers: customer-only rows
+    // (odd nations without suppliers) AND supplier-only rows (even
+    // nations) both appear, so null handling on each side is exercised
+    GQ("q39_full_outer",
+      (s, dir) => {
+        val c = t(s, dir).customer.filter(col("c_nationkey") % 2 === 1)
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_cust"),
+            round(sum(col("c_acctbal")), 4).as("cust_bal"))
+        val su = t(s, dir).supplier
+          .groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n_supp"),
+            round(sum(col("s_acctbal")), 4).as("supp_bal"))
+        c.join(su, c("c_nationkey") === su("s_nationkey"), "full_outer")
+          .select(
+            coalesce(c("c_nationkey"), su("s_nationkey")).as("nationkey"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("cust_bal"), lit(0.0)).as("cust_bal"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+            coalesce(col("supp_bal"), lit(0.0)).as("supp_bal"))
+      },
+      Some("""WITH c AS (
+             |  SELECT c_nationkey, count(*) AS n_cust,
+             |         round(sum(c_acctbal), 4) AS cust_bal
+             |  FROM customer WHERE c_nationkey % 2 = 1 GROUP BY 1),
+             |s AS (
+             |  SELECT s_nationkey, count(*) AS n_supp,
+             |         round(sum(s_acctbal), 4) AS supp_bal
+             |  FROM supplier GROUP BY 1)
+             |SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
+             |       coalesce(n_cust, 0) AS n_cust,
+             |       coalesce(cust_bal, 0.0) AS cust_bal,
+             |       coalesce(n_supp, 0) AS n_supp,
+             |       coalesce(supp_bal, 0.0) AS supp_bal
+             |FROM c FULL JOIN s ON c.c_nationkey = s.s_nationkey"""
+        .stripMargin)),
+
+    // ---- unpivot / melt (wide → long) ----------------------------------
+    GQ("q40_unpivot",
+      (s, dir) => t(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(round(sum(col("l_quantity")), 4).as("qty"),
+          round(sum(col("l_extendedprice")), 4).as("price"),
+          round(sum(col("l_discount")), 4).as("disc"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("qty"), col("price"), col("disc")), "measure", "val"),
+      Some("""WITH w AS (
+             |  SELECT l_returnflag, round(sum(l_quantity), 4) AS qty,
+             |         round(sum(l_extendedprice), 4) AS price,
+             |         round(sum(l_discount), 4) AS disc
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l_returnflag, 'qty' AS measure, qty AS val FROM w
+             |UNION ALL SELECT l_returnflag, 'price', price FROM w
+             |UNION ALL SELECT l_returnflag, 'disc', disc FROM w"""
+        .stripMargin)),
+
+    // ---- map construction + size + explode to rows ---------------------
+    // (map VALUES are rows after explode, so the hash compare stays
+    // engine-portable — map literals themselves hash differently)
+    GQ("q41_map_funcs",
+      (s, dir) => t(s, dir).customer
+        .select(col("c_custkey"),
+          map(lit("acctbal"), round(col("c_acctbal"), 4),
+            lit("keyx100"), round(col("c_custkey") / lit(100.0), 4)).as("m"))
+        .select(col("c_custkey"), size(col("m")).as("n_keys"),
+          explode(col("m")).as(Seq("k", "v"))),
+      Some("""SELECT c_custkey, 2 AS n_keys, 'acctbal' AS k,
+             |       round(c_acctbal, 4) AS v
+             |FROM customer
+             |UNION ALL
+             |SELECT c_custkey, 2, 'keyx100', round(c_custkey / 100.0, 4)
+             |FROM customer""".stripMargin)),
+
+    // ---- posexplode (explode with ordinal position) --------------------
+    GQ("q42_posexplode",
+      (s, dir) => t(s, dir).part
+        .select(col("p_partkey"),
+          posexplode(split(col("p_name"), " ")).as(Seq("pos", "word")))
+        .select(col("p_partkey"), col("pos").cast("long").as("pos"),
+          col("word")),
+      Some("""SELECT p_partkey,
+             |  CAST(generate_subscripts(string_split(p_name, ' '), 1) - 1
+             |    AS BIGINT) AS pos,
+             |  unnest(string_split(p_name, ' ')) AS word
+             |FROM part""".stripMargin))
   )
 }

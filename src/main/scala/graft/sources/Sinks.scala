@@ -43,6 +43,19 @@ object Sinks {
   def json(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** Plain-text sink (one line per row; `df` must be a single string
+    * column) — the raw-lines interchange format corpus pipelines ingest
+    * from and export to. Compression codec selectable ("none", "gzip",
+    * ...); gzip'd line files stay splittable at the FILE level, so
+    * bounded maxRecordsPerFile doubles as the parallelism knob.
+    */
+  def text(df: DataFrame, path: String, compression: String = "none",
+      maxRecordsPerFile: Long = 1_000_000L): Unit =
+    df.write.mode("overwrite")
+      .option("compression", compression)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .text(path)
+
   /** ORC sink — same partition/size knobs as parquet; ORC's row-group
     * indexes + bloom filters give the same predicate-skipping story for
     * deployments standardized on ORC.

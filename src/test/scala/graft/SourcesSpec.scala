@@ -55,6 +55,20 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.count() === region.count())
   }
 
+  test("text sink round-trips raw lines, plain and gzip") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("text"))
+    for (codec <- Seq("none", "gzip")) {
+      val path = tmp(s"text_$codec")
+      Sinks.text(docs, path, compression = codec)
+      val back = spark.read.text(path)
+      assert(back.count() === docs.count())
+      // content preserved exactly (as a multiset of lines)
+      assert(back.groupBy("value").count().orderBy("value").collect().toSeq
+        === docs.groupBy("text").count().orderBy("text").collect().toSeq)
+    }
+  }
+
   test("partitioned ORC sink round-trips with filter pushdown") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
     val path = tmp("orc")
