@@ -263,7 +263,73 @@ object LlmScaleCheck {
     require(selfOk == 1024L, s"self-assignment $selfOk/1024")
     println(f"[scale] assign: $nVecs vecs x 1024 centroids in $asgSec%.1f s, self-assignment 1024/1024 OK")
 
-    println(f"""{"jaccard_docs":${nDocs + nPlant},"jaccard_pairs":$nPairs,"jaccard_sec":$jacSec%.1f,"knn_vecs":${nVecs + nQ},"knn_sec":$knnSec%.1f,"ivf_vecs":${2 * nIvf},"ivf_sec":$ivfSec%.1f,"pct_rows":$nRows,"pct_sec":$pSec%.1f,"bm25_sec":$bmSec%.1f,"bigram_sec":$lmSec%.1f,"invidx_sec":$invSec%.1f,"contam_bloom_sec":$cbSec%.1f,"assign1024_sec":$asgSec%.1f}""")
+    // ---- paragraphDedup at ~201k docs, planted full-document copies ---
+    // copies of the first nPlant docs (ids +40M) must reassemble to
+    // empty (every chunk seen earlier); the hash-vocabulary originals
+    // have globally unique chunks and must survive intact
+    val pdTwins = spark.range(nPlant).select(
+      (col("id") + 40_000_000L).as("doc_id"),
+      concat_ws(" ", words: _*).as("text"))
+    t0 = System.nanoTime()
+    val pd = graft.llm.Dedup.paragraphDedup(base.union(pdTwins),
+      chunkSize = 16).cache()
+    val pdRows = pd.count()
+    val pdSec = (System.nanoTime() - t0) / 1e9
+    val pdCopyBad = pd.filter(col("doc_id") >= 40_000_000L &&
+      (col("n_kept") =!= 0L || col("text_dedup") =!= lit(""))).count()
+    val pdOrigBad = pd.filter(col("doc_id") < 40_000_000L &&
+      col("n_kept") =!= col("n_chunks")).count()
+    require(pdRows == nDocs + nPlant && pdCopyBad == 0 && pdOrigBad == 0,
+      s"paragraphDedup: $pdRows rows, $pdCopyBad surviving copies, " +
+        s"$pdOrigBad truncated originals")
+    println(f"[scale] paragraph-dedup: $pdRows docs in $pdSec%.1f s, " +
+      s"all $nPlant planted copies emptied OK")
+    pd.unpersist()
+
+    // ---- semanticDedup at 200k vectors, 256 clusters ------------------
+    // 100k hash vectors + an exact twin each (+50M): SemDeDup's contract
+    // is that the bucket-local pairwise test sees every twin (identical
+    // vectors share a cluster), so survivors = exactly the originals.
+    // 256 clusters keep buckets ~800 wide — the Σ cluster² candidate
+    // volume stays ~12⁸, streamed through the join filter, never
+    // materialized.
+    val nSem = 100_000L
+    val semBase = spark.range(nSem).select(col("id").as("vec_id"))
+      .select(col("vec_id"), vecExpr.as("embedding"))
+    val semTwins = semBase.select((col("vec_id") + 50_000_000L).as("vec_id"),
+      col("embedding"))
+    t0 = System.nanoTime()
+    val sem = graft.llm.Similarity.semanticDedup(spark,
+      semBase.union(semTwins), k = 256, iters = 1, minCosine = 0.95).cache()
+    val semRows = sem.count()
+    val semSec = (System.nanoTime() - t0) / 1e9
+    val semKeptOrig = sem.filter(col("vec_id") < nSem).count()
+    // every planted twin must drop (its original is a lower-id cosine-1.0
+    // neighbor in the same cluster) → all survivors are originals. A few
+    // ORIGINALS also drop legitimately: at 100k 16-dim hash vectors,
+    // natural cosine ≥ 0.95 pairs exist (observed ~35), and dropping the
+    // higher id of each IS the operator's contract — so bound, don't pin.
+    require(semRows == semKeptOrig && semRows >= (nSem * 999L) / 1000L,
+      s"semanticDedup: $semRows survivors, $semKeptOrig originals " +
+        s"(want all-original, ≥ ${(nSem * 999L) / 1000L})")
+    println(f"[scale] semantic-dedup: ${2 * nSem} vecs -> $semRows " +
+      f"survivors in $semSec%.1f s, all ${nSem} twins dropped, " +
+      f"${nSem - semRows} natural near-dups collapsed OK")
+    sem.unpersist()
+
+    // ---- quantizeInt8 over the 1M-vector corpus (map-side) ------------
+    t0 = System.nanoTime()
+    val qz = graft.llm.Similarity.quantizeInt8(corpus0)
+    val qzBad = qz.filter(col("max_err_nano") >
+      col("scale_nano") / 2 + 1).count()
+    val qzRows = qz.count()
+    val qzSec = (System.nanoTime() - t0) / 1e9
+    require(qzRows == nVecs && qzBad == 0,
+      s"quantize: $qzRows rows, $qzBad exceed half-step error")
+    println(f"[scale] quantize: $nVecs vecs in $qzSec%.1f s, " +
+      "reconstruction within half-step everywhere OK")
+
+    println(f"""{"jaccard_docs":${nDocs + nPlant},"jaccard_pairs":$nPairs,"jaccard_sec":$jacSec%.1f,"knn_vecs":${nVecs + nQ},"knn_sec":$knnSec%.1f,"ivf_vecs":${2 * nIvf},"ivf_sec":$ivfSec%.1f,"pct_rows":$nRows,"pct_sec":$pSec%.1f,"bm25_sec":$bmSec%.1f,"bigram_sec":$lmSec%.1f,"invidx_sec":$invSec%.1f,"contam_bloom_sec":$cbSec%.1f,"assign1024_sec":$asgSec%.1f,"paragraph_sec":$pdSec%.1f,"semantic_sec":$semSec%.1f,"quantize_sec":$qzSec%.1f}""")
     spark.stop()
   }
 }

@@ -56,6 +56,28 @@ object Curation {
   def ipv4Re: String = Ipv4Re
   def phoneRe: String = PhoneRe
 
+  // ---- URL / domain statistics ---------------------------------------
+
+  private val UrlRe = "https?://[^\\s]+"
+  private val HostRe = "^https?://([^/?#]+)"
+
+  /** Per-host URL rollup over a text column — the domain-level view that
+    * URL blocklists and source-mixing filters operate on. One compiled
+    * regex pass extracts URLs map-side, one explode, one host-keyed
+    * aggregation (shuffle width = distinct hosts, never corpus-sized).
+    */
+  def urlHosts(docs: DataFrame, textCol: Column): DataFrame =
+    docs.select(col("doc_id"),
+        explode(regexp_extract_all(textCol, lit(UrlRe), lit(0))).as("url"))
+      .select(col("doc_id"),
+        regexp_extract(col("url"), HostRe, 1).as("host"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_urls"),
+        count_distinct(col("doc_id")).as("n_docs"))
+
+  def urlRe: String = UrlRe
+  def hostRe: String = HostRe
+
   // ---- benchmark-contamination detection -------------------------------
 
   /** Per-document n-gram overlap against a benchmark corpus: the

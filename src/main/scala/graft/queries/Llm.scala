@@ -919,6 +919,35 @@ object Llm {
              |SELECT doc_id, n_ngrams, n_contaminated, contamination
              |FROM contam""".stripMargin)),
 
+    // ---- URL extraction + per-domain rollup ---------------------------
+    // The corpus carries no URLs, so the query plants one per doc (and a
+    // second for every third doc) derived from doc_id — same idiom as
+    // llm_pii_redact. Hosts aggregate across ~97+13 planted domains.
+    GQ("llm_url_domains",
+      (s, dir) => {
+        val planted = t(s, dir).documents.select(col("doc_id"),
+          concat(coalesce(col("text"), lit("")),
+            lit(" http://d"), col("doc_id") % 97,
+            lit(".example.com/p/"), col("doc_id"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" https://site"), col("doc_id") % 13,
+                lit(".org/x?q="), col("doc_id"))).otherwise(lit("")))
+            .as("ptext"))
+        Curation.urlHosts(planted, col("ptext"))
+      },
+      Some(s"""WITH p AS (SELECT doc_id,
+             |  concat(coalesce(text, ''), ' http://d', doc_id % 97,
+             |    '.example.com/p/', doc_id,
+             |    CASE WHEN doc_id % 3 = 0
+             |      THEN concat(' https://site', doc_id % 13, '.org/x?q=', doc_id)
+             |      ELSE '' END) AS ptext FROM documents),
+             |u AS (SELECT doc_id,
+             |  unnest(regexp_extract_all(ptext, '${Curation.urlRe}')) AS url
+             |  FROM p)
+             |SELECT regexp_extract(url, '${Curation.hostRe}', 1) AS host,
+             |       count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
+             |FROM u GROUP BY 1""".stripMargin)),
+
     // ---- repetition / quality stats (Gopher-rule family) --------------
     GQ("llm_repetition_stats",
       (s, dir) => Curation.repetitionStats(t(s, dir).documents),

@@ -821,6 +821,69 @@ object Relational {
              |  CAST(generate_subscripts(string_split(p_name, ' '), 1) - 1
              |    AS BIGINT) AS pos,
              |  unnest(string_split(p_name, ' ')) AS word
-             |FROM part""".stripMargin))
+             |FROM part""".stripMargin)),
+
+    // ---- order-dependent fold: per-user EWMA over the event stream ----
+    // EWMA is inherently sequential (ewma_t = 0.3·v_t + 0.7·ewma_{t-1}),
+    // so it folds a per-user time-ordered array — both engines reduce
+    // left-to-right over doubles in the same order ((ts, event_id)
+    // tiebreak), giving bit-identical results. Per-user history is the
+    // state bound; histories too large to collect would move to a
+    // PrefixSum-style two-pass instead.
+    GQ("q43_ewma",
+      (s, dir) => t(s, dir).events
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          transform(
+            array_sort(collect_list(
+              struct(col("ts"), col("event_id"), col("value")))),
+            e => e.getField("value")).as("vals"))
+        .select(col("user_id"), col("n_events"),
+          round(aggregate(col("vals"), lit(null).cast("double"), (acc, x) =>
+            when(acc.isNull, x).otherwise(lit(0.3) * x + lit(0.7) * acc)), 6)
+            .as("ewma")),
+      Some("""SELECT user_id, count(*) AS n_events,
+             |  round(list_reduce(list(value ORDER BY ts, event_id),
+             |    (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma
+             |FROM events GROUP BY 1""".stripMargin)),
+
+    // ---- fixed-width histogram + ratio-to-report window ---------------
+    GQ("q44_histogram",
+      (s, dir) => {
+        val bucketed = t(s, dir).orders
+          .select((floor(col("o_totalprice") / lit(20000.0))).as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        bucketed.select(col("bucket"), col("n"),
+          round(col("n") / sum(col("n")).over(Window.partitionBy()), 6)
+            .as("pct"))
+      },
+      Some("""WITH h AS (
+             |  SELECT CAST(floor(o_totalprice / 20000.0) AS BIGINT) AS bucket,
+             |         count(*) AS n
+             |  FROM orders GROUP BY 1)
+             |SELECT bucket, n,
+             |       round(n / CAST(sum(n) OVER () AS DOUBLE), 6) AS pct
+             |FROM h""".stripMargin)),
+
+    // ---- correlated scalar subquery (Catalyst decorrelation) ----------
+    // Expressed in SQL on purpose: the DataFrame API would pre-join the
+    // aggregate away by hand; the SQL form exercises Catalyst's
+    // RewriteCorrelatedScalarSubquery into the same join+agg plan.
+    GQ("q45_correlated_subquery",
+      (s, dir) => {
+        t(s, dir).lineitem.createOrReplaceTempView("g_lineitem_v")
+        s.sql("""SELECT l_partkey, count(*) AS n_above
+                |FROM g_lineitem_v l
+                |WHERE l_extendedprice > (
+                |  SELECT avg(l2.l_extendedprice) FROM g_lineitem_v l2
+                |  WHERE l2.l_partkey = l.l_partkey)
+                |GROUP BY l_partkey""".stripMargin)
+      },
+      Some("""SELECT l_partkey, count(*) AS n_above
+             |FROM lineitem l
+             |WHERE l_extendedprice > (
+             |  SELECT avg(l2.l_extendedprice) FROM lineitem l2
+             |  WHERE l2.l_partkey = l.l_partkey)
+             |GROUP BY l_partkey""".stripMargin))
   )
 }

@@ -277,4 +277,18 @@ class CurationSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(sample(Map.empty, 0.1) === flat)
   }
+
+  test("urlHosts extracts hosts, counts urls and distinct docs") {
+    val d = Seq(
+      (1L, "see http://a.com/x and https://b.org/y?z=1 twice http://a.com/q"),
+      (2L, "only https://b.org/other plus junk http:// not-a-url"),
+      (3L, "no urls at all")).toDF("doc_id", "text")
+    val out = Curation.urlHosts(d, col("text")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("a.com") === ((2L, 1L)))  // two urls, one doc
+    assert(out("b.org") === ((2L, 2L)))  // one url in each of two docs
+    // "http:// " has no host chars → never extracted as a URL
+    assert(!out.contains(""))
+    assert(out.size === 2)
+  }
 }
