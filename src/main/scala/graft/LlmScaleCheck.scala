@@ -248,18 +248,25 @@ object LlmScaleCheck {
     // handle 1024 as one map-side projection over the 1M-vector corpus.
     val centSeeds = corpus0.filter(col("vec_id") < 1024L)
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
-    t0 = System.nanoTime()
-    val asg = graft.llm.Similarity.assignToCentroids(corpus0, centSeeds)
+    // one timed pass that folds every validated property into a single
+    // aggregate — separate count() actions on the uncached frame would
+    // each recompute the full assignment and double-count the seconds
     val centIds = centSeeds.map(_._1).toSet
-    val asgBad = asg.filter(!col("centroid_id").isin(centIds.toSeq: _*)).count()
-    val asgRows = asg.count()
+    t0 = System.nanoTime()
+    val asgRow = graft.llm.Similarity.assignToCentroids(corpus0, centSeeds)
+      .agg(count(lit(1)).as("rows"),
+        sum(when(!col("centroid_id").isin(centIds.toSeq: _*), 1L)
+          .otherwise(0L)).as("bad"),
+        sum(when(col("vec_id") < 1024L &&
+          col("vec_id") === col("centroid_id"), 1L).otherwise(0L)).as("self"))
+      .collect().head
     val asgSec = (System.nanoTime() - t0) / 1e9
+    val (asgRows, asgBad, selfOk) =
+      (asgRow.getLong(0), asgRow.getLong(1), asgRow.getLong(2))
     require(asgRows == nVecs && asgBad == 0,
       s"assign: $asgRows rows (want $nVecs), $asgBad outside centroid set")
     // a vector that IS centroid j must assign to j (cosine 1 with
     // itself; distinct hash vectors make exact ties vanishingly rare)
-    val selfOk = asg.filter(col("vec_id") < 1024L)
-      .filter(col("vec_id") === col("centroid_id")).count()
     require(selfOk == 1024L, s"self-assignment $selfOk/1024")
     println(f"[scale] assign: $nVecs vecs x 1024 centroids in $asgSec%.1f s, self-assignment 1024/1024 OK")
 
@@ -318,12 +325,15 @@ object LlmScaleCheck {
     sem.unpersist()
 
     // ---- quantizeInt8 over the 1M-vector corpus (map-side) ------------
+    // single timed pass (same one-aggregate shape as the assign check)
     t0 = System.nanoTime()
-    val qz = graft.llm.Similarity.quantizeInt8(corpus0)
-    val qzBad = qz.filter(col("max_err_nano") >
-      col("scale_nano") / 2 + 1).count()
-    val qzRows = qz.count()
+    val qzRow = graft.llm.Similarity.quantizeInt8(corpus0)
+      .agg(count(lit(1)).as("rows"),
+        sum(when(col("max_err_nano") > col("scale_nano") / 2 + 1, 1L)
+          .otherwise(0L)).as("bad"))
+      .collect().head
     val qzSec = (System.nanoTime() - t0) / 1e9
+    val (qzRows, qzBad) = (qzRow.getLong(0), qzRow.getLong(1))
     require(qzRows == nVecs && qzBad == 0,
       s"quantize: $qzRows rows, $qzBad exceed half-step error")
     println(f"[scale] quantize: $nVecs vecs in $qzSec%.1f s, " +

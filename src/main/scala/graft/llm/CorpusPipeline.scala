@@ -46,10 +46,17 @@ object CorpusPipeline {
     } finally filtered.unpersist()
   }
 
-  /** Per-predicted-language summary of a prepared corpus. */
+  /** Per-predicted-language summary of a prepared corpus. The quality
+    * mean goes through integer micro-units (round(q·1e6) per doc, exact
+    * long sum, one final division) — a raw double avg() depends on
+    * partial-aggregation order, which differs between engines and runs,
+    * so it cannot sit under a hash-checked oracle (the llm.Scoring
+    * determinism contract).
+    */
   def summary(prepared: DataFrame): DataFrame =
     prepared.groupBy(col("lang_pred"))
       .agg(count(lit(1)).as("n_docs"),
-        round(avg(col("quality")), 4).as("avg_quality"),
+        round(sum(round(col("quality") * 1e6, 0).cast("long"))
+          / (count(lit(1)) * 1e6), 6).as("avg_quality"),
         sum(col("n_tokens")).as("total_tokens"))
 }

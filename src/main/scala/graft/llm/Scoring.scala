@@ -177,7 +177,10 @@ object Scoring {
     val assigned = bounds.init.foldLeft(when(lit(false), lit(""))) {
       case (acc, (name, bound)) => acc.when(fp4 <= lit(bound), name)
     }.otherwise(bounds.last._1)
-    docs.select(col("doc_id"), col("lang"), assigned.as("split"))
+    // passthrough of ALL input columns: the operator's contract is only
+    // doc_id + text; hardcoding any other column would break corpora
+    // without it at analysis time
+    docs.select(docs.columns.map(col) :+ assigned.as("split"): _*)
   }
 
   /** Cumulative 4-hex-char upper bounds for `splitAssign` — exposed so

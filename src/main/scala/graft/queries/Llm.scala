@@ -641,7 +641,8 @@ object Llm {
              |${minhashCtes("surv")},
              |${ccDropCtes("0.8")}
              |SELECT lang_pred, count(*) AS n_docs,
-             |  round(avg(quality), 4) AS avg_quality,
+             |  round(sum(CAST(round(quality * 1e6, 0) AS BIGINT))
+             |    / (count(*) * 1e6), 6) AS avg_quality,
              |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
              |FROM surv WHERE doc_id NOT IN (SELECT doc FROM mdrop)
              |GROUP BY 1""".stripMargin)),
@@ -1071,7 +1072,8 @@ object Llm {
     // ---- deterministic content-keyed train/val/test split -------------
     GQ("llm_split_assign",
       (s, dir) => Scoring.splitAssign(t(s, dir).documents,
-        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("lang"), col("split")),
       Some {
         val bounds = Scoring.hex4Bounds(
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
