@@ -13,8 +13,10 @@ object Explain {
   val DefaultAudit = Seq("q1_pricing_summary", "q2_filter_project",
     "q3_top_unshipped_orders", "q5_revenue_by_nation", "q9_top3_orders_per_customer",
     "q21_topk_orders", "q34_asof_join", "q35_range_join",
-    "q37_range_frame_window", "llm_ann_bruteforce", "llm_exact_dedup",
-    "llm_minhash_neardup", "llm_vocab_topk", "llm_embedding_neardup")
+    "q37_range_frame_window", "q45_correlated_subquery",
+    "llm_ann_bruteforce", "llm_exact_dedup",
+    "llm_minhash_neardup", "llm_vocab_topk", "llm_embedding_neardup",
+    "llm_paragraph_dedup", "llm_semantic_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -110,7 +110,8 @@ object Curation {
       .agg(count(lit(1)).as("n_ngrams"),
         coalesce(sum(col("__hit")), lit(0L)).as("n_contaminated"))
       .withColumn("contamination",
-        round(col("n_contaminated") / col("n_ngrams").cast("double"), 4))
+        TextAnalysis.portableRound(
+          col("n_contaminated") / col("n_ngrams").cast("double"), 4))
   }
 
   /** Bloom-accelerated contamination — SAME RESULT as `contamination`
@@ -179,7 +180,7 @@ object Curation {
     total.join(hits, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("n_ngrams"),
         coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
-        round(coalesce(col("n_contaminated"), lit(0L)) /
+        TextAnalysis.portableRound(coalesce(col("n_contaminated"), lit(0L)) /
           col("n_ngrams").cast("double"), 4).as("contamination"))
   }
 
@@ -210,11 +211,14 @@ object Curation {
       .agg(
         sum(col("cnt")).as("n_tokens"),
         count(lit(1)).as("n_types"),
-        round(max(col("cnt")) / sum(col("cnt")).cast("double"), 4)
+        TextAnalysis.portableRound(
+          max(col("cnt")) / sum(col("cnt")).cast("double"), 4)
           .as("top_token_ratio"),
-        round(sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)) /
+        TextAnalysis.portableRound(
+          sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)) /
           sum(col("cnt")).cast("double"), 4).as("dup_token_ratio"),
-        round(sum(length(col("tok")) * col("cnt")) /
+        TextAnalysis.portableRound(
+          sum(length(col("tok")) * col("cnt")) /
           sum(col("cnt")).cast("double"), 4).as("mean_token_len"))
       .withColumn("keep",
         col("top_token_ratio") <= 0.2 &&

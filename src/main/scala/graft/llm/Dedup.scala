@@ -179,7 +179,8 @@ object Dedup {
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("uni") > 0)
-      .withColumn("jaccard", round(col("inter") / col("uni").cast("double"), 4))
+      .withColumn("jaccard", TextAnalysis.portableRound(
+        col("inter") / col("uni").cast("double"), 4))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       // eager: the verified pair set is small (LSH pruned); materializing
@@ -312,7 +313,8 @@ object Dedup {
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("uni") > 0)
-      .withColumn("jaccard", round(col("inter") / col("uni").cast("double"), 4))
+      .withColumn("jaccard", TextAnalysis.portableRound(
+        col("inter") / col("uni").cast("double"), 4))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

@@ -61,6 +61,28 @@ object TextAnalysis {
       .otherwise(countInSet(toks, StopwordsEn) / size(toks).cast("double"))
   }
 
+  /** Engine-portable round-half-up for NON-NEGATIVE doubles:
+    * floor(x·10^dp + 0.5)/10^dp, the same arithmetic in any engine.
+    * Spark's round() rounds the SHORTEST DECIMAL REPRESENTATION of the
+    * double (BigDecimal.valueOf goes through Double.toString), while
+    * DuckDB rounds the binary value — a double just below an exact
+    * x.xxx5 boundary whose shortest repr IS the boundary rounds UP in
+    * Spark and DOWN in DuckDB (bit one sf0.1 quality row: 0.65774999…
+    * prints as "0.65775"). Ratios of small integers land on such
+    * boundaries constantly, so every ratio-valued oracle column must go
+    * through this instead of round().
+    */
+  def portableRound(c: Column, dp: Int): Column = {
+    val p = math.pow(10, dp)
+    floor(c * lit(p) + lit(0.5)) / lit(p)
+  }
+
+  /** The matching DuckDB fragment (same doubles, same floor). */
+  def portableRoundSql(e: String, dp: Int): String = {
+    val p = "1" + "0" * dp
+    s"floor(($e) * $p + 0.5) / $p"
+  }
+
   /** Composite quality score in [0,1]: length sweet-spot × low punctuation
     * × presence of stopwords. Deliberately simple and fully declarative.
     */
@@ -68,7 +90,7 @@ object TextAnalysis {
     val lenScore = least(length(text) / lit(500.0), lit(1.0))
     val punctScore = lit(1.0) - least(punctRatio(text) * 4, lit(1.0))
     val stopScore = least(stopwordRatio(text) * 3, lit(1.0))
-    round((lenScore + punctScore + stopScore) / 3, 4)
+    portableRound((lenScore + punctScore + stopScore) / 3, 4)
   }
 
   /** N-gram-frequency language ID over a tiny built-in profile set.

@@ -224,9 +224,9 @@ object Llm {
        |    AND a.doc_id < b.doc_id),
        |mver AS (
        |  SELECT c.id_a, c.id_b,
-       |    round(len(list_intersect(x.sh, y.sh)) /
+       |    floor((len(list_intersect(x.sh, y.sh)) /
        |      CAST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))
-       |        AS DOUBLE), 4) AS jaccard
+       |        AS DOUBLE)) * 10000 + 0.5) / 10000 AS jaccard
        |  FROM mcand c
        |  JOIN msh x ON x.doc_id = c.id_a
        |  JOIN msh y ON y.doc_id = c.id_b)""".stripMargin
@@ -263,18 +263,27 @@ object Llm {
         |       WHEN s_es >= s_fr THEN 'es'
         |       ELSE 'fr' END""".stripMargin
 
-    /** TextAnalysis.qualityScore over a text column expression. */
+    /** TextAnalysis.qualityScore over a text column expression.
+      * Two portability rules embedded here: (1) parenthesization matches
+      * Spark's grouping (a + (1.0 - b)) + c — a different association is
+      * a different double in the last ulp; (2) the final rounding is the
+      * portable floor form (TextAnalysis.portableRound), because Spark's
+      * round() rounds the shortest decimal repr while DuckDB rounds the
+      * binary value, and ratio-of-small-int scores sit on 4-dp
+      * boundaries (one sf0.1 row flipped 0.6577 vs 0.6578).
+      */
     def qualityExpr(text: String): String =
-      s"""round((least(length($text) / 500.0, 1.0)
-         | + 1.0 - least(4 * (CASE WHEN length($text) = 0 THEN 0
-         |     ELSE length(regexp_replace($text, '[^!-/:-@\\[-`{-~]', '', 'g'))
-         |       / CAST(length($text) AS DOUBLE) END), 1.0)
-         | + least(3 * (CASE WHEN len(regexp_split_to_array(lower(trim($text)), '\\s+')) = 0 THEN 0
-         |     ELSE len(list_filter(regexp_split_to_array(lower(trim($text)), '\\s+'),
-         |       x -> x IN ('the','a','an','and','or','of','in','to','is','are',
-         |                  'was','for','on','with','as','by','at','it')))
-         |       / CAST(len(regexp_split_to_array(lower(trim($text)), '\\s+')) AS DOUBLE)
-         |   END), 1.0)) / 3, 4)""".stripMargin
+      TextAnalysis.portableRoundSql(
+        s"""(least(length($text) / 500.0, 1.0)
+           | + (1.0 - least(4 * (CASE WHEN length($text) = 0 THEN 0
+           |     ELSE length(regexp_replace($text, '[^!-/:-@\\[-`{-~]', '', 'g'))
+           |       / CAST(length($text) AS DOUBLE) END), 1.0))
+           | + least(3 * (CASE WHEN len(regexp_split_to_array(lower(trim($text)), '\\s+')) = 0 THEN 0
+           |     ELSE len(list_filter(regexp_split_to_array(lower(trim($text)), '\\s+'),
+           |       x -> x IN ('the','a','an','and','or','of','in','to','is','are',
+           |                  'was','for','on','with','as','by','at','it')))
+           |       / CAST(len(regexp_split_to_array(lower(trim($text)), '\\s+')) AS DOUBLE)
+           |   END), 1.0)) / 3""".stripMargin, 4)
   }
 
   /** Near-dup transitive-grouping drop set over `mver` (the minhashCtes
@@ -317,11 +326,14 @@ object Llm {
         |agg AS (
         |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
         |    count(*) AS n_types,
-        |    round(max(cnt) / CAST(sum(cnt) AS DOUBLE), 4) AS top_token_ratio,
-        |    round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)
-        |      / CAST(sum(cnt) AS DOUBLE), 4) AS dup_token_ratio,
-        |    round(sum(length(tok) * cnt)
-        |      / CAST(sum(cnt) AS DOUBLE), 4) AS mean_token_len
+        |    floor((max(cnt) / CAST(sum(cnt) AS DOUBLE)) * 10000 + 0.5)
+        |      / 10000 AS top_token_ratio,
+        |    floor((sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)
+        |      / CAST(sum(cnt) AS DOUBLE)) * 10000 + 0.5) / 10000
+        |      AS dup_token_ratio,
+        |    floor((sum(length(tok) * cnt)
+        |      / CAST(sum(cnt) AS DOUBLE)) * 10000 + 0.5) / 10000
+        |      AS mean_token_len
         |  FROM tf GROUP BY 1),
         |rep AS (
         |  SELECT *, (top_token_ratio <= 0.2 AND mean_token_len >= 3.0
@@ -344,8 +356,9 @@ object Llm {
         |  SELECT g.doc_id, count(*) AS n_ngrams,
         |    CAST(sum(CASE WHEN b.ng IS NULL THEN 0 ELSE 1 END) AS BIGINT)
         |      AS n_contaminated,
-        |    round(sum(CASE WHEN b.ng IS NULL THEN 0 ELSE 1 END)
-        |      / CAST(count(*) AS DOUBLE), 4) AS contamination
+        |    floor((sum(CASE WHEN b.ng IS NULL THEN 0 ELSE 1 END)
+        |      / CAST(count(*) AS DOUBLE)) * 10000 + 0.5) / 10000
+        |      AS contamination
         |  FROM cgrams g LEFT JOIN cbench b USING (ng)
         |  GROUP BY 1)""".stripMargin
 
@@ -373,20 +386,26 @@ object Llm {
         col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
         length(col("text")).as("n_chars_actual"),
-        round(TextAnalysis.alphaRatio(col("text")), 4).as("alpha_ratio"),
-        round(TextAnalysis.stopwordRatio(col("text")), 4).as("stopword_ratio")),
-      Some("""SELECT doc_id,
-             |CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+        TextAnalysis.portableRound(TextAnalysis.alphaRatio(col("text")), 4)
+          .as("alpha_ratio"),
+        TextAnalysis.portableRound(TextAnalysis.stopwordRatio(col("text")), 4)
+          .as("stopword_ratio")),
+      Some(s"""SELECT doc_id,
+             |CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens,
              |CAST(length(text) AS INT) AS n_chars_actual,
-             |round(CASE WHEN length(text) = 0 THEN 0
-             |  ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-             |    / CAST(length(text) AS DOUBLE) END, 4) AS alpha_ratio,
-             |round(CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\s+')) = 0 THEN 0
-             |  ELSE len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
-             |    x -> x IN ('the','a','an','and','or','of','in','to','is','are',
-             |               'was','for','on','with','as','by','at','it')))
-             |    / CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE)
-             |  END, 4) AS stopword_ratio
+             |${TextAnalysis.portableRoundSql(
+               """CASE WHEN length(text) = 0 THEN 0
+                 |  ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                 |    / CAST(length(text) AS DOUBLE) END""".stripMargin, 4)}
+             |  AS alpha_ratio,
+             |${TextAnalysis.portableRoundSql(
+               """CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\s+')) = 0 THEN 0
+                 |  ELSE len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                 |    x -> x IN ('the','a','an','and','or','of','in','to','is','are',
+                 |               'was','for','on','with','as','by','at','it')))
+                 |    / CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE)
+                 |  END""".stripMargin, 4)}
+             |  AS stopword_ratio
              |FROM documents""".stripMargin)),
 
     // ---- quality scoring ---------------------------------------------

@@ -854,15 +854,17 @@ object Relational {
           .select((floor(col("o_totalprice") / lit(20000.0))).as("bucket"))
           .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
         bucketed.select(col("bucket"), col("n"),
-          round(col("n") / sum(col("n")).over(Window.partitionBy()), 6)
+          graft.llm.TextAnalysis.portableRound(
+            col("n") / sum(col("n")).over(Window.partitionBy()), 6)
             .as("pct"))
       },
-      Some("""WITH h AS (
+      Some(s"""WITH h AS (
              |  SELECT CAST(floor(o_totalprice / 20000.0) AS BIGINT) AS bucket,
              |         count(*) AS n
              |  FROM orders GROUP BY 1)
              |SELECT bucket, n,
-             |       round(n / CAST(sum(n) OVER () AS DOUBLE), 6) AS pct
+             |  ${graft.llm.TextAnalysis.portableRoundSql(
+                 "n / CAST(sum(n) OVER () AS DOUBLE)", 6)} AS pct
              |FROM h""".stripMargin)),
 
     // ---- correlated scalar subquery (Catalyst decorrelation) ----------
