@@ -56,7 +56,8 @@ object CorpusPipeline {
   def summary(prepared: DataFrame): DataFrame =
     prepared.groupBy(col("lang_pred"))
       .agg(count(lit(1)).as("n_docs"),
-        round(sum(round(col("quality") * 1e6, 0).cast("long"))
-          / (count(lit(1)) * 1e6), 6).as("avg_quality"),
+        TextAnalysis.portableRound(
+          sum(round(col("quality") * 1e6, 0).cast("long"))
+            / (count(lit(1)) * 1e6), 6).as("avg_quality"),
         sum(col("n_tokens")).as("total_tokens"))
 }

@@ -155,7 +155,8 @@ object Scoring {
     bigrams.join(model, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(col("nll_micro")) / count(lit(1)) / 1e6, 6).as("avg_nll"))
+        TextAnalysis.portableRound(
+          sum(col("nll_micro")) / count(lit(1)) / 1e6, 6).as("avg_nll"))
   }
 
   /** Deterministic content-keyed train/validation/test assignment:

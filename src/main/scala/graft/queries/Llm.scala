@@ -224,9 +224,10 @@ object Llm {
        |    AND a.doc_id < b.doc_id),
        |mver AS (
        |  SELECT c.id_a, c.id_b,
-       |    floor((len(list_intersect(x.sh, y.sh)) /
-       |      CAST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))
-       |        AS DOUBLE)) * 10000 + 0.5) / 10000 AS jaccard
+       |    ${TextAnalysis.portableRoundSql(
+            """len(list_intersect(x.sh, y.sh)) /
+              |      CAST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))
+              |        AS DOUBLE)""".stripMargin, 4)} AS jaccard
        |  FROM mcand c
        |  JOIN msh x ON x.doc_id = c.id_a
        |  JOIN msh y ON y.doc_id = c.id_b)""".stripMargin
@@ -318,21 +319,23 @@ object Llm {
   private object CurOracle {
     /** tf → agg → rep (doc_id, counts, ratios, keep). */
     val repCtes: String =
-      """tf AS (
+      s"""tf AS (
         |  SELECT doc_id, tok, count(*) AS cnt FROM (
         |    SELECT doc_id,
-        |      unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |      unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
         |    FROM documents) WHERE tok <> '' GROUP BY 1, 2),
         |agg AS (
         |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
         |    count(*) AS n_types,
-        |    floor((max(cnt) / CAST(sum(cnt) AS DOUBLE)) * 10000 + 0.5)
-        |      / 10000 AS top_token_ratio,
-        |    floor((sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)
-        |      / CAST(sum(cnt) AS DOUBLE)) * 10000 + 0.5) / 10000
+        |    ${TextAnalysis.portableRoundSql(
+             "max(cnt) / CAST(sum(cnt) AS DOUBLE)", 4)} AS top_token_ratio,
+        |    ${TextAnalysis.portableRoundSql(
+             """sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)
+               |      / CAST(sum(cnt) AS DOUBLE)""".stripMargin, 4)}
         |      AS dup_token_ratio,
-        |    floor((sum(length(tok) * cnt)
-        |      / CAST(sum(cnt) AS DOUBLE)) * 10000 + 0.5) / 10000
+        |    ${TextAnalysis.portableRoundSql(
+             """sum(length(tok) * cnt)
+               |      / CAST(sum(cnt) AS DOUBLE)""".stripMargin, 4)}
         |      AS mean_token_len
         |  FROM tf GROUP BY 1),
         |rep AS (
@@ -344,8 +347,8 @@ object Llm {
       * n_contaminated, contamination); bench = doc_id < 20.
       */
     val contamCtes: String =
-      """ctoks AS (
-        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+      s"""ctoks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
         |  FROM documents),
         |cgrams AS (
         |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+4], ' ') AS ng
@@ -356,8 +359,9 @@ object Llm {
         |  SELECT g.doc_id, count(*) AS n_ngrams,
         |    CAST(sum(CASE WHEN b.ng IS NULL THEN 0 ELSE 1 END) AS BIGINT)
         |      AS n_contaminated,
-        |    floor((sum(CASE WHEN b.ng IS NULL THEN 0 ELSE 1 END)
-        |      / CAST(count(*) AS DOUBLE)) * 10000 + 0.5) / 10000
+        |    ${TextAnalysis.portableRoundSql(
+             """sum(CASE WHEN b.ng IS NULL THEN 0 ELSE 1 END)
+               |      / CAST(count(*) AS DOUBLE)""".stripMargin, 4)}
         |      AS contamination
         |  FROM cgrams g LEFT JOIN cbench b USING (ng)
         |  GROUP BY 1)""".stripMargin
@@ -660,8 +664,9 @@ object Llm {
              |${minhashCtes("surv")},
              |${ccDropCtes("0.8")}
              |SELECT lang_pred, count(*) AS n_docs,
-             |  round(sum(CAST(round(quality * 1e6, 0) AS BIGINT))
-             |    / (count(*) * 1e6), 6) AS avg_quality,
+             |  ${TextAnalysis.portableRoundSql(
+                  """sum(CAST(round(quality * 1e6, 0) AS BIGINT))
+                    |    / (count(*) * 1e6)""".stripMargin, 6)} AS avg_quality,
              |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
              |FROM surv WHERE doc_id NOT IN (SELECT doc FROM mdrop)
              |GROUP BY 1""".stripMargin)),
@@ -1084,7 +1089,8 @@ object Llm {
              |    AS BIGINT) AS nll_micro
              |  FROM gc2 c JOIN gc1 p USING (w1))
              |SELECT b.doc_id, count(*) AS n_bigrams,
-             |  round(sum(m.nll_micro) / count(*) / 1e6, 6) AS avg_nll
+             |  floor((sum(m.nll_micro) / count(*) / 1e6) * 1000000 + 0.5)
+             |    / 1000000 AS avg_nll
              |FROM gbg b JOIN gm m USING (w1, w2)
              |GROUP BY 1""".stripMargin)),
 

@@ -839,12 +839,14 @@ object Relational {
               struct(col("ts"), col("event_id"), col("value")))),
             e => e.getField("value")).as("vals"))
         .select(col("user_id"), col("n_events"),
-          round(aggregate(col("vals"), lit(null).cast("double"), (acc, x) =>
-            when(acc.isNull, x).otherwise(lit(0.3) * x + lit(0.7) * acc)), 6)
+          graft.llm.TextAnalysis.portableRound(
+            aggregate(col("vals"), lit(null).cast("double"), (acc, x) =>
+              when(acc.isNull, x).otherwise(lit(0.3) * x + lit(0.7) * acc)), 6)
             .as("ewma")),
       Some("""SELECT user_id, count(*) AS n_events,
-             |  round(list_reduce(list(value ORDER BY ts, event_id),
-             |    (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma
+             |  floor(list_reduce(list(value ORDER BY ts, event_id),
+             |    (acc, x) -> 0.3 * x + 0.7 * acc) * 1000000 + 0.5)
+             |    / 1000000 AS ewma
              |FROM events GROUP BY 1""".stripMargin)),
 
     // ---- fixed-width histogram + ratio-to-report window ---------------
