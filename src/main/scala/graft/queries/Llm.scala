@@ -237,7 +237,7 @@ object Llm {
     * llm_pipeline_e2e reuse the SAME text, so the oracles cannot drift
     * (the CurOracle convention).
     */
-  private object TextOracle {
+  private[queries] object TextOracle {
     /** Per-language marker-score select items over a token-array column
       * `tk` (langScores' stopword-hit fractions).
       */

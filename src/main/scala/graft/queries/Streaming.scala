@@ -121,6 +121,31 @@ object Streaming {
              |JOIN (SELECT * FROM events WHERE event_type = 'click') c
              |  ON p.user_id = c.user_id
              |  AND c.ts >= p.ts - INTERVAL 10 MINUTE
-             |  AND c.ts <= p.ts""".stripMargin))
+             |  AND c.ts <= p.ts""".stripMargin)),
+
+    // REAL streaming corpus curation: the batch annotate stage (language
+    // ID + quality scoring) running incrementally over a document file
+    // stream, rolled up per predicted language — oracled with the same
+    // SQL as the batch formulation (finite replay must converge)
+    GQ("stream_corpus_stats",
+      (s, dir) => runToMemory(s, "graft_stream_corpus", "complete")(
+        EventStreams.corpusStats(
+          EventStreams.readDocuments(s, s"$dir/documents.parquet"))),
+      Some(s"""WITH sctok AS (
+             |  SELECT doc_id, text,
+             |    regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+             |  FROM documents),
+             |scsc AS (
+             |  SELECT doc_id, text,
+             |${Llm.TextOracle.scoreCols}
+             |  FROM sctok),
+             |scann AS (
+             |  SELECT ${Llm.TextOracle.langCase} AS lang_pred,
+             |    ${Llm.TextOracle.qualityExpr("text")} AS quality
+             |  FROM scsc)
+             |SELECT lang_pred, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_high_quality
+             |FROM scann GROUP BY 1""".stripMargin))
   )
 }

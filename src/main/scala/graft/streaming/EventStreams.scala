@@ -36,26 +36,32 @@ object EventStreams {
     * file path is staged into a temp directory first (the file stream
     * source lists directories only).
     */
+  /** Stage a single file into a listable directory (file-stream sources
+    * read directories only); directories pass through unchanged.
+    */
+  private def streamableDir(path: String): String = {
+    val f = new java.io.File(path)
+    if (!f.isFile) path
+    else {
+      val staged = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft-stream-${math.abs(f.getAbsolutePath.hashCode)}")
+      staged.mkdirs()
+      val target = new java.io.File(staged, f.getName)
+      // re-copy when the source changed: a stale staged copy would make
+      // the stream silently read OLD data while batch oracles read the
+      // regenerated file
+      if (!target.exists() || target.lastModified < f.lastModified ||
+          target.length != f.length)
+        java.nio.file.Files.copy(f.toPath, target.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      staged.getAbsolutePath
+    }
+  }
+
   def readEvents(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val f = new java.io.File(path)
-    val dir =
-      if (!f.isFile) path
-      else {
-        val staged = new java.io.File(
-          System.getProperty("java.io.tmpdir"),
-          s"graft-stream-${math.abs(f.getAbsolutePath.hashCode)}")
-        staged.mkdirs()
-        val target = new java.io.File(staged, f.getName)
-        // re-copy when the source changed: a stale staged copy would make
-        // the stream silently read OLD data while batch oracles read the
-        // regenerated file
-        if (!target.exists() || target.lastModified < f.lastModified ||
-            target.length != f.length)
-          java.nio.file.Files.copy(f.toPath, target.toPath,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        staged.getAbsolutePath
-      }
+    val dir = streamableDir(path)
     // no maxFilesPerTrigger chunking: with multi-file input, per-file
     // micro-batches would advance the watermark between files (files are
     // not event-time-ordered), silently dropping "late" rows in stateful
@@ -67,6 +73,37 @@ object EventStreams {
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
+
+  /** The documents table as a file-source stream — the continuous-
+    * ingestion shape of a corpus pipeline (documents arrive as files;
+    * annotation runs incrementally instead of as a nightly batch).
+    */
+  def readDocuments(spark: SparkSession, path: String): DataFrame = {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.readStream.schema(docSchema).parquet(streamableDir(path))
+  }
+
+  /** Streaming corpus curation stats: the SAME map-side language-ID and
+    * quality expressions the batch pipeline uses (Spark's unified API),
+    * rolled up per predicted language as streaming state. No event time
+    * exists on documents, so the aggregation is complete-mode (state =
+    * one row per language — bounded by construction, no watermark
+    * needed). Demonstrates that the whole annotate stage runs
+    * incrementally over a document stream unchanged.
+    */
+  def corpusStats(docs: DataFrame): DataFrame =
+    docs.select(
+        graft.llm.TextAnalysis.langId(col("text")).as("lang_pred"),
+        graft.llm.TextAnalysis.qualityScore(col("text")).as("quality"))
+      .groupBy(col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("quality") >= 0.5, 1L).otherwise(0L))
+          .as("n_high_quality"))
 
   /** Watermarked tumbling-window aggregation. */
   def hourlyCounts(events: DataFrame): DataFrame =

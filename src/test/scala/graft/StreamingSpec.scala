@@ -139,4 +139,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(custom.size >= builtin.size - batchEvents
       .select("user_id").distinct().count())
   }
+
+  test("streaming corpus stats equal the batch annotate rollup") {
+    val q = EventStreams.corpusStats(
+        EventStreams.readDocuments(spark, s"$sf/documents.parquet"))
+      .writeStream.format("memory").queryName("t_corpus")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("t_corpus")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = EventStreams.corpusStats(
+        spark.read.parquet(s"$sf/documents.parquet"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    assert(streamed.map(_._2).sum ===
+      spark.read.parquet(s"$sf/documents.parquet").count())
+  }
 }
