@@ -16,11 +16,13 @@ import java.nio.{ByteBuffer, ByteOrder}
   *    total frames, width, height inside the 56-byte avih payload.
   *
   * `parse` is the real metadata-decode path (magic-byte dispatch + field
-  * reads with bounds checks). Pixel/sample decode is real for the
-  * uncompressed formats (`bmpPixels`, `wavSamples`); compressed codecs
-  * (PNG deflate, AVI frame formats) stay out of scope for this
-  * container. The writers exist so the synthetic corpus carries
-  * well-formed payloads and round-trip tests can pin the parsers.
+  * reads with bounds checks). Pixel/sample decode is real for BMP
+  * (`bmpPixels`), WAV (`wavSamples`) AND PNG (`pngPixels` — zlib DEFLATE
+  * ships in the JDK, so inflate + scanline de-filtering needs no
+  * external codec); only AVI frame codecs stay out of scope (no video
+  * codec in this container). The writers exist so the synthetic corpus
+  * carries well-formed payloads and round-trip tests can pin the
+  * parsers/decoders.
   */
 object MediaHeaders {
 
@@ -126,6 +128,172 @@ object MediaHeaders {
       y -= 1
     }
     b.array()
+  }
+
+  /** PNG Paeth predictor (PNG spec §6.6, Paeth '91). */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val t = typ.getBytes("US-ASCII")
+    val b = ByteBuffer.allocate(12 + data.length).order(ByteOrder.BIG_ENDIAN)
+    b.putInt(data.length).put(t).put(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(t); crc.update(data)
+    b.putInt(crc.getValue.toInt)
+    b.array()
+  }
+
+  /** Spec-correct 8-bit RGB PNG (color type 2) with a REAL pixel array:
+    * signature, IHDR, one zlib-DEFLATE IDAT of filtered scanlines, IEND
+    * — real CRC32 chunk checksums, real compression (java.util.zip
+    * ships in the JDK; PNG needs no external codec). `filterType`
+    * selects the per-row filter (0 None, 1 Sub, 2 Up, 3 Average,
+    * 4 Paeth), applied with the spec's encode-side arithmetic so each
+    * choice exercises the matching decoder reconstruction path.
+    */
+  def pngBytesRgb(width: Int, height: Int, rgb: Array[Int],
+      filterType: Int = 0): Array[Byte] = {
+    require(rgb.length == width * height, s"need $width*$height pixels")
+    require(filterType >= 0 && filterType <= 4,
+      s"PNG filter type must be 0-4, got $filterType")
+    val bpp = 3
+    val stride = width * bpp
+    val raw = new Array[Byte]((stride + 1) * height)
+    val cur = new Array[Int](stride)
+    val prev = new Array[Int](stride)
+    var y = 0; var o = 0
+    while (y < height) {
+      var i = 0
+      while (i < width) {
+        val c = rgb(y * width + i)
+        cur(i * 3) = (c >> 16) & 0xff
+        cur(i * 3 + 1) = (c >> 8) & 0xff
+        cur(i * 3 + 2) = c & 0xff
+        i += 1
+      }
+      raw(o) = filterType.toByte; o += 1
+      var x = 0
+      while (x < stride) {
+        val a = if (x >= bpp) cur(x - bpp) else 0
+        val b = if (y > 0) prev(x) else 0
+        val ul = if (x >= bpp && y > 0) prev(x - bpp) else 0
+        val pred = filterType match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 => paeth(a, b, ul)
+        }
+        raw(o) = ((cur(x) - pred) & 0xff).toByte; o += 1
+        x += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val zout = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!defl.finished()) zout.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    val ihdr = ByteBuffer.allocate(13).order(ByteOrder.BIG_ENDIAN)
+      .putInt(width).putInt(height)
+      .put(8.toByte)  // bit depth
+      .put(2.toByte)  // color type: truecolor RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive, none
+      .array()
+    PngSig ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", zout.toByteArray) ++
+      pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Decode an 8-bit truecolor PNG (color types 2 RGB / 6 RGBA, no
+    * interlace) to row-major packed 0xRRGGBB: walks chunks, inflates
+    * the concatenated IDAT stream, reconstructs all five scanline
+    * filters; alpha is dropped. None for any other layout or for
+    * corrupt/truncated payloads — bounds-checked and total like the
+    * other decoders (bad zlib data is a None, never an exception).
+    */
+  def pngPixels(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (p.length < 8 + 25 || !p.startsWith(PngSig)) return None
+    var o = 8L
+    var w = 0; var h = 0; var colorType = -1; var bitDepth = -1
+    var interlace = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawEnd = false
+    while (!sawEnd && o + 12 <= p.length) {
+      val oi = o.toInt
+      val len = beInt(p, oi).toLong
+      if (len < 0 || o + 12 + len > p.length) return None
+      new String(p, oi + 4, 4, "US-ASCII") match {
+        case "IHDR" if len == 13 =>
+          w = beInt(p, oi + 8); h = beInt(p, oi + 12)
+          bitDepth = p(oi + 16) & 0xff; colorType = p(oi + 17) & 0xff
+          interlace = p(oi + 20) & 0xff
+        case "IDAT" => idat.write(p, oi + 8, len.toInt)
+        case "IEND" => sawEnd = true
+        case _ => ()
+      }
+      o += 12 + len
+    }
+    if (w <= 0 || h <= 0 || bitDepth != 8 || interlace != 0 ||
+        (colorType != 2 && colorType != 6)) return None
+    // bound decode memory against corrupt header dims (64M px ≈ 256 MB)
+    if (w.toLong * h > (1L << 26)) return None
+    val bpp = if (colorType == 2) 3 else 4
+    val stride = w * bpp
+    val rawLen = (stride + 1) * h
+    val raw = new Array[Byte](rawLen)
+    val infl = new java.util.zip.Inflater()
+    infl.setInput(idat.toByteArray)
+    try {
+      var off = 0
+      while (off < rawLen && !infl.finished()) {
+        val n = infl.inflate(raw, off, rawLen - off)
+        if (n == 0 && (infl.needsInput() || infl.needsDictionary()))
+          return None // truncated or preset-dictionary stream
+        off += n
+      }
+      if (off < rawLen) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally infl.end()
+    val out = new Array[Int](w * h)
+    val cur = new Array[Int](stride)
+    val prev = new Array[Int](stride)
+    var y = 0; var ro = 0
+    while (y < h) {
+      val ft = raw(ro) & 0xff; ro += 1
+      if (ft > 4) return None
+      var x = 0
+      while (x < stride) {
+        val fv = raw(ro + x) & 0xff
+        val a = if (x >= bpp) cur(x - bpp) else 0
+        val b = if (y > 0) prev(x) else 0
+        val ul = if (x >= bpp && y > 0) prev(x - bpp) else 0
+        cur(x) = (fv + (ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case _ => paeth(a, b, ul)
+        })) & 0xff
+        x += 1
+      }
+      var i = 0
+      while (i < w) {
+        out(y * w + i) =
+          (cur(i * bpp) << 16) | (cur(i * bpp + 1) << 8) | cur(i * bpp + 2)
+        i += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      ro += stride
+      y += 1
+    }
+    Some((w, h, out))
   }
 
   /** 16-bit mono PCM WAV whose data chunk holds the REAL samples (the

@@ -75,19 +75,22 @@ object Multimodal {
         val h = 64 + ((id / 7) % 512).toInt
         (id % 3) match {
           case 0 =>
-            val payload = if (id % 2 == 0) MediaHeaders.pngBytes(w, h, body)
-              else {
-                // small real raster: dims capped so the synthetic corpus
-                // stays MBs, pixels a deterministic id-keyed gradient
-                val (pw, ph) = (16 + (id % 48).toInt, 16 + ((id / 5) % 48).toInt)
-                val rgb = Array.tabulate(pw * ph) { i =>
-                  val x = i % pw; val y = i / pw
-                  (((x * 7 + id) % 256).toInt << 16) |
-                    (((y * 5 + id / 3) % 256).toInt << 8) |
-                    ((x + y + id) % 256).toInt
-                }
-                MediaHeaders.bmpBytesRgb(pw, ph, rgb)
-              }
+            // small real raster: dims capped so the synthetic corpus
+            // stays MBs, pixels a deterministic id-keyed gradient.
+            // Even ids encode it as a real zlib PNG (filter type cycled
+            // over all five so decode exercises every reconstruction
+            // path), odd ids as an uncompressed 24bpp BMP.
+            val (pw, ph) = (16 + (id % 48).toInt, 16 + ((id / 5) % 48).toInt)
+            val rgb = Array.tabulate(pw * ph) { i =>
+              val x = i % pw; val y = i / pw
+              (((x * 7 + id) % 256).toInt << 16) |
+                (((y * 5 + id / 3) % 256).toInt << 8) |
+                ((x + y + id) % 256).toInt
+            }
+            val payload =
+              if (id % 2 == 0)
+                MediaHeaders.pngBytesRgb(pw, ph, rgb, ((id / 2) % 5).toInt)
+              else MediaHeaders.bmpBytesRgb(pw, ph, rgb)
             MediaRow(id, "image", payload)
           case 1 =>
             // modulus independent of the id % 3 kind split, so rates
@@ -161,11 +164,12 @@ object Multimodal {
 
   /** Batch decode: one codec context per partition, rows streamed
     * through it. Header parse is real for all four containers;
-    * pixel/sample decode is REAL for the uncompressed ones (24bpp BMP
-    * rasters → luma histogram, 16-bit PCM WAV → signal stats), while
-    * compressed codecs (PNG deflate, AVI frame codecs — no codec libs
-    * in this container) keep the deterministic byte-hash feature, as
-    * does unknown magic. Totality either way.
+    * pixel/sample decode is REAL for BMP (24bpp raster), PNG (zlib
+    * inflate + scanline de-filtering — the JDK ships DEFLATE, so no
+    * external codec is needed) and WAV (16-bit PCM); AVI frame codecs
+    * keep the deterministic byte-hash feature (no video codec in this
+    * container), as do header-only or unknown payloads. Totality either
+    * way.
     */
   def decodeAll(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
     import media.sparkSession.implicits._
@@ -176,6 +180,9 @@ object Multimodal {
           case Some(m) =>
             val feature = m.format match {
               case "bmp" => MediaHeaders.bmpPixels(r.payload)
+                .map { case (_, _, rgb) => lumaHistogram(rgb) }
+                .getOrElse(FakeCodec.feature(r.payload))
+              case "png" => MediaHeaders.pngPixels(r.payload)
                 .map { case (_, _, rgb) => lumaHistogram(rgb) }
                 .getOrElse(FakeCodec.feature(r.payload))
               case "wav" => MediaHeaders.wavSamples(r.payload)

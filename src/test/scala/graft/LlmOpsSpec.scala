@@ -398,6 +398,38 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(MediaHeaders.bmpPixels(evil.array()).isEmpty)
   }
 
+  test("PNG codec: encode→decode round-trips exactly under all 5 filters") {
+    import graft.llm.MediaHeaders
+    val (w, h) = (23, 17) // deliberately non-multiple-of-anything dims
+    val rgb = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      ((x * 31 + y) % 256 << 16) | ((y * 17 + x * 3) % 256 << 8) |
+        ((x ^ y) % 256)
+    }
+    for (ft <- 0 to 4) {
+      val png = MediaHeaders.pngBytesRgb(w, h, rgb, ft)
+      // header parse sees the real IHDR
+      assert(MediaHeaders.parse(png) ===
+        Some(MediaHeaders.Meta("png", w, h, 1, 0, 0)))
+      // pixel decode inverts the filter + DEFLATE exactly
+      val Some((dw, dh, drgb)) = MediaHeaders.pngPixels(png)
+      assert((dw, dh) === ((w, h)), s"filter $ft dims")
+      assert(drgb.toSeq === rgb.toSeq, s"filter $ft pixels")
+    }
+    // totality on garbage: truncated, corrupt zlib, corrupt filter byte
+    val good = MediaHeaders.pngBytesRgb(4, 4, Array.fill(16)(0x123456))
+    assert(MediaHeaders.pngPixels(good.take(30)).isEmpty)
+    val corrupt = good.clone()
+    corrupt(good.length - 20) = 0x7f // scribble inside IDAT
+    assert(MediaHeaders.pngPixels(corrupt).isEmpty ||
+      MediaHeaders.pngPixels(corrupt).get._3.length === 16) // total either way
+    // dimension bomb: a 66000×66000 IHDR must refuse, not allocate 13 GB
+    val bomb = MediaHeaders.pngBytesRgb(2, 2, Array.fill(4)(0))
+    val bb = java.nio.ByteBuffer.wrap(bomb)
+    bb.putInt(16, 66000); bb.putInt(20, 66000)
+    assert(MediaHeaders.pngPixels(bomb).isEmpty)
+  }
+
   test("decoded features are real content stats for BMP and WAV") {
     import graft.llm.MediaHeaders
     // all-white 2×2 → all luma mass in the top bin
@@ -421,7 +453,7 @@ class LlmOpsSpec extends AnyFunSuite {
     // histograms/stats, not byte hashes
     val media = Multimodal.syntheticMedia(spark, docs)
     val decoded = Multimodal.decodeAll(media).collect()
-    decoded.filter(_.format == "bmp").foreach { d =>
+    decoded.filter(d => d.format == "bmp" || d.format == "png").foreach { d =>
       assert(math.abs(d.feature.sum - 1.0f) < 1e-5) // L1-normalized histogram
     }
     decoded.filter(_.format == "wav").foreach { d =>
@@ -439,11 +471,9 @@ class LlmOpsSpec extends AnyFunSuite {
       d.kind match {
         case "image" =>
           assert(d.format == "png" || d.format == "bmp")
-          // parsed back from the actual header bytes
-          if (d.format == "png")
-            assert(d.width === 64 + (d.media_id % 512).toInt)
-          else
-            assert(d.width === 16 + (d.media_id % 48).toInt)
+          // parsed back from the actual header bytes (both raster
+          // encoders share the capped gradient dims)
+          assert(d.width === 16 + (d.media_id % 48).toInt)
         case "audio" =>
           assert(d.format === "wav")
           assert(d.sample_rate === 8000 * (1 + ((d.media_id / 3) % 3).toInt))
