@@ -76,6 +76,110 @@ object MediaHeaders {
     b.array()
   }
 
+  /** AVI with REAL uncompressed-DIB frames: RIFF('AVI '){ LIST hdrl
+    * { avih }, LIST movi { one '00db' chunk per frame — a bottom-up
+    * BGR24 raster with 4-byte row stride, the stock uncompressed-video
+    * DIB layout } }. No codec involved; `aviFrames` below inverts it
+    * exactly.
+    */
+  def aviBytesDib(width: Int, height: Int, microSecPerFrame: Int,
+      frames: Array[Array[Int]]): Array[Byte] = {
+    require(frames.nonEmpty, "need at least one frame")
+    require(frames.forall(_.length == width * height),
+      s"every frame must be $width*$height pixels")
+    val stride = (width * 3 + 3) & ~3
+    val frameSize = stride * height      // multiple of 4 → no pad bytes
+    val moviSize = 4 + frames.length * (8 + frameSize)
+    val riffSize = 4 + (12 + 8 + 56) + (8 + moviSize)
+    val b = ByteBuffer.allocate(8 + riffSize).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
+    b.put("AVI ".getBytes("US-ASCII"))
+    b.put("LIST".getBytes("US-ASCII")).putInt(4 + 8 + 56)
+    b.put("hdrl".getBytes("US-ASCII"))
+    b.put("avih".getBytes("US-ASCII")).putInt(56)
+    b.putInt(microSecPerFrame)
+    b.putInt(0).putInt(0).putInt(0)
+    b.putInt(frames.length)
+    b.putInt(0).putInt(1).putInt(0)
+    b.putInt(width).putInt(height)
+    b.putInt(0).putInt(0).putInt(0).putInt(0)
+    b.put("LIST".getBytes("US-ASCII")).putInt(moviSize)
+    b.put("movi".getBytes("US-ASCII"))
+    frames.foreach { f =>
+      b.put("00db".getBytes("US-ASCII")).putInt(frameSize)
+      var y = height - 1
+      while (y >= 0) {                   // bottom row first
+        var x = 0
+        while (x < width) {
+          val c = f(y * width + x)
+          b.put((c & 0xff).toByte)
+          b.put(((c >> 8) & 0xff).toByte)
+          b.put(((c >> 16) & 0xff).toByte)
+          x += 1
+        }
+        var pad = stride - width * 3
+        while (pad > 0) { b.put(0.toByte); pad -= 1 }
+        y -= 1
+      }
+    }
+    b.array()
+  }
+
+  /** Extract the uncompressed '00db' DIB frames of an AVI payload as
+    * row-major packed 0xRRGGBB rasters. Walks RIFF chunks with the same
+    * word-alignment and bounds rules as `parse`; frames whose chunk
+    * size doesn't match the header's dimensions are skipped (they would
+    * be compressed or malformed data this decoder has no business
+    * touching). None when the container isn't AVI or no frame decodes.
+    */
+  def aviFrames(p: Array[Byte]): Option[(Int, Int, Array[Array[Int]])] = {
+    val meta = parse(p) match {
+      case Some(m) if m.format == "avi" && m.width > 0 && m.height > 0 => m
+      case _ => return None
+    }
+    val w = meta.width; val h = meta.height
+    if (w.toLong * h > (1L << 24)) return None // corrupt-dims bound
+    val stride = (w * 3 + 3) & ~3
+    val frameSize = stride * h
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+    var o = 12L
+    while (o + 8 <= p.length) {
+      val oi = o.toInt
+      val size = math.max(0, leInt(p, oi + 4)).toLong
+      if (tag(p, oi, "LIST") && o + 12 <= p.length && tag(p, oi + 8, "movi")) {
+        var fo = o + 12
+        val end = math.min(p.length.toLong, o + 8 + size)
+        while (fo + 8 <= end) {
+          val fi = fo.toInt
+          val fsz = math.max(0, leInt(p, fi + 4)).toLong
+          if (tag(p, fi, "00db") && fsz == frameSize &&
+              fo + 8 + fsz <= end) {
+            val rgb = new Array[Int](w * h)
+            var y = 0
+            while (y < h) {
+              val rowOff = fi + 8 + (h - 1 - y) * stride
+              var x = 0
+              while (x < w) {
+                val b0 = p(rowOff + x * 3) & 0xff
+                val g = p(rowOff + x * 3 + 1) & 0xff
+                val r = p(rowOff + x * 3 + 2) & 0xff
+                rgb(y * w + x) = (r << 16) | (g << 8) | b0
+                x += 1
+              }
+              y += 1
+            }
+            out += rgb
+          }
+          fo += 8L + fsz + (fsz & 1L)
+        }
+        o += 8L + size + (size & 1L)
+      } else if (tag(p, oi, "LIST") && o + 12 <= p.length &&
+          tag(p, oi + 8, "hdrl")) o += 12
+      else o += 8L + size + (size & 1L)
+    }
+    if (out.isEmpty) None else Some((w, h, out.toArray))
+  }
+
   def aviBytes(width: Int, height: Int, nFrames: Int, microSecPerFrame: Int,
       tail: Array[Byte]): Array[Byte] = {
     // RIFF('AVI ' LIST('hdrl' avih(56-byte main header))) + tail

@@ -56,23 +56,19 @@ object Multimodal {
 
   /** Synthesize a media table with WELL-FORMED binary payloads from the
     * documents table: PNG or BMP for images, PCM WAV for audio, AVI for
-    * video — headers written by MediaHeaders with deterministic
-    * dimensions derived from doc_id. BMP payloads carry a REAL pixel
-    * array (deterministic per-pixel gradient) and WAV payloads REAL
-    * 16-bit PCM samples (integer triangle wave), so the pixel/sample
-    * decode downstream is genuine; PNG/AVI bodies are opaque text bytes
-    * (their codecs are compressed and out of scope). Stands in for
-    * reading real blobs from parquet binary columns while keeping every
-    * downstream byte-parse genuine.
+    * video — written by MediaHeaders with deterministic dimensions
+    * derived from doc_id. EVERY payload now carries real content: BMP
+    * rasters and zlib-compressed PNG rasters (per-pixel gradients), PCM
+    * WAV samples (integer triangle wave), and uncompressed-DIB AVI
+    * frame chunks — so pixel/sample/frame decode downstream is genuine
+    * end to end. Stands in for reading real blobs from parquet binary
+    * columns while keeping every downstream byte-parse genuine.
     */
   def syntheticMedia(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
     docs.select(col("doc_id"), col("text"))
       .as[(Long, String)]
-      .map { case (id, text) =>
-        val body = text.getBytes("UTF-8")
-        val w = 64 + (id % 512).toInt
-        val h = 64 + ((id / 7) % 512).toInt
+      .map { case (id, _) =>
         (id % 3) match {
           case 0 =>
             // small real raster: dims capped so the synthetic corpus
@@ -106,9 +102,19 @@ object Multimodal {
             }
             MediaRow(id, "audio", MediaHeaders.wavBytesPcm16(rate, samples))
           case _ =>
+            // real uncompressed-DIB frames: a small per-frame gradient
+            // that shifts with the frame index, so frame features vary
             val frames = 1 + (id % 16).toInt
-            MediaRow(id, "video",
-              MediaHeaders.aviBytes(w, h, frames, 33333, body))
+            val (fw, fh) = (8 + (id % 17).toInt, 8 + ((id / 11) % 13).toInt)
+            val fs = Array.tabulate(frames) { fi =>
+              Array.tabulate(fw * fh) { i =>
+                val x = i % fw; val y = i / fw
+                (((x * 3 + fi * 11 + id) % 256).toInt << 16) |
+                  (((y * 7 + fi * 5) % 256).toInt << 8) |
+                  ((x + y + fi + id) % 256).toInt
+              }
+            }
+            MediaRow(id, "video", MediaHeaders.aviBytesDib(fw, fh, 33333, fs))
         }
       }
   }
@@ -163,13 +169,14 @@ object Multimodal {
   }
 
   /** Batch decode: one codec context per partition, rows streamed
-    * through it. Header parse is real for all four containers;
-    * pixel/sample decode is REAL for BMP (24bpp raster), PNG (zlib
-    * inflate + scanline de-filtering — the JDK ships DEFLATE, so no
-    * external codec is needed) and WAV (16-bit PCM); AVI frame codecs
-    * keep the deterministic byte-hash feature (no video codec in this
-    * container), as do header-only or unknown payloads. Totality either
-    * way.
+    * through it. Header parse is real for all four containers, and
+    * content decode is now real for all four too: BMP (24bpp raster),
+    * PNG (zlib inflate + scanline de-filtering — the JDK ships
+    * DEFLATE), WAV (16-bit PCM) and AVI (uncompressed '00db' DIB frame
+    * chunks → mean frame histogram). Compressed VIDEO codecs inside AVI
+    * remain out of scope (no codec libs here) — such chunks skip and
+    * the payload falls back to the deterministic byte-hash feature, as
+    * do header-only or unknown payloads. Totality either way.
     */
   def decodeAll(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
     import media.sparkSession.implicits._
@@ -187,6 +194,20 @@ object Multimodal {
                 .getOrElse(FakeCodec.feature(r.payload))
               case "wav" => MediaHeaders.wavSamples(r.payload)
                 .map(pcmFeatures)
+                .getOrElse(FakeCodec.feature(r.payload))
+              case "avi" => MediaHeaders.aviFrames(r.payload)
+                .map { case (_, _, fs) =>
+                  // mean per-bin luma histogram across decoded frames
+                  val acc = new Array[Float](8)
+                  fs.foreach { f =>
+                    val hist = lumaHistogram(f)
+                    var i = 0
+                    while (i < 8) { acc(i) += hist(i); i += 1 }
+                  }
+                  var i = 0
+                  while (i < 8) { acc(i) /= fs.length; i += 1 }
+                  acc
+                }
                 .getOrElse(FakeCodec.feature(r.payload))
               case _ => FakeCodec.feature(r.payload)
             }

@@ -430,6 +430,31 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(MediaHeaders.pngPixels(bomb).isEmpty)
   }
 
+  test("AVI DIB frames: encode→extract round-trips exactly") {
+    import graft.llm.MediaHeaders
+    val (w, h) = (10, 6) // stride padding exercised (10*3=30 → 32)
+    val frames = Array.tabulate(4) { fi =>
+      Array.tabulate(w * h) { i =>
+        ((i * 3 + fi) % 256 << 16) | ((i * 7 + fi * 5) % 256 << 8) |
+          ((i + fi) % 256)
+      }
+    }
+    val avi = MediaHeaders.aviBytesDib(w, h, 33333, frames)
+    // header parse reads the real avih
+    val meta = MediaHeaders.parse(avi).get
+    assert(meta.format === "avi" && meta.width === w &&
+      meta.height === h && meta.nFrames === 4)
+    // frame extraction inverts the bottom-up strided DIB layout exactly
+    val Some((dw, dh, got)) = MediaHeaders.aviFrames(avi)
+    assert((dw, dh) === ((w, h)))
+    assert(got.length === 4)
+    got.zip(frames).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+    // totality: truncated payload and header-only AVI both refuse cleanly
+    assert(MediaHeaders.aviFrames(avi.take(60)).isEmpty)
+    assert(MediaHeaders.aviFrames(
+      MediaHeaders.aviBytes(64, 48, 3, 33333, "x".getBytes)).isEmpty)
+  }
+
   test("decoded features are real content stats for BMP and WAV") {
     import graft.llm.MediaHeaders
     // all-white 2×2 → all luma mass in the top bin
@@ -455,6 +480,10 @@ class LlmOpsSpec extends AnyFunSuite {
     val decoded = Multimodal.decodeAll(media).collect()
     decoded.filter(d => d.format == "bmp" || d.format == "png").foreach { d =>
       assert(math.abs(d.feature.sum - 1.0f) < 1e-5) // L1-normalized histogram
+    }
+    // avi features are means of per-frame L1 histograms → also sum to 1
+    decoded.filter(_.format == "avi").foreach { d =>
+      assert(math.abs(d.feature.sum - 1.0f) < 1e-4)
     }
     decoded.filter(_.format == "wav").foreach { d =>
       assert(d.feature(1) <= 1.0f && d.feature(0) <= d.feature(1)) // rms ≤ peak
