@@ -66,9 +66,9 @@ object Multimodal {
     */
   def syntheticMedia(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
-    docs.select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .map { case (id, _) =>
+    docs.select(col("doc_id"))
+      .as[Long]
+      .map { id =>
         (id % 3) match {
           case 0 =>
             // small real raster: dims capped so the synthetic corpus

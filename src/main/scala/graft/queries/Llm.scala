@@ -1112,22 +1112,78 @@ object Llm {
       }),
 
     // ---- multimodal: decode + metadata + frame sampling ---------------
+    // Oracle technique: every payload is synthesized deterministically
+    // from doc_id (Multimodal.syntheticMedia) and then ENCODED to real
+    // container bytes and PARSED back (MediaHeaders). The decoded
+    // metadata is therefore a pure integer function of doc_id, which the
+    // oracle re-derives in SQL — so a hash match proves the whole
+    // encode→parse round trip (PNG/BMP dims, WAV fmt/data-size math,
+    // AVI avih fields) reproduced the generation parameters exactly.
+    // Content features (pixel/sample decode) are pinned separately by
+    // the independent pure-Python decoder goldens in
+    // MultimodalGoldenSpec (tools/media_golden.py).
     GQ("llm_multimodal_decode",
       (s, dir) => {
         val media = Multimodal.syntheticMedia(s, t(s, dir).documents)
         Multimodal.decodeAll(media).toDF()
           .groupBy(col("kind"), col("format"))
           .agg(count(lit(1)).as("n_media"),
-            round(avg(col("width")), 4).as("avg_width"),
-            round(avg(col("n_frames")), 4).as("avg_frames"),
-            round(avg(col("sample_rate")), 4).as("avg_sample_rate"))
-      }),
+            TextAnalysis.portableRound(avg(col("width")), 4).as("avg_width"),
+            TextAnalysis.portableRound(avg(col("height")), 4).as("avg_height"),
+            TextAnalysis.portableRound(avg(col("n_frames")), 4).as("avg_frames"),
+            TextAnalysis.portableRound(avg(col("sample_rate")), 4)
+              .as("avg_sample_rate"),
+            TextAnalysis.portableRound(avg(col("duration_ms")), 4)
+              .as("avg_duration_ms"))
+      },
+      Some(s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+         |         ELSE 'video' END AS kind,
+         |    CASE WHEN doc_id % 3 = 0 THEN
+         |           (CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END)
+         |         WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'avi' END AS format,
+         |    CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 48
+         |         WHEN doc_id % 3 = 1 THEN 0
+         |         ELSE 8 + doc_id % 17 END AS width,
+         |    CASE WHEN doc_id % 3 = 0 THEN 16 + (doc_id // 5) % 48
+         |         WHEN doc_id % 3 = 1 THEN 0
+         |         ELSE 8 + (doc_id // 11) % 13 END AS height,
+         |    CASE WHEN doc_id % 3 = 0 THEN 1
+         |         WHEN doc_id % 3 = 1 THEN
+         |           (8000 * (1 + (doc_id // 3) % 3)) * (1 + doc_id % 5) // 100
+         |         ELSE 1 + doc_id % 16 END AS n_frames,
+         |    CASE WHEN doc_id % 3 = 1 THEN 8000 * (1 + (doc_id // 3) % 3)
+         |         ELSE 0 END AS sample_rate,
+         |    CASE WHEN doc_id % 3 = 1 THEN
+         |           ((8000 * (1 + (doc_id // 3) % 3)) * (1 + doc_id % 5) // 100)
+         |             * 1000 // (8000 * (1 + (doc_id // 3) % 3))
+         |         WHEN doc_id % 3 = 2 THEN ((1 + doc_id % 16) * 33333) // 1000
+         |         ELSE 0 END AS duration_ms
+         |  FROM documents)
+         |SELECT kind, format, count(*) AS n_media,
+         |  ${TextAnalysis.portableRoundSql("avg(width)", 4)} AS avg_width,
+         |  ${TextAnalysis.portableRoundSql("avg(height)", 4)} AS avg_height,
+         |  ${TextAnalysis.portableRoundSql("avg(n_frames)", 4)} AS avg_frames,
+         |  ${TextAnalysis.portableRoundSql("avg(sample_rate)", 4)}
+         |    AS avg_sample_rate,
+         |  ${TextAnalysis.portableRoundSql("avg(duration_ms)", 4)}
+         |    AS avg_duration_ms
+         |FROM m GROUP BY 1, 2""".stripMargin)),
 
+    // n_sampled for a video of f frames at stride 4 is |{0,4,...,<f}| =
+    // (f-1)//4 + 1, with f = 1 + doc_id%16 — derived in SQL from the
+    // same doc_id recipe the generator uses, so the match proves the
+    // AVI avih frame count survived the encode→parse round trip and the
+    // sequence() sampling stayed exact.
     GQ("llm_multimodal_frames",
       (s, dir) => {
         val media = Multimodal.syntheticMedia(s, t(s, dir).documents)
         Multimodal.sampleFrames(Multimodal.decodeAll(media), stride = 4)
           .groupBy(col("media_id")).agg(count(lit(1)).as("n_sampled"))
-      })
+      },
+      Some("""SELECT doc_id AS media_id,
+         |  CAST((doc_id % 16) // 4 + 1 AS BIGINT) AS n_sampled
+         |FROM documents WHERE doc_id % 3 = 2""".stripMargin))
   )
 }
