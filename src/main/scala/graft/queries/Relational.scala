@@ -588,16 +588,57 @@ object Relational {
              |CAST(len(regexp_extract_all(p_type, 'a')) AS INT) AS n_a
              |FROM part""".stripMargin)),
 
-    // ---- approximate distinct (HLL sketch) — no oracle: sketch
-    // estimates are engine-specific; AccuracySpec bounds the error vs
-    // the exact count instead
+    // ---- approximate distinct: KMV bottom-k over md5 ------------------
+    // Engine-portable estimator (same md5 trick as the MinHash family):
+    // the k smallest distinct hash values determine D ≈ (k-1)/U(k), and
+    // DuckDB reproduces the identical doubles by sorting the same md5
+    // strings — so unlike an HLL sketch this approximate count carries a
+    // full hash oracle. The HLL form (approx_count_distinct) stays the
+    // engine-native alternative, error-bounded in AccuracySpec.
+    // U(k) parses the first 13 hex chars (52 bits — exact in a double)
+    // positionally; 16^13 = 4503599627370496.
     GQ("q31_approx_distinct",
       (s, dir) => {
+        val k = 256
+        val bottomK = udaf(new graft.functions.BottomKDistinct(k))
+        val kth = element_at(col("bk"), k)
+        val uK = conv(substring(kth, 1, 13), 16, 10).cast("long")
+          .cast("double") / lit(4503599627370496.0)
         t(s, dir).lineitem
+          .select(col("l_returnflag"),
+            md5(col("l_partkey").cast("string")).as("hx"),
+            col("l_partkey"))
           .groupBy(col("l_returnflag"))
-          .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          .agg(bottomK(col("hx")).as("bk"),
             countDistinct(col("l_partkey")).as("exact_parts"))
-      }),
+          .select(col("l_returnflag"),
+            graft.llm.TextAnalysis.portableRound(
+              when(size(col("bk")) < k, size(col("bk")).cast("double"))
+                .otherwise(lit((k - 1).toDouble) / uK), 4).as("kmv_parts"),
+            col("exact_parts"))
+      },
+      Some("""WITH h AS (
+             |  SELECT DISTINCT l_returnflag,
+             |         md5(CAST(l_partkey AS VARCHAR)) AS hx
+             |  FROM lineitem),
+             |b AS (
+             |  SELECT l_returnflag, list_sort(list(hx)) AS hs,
+             |         count(*) AS n
+             |  FROM h GROUP BY 1),
+             |e AS (
+             |  SELECT l_returnflag, n,
+             |    CASE WHEN n >= 256 THEN hs[256] END AS kth
+             |  FROM b)
+             |SELECT l_returnflag,
+             |  floor(CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+             |        ELSE 255.0 / (
+             |          (SELECT sum((strpos('0123456789abcdef',
+             |                              substr(e.kth, p.i, 1)) - 1)
+             |                      * power(16, 13 - p.i))
+             |           FROM range(1, 14) p(i)) / 4503599627370496.0)
+             |        END * 10000 + 0.5) / 10000 AS kmv_parts,
+             |  n AS exact_parts
+             |FROM e""".stripMargin)),
 
     // ---- sliding windows in batch (1h window / 15m slide) -------------
     GQ("q30_sliding_windows",

