@@ -134,7 +134,56 @@ object OperatorScaleCheck {
     graft.core.Checkpoints.release(cum)
     println(s"[scale] prefix: sampled-point brute-force check OK (${gotP.size} points)")
 
-    println(f"""{"asof_rows":$nAsof,"asof_sec":$asofSec%.1f,"range_pairs":$nRange,"range_sec":$rangeSec%.1f,"prefix_sec":$cumSec%.1f,"n_right":$nRight,"n_keys":$nKeys}""")
+    // ---- per-key ordered EWMA fold: hot-key boundedness ----------------
+    // One bot user owns every 10th event (2M rows at the default — 400×
+    // the average key); the streaming fold must complete with O(1) fold
+    // state, and its doubles must be BIT-identical to the collect_list+
+    // aggregate formulation it replaced (same left fold, same order).
+    val hotShare = 10L
+    val ev = spark.range(nRight).select(
+      when(pmod(col("id"), lit(hotShare)) === 0, lit(0L))
+        .otherwise(pmod(xxhash64(col("id"), lit(5)), lit(nKeys)) + 1)
+        .as("user_id"),
+      col("id").as("tsu"), col("id").as("event_id"),
+      (pmod(xxhash64(col("id"), lit(6)), lit(1000L)).cast("double")
+        / lit(1000.0)).as("value"))
+    t0 = System.nanoTime()
+    val folded = graft.operators.OrderedFold
+      .ewmaByKey(ev, "user_id", "tsu", "event_id", "value", alpha = 0.3)
+      .persist()
+    val aggE = folded.agg(count(lit(1)), sum("n_events")).head()
+    val (nUsers, nEvTot) = (aggE.getLong(0), aggE.getLong(1))
+    val ewmaSec = (System.nanoTime() - t0) / 1e9
+    println(f"[scale] ewma: $nUsers users / $nEvTot events in $ewmaSec%.1f s" +
+      " (streaming fold, hot user = 10% of stream)")
+    require(nEvTot == nRight, s"ewma fold dropped events: $nEvTot")
+    val hotN = folded.filter(col("user_id") === 0L)
+      .select("n_events").head().getLong(0)
+    require(hotN == nRight / hotShare, s"hot user event count: $hotN")
+    // bit-exactness vs the buffer-based formulation, on the hot user AND
+    // five ordinary users (the buffered form is fine at check scale —
+    // at 10⁸ it would not be, which is exactly why the operator exists)
+    val checkUsers = 0L +: (1L to 5L).map(_ * (nKeys / 11) + 1)
+    val evS = ev.filter(col("user_id").isin(checkUsers: _*))
+    val bruteE = evS.groupBy("user_id")
+      .agg(aggregate(
+        transform(
+          array_sort(collect_list(
+            struct(col("tsu"), col("event_id"), col("value")))),
+          e => e.getField("value")),
+        lit(null).cast("double"),
+        (acc, x) => when(acc.isNull, x)
+          .otherwise(lit(0.3) * x + lit(0.7) * acc)).as("ewma_raw"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val fastE = folded.filter(col("user_id").isin(checkUsers: _*))
+      .select("user_id", "ewma_raw").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    require(fastE == bruteE,
+      s"ewma fold mismatch vs buffered formulation: $fastE vs $bruteE")
+    folded.unpersist()
+    println(s"[scale] ewma: hot-user + sampled bit-exactness OK (${fastE.size} keys)")
+
+    println(f"""{"asof_rows":$nAsof,"asof_sec":$asofSec%.1f,"range_pairs":$nRange,"range_sec":$rangeSec%.1f,"prefix_sec":$cumSec%.1f,"ewma_sec":$ewmaSec%.1f,"n_right":$nRight,"n_keys":$nKeys}""")
     spark.stop()
   }
 }

@@ -865,27 +865,32 @@ object Relational {
              |FROM part""".stripMargin)),
 
     // ---- order-dependent fold: per-user EWMA over the event stream ----
-    // EWMA is inherently sequential (ewma_t = 0.3·v_t + 0.7·ewma_{t-1}),
-    // so it folds a per-user time-ordered array — both engines reduce
-    // left-to-right over doubles in the same order ((ts, event_id)
-    // tiebreak), giving bit-identical results. Per-user history is the
-    // state bound; histories too large to collect would move to a
-    // PrefixSum-style two-pass instead.
+    // EWMA is inherently sequential (ewma_t = 0.3·v_t + 0.7·ewma_{t-1}).
+    // Executed as repartition(user) + sortWithinPartitions + a streaming
+    // per-group fold: O(1) state per user and the sort spills to disk,
+    // so one pathological hot user (bot traffic, 10⁸ events) costs disk,
+    // not an aggregation buffer — unlike a collect_list formulation,
+    // whose whole per-user history lands in a single in-memory array.
+    // The segmented-affine alternative (EWMA composes as 0.7ⁿ·acc + b)
+    // was rejected on purpose: it reassociates the arithmetic, and the
+    // hash oracle needs the EXACT left-fold doubles DuckDB's list_reduce
+    // produces. Sort order (ts, event_id, value) is totally determined
+    // even if a (ts, event_id) pair ever duplicated — value is the final
+    // tiebreak on BOTH engines, so the fold order is unique (the
+    // ordering-key-uniqueness caveat is closed, not assumed).
     GQ("q43_ewma",
-      (s, dir) => t(s, dir).events
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_events"),
-          transform(
-            array_sort(collect_list(
-              struct(col("ts"), col("event_id"), col("value")))),
-            e => e.getField("value")).as("vals"))
-        .select(col("user_id"), col("n_events"),
-          graft.llm.TextAnalysis.portableRound(
-            aggregate(col("vals"), lit(null).cast("double"), (acc, x) =>
-              when(acc.isNull, x).otherwise(lit(0.3) * x + lit(0.7) * acc)), 6)
-            .as("ewma")),
+      (s, dir) => {
+        val ev = t(s, dir).events
+          .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+            col("event_id"), col("value"))
+        graft.operators.OrderedFold
+          .ewmaByKey(ev, "user_id", "tsu", "event_id", "value", alpha = 0.3)
+          .select(col("user_id"), col("n_events"),
+            graft.llm.TextAnalysis.portableRound(col("ewma_raw"), 6)
+              .as("ewma"))
+      },
       Some("""SELECT user_id, count(*) AS n_events,
-             |  floor(list_reduce(list(value ORDER BY ts, event_id),
+             |  floor(list_reduce(list(value ORDER BY ts, event_id, value),
              |    (acc, x) -> 0.3 * x + 0.7 * acc) * 1000000 + 0.5)
              |    / 1000000 AS ewma
              |FROM events GROUP BY 1""".stripMargin)),
