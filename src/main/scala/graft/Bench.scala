@@ -24,8 +24,36 @@ object Bench {
       s"[${s(0)},${s(1)},${s(2)}]"
     } catch { case _: Throwable => "[]" }
 
+  private def loadavg1(): Double =
+    try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).trim
+        .split("\\s+")(0).toDouble
+    } catch { case _: Throwable => -1.0 }
+
+  /** Ambient load above this makes wall-clock timings meaningless (2-20×
+    * inflation observed in rounds 2 and 4); gate on it rather than let a
+    * polluted run masquerade as a regression.
+    */
+  private val LoadThreshold = 2.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Wait up to 3 minutes for the machine to go idle; if it never does,
+    // run anyway but stamp "tainted": true into the JSON so no consumer
+    // can mistake a load-polluted total for an engine regression.
+    var waited = 0
+    while (loadavg1() > LoadThreshold && waited < 6) {
+      System.err.println(
+        f"[bench] ambient load ${loadavg1()}%.2f > $LoadThreshold%.1f — " +
+          s"waiting 30 s (${waited + 1}/6)")
+      Thread.sleep(30000)
+      waited += 1
+    }
+    val tainted = loadavg1() > LoadThreshold
+    if (tainted) System.err.println(
+      f"[bench] still loaded (${loadavg1()}%.2f) after ${waited * 30} s — " +
+        "timings will be marked tainted")
     val loadStart = loadavg()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -49,7 +77,14 @@ object Bench {
         .select(org.apache.spark.sql.functions.upper(
           org.apache.spark.sql.functions.col("r_name")).as("w"))
         .write.format("noop").mode("overwrite").save()
-    } catch { case _: Throwable => () }
+    } catch {
+      // NonFatal only: an OOM/LinkageError here means the measured run
+      // below is doomed anyway and must not be masked. A failed warmup
+      // still logs — silently reintroducing ~10 s of parquet/commit init
+      // into whichever query sorts first would skew BENCH undiagnosed.
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] parquet/noop warmup failed: $e")
+    }
     // First use of each native expression pays a multi-second Janino
     // compile (observed ~8 s landing on whichever dedup query sorts
     // first). That is session-setup cost, not per-query engine cost —
@@ -64,10 +99,16 @@ object Bench {
       spark.range(64)
         .select(col("id"),
           call_function("graft_minhash_text", toks, lit(3), lit(32)).as("mh"),
-          call_function("graft_simhash", concat_ws(" ", toks)).as("sh"),
+          // takes the token ARRAY (the logged-warmup fix: the previous
+          // concat_ws string form failed analysis silently for rounds,
+          // leaving simhash codegen cold for whichever query hit it first)
+          call_function("graft_simhash", toks).as("sh"),
           call_function("graft_cosine", vec, vec).as("cs"))
         .write.format("noop").mode("overwrite").save()
-    } catch { case _: Throwable => () }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] native-expression warmup failed: $e")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
@@ -105,8 +146,12 @@ object Bench {
       val as = med(graft.algo.LocalKernels.astar(lg, s, d))
       val yn = med(graft.algo.LocalKernels.yen(lg, s, d, 3))
       f"""{"dijkstra_ms":$dj%.1f,"astar_ms":$as%.1f,"yen3_ms":$yn%.1f,"nodes":${lg.n}}"""
-    } catch { case _: Throwable => "{}" }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"graph_kernels":$kernels,"loadavg_start":$loadStart,"loadavg_end":${loadavg()},"sf":"$sfDir"}""")
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] graph-kernel timing failed: $e")
+        "{}"
+    }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","tainted":$tainted,"queries":$qs,"graph_kernels":$kernels,"loadavg_start":$loadStart,"loadavg_end":${loadavg()},"sf":"$sfDir"}""")
     // The harness that collects this output keeps only a ~2 KB stdout
     // tail; with ~80 queries the full line above outgrows that window and
     // its head (metric/total) gets truncated away. Repeat the headline
@@ -117,7 +162,7 @@ object Bench {
     def fam(p: String): Double =
       results.collect { case (k, v) if k.startsWith(p) => v }.sum
     val fams = f""""q":${fam("q")}%.1f,"llm":${fam("llm")}%.1f,"g":${fam("g")}%.1f,"stream":${fam("stream")}%.1f"""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"family_sec":{$fams},"slowest":$slow,"graph_kernels":$kernels,"loadavg_start":$loadStart,"loadavg_end":${loadavg()},"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","tainted":$tainted,"n_queries":${results.size},"family_sec":{$fams},"slowest":$slow,"graph_kernels":$kernels,"loadavg_start":$loadStart,"loadavg_end":${loadavg()},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -270,6 +270,36 @@ object LlmScaleCheck {
     require(selfOk == 1024L, s"self-assignment $selfOk/1024")
     println(f"[scale] assign: $nVecs vecs x 1024 centroids in $asgSec%.1f s, self-assignment 1024/1024 OK")
 
+    // ---- autoCentroids policy: buckets stay bounded as n grows --------
+    // With nCentroids = 0 (the default) the √n policy sizes the index:
+    // mean bucket ≈ √n at every scale, so candidate volume per query
+    // stays O(nProbe·√n) instead of silently drifting toward all-pairs
+    // on a fixed 16-bucket index. Checked at two corpus sizes: centroid
+    // count matches the policy, mean bucket tracks √n, and the largest
+    // bucket stays within a constant factor of the mean.
+    var autoSec = 0.0
+    Seq(nVecs / 4, nVecs).foreach { n =>
+      val sub = corpus0.filter(col("vec_id") < n)
+      val kAuto = graft.llm.Similarity.autoCentroids(n)
+      t0 = System.nanoTime()
+      val stats = graft.llm.Similarity.ivfAssign(spark, sub)
+        .groupBy("centroid_id").count()
+        .agg(count(lit(1)).as("nb"), max("count").as("mx"),
+          avg("count").as("mean"))
+        .collect().head
+      autoSec += (System.nanoTime() - t0) / 1e9
+      val (nB, maxB, meanB) =
+        (stats.getLong(0), stats.getLong(1), stats.getDouble(2))
+      require(nB == kAuto.toLong,
+        s"autoCentroids($n): $nB buckets, policy says $kAuto")
+      require(meanB <= 4.0 * math.sqrt(n.toDouble),
+        f"autoCentroids($n): mean bucket $meanB%.0f drifted off √n")
+      require(maxB <= 20.0 * meanB,
+        f"autoCentroids($n): max bucket $maxB vs mean $meanB%.0f — skew unbounded")
+      println(f"[scale] auto-ivf: n=$n k=$kAuto mean=$meanB%.0f max=$maxB OK")
+    }
+    println(f"[scale] auto-ivf: √n policy bucket boundedness at 2 scales in $autoSec%.1f s")
+
     // ---- paragraphDedup at ~201k docs, planted full-document copies ---
     // copies of the first nPlant docs (ids +40M) must reassemble to
     // empty (every chunk seen earlier); the hash-vocabulary originals
@@ -339,7 +369,7 @@ object LlmScaleCheck {
     println(f"[scale] quantize: $nVecs vecs in $qzSec%.1f s, " +
       "reconstruction within half-step everywhere OK")
 
-    println(f"""{"jaccard_docs":${nDocs + nPlant},"jaccard_pairs":$nPairs,"jaccard_sec":$jacSec%.1f,"knn_vecs":${nVecs + nQ},"knn_sec":$knnSec%.1f,"ivf_vecs":${2 * nIvf},"ivf_sec":$ivfSec%.1f,"pct_rows":$nRows,"pct_sec":$pSec%.1f,"bm25_sec":$bmSec%.1f,"bigram_sec":$lmSec%.1f,"invidx_sec":$invSec%.1f,"contam_bloom_sec":$cbSec%.1f,"assign1024_sec":$asgSec%.1f,"paragraph_sec":$pdSec%.1f,"semantic_sec":$semSec%.1f,"quantize_sec":$qzSec%.1f}""")
+    println(f"""{"jaccard_docs":${nDocs + nPlant},"jaccard_pairs":$nPairs,"jaccard_sec":$jacSec%.1f,"knn_vecs":${nVecs + nQ},"knn_sec":$knnSec%.1f,"ivf_vecs":${2 * nIvf},"ivf_sec":$ivfSec%.1f,"pct_rows":$nRows,"pct_sec":$pSec%.1f,"bm25_sec":$bmSec%.1f,"bigram_sec":$lmSec%.1f,"invidx_sec":$invSec%.1f,"contam_bloom_sec":$cbSec%.1f,"assign1024_sec":$asgSec%.1f,"auto_ivf_sec":$autoSec%.1f,"paragraph_sec":$pdSec%.1f,"semantic_sec":$semSec%.1f,"quantize_sec":$qzSec%.1f}""")
     spark.stop()
   }
 }

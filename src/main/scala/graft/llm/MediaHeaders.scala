@@ -349,7 +349,15 @@ object MediaHeaders {
     if (w.toLong * h > (1L << 26)) return None
     val bpp = if (colorType == 2) 3 else 4
     val stride = w * bpp
-    val rawLen = (stride + 1) * h
+    val rawLenL = (stride.toLong + 1) * h
+    // plausibility gate BEFORE allocating: DEFLATE expands at most
+    // ~1032:1 (one stored-block byte can encode ≤ 1032 output bytes), so
+    // an IDAT too small to ever inflate to the declared raster is
+    // corrupt — reject it without paying the (up to ~320 MB) raw-buffer
+    // allocation a handful of adversarial headers per partition could
+    // otherwise use to pressure executor memory
+    if (idat.size().toLong * 1032L + 64L < rawLenL) return None
+    val rawLen = rawLenL.toInt
     val raw = new Array[Byte](rawLen)
     val infl = new java.util.zip.Inflater()
     infl.setInput(idat.toByteArray)

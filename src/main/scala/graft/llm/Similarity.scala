@@ -112,9 +112,29 @@ object Similarity {
         .as("centroid_id"))
   }
 
-  def ivfAssign(spark: SparkSession, emb: DataFrame, nCentroids: Int = 16)
-      : DataFrame =
-    assignToCentroids(emb, seedCentroids(emb, nCentroids))
+  /** Centroid-count policy for the IVF family: k(n) = max(16, ⌈√n⌉),
+    * capped at 2²⁰ (the centroid table is collected and inlined into
+    * the map-side argmax, so it must stay memory-resident). √n balances
+    * the two costs that grow with corpus size — per-vector probe work
+    * (∝ k) and per-query candidate volume (∝ nProbe·n/k): both land at
+    * O(√n), so mean bucket size ≈ √n and the bucket join never drifts
+    * toward all-pairs as the corpus grows. This is the "scale nCentroids
+    * with the corpus" contract made executable: callers that pass
+    * nCentroids = 0 (the default) get the policy; explicit values are
+    * for oracled/benchmarked pipelines that need a pinned count.
+    */
+  def autoCentroids(n: Long): Int =
+    math.min(1L << 20,
+      math.max(16L, math.ceil(math.sqrt(math.max(0L, n).toDouble)).toLong))
+      .toInt
+
+  def ivfAssign(spark: SparkSession, emb: DataFrame, nCentroids: Int = 0)
+      : DataFrame = {
+    // auto mode pays one count() job to size k — the index build is
+    // already a multi-pass operation, so the extra scan is noise there
+    val k = if (nCentroids > 0) nCentroids else autoCentroids(emb.count())
+    assignToCentroids(emb, seedCentroids(emb, k))
+  }
 
   /** One k-means centroid-refinement iteration: replace each centroid
     * with the element-wise mean of its assigned vectors, computed by the
@@ -314,11 +334,17 @@ object Similarity {
     * unchanged.
     */
   def ivfKnnJoin(spark: SparkSession, emb: DataFrame, k: Int = 5,
-      nCentroids: Int = 16, nProbe: Int = 4, dim: Int = 64): DataFrame = {
-    require(k >= 1 && nProbe >= 1 && nCentroids >= nProbe,
-      s"need nCentroids >= nProbe >= 1 and k >= 1")
+      nCentroids: Int = 0, nProbe: Int = 4, dim: Int = 64): DataFrame = {
+    require(k >= 1 && nProbe >= 1,
+      s"need nProbe >= 1 and k >= 1")
     val vecs = emb.filter(col("embedding").isNotNull)
-    val seeds = seedCentroids(vecs, nCentroids)
+    // nCentroids = 0 → the √n policy (autoCentroids), so a growing
+    // corpus cannot silently keep 16 buckets and drift toward all-pairs
+    val nCent =
+      if (nCentroids > 0) nCentroids
+      else math.max(autoCentroids(vecs.count()), nProbe)
+    require(nCent >= nProbe, s"need nCentroids >= nProbe, got $nCent < $nProbe")
+    val seeds = seedCentroids(vecs, nCent)
     val refined =
       kmeansRefine(spark, assignToCentroids(vecs, seeds), dim).cache()
     val cents = refined.collect()

@@ -43,9 +43,15 @@ object EventStreams {
     val f = new java.io.File(path)
     if (!f.isFile) path
     else {
+      // collision-resistant key: two distinct source paths must never
+      // share a staging dir (the file-stream source lists the WHOLE dir,
+      // so a 32-bit hashCode collision would silently stream the union
+      // of both datasets)
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(f.getAbsolutePath.getBytes("UTF-8"))
+        .take(16).map("%02x".format(_)).mkString
       val staged = new java.io.File(
-        System.getProperty("java.io.tmpdir"),
-        s"graft-stream-${math.abs(f.getAbsolutePath.hashCode)}")
+        System.getProperty("java.io.tmpdir"), s"graft-stream-$digest")
       staged.mkdirs()
       val target = new java.io.File(staged, f.getName)
       // re-copy when the source changed: a stale staged copy would make
