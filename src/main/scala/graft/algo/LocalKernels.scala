@@ -26,6 +26,7 @@ object LocalKernels {
     private var node = new Array[Int](prio.length)
     private var n = 0
     def isEmpty: Boolean = n == 0
+    def clear(): Unit = n = 0
     def add(p: Double, v: Int): Unit = {
       if (n == prio.length) {
         prio = java.util.Arrays.copyOf(prio, n * 2)
@@ -66,13 +67,16 @@ object LocalKernels {
     * reset only the entries the previous search wrote instead of
     * reallocating/zeroing three n-sized arrays each time.
     */
-  final class Workspace(n: Int) {
+  final class Workspace(n: Int, m: Int = 0) {
     val dist: Array[Double] = Array.fill(n)(Double.PositiveInfinity)
     val pred: Array[Int] = Array.fill(n)(-1)
     val settled: Array[Boolean] = new Array[Boolean](n)
     private val touched = new Array[Int](n)
     private var nTouched = 0
     @inline def touch(v: Int): Unit = { touched(nTouched) = v; nTouched += 1 }
+    /** Resets only the search state — ban flags survive (they are set by
+      * the caller BEFORE the search and cleared via clearBans()).
+      */
     def reset(): Unit = {
       var i = 0
       while (i < nTouched) {
@@ -82,17 +86,40 @@ object LocalKernels {
       }
       nTouched = 0
     }
+    /** Shared heap: one allocation per Workspace, cleared per search. */
+    private[LocalKernels] val heap = new MinHeap(64)
+    /** Unboxed spur-search ban flags (Yen): the previous HashSet[Int]
+      * membership tests autoboxed an Integer per relaxed edge — in the
+      * spur-search hot loop that allocation dominated kernel time.
+      * Flag arrays cost one byte-read; touched lists keep reset O(bans).
+      */
+    val banNode: Array[Boolean] = new Array[Boolean](n)
+    val banEdge: Array[Boolean] = new Array[Boolean](m)
+    private val banTouchedN = new Array[Int](n)
+    private val banTouchedE = new Array[Int](math.max(m, 1))
+    private var nBanN = 0
+    private var nBanE = 0
+    @inline def addBanNode(v: Int): Unit =
+      if (!banNode(v)) { banNode(v) = true; banTouchedN(nBanN) = v; nBanN += 1 }
+    @inline def addBanEdge(e: Int): Unit =
+      if (!banEdge(e)) { banEdge(e) = true; banTouchedE(nBanE) = e; nBanE += 1 }
+    def clearBans(): Unit = {
+      var i = 0
+      while (i < nBanN) { banNode(banTouchedN(i)) = false; i += 1 }
+      i = 0
+      while (i < nBanE) { banEdge(banTouchedE(i)) = false; i += 1 }
+      nBanN = 0; nBanE = 0
+    }
   }
 
-  /** Dijkstra with early target exit. Returns None if unreachable.
-    * `bannedEdges`/`bannedNodes` support Yen spur searches: a banned edge
-    * is identified by (srcDense << 32 | edgeOrdinal) — see yen().
+  /** Dijkstra with early target exit. Returns None if unreachable. Yen
+    * spur searches set ban flags on the shared Workspace instead (see
+    * yen()).
     */
   def dijkstra(g: LocalGraph, source: Int, target: Int,
-      bannedEdgeIdx: java.util.HashSet[Int] = new java.util.HashSet[Int](),
-      bannedNodes: java.util.HashSet[Int] = new java.util.HashSet[Int](),
       ws: Workspace = null): Option[PathResult] = {
-    search(g, source, target, heuristic = null, bannedEdgeIdx, bannedNodes, ws)
+    search(g, source, target, heuristic = null, ws, useBans = false,
+      bound = Double.PositiveInfinity)
   }
 
   /** A* with an admissible Euclidean heuristic in meters (SURVEY §4.3:
@@ -108,8 +135,8 @@ object LocalKernels {
         val dx = g.xs(v) - tx; val dy = g.ys(v) - ty
         if (dx.isNaN || dy.isNaN) 0.0 else math.sqrt(dx * dx + dy * dy)
       }
-    search(g, source, target, h, new java.util.HashSet[Int](),
-      new java.util.HashSet[Int]())
+    search(g, source, target, h, ws0 = null, useBans = false,
+      bound = Double.PositiveInfinity)
   }
 
   /** Single-source all-targets distances (no early exit). dist(i) =
@@ -139,31 +166,41 @@ object LocalKernels {
     (dist, pred)
   }
 
+  /** Core search. `bound` is a STRICT admissible prune (Yen: remaining
+    * budget cut − rootCost): Dijkstra settles in cost order, so once the
+    * heap minimum exceeds the bound no completion can come in at ≤
+    * bound — abandoning then is exact, never approximate (an admissible
+    * A* priority d+h underestimates the completed cost, so the same
+    * comparison stays safe with a heuristic).
+    */
   private def search(g: LocalGraph, source: Int, target: Int,
-      heuristic: Int => Double,
-      bannedEdgeIdx: java.util.HashSet[Int],
-      bannedNodes: java.util.HashSet[Int],
-      ws0: Workspace = null): Option[PathResult] = {
+      heuristic: Int => Double, ws0: Workspace, useBans: Boolean,
+      bound: Double): Option[PathResult] = {
     val ws = if (ws0 == null) new Workspace(g.n) else { ws0.reset(); ws0 }
     val dist = ws.dist
     val pred = ws.pred
     val settled = ws.settled
-    val pq = new MinHeap(64)
+    val banEdge = ws.banEdge
+    val banNode = ws.banNode
+    val pq = ws.heap
+    pq.clear()
     def h(v: Int): Double = if (heuristic == null) 0.0 else heuristic(v)
     dist(source) = 0.0
     ws.touch(source)
     pq.add(h(source), source)
     var found = false
-    while (!pq.isEmpty && !found) {
+    var pruned = false
+    while (!pq.isEmpty && !found && !pruned) {
       val u = pq.poll()
-      if (!settled(u)) {
+      if (pq.lastPrio > bound) pruned = true
+      else if (!settled(u)) {
         settled(u) = true
         if (u == target) found = true
         else {
           var e = g.offsets(u)
           while (e < g.offsets(u + 1)) {
             val v = g.targets(e)
-            if (!bannedEdgeIdx.contains(e) && !bannedNodes.contains(v)) {
+            if (!useBans || (!banEdge(e) && !banNode(v))) {
               val nd = dist(u) + g.costs(e)
               if (nd < dist(v)) {
                 if (dist(v).isInfinite) ws.touch(v)
@@ -195,10 +232,20 @@ object LocalKernels {
     * already enumerated when its parent path was processed. Roughly
     * halves the spur-search count.
     */
+  /** True iff a and b agree on their first len entries. */
+  @inline private def prefixEq(a: Array[Int], b: Array[Int], len: Int): Boolean = {
+    if (a.length < len || b.length < len) return false
+    var j = 0
+    while (j < len) { if (a(j) != b(j)) return false; j += 1 }
+    true
+  }
+
   def yen(g: LocalGraph, source: Int, target: Int, k: Int): Seq[PathResult] = {
     val accepted = scala.collection.mutable.ArrayBuffer.empty[PathResult]
     var lastDev = 0 // Lawler: deviation index of the last accepted path
-    val ws = new Workspace(g.n) // shared scratch across all spur searches
+    // shared scratch across all spur searches: dist/pred/settled with
+    // touched-reset, one heap, unboxed ban flags
+    val ws = new Workspace(g.n, g.targets.length)
     dijkstra(g, source, target, ws = ws) match {
       case None => return Seq.empty
       case Some(p) => accepted += p
@@ -209,35 +256,62 @@ object LocalKernels {
         java.lang.Double.compare(a._1.totalCost, b._1.totalCost))
     val seen = scala.collection.mutable.HashSet[Seq[Int]](
       accepted.head.nodes.toSeq)
+    // The k smallest totals ever generated (accepted ∪ pool). Accepted
+    // costs are non-decreasing and every acceptance is the pool minimum,
+    // so a candidate STRICTLY above topK(k-1) can never reach the final
+    // k — which makes cut − rootCost an exact spur-search bound: most
+    // spur detours abandon as soon as their heap floor passes it,
+    // instead of exploring to the target. (Candidates EQUAL to the cut
+    // are still generated, so tie outcomes are unchanged.)
+    val topK = Array.fill(k)(Double.PositiveInfinity)
+    topK(0) = accepted.head.totalCost
+    def offerCost(c: Double): Unit = {
+      if (c < topK(k - 1)) {
+        topK(k - 1) = c
+        var j = k - 1
+        while (j > 0 && topK(j - 1) > topK(j)) {
+          val t = topK(j - 1); topK(j - 1) = topK(j); topK(j) = t
+          j -= 1
+        }
+      }
+    }
     while (accepted.length < k) {
       val prev = accepted.last
       var i = lastDev
       while (i < prev.nodes.length - 1) {
         val spur = prev.nodes(i)
-        val rootNodes = prev.nodes.slice(0, i + 1)
         val rootCost = prev.costs(i)
-        val bannedE = new java.util.HashSet[Int]()
-        val bannedN = new java.util.HashSet[Int]()
+        ws.clearBans()
         accepted.foreach { p =>
-          if (p.nodes.length > i + 1 &&
-              java.util.Arrays.equals(p.nodes.slice(0, i + 1), rootNodes)) {
+          if (p.nodes.length > i + 1 && prefixEq(p.nodes, prev.nodes, i + 1)) {
             // ban the edge (spur -> p.nodes(i+1)): find its CSR ordinal(s)
             var e = g.offsets(spur)
             while (e < g.offsets(spur + 1)) {
-              if (g.targets(e) == p.nodes(i + 1)) bannedE.add(e)
+              if (g.targets(e) == p.nodes(i + 1)) ws.addBanEdge(e)
               e += 1
             }
           }
         }
-        rootNodes.dropRight(1).foreach(bannedN.add(_))
-        dijkstra(g, spur, target, bannedE, bannedN, ws).foreach { spurPath =>
-          val nodesAll = rootNodes.dropRight(1) ++ spurPath.nodes
+        var j = 0
+        while (j < i) { ws.addBanNode(prev.nodes(j)); j += 1 }
+        search(g, spur, target, heuristic = null, ws, useBans = true,
+            bound = topK(k - 1) - rootCost).foreach { spurPath =>
+          val rootLen = i // root prefix without the spur node itself
+          val nodesAll = new Array[Int](rootLen + spurPath.nodes.length)
+          System.arraycopy(prev.nodes, 0, nodesAll, 0, rootLen)
+          System.arraycopy(spurPath.nodes, 0, nodesAll, rootLen,
+            spurPath.nodes.length)
           if (seen.add(nodesAll.toSeq)) {
-            val costsAll = rootNodes.dropRight(1).indices
-              .map(j => prev.costs(j)).toArray ++
-              spurPath.costs.map(_ + rootCost)
-            candidates.add((PathResult(nodesAll, costsAll,
-              rootCost + spurPath.totalCost), i))
+            val costsAll = new Array[Double](nodesAll.length)
+            var c = 0
+            while (c < rootLen) { costsAll(c) = prev.costs(c); c += 1 }
+            while (c < costsAll.length) {
+              costsAll(c) = spurPath.costs(c - rootLen) + rootCost
+              c += 1
+            }
+            val total = rootCost + spurPath.totalCost
+            candidates.add((PathResult(nodesAll, costsAll, total), i))
+            offerCost(total)
           }
         }
         i += 1
