@@ -71,5 +71,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BloomContainsExpr(exprs(0), new BloomBits(
           GraftFunctions.litLongSeq(exprs(1), "graft_bloom_contains", "words").toArray,
           GraftFunctions.litPosInt(exprs(2), "graft_bloom_contains", "k")))))
+    // SQL-callable graph surface: SELECT * FROM graft_shortest_path(src,
+    // dst) — plan-time table function, anchors must be literals.
+    ext.injectTableFunction((
+      ShortestPathTvf.identifier, ShortestPathTvf.info,
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ShortestPathTvf.build(exprs)))
   }
 }

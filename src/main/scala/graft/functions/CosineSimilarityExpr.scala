@@ -228,6 +228,10 @@ object GraftFunctions {
         litLongSeq(exprs(1), "graft_bloom_contains", "words").toArray,
         litPosInt(exprs(2), "graft_bloom_contains", "k"))),
       "built-in")
+    // table function: SELECT * FROM graft_shortest_path('a', 'b')
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      ShortestPathTvf.identifier, ShortestPathTvf.info,
+      ShortestPathTvf.build _)
   }
 
   /** Column-API form (requires register() on the active session). */

@@ -307,6 +307,21 @@ object Graph {
               |nds AS (SELECT DISTINCT START_NODE, XCoord, YCoord FROM raw)
               |SELECT n.START_NODE AS node_id, n.XCoord AS x, n.YCoord AS y,
               |       coalesce(round(f.dist, 4), CAST(-1.0 AS DOUBLE)) AS sssp
-              |FROM nds n LEFT JOIN fin f ON f.node = n.START_NODE""".stripMargin))
+              |FROM nds n LEFT JOIN fin f ON f.node = n.START_NODE""".stripMargin)),
+
+    // §2.11 capstone: the graph surface as a SQL TABLE FUNCTION —
+    // SELECT * FROM graft_shortest_path(src, dst) resolves at plan time
+    // (ShortestPathTvf) to the same rows as the g2 DataFrame query, so
+    // the g2 relaxation-CTE oracle applies verbatim. SQL users get the
+    // path surface without touching the DataFrame API.
+    GQ("g9_path_sql_tvf",
+      (s, _) => {
+        graft.functions.GraftFunctions.register(s)
+        s.sql(s"SELECT * FROM graft_shortest_path('$Src', '$Dst')")
+      },
+      sliceOracle(s"""${Oracle.singleSourcePrefix}
+              |SELECT CAST((SELECT max(back) FROM w) - back AS INT) AS seq,
+              |       node AS node_id, dist AS cost
+              |FROM w""".stripMargin))
   )
 }

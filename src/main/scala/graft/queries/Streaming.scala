@@ -146,6 +146,35 @@ object Streaming {
              |SELECT lang_pred, count(*) AS n_docs,
              |  CAST(sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
              |    AS n_high_quality
-             |FROM scann GROUP BY 1""".stripMargin))
+             |FROM scann GROUP BY 1""".stripMargin)),
+
+    // REAL durable streaming sink: file source → stateful dedup →
+    // PARQUET sink with a checkpoint (exactly-once via the sink's commit
+    // log + source offset tracking — the shape every production pipeline
+    // lands on, where memory sinks are test-only). Fresh output/
+    // checkpoint dirs per invocation keep replays deterministic; the
+    // exactly-once-across-restarts contract itself is pinned by
+    // StreamingSpec's add-files-and-restart test, which a single driver
+    // run can't exercise.
+    GQ("stream_file_sink",
+      (s, dir) => withStreamPartitions(s, 8) {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-file-sink-").toString
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft-file-sink-ckpt-").toString
+        val q = EventStreams.dedupEvents(
+            EventStreams.readEvents(s, s"$dir/events.parquet"))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            round(col("value"), 4).as("value"))
+          .writeStream.format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .start()
+        try { q.processAllAvailable() } finally { q.stop() }
+        s.read.parquet(out)
+      },
+      Some("""SELECT event_id, user_id, event_type, round(value, 4) AS value
+             |FROM events""".stripMargin))
   )
 }

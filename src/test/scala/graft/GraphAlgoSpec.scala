@@ -19,6 +19,22 @@ class GraphAlgoSpec extends AnyFunSuite {
   lazy val pg = EdgeListIngest.build(spark, slice1).cache()
   lazy val lg = LocalGraph.fromProjection(pg.projection, Some(pg.nodes))
 
+  test("graft_shortest_path SQL table function matches the DataFrame path") {
+    graft.functions.GraftFunctions.register(spark)
+    val sqlRows = spark
+      .sql("SELECT * FROM graft_shortest_path('2022', '2802')")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq
+    val dfRows = ShortestPaths
+      .dijkstraPath(spark, queries.Graph.graphFor(spark, slice1), "2022", "2802")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(sqlRows.nonEmpty && sqlRows === dfRows)
+    // non-literal / wrong-arity calls fail with a clear analysis error
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_shortest_path('2022')").collect()
+    }
+    assert(e.getMessage.contains("graft_shortest_path"))
+  }
+
   test("slice-1 ingest counts match the reference (3705 nodes, 9696 edges)") {
     assert(pg.nodes.count() === 3705L)   // standalone.txt:2
     assert(pg.edges.count() === 9696L)   // IMPL.md:754

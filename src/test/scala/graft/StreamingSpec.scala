@@ -140,6 +140,44 @@ class StreamingSpec extends AnyFunSuite {
       .select("user_id").distinct().count())
   }
 
+  test("parquet file sink: exactly-once across checkpoint restarts") {
+    // The durable-sink contract a memory sink can't show: rows land in
+    // parquet once and only once, even when the stream is stopped,
+    // restarted on the same checkpoint after new input arrives, and
+    // restarted again with nothing new (no reprocessing either way).
+    val inDir = java.nio.file.Files.createTempDirectory("graft-eo-in-")
+    val outDir = java.nio.file.Files.createTempDirectory("graft-eo-out-")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-eo-ckpt-")
+    val ev = batchEvents
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val schema = ev.schema
+    def addBatch(lo: Long, hi: Long): Unit =
+      ev.filter(col("event_id") >= lo && col("event_id") < hi)
+        .coalesce(1).write.mode("append").parquet(inDir.toString)
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(inDir.toString)
+        .dropDuplicates("event_id")
+        .writeStream.format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    }
+    val total = ev.count()
+    val half = total / 2
+    addBatch(0, half)
+    runOnce()
+    assert(spark.read.parquet(outDir.toString).count() === half)
+    addBatch(half, total + 1)
+    runOnce() // restart from the checkpoint: only the new file processes
+    runOnce() // nothing new: must be a no-op, not a replay
+    val out = spark.read.parquet(outDir.toString)
+    assert(out.count() === total, "every input row exactly once")
+    assert(out.select("event_id").distinct().count() === total,
+      "no duplicates across restarts")
+  }
+
   test("streaming corpus stats equal the batch annotate rollup") {
     val q = EventStreams.corpusStats(
         EventStreams.readDocuments(spark, s"$sf/documents.parquet"))
