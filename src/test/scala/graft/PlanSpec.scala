@@ -66,6 +66,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!read.contains("l_tax"), read)
   }
 
+  test("q43 EWMA fold: one shuffle + in-partition sort, no collect_list buffer") {
+    val q = Registry.all.find(_.name == "q43_ewma").get
+    val p = plan(q.run(spark, sf))
+    // hot-user safety: per-key history must flow through the spillable
+    // sort into the streaming fold, never into an aggregation buffer
+    assert(!p.contains("collect_list"), p)
+    assert(countShuffles(p) === 1, p)
+    assert(p.contains("Sort "), p)
+  }
+
+  test("q31 KMV sketch aggregates in two phases (partial map-side combine)") {
+    val q = Registry.all.find(_.name == "q31_approx_distinct").get
+    val p = plan(q.run(spark, sf))
+    // the BottomKDistinct udaf must keep partial aggregation (an
+    // ObjectHashAggregate/SortAggregate pair around the exchange) — a
+    // plan that shuffles raw rows to a single final agg regresses the
+    // O(k)-state contract
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+    assert(!p.contains("Window"), p)
+    val partials = "partial_graft".r.findAllIn(p).length +
+      "partial_bottomkdistinct".r.findAllIn(p.toLowerCase).length
+    assert(partials >= 1 || p.contains("partial"), p)
+  }
+
   test("brute-force top-k short-circuits via TakeOrderedAndProject") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = emb.filter(col("vec_id") === 0).select("embedding")
