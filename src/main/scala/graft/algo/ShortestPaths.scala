@@ -21,8 +21,18 @@ import graft.graph.PropertyGraph
   */
 object ShortestPaths {
 
-  /** Above this projection edge count, use the distributed kernel. */
-  val LocalEdgeThreshold: Long = 20_000_000L
+  /** Above this projection edge count, use the distributed kernel.
+    * Sized for driver safety, not driver capacity: 5M edge Rows collect
+    * to roughly 1 GB with object overhead — comfortable on any
+    * production driver heap, while still two orders of magnitude above
+    * the reference's largest graph (101k edges). Overridable per
+    * deployment via -Dgraft.local.edge.threshold; the distributed kernel
+    * is result-identical (cross-kernel suite), so the knob trades only
+    * wall-clock, never correctness.
+    */
+  val LocalEdgeThreshold: Long =
+    sys.props.get("graft.local.edge.threshold").map(_.toLong)
+      .getOrElse(5_000_000L)
 
   private def localGraph(g: PropertyGraph): LocalGraph =
     LocalGraph.fromProjection(g.projection, Some(g.nodes))

@@ -102,6 +102,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === Set(0L, 50L, 100L))   // inclusive bounds, no dups
   }
 
+  test("OrderedFold EWMA ≡ buffered collect_list fold, bit for bit") {
+    // deterministic pseudo-random corpus: skewed keys (key 0 holds ~30%
+    // of rows), duplicate (o1, o2) pairs planted so the value tiebreak
+    // is actually exercised, values spanning sign and magnitude
+    val n = 50_000L
+    val ev = spark.range(n).select(
+      when(pmod(col("id"), lit(10)) < 3, lit(0L))
+        .otherwise(pmod(xxhash64(col("id"), lit(1)), lit(500L)) + 1)
+        .as("k"),
+      pmod(xxhash64(col("id"), lit(2)), lit(97L)).as("o1"), // many ties
+      pmod(xxhash64(col("id"), lit(3)), lit(11L)).as("o2"), // more ties
+      ((pmod(xxhash64(col("id"), lit(4)), lit(2001L)) - 1000L).cast("double")
+        / lit(3.0)).as("v"))
+    val fast = graft.operators.OrderedFold
+      .ewmaByKey(ev, "k", "o1", "o2", "v", alpha = 0.3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val brute = ev.groupBy("k")
+      .agg(count(lit(1)).as("n"),
+        aggregate(
+          transform(
+            array_sort(collect_list(struct(col("o1"), col("o2"), col("v")))),
+            e => e.getField("v")),
+          lit(null).cast("double"),
+          (acc, x) => when(acc.isNull, x)
+            .otherwise(lit(0.3) * x + lit(0.7) * acc)).as("ewma"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(fast.keySet === brute.keySet)
+    fast.foreach { case (k, (cnt, e)) =>
+      assert((cnt, e) === brute(k), s"key $k")
+    }
+  }
+
   test("deterministic sampling: stable, content-keyed, ~fraction rate") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val s1 = docs.filter(TextAnalysis.sampleByFingerprint(col("text"), 0.1))
