@@ -193,6 +193,80 @@ object Dedup {
     verified
   }
 
+  /** Cross-corpus near-dup decontamination (MinHash+LSH): flag training
+    * docs whose shingle set NEAR-duplicates any benchmark/eval doc — the
+    * fuzzy complement to Curation.contamination's exact n-gram overlap
+    * (light paraphrases and small edits defeat exact n-grams; they do
+    * not defeat Jaccard at the LSH S-curve threshold).
+    *
+    * Same machinery as minhashNearDup — fused one-pass md5 signatures,
+    * value-keyed band buckets, exact-Jaccard verify on candidates only —
+    * but the band join is corpus×bench instead of a self-join, so
+    * candidate volume is bounded by the BENCH bucket sizes: at 100 TB
+    * corpus × 10k-doc eval suite the banded bench side is tiny, AQE
+    * broadcasts it, and the corpus is never joined against itself.
+    * Pairs with equal doc_id are excluded (the eval docs themselves,
+    * when the bench is drawn from the corpus).
+    *
+    * Returns one row per flagged corpus doc:
+    * (doc_id, n_bench_matches, max_jaccard ≥ minJaccard).
+    */
+  def crossNearDup(corpus: DataFrame, bench: DataFrame, w: Int = 3,
+      k: Int = 32, bands: Int = 8, minJaccard: Double = 0.6): DataFrame = {
+    val rowsPerBand = k / bands
+    require(bands * rowsPerBand == k, "bands must divide signature length")
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+
+    def banded(docs: DataFrame, idAs: String): DataFrame = docs
+      .select(col("doc_id").as(idAs), tokens(col("text")).as("toks"))
+      .select(col(idAs),
+        call_function("graft_minhash_text", col("toks"), lit(w), lit(k))
+          .as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col(idAs),
+        posexplode(array((0 until bands).map { b =>
+          concat_ws(",",
+            slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
+              .cast("array<string>"))
+        }: _*)).as(Seq("band_id", "band_key")))
+
+    // candidates: corpus band rows against the (small) bench band rows —
+    // no self-join; AQE broadcasts the bench side from observed size
+    val cands = banded(corpus, "doc_id")
+      .join(banded(bench, "bench_id"), Seq("band_id", "band_key"))
+      .filter(col("doc_id") =!= col("bench_id"))
+      .select(col("doc_id"), col("bench_id"))
+      .dropDuplicates("doc_id", "bench_id")
+      .cache()
+
+    // exact verify: corpus shingle sets only for candidate docs, bench
+    // shingle sets for the whole (small) bench
+    val candSh = corpus
+      .join(cands.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shinglesFromTokens(col("toks"), w).as("sh_a"))
+    val benchSh = bench
+      .select(col("doc_id").as("bench_id"), tokens(col("text")).as("toks"))
+      .select(col("bench_id"),
+        shinglesFromTokens(col("toks"), w).as("sh_b"))
+    val out = cands
+      .join(candSh, Seq("doc_id"))
+      .join(benchSh, Seq("bench_id"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("uni") > 0)
+      .withColumn("jaccard", TextAnalysis.portableRound(
+        col("inter") / col("uni").cast("double"), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bench_matches"),
+        max(col("jaccard")).as("max_jaccard"))
+      .localCheckpoint(true)
+    cands.unpersist()
+    out
+  }
+
   /** EXACT n-gram Jaccard self-join at scale via prefix filtering
     * (AllPairs, Bayardo et al. WWW'07; prefix-filter principle from
     * SSJoin, Chaudhuri et al. ICDE'06). Unlike minhashNearDup this has

@@ -944,6 +944,31 @@ object Llm {
              |SELECT doc_id, n_ngrams, n_contaminated, contamination
              |FROM contam""".stripMargin)),
 
+    // ---- NEAR-dup decontamination (fuzzy complement to the exact
+    // n-gram contamination check: paraphrases/small edits defeat exact
+    // n-grams but not Jaccard at the LSH threshold). Same bench set.
+    // Oracle equivalence: with bench ⊆ corpus, the corpus×bench band
+    // join produces exactly the self-join candidates (mver) that touch a
+    // bench id — both sides band the SAME signatures — so the shared
+    // minhashCtes oracle applies with a bench-side filter, and the three
+    // minhash oracles cannot drift apart.
+    GQ("llm_decontam_neardup",
+      (s, dir) => {
+        val d = t(s, dir).documents
+        Dedup.crossNearDup(d, d.filter(col("doc_id") < 20),
+          w = 3, k = 32, bands = 8, minJaccard = 0.6)
+      },
+      Some(s"""WITH RECURSIVE ${minhashCtes("documents")},
+             |xm AS (
+             |  SELECT id_b AS doc_id, jaccard FROM mver
+             |  WHERE id_a < 20 AND jaccard >= 0.6
+             |  UNION ALL
+             |  SELECT id_a AS doc_id, jaccard FROM mver
+             |  WHERE id_b < 20 AND jaccard >= 0.6)
+             |SELECT doc_id, count(*) AS n_bench_matches,
+             |  max(jaccard) AS max_jaccard
+             |FROM xm GROUP BY 1""".stripMargin)),
+
     // ---- URL extraction + per-domain rollup ---------------------------
     // The corpus carries no URLs, so the query plants one per doc (and a
     // second for every third doc) derived from doc_id — same idiom as

@@ -38,6 +38,27 @@ class LlmOpsSpec extends AnyFunSuite {
     pairs.foreach(r => assert(r.getDouble(2) >= 0.5))
   }
 
+  test("crossNearDup flags paraphrased bench docs, skips unrelated ones") {
+    // bench doc 0; corpus has a one-word paraphrase of it (near-dup, must
+    // flag), an exact copy (jaccard 1.0, must flag), and the unrelated
+    // rest of the corpus (must not flag). Self-pairs (bench ⊆ corpus by
+    // id) are excluded by contract.
+    val bench = docs.filter($"doc_id" === 0L).select("doc_id", "text")
+    val base = bench.select("text").head().getString(0)
+    val paraphrase = base.split(" ").zipWithIndex
+      .map { case (w, i) => if (i == 4) "ZWX" else w }.mkString(" ")
+    val corpus = docs.select("doc_id", "text")
+      .union(Seq((9101L, paraphrase), (9102L, base)).toDF("doc_id", "text"))
+    val flagged = Dedup.crossNearDup(corpus, bench, w = 3, k = 32,
+      bands = 8, minJaccard = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(flagged.contains(9101L) && flagged(9101L)._2 >= 0.5)
+    assert(flagged.contains(9102L) && flagged(9102L)._2 === 1.0)
+    assert(!flagged.contains(0L), "the bench doc itself must not self-flag")
+    flagged.foreach { case (_, (n, j)) => assert(n >= 1L && j >= 0.5) }
+  }
+
   test("minhash candidates match exact n-gram jaccard on a small sample") {
     val sample = docs.filter(col("doc_id") < 60).select("doc_id", "text")
     val exact = Dedup.ngramJaccardExact(sample, w = 3, minJaccard = 0.3)
