@@ -31,11 +31,24 @@ object Bench {
         .split("\\s+")(0).toDouble
     } catch { case _: Throwable => -1.0 }
 
+  private def loadavg5(): Double =
+    try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).trim
+        .split("\\s+")(1).toDouble
+    } catch { case _: Throwable => -1.0 }
+
   /** Ambient load above this makes wall-clock timings meaningless (2-20×
     * inflation observed in rounds 2 and 4); gate on it rather than let a
-    * polluted run masquerade as a regression.
+    * polluted run masquerade as a regression. The 5-minute average is
+    * gated too (looser bound): a burst that JUST ended leaves the 1-min
+    * average clean while page cache and cgroup state are still
+    * perturbed — measured 1.3-1.6× total inflation in that window.
     */
   private val LoadThreshold = 2.0
+  private val Load5Threshold = 4.0
+  private def loaded(): Boolean =
+    loadavg1() > LoadThreshold || loadavg5() > Load5Threshold
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -43,17 +56,18 @@ object Bench {
     // run anyway but stamp "tainted": true into the JSON so no consumer
     // can mistake a load-polluted total for an engine regression.
     var waited = 0
-    while (loadavg1() > LoadThreshold && waited < 6) {
+    while (loaded() && waited < 6) {
       System.err.println(
-        f"[bench] ambient load ${loadavg1()}%.2f > $LoadThreshold%.1f — " +
+        f"[bench] ambient load 1m=${loadavg1()}%.2f 5m=${loadavg5()}%.2f " +
+          f"(gates $LoadThreshold%.1f/$Load5Threshold%.1f) — " +
           s"waiting 30 s (${waited + 1}/6)")
       Thread.sleep(30000)
       waited += 1
     }
-    val tainted = loadavg1() > LoadThreshold
+    val tainted = loaded()
     if (tainted) System.err.println(
-      f"[bench] still loaded (${loadavg1()}%.2f) after ${waited * 30} s — " +
-        "timings will be marked tainted")
+      f"[bench] still loaded (1m=${loadavg1()}%.2f 5m=${loadavg5()}%.2f) " +
+        f"after ${waited * 30} s — timings will be marked tainted")
     val loadStart = loadavg()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
