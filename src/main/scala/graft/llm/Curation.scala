@@ -248,6 +248,58 @@ object Curation {
     substring(TextAnalysis.fingerprintMd5(text), 1, 2) <= thr
   }
 
+  /** Temperature-weighted domain-mixture sampling — the corpus-mixing
+    * rule where rates are DERIVED from the data instead of hand-picked
+    * (weightedSampleFilter's caller supplies rates; here the operator
+    * computes them): domain d with n_d documents gets mixture weight
+    * w_d ∝ n_d^0.5 (the α = 0.5 "temperature" that upweights small
+    * domains relative to proportional sampling, as used for published
+    * multi-corpus pretraining mixes), and a per-domain rate
+    * r_d = min(1, τ·N·w_d / (W·n_d)) so the expected sample size is
+    * τ·N overall. Selection is content-keyed: a salted md5 fingerprint
+    * prefix against a 4-hex-char per-domain bound — deterministic
+    * across runs, engines and partitionings, and independent of the
+    * plain-fingerprint samplers (the "mix:" salt decorrelates it).
+    *
+    * Cross-engine determinism contract: every step is either exact
+    * integer arithmetic (domain counts, Σ of integer micro-weights) or
+    * a fixed tree of IEEE-754 double ops on exact-integer inputs.
+    * sqrt is correctly rounded per IEEE 754 — unlike pow, whose last
+    * ulp is libm-specific — which is why α is fixed at 0.5 rather than
+    * a knob. An oracle re-deriving r_d with the same expression tree
+    * gets bit-identical doubles, hence the identical hex bound.
+    *
+    * Scale: one |domains|-row count aggregate, rates broadcast back
+    * onto the corpus, then a map-side filter — the corpus is scanned
+    * once and never shuffled.
+    *
+    * Returns the sampled rows as (doc_id, domain, r_micro) where
+    * r_micro = ⌊r_d·10⁶ + ½⌋ records the applied rate exactly.
+    */
+  def domainMixture(docs: DataFrame, domainCol: String = "lang",
+      tau: Double = 0.5): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
+    val counts = docs.groupBy(col(domainCol)).agg(count(lit(1)).as("n_d"))
+    val weights = counts.withColumn("w_d",
+      floor(sqrt(col("n_d")) * 1e6 + 0.5).cast("long"))
+    val totals = weights.agg(sum(col("w_d")).as("w_tot"),
+      sum(col("n_d")).as("n_tot"))
+    val rates = weights.crossJoin(broadcast(totals))
+      .withColumn("r_d", least(lit(1.0),
+        (lit(tau) * col("n_tot").cast("double") * col("w_d").cast("double"))
+          / (col("w_tot").cast("double") * col("n_d").cast("double"))))
+      .withColumn("bound_hex", lpad(lower(hex(
+        least(floor(col("r_d") * 65536.0).cast("long"), lit(65535L)))),
+        4, "0"))
+      .withColumn("r_micro", floor(col("r_d") * 1e6 + 0.5).cast("long"))
+      .select(col(domainCol), col("bound_hex"), col("r_micro"))
+    docs.join(broadcast(rates), Seq(domainCol))
+      .filter(substring(md5(concat(lit("mix:"),
+        regexp_replace(lower(trim(col("text"))), "\\s+", " "))), 1, 4)
+        <= col("bound_hex"))
+      .select(col("doc_id"), col(domainCol), col("r_micro"))
+  }
+
   // ---- end-to-end curation (all stages oracle-able) --------------------
 
   /** Composed curation pipeline: repetition-quality filter →
@@ -310,6 +362,51 @@ object Curation {
           .as("first_seq"),
         floor((col("running_total") - 1) / capacity).as("last_seq"))
       .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
+  }
+
+  /** Deterministic global training-order shuffle + shard assignment:
+    * the "shuffle the corpus, cut it into shards, number the examples"
+    * step every pretraining data-prep run ends with. Each document gets
+    * a pseudo-random but reproducible shuffle key (md5 over a salted
+    * doc_id — content-independent, so duplicate texts still get distinct
+    * positions), a shard = (first key byte) mod nShards, and a 1-based
+    * position within its shard in shuffle-key order.
+    *
+    * Scale design: within-shard position is NOT a
+    * `row_number() OVER (PARTITION BY shard)` window — with nShards
+    * small (8–64) each window partition would hold corpus/nShards rows
+    * in one task, exactly the shape that dies at 100 TB. Instead the
+    * global rank over the (shard, key) total order comes from
+    * operators.PrefixSum (range-repartition + O(buckets) driver
+    * subtotals), and the per-shard base offsets from an |shards|-row
+    * aggregate joined back broadcast. Callers done with the result
+    * should `graft.core.Checkpoints.release` it (PrefixSum materializes
+    * its range partitioning once).
+    *
+    * Returns (doc_id, shard, pos).
+    */
+  def shuffleShards(docs: DataFrame, nShards: Int = 8,
+      buckets: Int = 32): DataFrame = {
+    require(nShards >= 1 && nShards <= 99,
+      s"nShards must be in [1, 99], got $nShards")
+    val skey = md5(concat(lit("shuf:"), col("doc_id").cast("string")))
+    val keyed = docs.select(col("doc_id"), skey.as("skey"))
+      .withColumn("shard", pmod(
+        conv(substring(col("skey"), 1, 2), 16, 10).cast("int"),
+        lit(nShards)))
+      // zero-padded shard prefix + 32 fixed hex chars: lexicographic
+      // order on __k == (shard ASC, skey ASC), and unique because skey
+      // is an md5 of the unique doc_id
+      .withColumn("__k",
+        concat(lpad(col("shard").cast("string"), 2, "0"), col("skey")))
+      .withColumn("__one", lit(1L))
+    val ranked = graft.operators.PrefixSum.running(keyed, "__k", "__one",
+      buckets)
+    val bases = ranked.groupBy(col("shard"))
+      .agg(min(col("running_total")).as("__base"))
+    ranked.join(broadcast(bases), Seq("shard"))
+      .select(col("doc_id"), col("shard"),
+        (col("running_total") - col("__base") + 1L).as("pos"))
   }
 
   /** Split each document into fixed-size token windows with overlap —

@@ -97,6 +97,45 @@ object Dedup {
   def shingles(text: Column, w: Int = 3): Column =
     shinglesFromTokens(tokens(text), w)
 
+  /** Cross-document duplicated n-gram statistics — the corpus-level
+    * repeated-sequence audit behind substring-level training-data
+    * dedup (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better"): every w-token window occurring in ≥ minDocs
+    * DISTINCT documents, with its document spread and total occurrence
+    * count, top-k by spread. The output is the triage list a pipeline
+    * uses to decide which boilerplate sequences to strip before
+    * training (and the gram list feeds span-removal directly).
+    *
+    * Unlike shinglesFromTokens this keeps duplicate windows (occurrence
+    * counts matter here), so the explode is over the raw transform.
+    *
+    * Scale: gram generation is map-side; the groupBy(gram) aggregation
+    * is the classic hot-key shape (viral boilerplate grams), which
+    * partial aggregation absorbs — count(*) combines map-side, and
+    * count(DISTINCT doc_id) plans as the two-level expand+agg Spark
+    * generates, both skew-tolerant. Top-k is TakeOrderedAndProject
+    * (never a global sort) with a total tiebreak order (gram is unique
+    * per row) so the cut is deterministic.
+    */
+  def dupNgrams(docs: DataFrame, w: Int = 5, minDocs: Int = 2,
+      k: Int = 100): DataFrame = {
+    require(w >= 1, s"w must be >= 1, got $w")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val withToks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val grams = withToks.select(col("doc_id"),
+      explode(filter(
+        transform(col("toks"), (_, i) =>
+          when(i <= size(col("toks")) - w,
+            concat_ws(" ", slice(col("toks"), i + 1, lit(w))))),
+        x => x.isNotNull)).as("gram"))
+    grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("gram").asc)
+      .limit(k)
+  }
+
   /** k-value MinHash signature in ONE array pass via the native
     * double-hashing expression (functions.MinHashSignatureExpr) — the
     * naive k-transforms formulation traverses and re-hashes the shingle

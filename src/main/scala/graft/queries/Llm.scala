@@ -1014,6 +1014,70 @@ object Llm {
              |WHERE substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 2)
              |  <= ${CurOracle.sampleCase("lang")}""".stripMargin)),
 
+    // ---- temperature-weighted domain mixture (derived rates) ----------
+    // The oracle re-derives the per-domain rates with the identical
+    // expression tree (integer counts → integer micro-weights via the
+    // correctly-rounded sqrt → one fixed double formula), so the hex
+    // bounds — and therefore the sampled set — are bit-identical.
+    GQ("llm_domain_mixture",
+      (s, dir) => Curation.domainMixture(t(s, dir).documents,
+        domainCol = "lang", tau = 0.5),
+      Some("""WITH dmc AS (SELECT lang, count(*) AS n_d FROM documents GROUP BY 1),
+             |dmw AS (SELECT lang, n_d,
+             |    CAST(floor(sqrt(n_d) * 1e6 + 0.5) AS BIGINT) AS w_d FROM dmc),
+             |dmt AS (SELECT sum(w_d) AS w_tot, sum(n_d) AS n_tot FROM dmw),
+             |dmr AS (SELECT lang,
+             |    least(1.0, (0.5 * CAST(n_tot AS DOUBLE) * CAST(w_d AS DOUBLE))
+             |      / (CAST(w_tot AS DOUBLE) * CAST(n_d AS DOUBLE))) AS r_d
+             |  FROM dmw CROSS JOIN dmt),
+             |dmb AS (SELECT lang,
+             |    printf('%04x', least(CAST(floor(r_d * 65536.0) AS BIGINT), 65535)) AS bound_hex,
+             |    CAST(floor(r_d * 1e6 + 0.5) AS BIGINT) AS r_micro FROM dmr)
+             |SELECT d.doc_id, d.lang, b.r_micro
+             |FROM documents d JOIN dmb b USING (lang)
+             |WHERE substr(md5('mix:' ||
+             |    regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g')), 1, 4)
+             |  <= b.bound_hex""".stripMargin)),
+
+    // ---- deterministic global shuffle + shard assignment --------------
+    // Spark computes within-shard positions via PrefixSum over the
+    // (shard, key) total order (no corpus/nShards-sized window
+    // partitions); the oracle's row_number window is the semantic spec.
+    GQ("llm_shuffle_shards",
+      (s, dir) => Curation.shuffleShards(t(s, dir).documents, nShards = 8),
+      Some("""WITH shk AS (
+             |  SELECT doc_id, md5('shuf:' || CAST(doc_id AS VARCHAR)) AS skey
+             |  FROM documents),
+             |shs AS (
+             |  SELECT doc_id, skey, CAST(
+             |      ((instr('0123456789abcdef', substr(skey, 1, 1)) - 1) * 16
+             |        + instr('0123456789abcdef', substr(skey, 2, 1)) - 1) % 8
+             |    AS INT) AS shard
+             |  FROM shk)
+             |SELECT doc_id, shard,
+             |  row_number() OVER (PARTITION BY shard ORDER BY skey) AS pos
+             |FROM shs""".stripMargin)),
+
+    // ---- cross-document duplicated n-gram audit -----------------------
+    GQ("llm_dup_ngrams",
+      (s, dir) => Dedup.dupNgrams(t(s, dir).documents,
+        w = 5, minDocs = 2, k = 100),
+      Some("""WITH dtk AS (
+             |  SELECT doc_id,
+             |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+             |      ' ') AS t
+             |  FROM documents),
+             |dgr AS (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
+             |    i -> array_to_string(t[i:i+4], ' '))) AS gram
+             |  FROM dtk)
+             |SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+             |FROM dgr
+             |GROUP BY 1
+             |HAVING count(DISTINCT doc_id) >= 2
+             |ORDER BY n_docs DESC, n_occ DESC, gram
+             |LIMIT 100""".stripMargin)),
+
     // ---- composed curation pipeline (every stage oracled) -------------
     // quality filter (rep.keep) → decontaminate (< 0.5 vs the doc_id<20
     // bench set; absent-from-contam = too short = 0.0) → weighted sample

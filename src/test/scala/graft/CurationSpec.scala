@@ -291,4 +291,75 @@ class CurationSpec extends AnyFunSuite {
     assert(!out.contains(""))
     assert(out.size === 2)
   }
+
+  test("domainMixture: temperature rates, expected size, determinism") {
+    val out = Curation.domainMixture(docs, "lang", tau = 0.5)
+    val rates = out.select("lang", "r_micro").distinct()
+      .as[(String, Long)].collect().toMap
+    val counts = docs.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    // α = 0.5 temperature: the per-doc sampling rate of a SMALLER domain
+    // must be strictly higher (upweighting), and all rates ≤ 1
+    val en = rates("en"); val de = rates("de")
+    assert(counts("en") > counts("de") && de > en,
+      s"temperature must upweight small domains: de=$de en=$en")
+    assert(rates.values.forall(_ <= 1000000L))
+    // expected sample ≈ τ·N; md5 uniformity at N=500 → generous band
+    val n = docs.count()
+    assert(math.abs(out.count() - 0.5 * n) < 0.15 * n)
+    // reproducible, and the derivation matches a driver-side recompute
+    assert(out.count() === Curation.domainMixture(docs, "lang", 0.5).count())
+    val wByLang = counts.map { case (l, c) =>
+      l -> math.floor(math.sqrt(c.toDouble) * 1e6 + 0.5).toLong }
+    val wTot = wByLang.values.sum.toDouble
+    val nTot = counts.values.sum.toDouble
+    rates.foreach { case (l, rMicro) =>
+      val r = math.min(1.0, 0.5 * nTot * wByLang(l) / (wTot * counts(l)))
+      assert(rMicro === math.floor(r * 1e6 + 0.5).toLong, s"lang=$l")
+    }
+  }
+
+  test("shuffleShards: positions are a per-shard permutation, stable") {
+    val out = Curation.shuffleShards(docs, nShards = 8).cache()
+    try {
+      assert(out.count() === docs.count())
+      // every shard's positions are exactly 1..size(shard)
+      val byShard = out.groupBy("shard")
+        .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"),
+          countDistinct("pos").as("d"))
+        .as[(Int, Long, Long, Long, Long)].collect()
+      assert(byShard.length === 8)
+      byShard.foreach { case (s, n, lo, hi, d) =>
+        assert(lo === 1L && hi === n && d === n, s"shard=$s")
+      }
+      // deterministic across runs and independent of input partitioning
+      val again = Curation.shuffleShards(
+        docs.repartition(13), nShards = 8)
+      assert(out.except(again).count() === 0)
+      assert(again.except(out).count() === 0)
+      // content-independent: built from doc_id, so a doc keeps its slot
+      // even if its text changes
+      val retexted = Curation.shuffleShards(
+        docs.withColumn("text", lit("X")), nShards = 8)
+      assert(out.except(retexted).count() === 0)
+    } finally out.unpersist()
+  }
+
+  test("dupNgrams finds planted cross-doc boilerplate, not unique text") {
+    val boiler = "all rights reserved by the site"
+    val d = Seq(
+      (1L, s"alpha beta $boiler gamma"),
+      (2L, s"$boiler delta epsilon"),
+      (3L, s"unique words only here nothing shared at all"),
+      (4L, s"zeta $boiler $boiler")).toDF("doc_id", "text")
+    val out = graft.llm.Dedup.dupNgrams(d, w = 5, minDocs = 2, k = 10)
+      .as[(String, Long, Long)].collect()
+    // "all rights reserved by the" spans docs 1, 2, 4 (twice in 4)
+    val top = out.find(_._1 == "all rights reserved by the")
+    assert(top.exists { case (_, nd, no) => nd === 3L && no === 4L })
+    // nothing from the unique doc appears
+    assert(!out.exists(_._1.contains("unique")))
+    // every returned gram is in ≥ 2 docs
+    assert(out.forall(_._2 >= 2))
+  }
 }

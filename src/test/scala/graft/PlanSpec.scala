@@ -149,4 +149,35 @@ class PlanSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("domainMixture: rates broadcast back, corpus never shuffled") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.llm.Curation.domainMixture(docs, "lang", 0.5))
+    // the corpus side of the rate join must be broadcast-received, not
+    // exchanged: the only hash exchanges allowed are the |domains|-row
+    // aggregations inside the rate derivation (tiny by construction)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // no exchange keyed on the full-width corpus columns (text)
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("text")), p)
+  }
+
+  test("shuffleShards: no corpus-wide window partitions, broadcast bases") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.llm.Curation.shuffleShards(docs, nShards = 8))
+    // the within-shard rank must come from PrefixSum (range partition +
+    // per-partition accumulate, materialized behind its localCheckpoint —
+    // hence the ExistingRDD scan), NEVER from a Window partitioned by
+    // the 8-value shard column: that shape packs corpus/8 rows per task
+    assert(!p.contains("Window"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+    // per-shard base offsets join back broadcast, not sort-merge; the
+    // only hash exchange is the 8-group base aggregate (map-side partial
+    // combine makes its width O(partitions · shards))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(exchanges.forall(_.contains("shard")), p)
+  }
 }
