@@ -1,0 +1,71 @@
+package graft.algo
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank over the projected simple digraph, in EXACT integer
+  * arithmetic — the graph-library centrality companion to the
+  * shortest-path family (the reference's platform ships it as
+  * `gds.pageRank`).
+  *
+  * Why integers: the float formulation's per-node sum of incoming
+  * contributions depends on partial-aggregation order, which differs
+  * between engines (and between runs), so it can never hash-match a SQL
+  * oracle. Holding rank as integer micro-mass (total mass 10¹²) makes
+  * every step — contribution `r div deg`, damping `(85·Σ) div 100`,
+  * teleport base — exact integer arithmetic whose sums are
+  * order-independent, so a fixed iteration count is bit-identical in any
+  * engine (the llm.Scoring micro-unit trick applied to an iterative
+  * kernel). Truncation loses < deg ulps of micro-mass per node per step:
+  * at 10¹² total mass that is a ~10⁻⁹ relative perturbation, far below
+  * any ranking-relevant difference, and identical in both engines.
+  *
+  * Semantics: standard damping d = 0.85, teleport (1−d)/N; mass arriving
+  * at dangling nodes (no out-edges after projection) leaks rather than
+  * redistributing — the common simplification, stated here because it is
+  * part of the oracle contract.
+  *
+  * Scale design: per iteration, one join of the rank vector with the
+  * edge list keyed by src and one aggregation keyed by dst — the
+  * canonical distributed PageRank shape (both shuffles are node-id
+  * keyed and AQE-coalesced; the out-degree table is computed once and
+  * cached). Rank state is localCheckpointed every iteration so the
+  * lineage stays O(1) deep across the loop, and the previous state is
+  * unpersisted as soon as its successor materializes. Nothing
+  * graph-sized ever reaches the driver.
+  */
+object PageRank {
+
+  /** (node, rank_micro) after `iters` iterations; `nodes` is a
+    * one-column node-id frame, `edges` a (src, dst) simple digraph.
+    */
+  def run(nodes: DataFrame, edges: DataFrame, iters: Int = 10,
+      mass: Long = 1_000_000_000_000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val nodeIds = nodes.select(col(nodes.columns(0)).as("node"))
+    val e = edges.select(col(edges.columns(0)).as("src"),
+      col(edges.columns(1)).as("dst"))
+    // N is a bounded driver scalar (one count), not a data collect
+    val n = nodeIds.count()
+    require(n > 0, "empty node set")
+    val unit = mass / n
+    val base = 15L * unit / 100L
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).cache()
+    var ranks = nodeIds.withColumn("r", lit(unit)).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contribs = ranks.join(deg, ranks("node") === deg("src"))
+        .selectExpr("src", "r div deg AS c")
+      val sums = e.join(contribs, Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum("c").as("m"))
+      val next = nodeIds.join(sums, Seq("node"), "left_outer")
+        .selectExpr("node",
+          s"CAST($base + (85 * coalesce(m, CAST(0 AS BIGINT))) div 100" +
+            " AS BIGINT) AS r")
+        .localCheckpoint(true)
+      ranks.unpersist()
+      ranks = next
+    }
+    deg.unpersist()
+    ranks.select(col("node"), col("r").as("rank_micro"))
+  }
+}

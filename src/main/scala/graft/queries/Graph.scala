@@ -162,6 +162,51 @@ object Graph {
 
     def singleSourcePrefix: String =
       s"WITH RECURSIVE $edgesCte,\n${chain(Src, HopsSingle)},\n$walkCte"
+
+    /** Min-label fixpoint for weakly-connected components: step k holds
+      * the min label over ≤k undirected hops, so after H ≥ (max
+      * eccentricity of any component's min-label node) steps the chain
+      * is the WCC fixpoint. Slice-1 max eccentricity is 58
+      * (tools/graph_golden.py BFS audit) — padded to 70; extra steps
+      * past the fixpoint are no-ops. Labels are VARCHAR minima, which
+      * order byte-wise identically in both engines.
+      */
+    val HopsWcc = 70
+    def wccChain(hops: Int): String = {
+      val und = """und AS MATERIALIZED (SELECT src, dst FROM edges
+                  |  UNION SELECT dst AS src, src AS dst FROM edges)""".stripMargin
+      val c0 = "c0 AS MATERIALIZED (SELECT START_NODE AS node, START_NODE AS lbl FROM ids)"
+      val steps = (1 to hops).map { i =>
+        s"""c$i AS MATERIALIZED (SELECT node, min(lbl) AS lbl FROM (
+           |  SELECT node, lbl FROM c${i - 1}
+           |  UNION ALL
+           |  SELECT u.dst AS node, c.lbl FROM c${i - 1} c JOIN und u ON c.node = u.src)
+           |  GROUP BY 1)""".stripMargin
+      }
+      (Seq(und, c0) ++ steps).mkString(",\n")
+    }
+
+    /** Exact-integer PageRank chain p0..p<iters> (micro-mass 10¹²,
+      * d = 0.85): every op is integer (`//`, integer sums), so the
+      * chain is bit-identical to algo.PageRank's DataFrame loop.
+      */
+    def pageRankChain(iters: Int): String = {
+      val deg = "deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY 1)"
+      val nct = "nct AS MATERIALIZED (SELECT count(*) AS cnt FROM ids)"
+      val base = "(15 * (1000000000000 // (SELECT cnt FROM nct))) // 100"
+      val p0 = "p0 AS MATERIALIZED (SELECT START_NODE AS node, 1000000000000 // (SELECT cnt FROM nct) AS r FROM ids)"
+      val steps = (1 to iters).map { i =>
+        s"""p$i AS MATERIALIZED (
+           |  SELECT n.START_NODE AS node,
+           |    CAST($base + (85 * coalesce(s.m, 0)) // 100 AS BIGINT) AS r
+           |  FROM ids n LEFT JOIN (
+           |    SELECT e.dst AS node, sum(p.r // d.deg) AS m
+           |    FROM p${i - 1} p JOIN deg d ON d.src = p.node
+           |      JOIN edges e ON e.src = p.node
+           |    GROUP BY 1) s ON s.node = n.START_NODE)""".stripMargin
+      }
+      (Seq(deg, nct, p0) ++ steps).mkString(",\n")
+    }
   }
 
   val queries: Seq[GQ] = Seq(
@@ -322,6 +367,38 @@ object Graph {
       sliceOracle(s"""${Oracle.singleSourcePrefix}
               |SELECT CAST((SELECT max(back) FROM w) - back AS INT) AS seq,
               |       node AS node_id, dist AS cost
-              |FROM w""".stripMargin))
+              |FROM w""".stripMargin)),
+
+    // Weakly-connected components (the reference platform's gds.wcc):
+    // adaptive local union-find / distributed Shiloach–Vishkin; labels
+    // are lexicographic-min member ids, matching the oracle's min-label
+    // relaxation chain. Slice 1 has 113 components.
+    GQ("g10_wcc",
+      (s, _) => {
+        val pg = g(s)
+        graft.algo.GraphComponents.wcc(s, pg.nodes.select("nodeId"),
+            pg.projection.select("src", "dst"))
+          .select(col("node").as("node_id"), col("component"))
+      },
+      sliceOracle(s"""WITH ${Oracle.edgesCte},
+              |${Oracle.wccChain(Oracle.HopsWcc)}
+              |SELECT node AS node_id, lbl AS component
+              |FROM c${Oracle.HopsWcc}""".stripMargin)),
+
+    // PageRank (the reference platform's gds.pageRank) in exact integer
+    // micro-mass — the only formulation whose iterative sums are
+    // order-independent and therefore hash-oracle-able (float PR can
+    // never be: partial-agg order differs across engines).
+    GQ("g11_pagerank",
+      (s, _) => {
+        val pg = g(s)
+        graft.algo.PageRank.run(pg.nodes.select("nodeId"),
+            pg.projection.select("src", "dst"), iters = 10)
+          .select(col("node").as("node_id"), col("rank_micro"))
+      },
+      sliceOracle(s"""WITH ${Oracle.edgesCte},
+              |${Oracle.pageRankChain(10)}
+              |SELECT node AS node_id, r AS rank_micro
+              |FROM p10""".stripMargin))
   )
 }

@@ -195,4 +195,47 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(n.count() === 3)
     assert(e.count() === 3)  // a→b ×2 + b→a; c→zz dropped
   }
+
+  test("wcc: distributed path ≡ local union-find on slice 1") {
+    val nodes = pg.nodes.select("nodeId")
+    val edges = pg.projection.select("src", "dst")
+    val local = algo.GraphComponents.wcc(spark, nodes, edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // force the distributed superstep path regardless of slice size
+    val dist = algo.GraphComponents.wcc(spark, nodes, edges,
+        localEdgeThreshold = 0L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(local.size === 3705)
+    assert(dist === local)
+    assert(local.values.toSet.size === 113) // slice-1 component count
+    // every label is the lexicographic min of its component
+    val byComp = local.groupBy(_._2).map { case (c, m) => c -> m.keys.min }
+    assert(byComp.forall { case (c, minMember) => c == minMember })
+  }
+
+  test("pagerank: DataFrame loop ≡ sequential integer reimplementation") {
+    val edges = pg.projection.select("src", "dst").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val nodeIds = pg.nodes.select("nodeId").collect().map(_.getString(0))
+    // independent sequential evaluation of the same integer recurrence
+    val n = nodeIds.length
+    val unit = 1_000_000_000_000L / n
+    val base = 15L * unit / 100L
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.length.toLong }
+    var r = nodeIds.map(_ -> unit).toMap
+    for (_ <- 1 to 10) {
+      val in = scala.collection.mutable.HashMap.empty[String, Long]
+        .withDefaultValue(0L)
+      edges.foreach { case (s, d) => in(d) += r(s) / deg(s) }
+      r = nodeIds.map(v => v -> (base + 85L * in(v) / 100L)).toMap
+    }
+    val got = algo.PageRank.run(pg.nodes.select("nodeId"),
+        pg.projection.select("src", "dst"), iters = 10)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(got === r)
+    // mass sanity: teleport + damped flow can only leak (dangling /
+    // truncation), never create mass
+    assert(got.values.sum <= 1_000_000_000_000L)
+    assert(got.values.sum > 600_000_000_000L)
+  }
 }
