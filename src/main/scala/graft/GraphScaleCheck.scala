@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale validation for the round-5 graph additions (WCC, PageRank) at
+  * 100–1000× the reference graph, including the ADVERSARIAL shape that
+  * defeats naive label propagation:
+  *
+  *  1. a 1M-node PATH with sequential node ids — min-label propagation
+  *     moves the min one hop per superstep here (1M supersteps); the
+  *     hook+contract design must instead finish in one hook round whose
+  *     1M-long hook chain is closed by O(log n) pointer jumps on the
+  *     hook table;
+  *  2. a 500k-node / 2M-edge random graph — forced-distributed WCC must
+  *     equal the driver union-find bit for bit;
+  *  3. PageRank on a 1M-node random digraph — results must be identical
+  *     under a different input partitioning (the integer formulation's
+  *     whole point: no summation-order sensitivity), with total mass
+  *     conserved up to truncation-and-dangling leakage.
+  *
+  * Usage: runMain graft.GraphScaleCheck [nPath] [nRandNodes] [nRandEdges]
+  */
+object GraphScaleCheck {
+
+  def main(args: Array[String]): Unit = {
+    val nPath = args.headOption.map(_.toInt).getOrElse(1_000_000)
+    val nRandNodes = args.lift(1).map(_.toInt).getOrElse(500_000)
+    val nRandEdges = args.lift(2).map(_.toInt).getOrElse(2_000_000)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // ---- 1. adversarial path graph -------------------------------------
+    // n0000000 — n0000001 — ... — n0999999, ids sorted along the path
+    val pathNodes = spark.range(nPath)
+      .select(format_string("n%07d", col("id")).as("node"))
+    val pathEdges = spark.range(nPath - 1)
+      .select(format_string("n%07d", col("id")).as("src"),
+        format_string("n%07d", col("id") + 1).as("dst"))
+    val (pathLabels, tPath) = timed {
+      algo.GraphComponents.wcc(spark, pathNodes, pathEdges,
+        localEdgeThreshold = 0L).cache()
+    }
+    val nPathLabels = pathLabels.count()
+    val distinctPath = pathLabels.select("component").distinct().collect()
+    require(nPathLabels == nPath && distinctPath.length == 1 &&
+      distinctPath(0).getString(0) == "n0000000",
+      s"path WCC wrong: $nPathLabels rows, ${distinctPath.length} comps")
+    pathLabels.unpersist()
+    println(f"[scale] wcc path: $nPath%,d-node sequential-id chain -> " +
+      f"1 component in $tPath%.1f s (hook chain closed by log-n jumps)")
+
+    // ---- 2. random graph: forced-distributed ≡ driver union-find -------
+    val randEdges = spark.range(nRandEdges)
+      .select(
+        format_string("r%07d", pmod(xxhash64(col("id")), lit(nRandNodes.toLong))).as("src"),
+        format_string("r%07d", pmod(xxhash64(col("id"), lit(1)), lit(nRandNodes.toLong))).as("dst"))
+      .cache()
+    val randNodes = spark.range(nRandNodes)
+      .select(format_string("r%07d", col("id")).as("node"))
+    val (distLabels, tDist) = timed {
+      algo.GraphComponents.wcc(spark, randNodes, randEdges,
+        localEdgeThreshold = 0L).cache()
+    }
+    val (localLabels, tLocal) = timed {
+      algo.GraphComponents.wcc(spark, randNodes, randEdges).cache()
+    }
+    val nDiff = distLabels.as("d")
+      .join(localLabels.as("l"), Seq("node"))
+      .filter(col("d.component") =!= col("l.component")).count()
+    val nComp = distLabels.select("component").distinct().count()
+    require(nDiff == 0, s"distributed != local on $nDiff nodes")
+    distLabels.unpersist(); localLabels.unpersist()
+    println(f"[scale] wcc random: $nRandNodes%,d nodes / $nRandEdges%,d edges -> " +
+      f"$nComp comps, distributed $tDist%.1f s == union-find $tLocal%.1f s, 0 diffs")
+
+    // ---- 3. PageRank: partitioning-independence + mass conservation ----
+    val prNodes = spark.range(nRandNodes)
+      .select(format_string("r%07d", col("id")).as("node"))
+    val prEdges = randEdges.filter(col("src") =!= col("dst")).distinct()
+    val (pr1, tPr) = timed {
+      algo.PageRank.run(prNodes, prEdges, iters = 10).cache()
+    }
+    val n1 = pr1.count()
+    val pr2 = algo.PageRank.run(prNodes.repartition(13),
+      prEdges.repartition(7), iters = 10)
+    val prDiff = pr1.as("a").join(pr2.as("b"), Seq("node"))
+      .filter(col("a.rank_micro") =!= col("b.rank_micro")).count()
+    require(prDiff == 0, s"pagerank differs under repartition on $prDiff nodes")
+    val mass = pr1.agg(sum("rank_micro")).head().getLong(0)
+    require(mass <= 1_000_000_000_000L && mass > 400_000_000_000L,
+      s"mass out of range: $mass")
+    pr1.unpersist(); randEdges.unpersist()
+    println(f"[scale] pagerank: $n1%,d nodes x 10 iters in $tPr%.1f s, " +
+      f"repartition-invariant, mass=${mass / 1e12}%.3f of 1.0")
+
+    println(f"""{"wcc_path_sec":$tPath%.1f,"wcc_rand_sec":$tDist%.1f,"pagerank_sec":$tPr%.1f,"n_path":$nPath,"n_rand_nodes":$nRandNodes,"n_rand_edges":$nRandEdges}""")
+    spark.stop()
+  }
+}
