@@ -401,7 +401,90 @@ object LlmScaleCheck {
     println(f"[scale] quantize: $nVecs vecs in $qzSec%.1f s, " +
       "reconstruction within half-step everywhere OK")
 
-    println(f"""{"jaccard_docs":${nDocs + nPlant},"jaccard_pairs":$nPairs,"jaccard_sec":$jacSec%.1f,"knn_vecs":${nVecs + nQ},"knn_sec":$knnSec%.1f,"ivf_vecs":${2 * nIvf},"ivf_sec":$ivfSec%.1f,"pct_rows":$nRows,"pct_sec":$pSec%.1f,"bm25_sec":$bmSec%.1f,"bigram_sec":$lmSec%.1f,"invidx_sec":$invSec%.1f,"contam_bloom_sec":$cbSec%.1f,"assign1024_sec":$asgSec%.1f,"auto_ivf_sec":$autoSec%.1f,"cross_neardup_sec":$xSec%.1f,"paragraph_sec":$pdSec%.1f,"semantic_sec":$semSec%.1f,"quantize_sec":$qzSec%.1f}""")
+    // ---- shuffleShards: 2M docs, exact per-shard permutations ---------
+    val nShuf = 2_000_000L
+    val shufDocs = spark.range(nShuf).select(col("id").as("doc_id"))
+    t0 = System.nanoTime()
+    val sharded = graft.llm.Curation.shuffleShards(shufDocs, nShards = 16)
+      .cache()
+    val shardStats = sharded.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"),
+        countDistinct("pos").as("d")).collect()
+    val shufSec = (System.nanoTime() - t0) / 1e9
+    require(shardStats.length == 16 &&
+      shardStats.forall(r => r.getLong(2) == 1L &&
+        r.getLong(3) == r.getLong(1) && r.getLong(4) == r.getLong(1)),
+      s"shuffleShards: shard positions are not exact permutations")
+    // order consistency on a sample: within a shard, pos must order
+    // exactly like the md5 shuffle key it was derived from
+    val sample = sharded.filter(pmod(xxhash64(col("doc_id")), lit(200L)) === 0)
+      .withColumn("skey",
+        md5(concat(lit("shuf:"), col("doc_id").cast("string"))))
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getString(3)))
+    sample.groupBy(_._1).foreach { case (_, rows) =>
+      val byPos = rows.sortBy(_._2).map(_._3)
+      require(byPos.sameElements(byPos.sorted),
+        "shuffleShards: pos order does not match shuffle-key order")
+    }
+    sharded.unpersist()
+    println(f"[scale] shuffle-shards: $nShuf%,d docs -> 16 exact " +
+      f"permutations in $shufSec%.1f s (${sample.length} sampled for order)")
+
+    // ---- domainMixture: 2M docs over 6 heavily skewed domains ---------
+    val nMix = 2_000_000L
+    val mixWords = (0 until 12).map(j =>
+      concat(lit("w"), pmod(xxhash64(col("id"), lit(j)), lit(65536L))))
+    val h = pmod(xxhash64(col("id"), lit(7)), lit(100L))
+    val mixDocs = spark.range(nMix).select(col("id").as("doc_id"),
+      concat_ws(" ", mixWords: _*).as("text"),
+      when(h < 50, "d0").when(h < 75, "d1").when(h < 87, "d2")
+        .when(h < 94, "d3").when(h < 98, "d4").otherwise("d5").as("lang"))
+      .cache()
+    // τ = 0.25 keeps even the 2% domain's rate below 1.0 (no clamping),
+    // so expected size is exactly τ·N and rates stay STRICTLY monotone
+    t0 = System.nanoTime()
+    val mixed = graft.llm.Curation.domainMixture(mixDocs, "lang", tau = 0.25)
+      .cache()
+    val nMixed = mixed.count()
+    val mixSec = (System.nanoTime() - t0) / 1e9
+    require(math.abs(nMixed - 0.25 * nMix) < 0.015 * nMix,
+      s"domainMixture: sampled $nMixed of $nMix, expected ~${nMix / 4}")
+    // temperature property at scale: rates strictly increase as domain
+    // size decreases (α = 0.5 upweights the tail)
+    val mixRates = mixed.select("lang", "r_micro").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mixCounts = mixDocs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bySize = mixCounts.toSeq.sortBy(-_._2).map(_._1)
+    require(bySize.map(mixRates).sliding(2).forall(p => p(0) < p(1)),
+      s"domainMixture: rates not monotone in domain size: $mixRates")
+    mixed.unpersist(); mixDocs.unpersist()
+    println(f"[scale] domain-mixture: $nMix%,d docs / 6 domains -> " +
+      f"$nMixed sampled (τ=0.25) in $mixSec%.1f s, tail upweighted OK")
+
+    // ---- dupNgrams: viral boilerplate gram across 100k docs -----------
+    // half the corpus carries the same appended sentence — the hot-key
+    // shape (one gram, 100k docs) the two-phase aggregation must absorb
+    val viral = " terms of service apply here now"
+    val dupDocs = base.withColumn("text",
+      when(pmod(col("doc_id"), lit(2L)) === 0, concat(col("text"), lit(viral)))
+        .otherwise(col("text")))
+    t0 = System.nanoTime()
+    val topGrams = graft.llm.Dedup.dupNgrams(dupDocs, w = 5, minDocs = 2,
+      k = 20).collect()
+    val dngSec = (System.nanoTime() - t0) / 1e9
+    // the 6-token sentence yields two fully-inside 5-grams, tied on both
+    // counts → the gram-ASC tiebreak puts "of service…" first
+    val expectViral = nDocs / 2
+    val top2 = topGrams.take(2).map(r => r.getString(0) -> r.getLong(1))
+    require(top2.toSeq == Seq(
+        "of service apply here now" -> expectViral,
+        "terms of service apply here" -> expectViral),
+      s"dupNgrams: top grams wrong: ${top2.toSeq}")
+    println(f"[scale] dup-ngrams: $nDocs%,d docs, viral gram x$expectViral " +
+      f"found top-1 in $dngSec%.1f s (hot-key two-phase agg)")
+
+    println(f"""{"jaccard_docs":${nDocs + nPlant},"jaccard_pairs":$nPairs,"jaccard_sec":$jacSec%.1f,"knn_vecs":${nVecs + nQ},"knn_sec":$knnSec%.1f,"ivf_vecs":${2 * nIvf},"ivf_sec":$ivfSec%.1f,"pct_rows":$nRows,"pct_sec":$pSec%.1f,"bm25_sec":$bmSec%.1f,"bigram_sec":$lmSec%.1f,"invidx_sec":$invSec%.1f,"contam_bloom_sec":$cbSec%.1f,"assign1024_sec":$asgSec%.1f,"auto_ivf_sec":$autoSec%.1f,"cross_neardup_sec":$xSec%.1f,"paragraph_sec":$pdSec%.1f,"semantic_sec":$semSec%.1f,"quantize_sec":$qzSec%.1f,"shuffle_shards_sec":$shufSec%.1f,"domain_mixture_sec":$mixSec%.1f,"dup_ngrams_sec":$dngSec%.1f}""")
     spark.stop()
   }
 }
