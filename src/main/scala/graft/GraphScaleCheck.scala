@@ -105,7 +105,53 @@ object GraphScaleCheck {
     println(f"[scale] pagerank: $n1%,d nodes x 10 iters in $tPr%.1f s, " +
       f"repartition-invariant, mass=${mass / 1e12}%.3f of 1.0")
 
-    println(f"""{"wcc_path_sec":$tPath%.1f,"wcc_rand_sec":$tDist%.1f,"pagerank_sec":$tPr%.1f,"n_path":$nPath,"n_rand_nodes":$nRandNodes,"n_rand_edges":$nRandEdges}""")
+    // ---- 4. triangles: distributed ≡ driver brute force ----------------
+    val triEdges = spark.range(nRandEdges)
+      .select(
+        format_string("r%07d", pmod(xxhash64(col("id"), lit(3)), lit(nRandNodes.toLong))).as("src"),
+        format_string("r%07d", pmod(xxhash64(col("id"), lit(4)), lit(nRandNodes.toLong))).as("dst"))
+    val triNodes = spark.range(nRandNodes)
+      .select(format_string("r%07d", col("id")).as("node"))
+    val (tri, tTri) = timed {
+      algo.Triangles.perNode(triNodes, triEdges).cache()
+    }
+    val triTotal = tri.agg(sum("n_triangles")).head().getLong(0)
+    // driver brute force: wedge check over adjacency sets (Σdeg² bounded
+    // at this density) — exact per-node comparison
+    val undLocal = triEdges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")), greatest(col("src"), col("dst")))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1)))
+    val adj = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.TreeSet[String]]
+    undLocal.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.TreeSet.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.TreeSet.empty) += a
+    }
+    val cnt = scala.collection.mutable.HashMap.empty[String, Long]
+      .withDefaultValue(0L)
+    adj.foreach { case (a, nbrs) =>
+      val above = nbrs.iteratorFrom(a).filter(_ > a).toArray
+      var i = 0
+      while (i < above.length) {
+        var j = i + 1
+        while (j < above.length) {
+          if (adj(above(i)).contains(above(j))) {
+            cnt(a) += 1; cnt(above(i)) += 1; cnt(above(j)) += 1
+          }
+          j += 1
+        }
+        i += 1
+      }
+    }
+    val gotTri = tri.filter(col("n_triangles") > 0)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(gotTri == cnt.toMap,
+      s"triangles: distributed != brute force (${gotTri.size} vs ${cnt.size} nonzero nodes)")
+    tri.unpersist()
+    println(f"[scale] triangles: $nRandNodes%,d nodes / $nRandEdges%,d edges -> " +
+      f"${triTotal / 3}%,d triangles in $tTri%.1f s, ≡ driver brute force")
+
+    println(f"""{"wcc_path_sec":$tPath%.1f,"wcc_rand_sec":$tDist%.1f,"pagerank_sec":$tPr%.1f,"triangles_sec":$tTri%.1f,"n_path":$nPath,"n_rand_nodes":$nRandNodes,"n_rand_edges":$nRandEdges}""")
     spark.stop()
   }
 }

@@ -1,0 +1,74 @@
+package graft.algo
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact per-node triangle counting — the graph-library clustering
+  * primitive alongside WCC/PageRank (the reference's platform ships it
+  * as `gds.triangleCount`).
+  *
+  * Formulation: degree-ordered orientation (the node-iterator++ scheme
+  * of Schank's thesis, the standard distributed-triangle bound): the
+  * undirected simple graph is oriented from the (degree, id)-smaller
+  * endpoint to the larger, making the oriented out-degree O(√m) on any
+  * graph. Wedges are pairs of oriented out-edges (u→v, u→w, v < w);
+  * a wedge closes iff the canonical undirected edge {v, w} exists. Each
+  * triangle is found EXACTLY once (at its unique minimum-(degree, id)
+  * apex), then credited to all three corners.
+  *
+  * Scale: the wedge join is self-equi on the apex — the hot side is
+  * bounded by the orientation (Σ outdeg² ≤ m^1.5, vs Σ deg² unbounded
+  * under skew for the naive orientation); the closure check is an
+  * equi-join against the edge list; per-node credit is an explode +
+  * count. All shuffles are key-hashed equi-joins AQE can size. No
+  * driver materialization at any step.
+  *
+  * Returns (node, n_triangles) covering EVERY node in `nodes` (zeros
+  * included) — integer counts, hash-oracle-able as-is.
+  */
+object Triangles {
+
+  def perNode(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val e = edges.select(col(edges.columns(0)).as("s"),
+      col(edges.columns(1)).as("d"))
+    // canonical undirected simple edges {a < b}
+    val und = e.filter(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"),
+        greatest(col("s"), col("d")).as("b"))
+      .distinct().cache()
+    val deg = und.select(col("a").as("n"))
+      .union(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    // orient from the (deg, id)-smaller endpoint
+    val withDeg = und
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), Seq("b"))
+    val oriented = withDeg.select(
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("u"), col("b").as("v")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("o"))
+      .select(col("o.u").as("u"), col("o.v").as("v")).cache()
+    // wedges at apex u close into triangles via the canonical edge {v, w}
+    val wedges = oriented.as("o1")
+      .join(oriented.select(col("u").as("u2"), col("v").as("w")),
+        col("u") === col("u2"))
+      .filter(col("v") < col("w"))
+      .select(col("u"), col("v"), col("w"))
+    val tris = wedges.join(und,
+      col("a") === col("v") && col("b") === col("w"))
+      .select(col("u"), col("v"), col("w"))
+    // node-scale result; materialized eagerly so the two cached
+    // intermediates can release before the caller consumes the output
+    val credit = tris.select(explode(array(col("u"), col("v"), col("w")))
+        .as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+      .localCheckpoint(true)
+    und.unpersist()
+    oriented.unpersist()
+    nodes.select(col(nodes.columns(0)).as("node"))
+      .join(credit, Seq("node"), "left_outer")
+      .select(col("node"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+}

@@ -399,6 +399,42 @@ object Graph {
       sliceOracle(s"""WITH ${Oracle.edgesCte},
               |${Oracle.pageRankChain(10)}
               |SELECT node AS node_id, r AS rank_micro
-              |FROM p10""".stripMargin))
+              |FROM p10""".stripMargin)),
+
+    // Exact per-node triangle count (the reference platform's
+    // gds.triangleCount): degree-ordered orientation bounds the wedge
+    // join on any skew; each triangle found once at its min-(deg, id)
+    // apex. Slice 1 holds 188 triangles (brute-force audited).
+    GQ("g12_triangles",
+      (s, _) => {
+        val pg = g(s)
+        graft.algo.Triangles.perNode(pg.nodes.select("nodeId"),
+            pg.projection.select("src", "dst"))
+          .select(col("node").as("node_id"), col("n_triangles"))
+      },
+      sliceOracle(s"""WITH ${Oracle.edgesCte},
+              |tund AS MATERIALIZED (
+              |  SELECT least(src, dst) AS a, greatest(src, dst) AS b
+              |  FROM edges WHERE src <> dst GROUP BY 1, 2),
+              |tdeg AS MATERIALIZED (
+              |  SELECT n, count(*) AS deg FROM (
+              |    SELECT a AS n FROM tund UNION ALL SELECT b AS n FROM tund)
+              |  GROUP BY 1),
+              |tor AS MATERIALIZED (
+              |  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+              |              THEN u.a ELSE u.b END AS u,
+              |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+              |              THEN u.b ELSE u.a END AS v
+              |  FROM tund u JOIN tdeg da ON da.n = u.a JOIN tdeg db ON db.n = u.b),
+              |ttri AS MATERIALIZED (
+              |  SELECT o1.u, o1.v, o2.v AS w
+              |  FROM tor o1 JOIN tor o2 ON o1.u = o2.u AND o1.v < o2.v
+              |  JOIN tund e ON e.a = o1.v AND e.b = o2.v),
+              |tcr AS (SELECT node, count(*) AS n_triangles FROM (
+              |  SELECT u AS node FROM ttri UNION ALL SELECT v FROM ttri
+              |  UNION ALL SELECT w FROM ttri) GROUP BY 1)
+              |SELECT n.START_NODE AS node_id,
+              |  coalesce(c.n_triangles, 0) AS n_triangles
+              |FROM ids n LEFT JOIN tcr c ON c.node = n.START_NODE""".stripMargin))
   )
 }

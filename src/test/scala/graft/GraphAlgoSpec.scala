@@ -213,6 +213,28 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(byComp.forall { case (c, minMember) => c == minMember })
   }
 
+  test("triangles: fixture counts, dup/reverse edges collapse, zeros kept") {
+    // two triangles sharing edge b–c, one spectator node e; parallel and
+    // reversed edges must not double-count
+    val nodes = Seq("a", "b", "c", "d", "e").toDF("node")
+    val edges = Seq(
+      ("a", "b"), ("b", "a"),          // reverse dup
+      ("b", "c"), ("c", "a"),
+      ("b", "d"), ("c", "d"), ("c", "d") // parallel dup
+    ).toDF("src", "dst")
+    val got = algo.Triangles.perNode(nodes, edges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 1L, "b" -> 2L, "c" -> 2L, "d" -> 1L, "e" -> 0L))
+  }
+
+  test("triangles: slice 1 total matches the brute-force audit (188)") {
+    val out = algo.Triangles.perNode(pg.nodes.select("nodeId"),
+      pg.projection.select("src", "dst"))
+    assert(out.agg(org.apache.spark.sql.functions.sum("n_triangles"))
+      .head().getLong(0) === 3L * 188L)
+    assert(out.count() === 3705L)
+  }
+
   test("pagerank: DataFrame loop ≡ sequential integer reimplementation") {
     val edges = pg.projection.select("src", "dst").collect()
       .map(r => (r.getString(0), r.getString(1)))
