@@ -90,11 +90,12 @@ object GraphScaleCheck {
       .select(format_string("r%07d", col("id")).as("node"))
     val prEdges = randEdges.filter(col("src") =!= col("dst")).distinct()
     val (pr1, tPr) = timed {
-      algo.PageRank.run(prNodes, prEdges, iters = 10).cache()
+      algo.PageRank.run(prNodes, prEdges, iters = 10,
+        localEdgeThreshold = 0L).cache()
     }
     val n1 = pr1.count()
     val pr2 = algo.PageRank.run(prNodes.repartition(13),
-      prEdges.repartition(7), iters = 10)
+      prEdges.repartition(7), iters = 10, localEdgeThreshold = 0L)
     val prDiff = pr1.as("a").join(pr2.as("b"), Seq("node"))
       .filter(col("a.rank_micro") =!= col("b.rank_micro")).count()
     require(prDiff == 0, s"pagerank differs under repartition on $prDiff nodes")

@@ -36,15 +36,47 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
+  /** Same adaptive dispatch policy as ShortestPaths/GraphComponents: a
+    * graph whose edge list fits on the driver runs the identical integer
+    * recurrence sequentially (10 distributed iterations on a 3 705-node
+    * graph are pure scheduling overhead); GraphAlgoSpec pins the two
+    * paths bit-equal, GraphScaleCheck exercises the distributed one at
+    * 2M edges.
+    */
+  val LocalEdgeThreshold: Long = 5_000_000L
+
   /** (node, rank_micro) after `iters` iterations; `nodes` is a
     * one-column node-id frame, `edges` a (src, dst) simple digraph.
     */
   def run(nodes: DataFrame, edges: DataFrame, iters: Int = 10,
-      mass: Long = 1_000_000_000_000L): DataFrame = {
+      mass: Long = 1_000_000_000_000L,
+      localEdgeThreshold: Long = LocalEdgeThreshold): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val nodeIds = nodes.select(col(nodes.columns(0)).as("node"))
     val e = edges.select(col(edges.columns(0)).as("src"),
-      col(edges.columns(1)).as("dst"))
+      col(edges.columns(1)).as("dst")).cache()
+    val nEdges = e.count()
+    if (nEdges <= localEdgeThreshold) {
+      val pairs = e.collect().map(r => (r.getString(0), r.getString(1)))
+      e.unpersist()
+      val ids = nodeIds.collect().map(_.getString(0))
+      val n = ids.length
+      require(n > 0, "empty node set")
+      val unit = mass / n
+      val base = 15L * unit / 100L
+      val deg = pairs.groupBy(_._1).map { case (s, es) =>
+        s -> es.length.toLong }
+      var r = ids.map(_ -> unit).toMap
+      for (_ <- 1 to iters) {
+        val in = scala.collection.mutable.HashMap.empty[String, Long]
+          .withDefaultValue(0L)
+        pairs.foreach { case (s, d) => in(d) += r(s) / deg(s) }
+        r = ids.map(v => v -> (base + 85L * in(v) / 100L)).toMap
+      }
+      val spark = nodes.sparkSession
+      import spark.implicits._
+      return ids.map(v => (v, r(v))).toSeq.toDF("node", "rank_micro")
+    }
     // N is a bounded driver scalar (one count), not a data collect
     val n = nodeIds.count()
     require(n > 0, "empty node set")
@@ -66,6 +98,7 @@ object PageRank {
       ranks = next
     }
     deg.unpersist()
+    e.unpersist()
     ranks.select(col("node"), col("r").as("rank_micro"))
   }
 }

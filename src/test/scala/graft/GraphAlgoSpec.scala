@@ -251,10 +251,18 @@ class GraphAlgoSpec extends AnyFunSuite {
       edges.foreach { case (s, d) => in(d) += r(s) / deg(s) }
       r = nodeIds.map(v => v -> (base + 85L * in(v) / 100L)).toMap
     }
+    // force the DISTRIBUTED path — the local fast path IS this
+    // sequential loop, so only the distributed one needs the cross-check
     val got = algo.PageRank.run(pg.nodes.select("nodeId"),
-        pg.projection.select("src", "dst"), iters = 10)
+        pg.projection.select("src", "dst"), iters = 10,
+        localEdgeThreshold = 0L)
       .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
     assert(got === r)
+    // and the adaptive local path agrees with both
+    val loc = algo.PageRank.run(pg.nodes.select("nodeId"),
+        pg.projection.select("src", "dst"), iters = 10)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(loc === r)
     // mass sanity: teleport + damped flow can only leak (dangling /
     // truncation), never create mass
     assert(got.values.sum <= 1_000_000_000_000L)
