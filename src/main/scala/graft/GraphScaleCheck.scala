@@ -114,7 +114,8 @@ object GraphScaleCheck {
     val triNodes = spark.range(nRandNodes)
       .select(format_string("r%07d", col("id")).as("node"))
     val (tri, tTri) = timed {
-      algo.Triangles.perNode(triNodes, triEdges).cache()
+      algo.Triangles.perNode(triNodes, triEdges, localEdgeThreshold = 0L)
+        .cache()
     }
     val triTotal = tri.agg(sum("n_triangles")).head().getLong(0)
     // driver brute force: wedge check over adjacency sets (Σdeg² bounded

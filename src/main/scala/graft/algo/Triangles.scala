@@ -28,7 +28,16 @@ import org.apache.spark.sql.functions._
   */
 object Triangles {
 
-  def perNode(nodes: DataFrame, edges: DataFrame): DataFrame = {
+  /** Same adaptive dispatch policy as the other kernels: below the
+    * threshold the wedge enumeration runs on the driver over adjacency
+    * sets (Σ outdeg² work, milliseconds at reference scale); above it
+    * the distributed plan runs. GraphAlgoSpec pins the paths equal;
+    * GraphScaleCheck validates the distributed one at 2M edges.
+    */
+  val LocalEdgeThreshold: Long = 5_000_000L
+
+  def perNode(nodes: DataFrame, edges: DataFrame,
+      localEdgeThreshold: Long = LocalEdgeThreshold): DataFrame = {
     val e = edges.select(col(edges.columns(0)).as("s"),
       col(edges.columns(1)).as("d"))
     // canonical undirected simple edges {a < b}
@@ -36,6 +45,38 @@ object Triangles {
       .select(least(col("s"), col("d")).as("a"),
         greatest(col("s"), col("d")).as("b"))
       .distinct().cache()
+    if (und.count() <= localEdgeThreshold) {
+      val pairs = und.collect().map(r => (r.getString(0), r.getString(1)))
+      und.unpersist()
+      val ids = nodes.select(col(nodes.columns(0)).cast("string"))
+        .collect().map(_.getString(0))
+      val adj = scala.collection.mutable.HashMap
+        .empty[String, scala.collection.mutable.TreeSet[String]]
+      pairs.foreach { case (a, b) =>
+        adj.getOrElseUpdate(a, scala.collection.mutable.TreeSet.empty) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.TreeSet.empty) += a
+      }
+      val cnt = scala.collection.mutable.HashMap.empty[String, Long]
+        .withDefaultValue(0L)
+      adj.foreach { case (a, nbrs) =>
+        val above = nbrs.iteratorFrom(a).filter(_ > a).toArray
+        var i = 0
+        while (i < above.length) {
+          var j = i + 1
+          while (j < above.length) {
+            if (adj(above(i)).contains(above(j))) {
+              cnt(a) += 1; cnt(above(i)) += 1; cnt(above(j)) += 1
+            }
+            j += 1
+          }
+          i += 1
+        }
+      }
+      val spark = nodes.sparkSession
+      import spark.implicits._
+      return ids.map(nId => (nId, cnt(nId))).toSeq
+        .toDF("node", "n_triangles")
+    }
     val deg = und.select(col("a").as("n"))
       .union(und.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))

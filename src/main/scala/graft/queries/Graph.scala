@@ -435,6 +435,35 @@ object Graph {
               |  UNION ALL SELECT w FROM ttri) GROUP BY 1)
               |SELECT n.START_NODE AS node_id,
               |  coalesce(c.n_triangles, 0) AS n_triangles
-              |FROM ids n LEFT JOIN tcr c ON c.node = n.START_NODE""".stripMargin))
+              |FROM ids n LEFT JOIN tcr c ON c.node = n.START_NODE""".stripMargin)),
+
+    // SQL-surface parity for RECURSION itself: the same WITH RECURSIVE
+    // text runs on Spark 4's UnionLoop recursion and on DuckDB — a
+    // 10-hop BFS from the canonical source (walks bounded ≈ 95k by the
+    // hop limit; UNION ALL + terminal min() is the recursion shape both
+    // engines implement identically). The DataFrame relaxation kernels
+    // stay the scale path; this pins the SQL-recursion entry point.
+    GQ("g13_bfs_recursive_sql",
+      (s, _) => {
+        g(s).projection.createOrReplaceTempView("graft_bfs_edges")
+        s.sql(s"""
+          |WITH RECURSIVE bfs(node, hops) AS (
+          |  SELECT '$Src' AS node, 0 AS hops
+          |  UNION ALL
+          |  SELECT e.dst, b.hops + 1
+          |  FROM bfs b JOIN graft_bfs_edges e ON e.src = b.node
+          |  WHERE b.hops < 10)
+          |SELECT node AS node_id, min(hops) AS hops
+          |FROM bfs GROUP BY node""".stripMargin)
+      },
+      sliceOracle(s"""WITH RECURSIVE ${Oracle.edgesCte},
+              |bfs(node, hops) AS (
+              |  SELECT '$Src' AS node, 0 AS hops
+              |  UNION ALL
+              |  SELECT e.dst, b.hops + 1
+              |  FROM bfs b JOIN edges e ON e.src = b.node
+              |  WHERE b.hops < 10)
+              |SELECT node AS node_id, min(hops) AS hops
+              |FROM bfs GROUP BY node""".stripMargin))
   )
 }

@@ -233,6 +233,10 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(out.agg(org.apache.spark.sql.functions.sum("n_triangles"))
       .head().getLong(0) === 3L * 188L)
     assert(out.count() === 3705L)
+    // distributed path ≡ adaptive (local) path
+    val dist = algo.Triangles.perNode(pg.nodes.select("nodeId"),
+      pg.projection.select("src", "dst"), localEdgeThreshold = 0L)
+    assert(dist.except(out).count() === 0L && out.except(dist).count() === 0L)
   }
 
   test("pagerank: DataFrame loop ≡ sequential integer reimplementation") {
