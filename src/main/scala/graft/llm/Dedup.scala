@@ -343,6 +343,24 @@ object Dedup {
     val sh = docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), shinglesFromTokens(col("toks"), w).as("sh"))
+    jaccardPairsFromSets(sh, minJacNum, minJacDen)
+  }
+
+  /** Threshold-Jaccard similar pairs over arbitrary element SETS — the
+    * prefix-filtered AllPairs core of jaccardNearDup, factored out so
+    * graph node-similarity (neighbor sets) reuses the identical
+    * machinery. `sets` is (doc_id, sh: array<string>) with distinct
+    * elements per row; returns (id_a, id_b, n_common, n_union) for every
+    * pair with Jaccard ≥ minJacNum/minJacDen — exact (the prefix filter
+    * is lossless at the threshold), so a naive SQL formulation oracles
+    * it directly.
+    */
+  def jaccardPairsFromSets(sets: DataFrame, minJacNum: Int,
+      minJacDen: Int): DataFrame = {
+    require(minJacNum > 0 && minJacNum <= minJacDen,
+      s"threshold must be in (0,1]: $minJacNum/$minJacDen")
+    val sh = sets.select(col(sets.columns(0)).as("doc_id"),
+        col(sets.columns(1)).as("sh"))
       .cache() // read by the frequency agg, the prefix build and verify
     val exploded = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val freq = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))

@@ -464,6 +464,27 @@ object Graph {
               |  FROM bfs b JOIN edges e ON e.src = b.node
               |  WHERE b.hops < 10)
               |SELECT node AS node_id, min(hops) AS hops
-              |FROM bfs GROUP BY node""".stripMargin))
+              |FROM bfs GROUP BY node""".stripMargin)),
+
+    // Neighbor-set Jaccard similarity (the reference platform's
+    // gds.nodeSimilarity) at threshold 1/3 — integer counts only, no
+    // float ratio in the contract. The Spark side runs the
+    // prefix-filtered AllPairs core (lossless at the threshold); the
+    // oracle is the naive common-neighbor join, equal by construction.
+    GQ("g14_node_similarity",
+      (s, _) => graft.algo.NodeSimilarity.jaccard(
+        g(s).projection.select("src", "dst"), minJacNum = 1, minJacDen = 3),
+      sliceOracle(s"""WITH ${Oracle.edgesCte},
+              |nbr AS MATERIALIZED (SELECT src AS n, dst AS v FROM edges),
+              |dg AS (SELECT n, count(*) AS deg FROM nbr GROUP BY 1),
+              |cand AS (
+              |  SELECT a.n AS node_a, b.n AS node_b, count(*) AS n_common
+              |  FROM nbr a JOIN nbr b ON a.v = b.v AND a.n < b.n
+              |  GROUP BY 1, 2)
+              |SELECT c.node_a, c.node_b, c.n_common,
+              |  da.deg + db.deg - c.n_common AS n_union
+              |FROM cand c JOIN dg da ON da.n = c.node_a
+              |  JOIN dg db ON db.n = c.node_b
+              |WHERE c.n_common * 3 >= (da.deg + db.deg - c.n_common) * 1""".stripMargin))
   )
 }

@@ -239,6 +239,27 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(dist.except(out).count() === 0L && out.except(dist).count() === 0L)
   }
 
+  test("node similarity: fixture Jaccard counts; threshold excludes weak pairs") {
+    // N(a)={x,y,z}, N(b)={x,y,w}, N(c)={x}, N(d)={q}
+    val edges = Seq(
+      ("a", "x"), ("a", "y"), ("a", "z"),
+      ("b", "x"), ("b", "y"), ("b", "w"),
+      ("c", "x"), ("d", "q")).toDF("src", "dst")
+    val got = algo.NodeSimilarity.jaccard(edges, 1, 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // a~b: 2/4 = 0.5 ≥ 1/3 in; a~c: 1/3 in (boundary); b~c: 1/3 in;
+    // d shares nothing
+    assert(got === Map(
+      ("a", "b") -> ((2L, 4L)),
+      ("a", "c") -> ((1L, 3L)),
+      ("b", "c") -> ((1L, 3L))))
+    // tighter threshold drops the boundary pairs
+    val tight = algo.NodeSimilarity.jaccard(edges, 1, 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(tight === Set(("a", "b")))
+  }
+
   test("pagerank: DataFrame loop ≡ sequential integer reimplementation") {
     val edges = pg.projection.select("src", "dst").collect()
       .map(r => (r.getString(0), r.getString(1)))
