@@ -239,6 +239,75 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(dist.except(out).count() === 0L && out.except(dist).count() === 0L)
   }
 
+  test("wcc/triangles/node-similarity: random digraphs ≡ brute force") {
+    // seeded random graphs, every new operator (distributed path forced
+    // for WCC/triangles) against an independent in-test brute force
+    for (seed <- Seq(3, 17, 59, 101, 211)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 20 + rnd.nextInt(20)
+      val pairs = (for (_ <- 0 until 60 + rnd.nextInt(60)) yield
+        (s"v${rnd.nextInt(n)}", s"v${rnd.nextInt(n)}"))
+        .filter(e => e._1 != e._2).distinct
+      val nodesDf = (0 until n).map(i => s"v$i").toDF("node")
+      val edgesDf = pairs.toDF("src", "dst")
+      // brute components (undirected BFS)
+      val adj = scala.collection.mutable.HashMap
+        .empty[String, scala.collection.mutable.Set[String]]
+      pairs.foreach { case (a, b) =>
+        adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+      }
+      val comp = scala.collection.mutable.HashMap.empty[String, String]
+      (0 until n).map(i => s"v$i").foreach { start =>
+        if (!comp.contains(start)) {
+          val seen = scala.collection.mutable.Set(start)
+          val q = scala.collection.mutable.Queue(start)
+          while (q.nonEmpty) {
+            val u = q.dequeue()
+            adj.getOrElse(u, Set.empty).foreach { v =>
+              if (seen.add(v)) q.enqueue(v)
+            }
+          }
+          val lbl = seen.min
+          seen.foreach(v => comp(v) = lbl)
+        }
+      }
+      val gotWcc = algo.GraphComponents.wcc(spark, nodesDf, edgesDf,
+          localEdgeThreshold = 0L)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(gotWcc === comp.toMap, s"wcc seed=$seed")
+      // brute triangles over the simple undirected graph
+      val cnt = scala.collection.mutable.HashMap.empty[String, Long]
+        .withDefaultValue(0L)
+      val keys = adj.keys.toSeq.sorted
+      for (a <- keys) {
+        val nb = adj(a).filter(_ > a).toSeq.sorted
+        for (i <- nb.indices; j <- i + 1 until nb.length
+             if adj(nb(i)).contains(nb(j))) {
+          cnt(a) += 1; cnt(nb(i)) += 1; cnt(nb(j)) += 1
+        }
+      }
+      val gotTri = algo.Triangles.perNode(nodesDf, edgesDf,
+          localEdgeThreshold = 0L)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(gotTri === (0 until n).map(i => s"v$i")
+        .map(v => v -> cnt(v)).toMap, s"triangles seed=$seed")
+      // brute neighbor-set Jaccard at 1/3
+      val out = pairs.groupBy(_._1).map { case (k, es) =>
+        k -> es.map(_._2).toSet }
+      val expSim = (for {
+        a <- out.keys; b <- out.keys if a < b
+        common = (out(a) & out(b)).size
+        union = (out(a) | out(b)).size
+        if common * 3 >= union
+      } yield (a, b) -> ((common.toLong, union.toLong))).toMap
+      val gotSim = algo.NodeSimilarity.jaccard(edgesDf, 1, 3)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+      assert(gotSim === expSim, s"node-similarity seed=$seed")
+    }
+  }
+
   test("node similarity: fixture Jaccard counts; threshold excludes weak pairs") {
     // N(a)={x,y,z}, N(b)={x,y,w}, N(c)={x}, N(d)={q}
     val edges = Seq(
