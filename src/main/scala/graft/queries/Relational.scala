@@ -934,6 +934,32 @@ object Relational {
              |WHERE l_extendedprice > (
              |  SELECT avg(l2.l_extendedprice) FROM lineitem l2
              |  WHERE l2.l_partkey = l.l_partkey)
-             |GROUP BY l_partkey""".stripMargin))
+             |GROUP BY l_partkey""".stripMargin)),
+
+    // LATERAL correlated subquery (SQL-surface parity: Spark plans it as
+    // a decorrelated window top-k / DomainJoin, DuckDB as a lateral
+    // dependent join — same rows either way). Total order inside the
+    // LATERAL (price DESC, orderkey ASC) makes the LIMIT deterministic.
+    GQ("q46_lateral_topk",
+      (s, dir) => {
+        t(s, dir).customer.createOrReplaceTempView("g_customer_v")
+        t(s, dir).orders.createOrReplaceTempView("g_orders_v")
+        s.sql("""SELECT c.c_custkey, c.c_mktsegment,
+                |       o.o_orderkey, o.o_totalprice
+                |FROM g_customer_v c,
+                |LATERAL (SELECT oo.o_orderkey, oo.o_totalprice
+                |         FROM g_orders_v oo
+                |         WHERE oo.o_custkey = c.c_custkey
+                |         ORDER BY oo.o_totalprice DESC, oo.o_orderkey
+                |         LIMIT 3) o""".stripMargin)
+      },
+      Some("""SELECT c.c_custkey, c.c_mktsegment,
+             |       o.o_orderkey, o.o_totalprice
+             |FROM customer c,
+             |LATERAL (SELECT oo.o_orderkey, oo.o_totalprice
+             |         FROM orders oo
+             |         WHERE oo.o_custkey = c.c_custkey
+             |         ORDER BY oo.o_totalprice DESC, oo.o_orderkey
+             |         LIMIT 3) o""".stripMargin))
   )
 }
