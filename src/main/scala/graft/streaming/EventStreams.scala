@@ -239,4 +239,70 @@ object EventStreams {
           out.iterator
       }
   }
+
+  // ---- custom state: transformWithState sessionizer (Spark 4 API) -----
+
+  /** The same sessionizer on Spark 4's transformWithState — the
+    * successor arbitrary-state API (typed per-key ValueState through a
+    * StatefulProcessor handle, RocksDB-backed state store). Semantics
+    * are identical to sessionizeWithState by construction (same fold
+    * over ts-sorted per-batch rows), pinned equal in StreamingSpec; the
+    * value of carrying both is that pipelines migrating off
+    * [flat]mapGroupsWithState keep a validated reference for each
+    * surface.
+    */
+  private final class SessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Ev, SessionOut] {
+    @transient private var open:
+        org.apache.spark.sql.streaming.ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      open = getHandle.getValueState[SessionState]("open",
+        org.apache.spark.sql.Encoders.product[SessionState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[Ev],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[SessionOut] = {
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      var cur = if (open.exists()) Some(open.get()) else None
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.last <= gapMs =>
+            cur = Some(s.copy(last = t, n = s.n + 1,
+              total = s.total + e.value))
+          case Some(s) =>
+            out += SessionOut(uid, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.last), s.n,
+              math.rint(s.total * 10000) / 10000)
+            cur = Some(SessionState(t, t, 1, e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      cur match {
+        case Some(s) => open.update(s)
+        case None => open.clear()
+      }
+      out.iterator
+    }
+  }
+
+  /** transformWithState requires the RocksDB state-store provider; the
+    * caller's session must set
+    * `spark.sql.streaming.stateStore.providerClass` to
+    * RocksDBStateStoreProvider before starting the query.
+    */
+  def sessionizeTws(events: Dataset[Ev], gapMs: Long = 30 * 60 * 1000L)
+      : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
 }

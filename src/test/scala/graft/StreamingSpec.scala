@@ -121,6 +121,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("transformWithState sessionizer ≡ flatMapGroupsWithState on a real stream") {
+    // Spark 4's arbitrary-state successor API must produce the exact
+    // session set the fMGWS sessionizer emits. TWS requires the RocksDB
+    // state-store provider — set only for this query's session conf.
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ev = EventStreams.readEvents(spark, s"$sf/events.parquet")
+        .select(col("ts"), col("user_id"), col("value"))
+        .as[EventStreams.Ev]
+      val q = EventStreams.sessionizeTws(ev)
+        .writeStream.format("memory").queryName("t_tws_stream")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val tws = spark.table("t_tws_stream").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+          r.getTimestamp(2).getTime, r.getLong(3), r.getDouble(4))).toSet
+      val ev2 = EventStreams.readEvents(spark, s"$sf/events.parquet")
+        .select(col("ts"), col("user_id"), col("value"))
+        .as[EventStreams.Ev]
+      val q2 = EventStreams.sessionizeWithState(ev2)
+        .writeStream.format("memory").queryName("t_fmgws_stream")
+        .outputMode("append").start()
+      try q2.processAllAvailable() finally q2.stop()
+      val fmgws = spark.table("t_fmgws_stream").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+          r.getTimestamp(2).getTime, r.getLong(3), r.getDouble(4))).toSet
+      assert(tws.nonEmpty && tws === fmgws)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("custom-state sessionizer agrees with built-in session_window") {
     val ev = batchEvents.select(col("ts"), col("user_id"), col("value"))
       .as[EventStreams.Ev]
