@@ -960,6 +960,53 @@ object Relational {
              |         FROM orders oo
              |         WHERE oo.o_custkey = c.c_custkey
              |         ORDER BY oo.o_totalprice DESC, oo.o_orderkey
-             |         LIMIT 3) o""".stripMargin))
+             |         LIMIT 3) o""".stripMargin)),
+
+    // ---- ordered event funnel (view → click → purchase) ---------------
+    // Staged conditional-min aggregation: each stage is a keyed agg
+    // joined to the previous stage's users (shrinking frames — the
+    // stage tables broadcast at scale), never a per-user event-array
+    // collect or a corpus-wide ordered window. Sentinel timestamps for
+    // not-reached stages (NaT never hash-compares).
+    GQ("q47_funnel",
+      (s, dir) => {
+        val ev = t(s, dir).events
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("view_ts"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, Seq("user_id"))
+          .filter(col("ts") > col("view_ts"))
+          .groupBy("user_id").agg(min("ts").as("click_ts"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c, Seq("user_id"))
+          .filter(col("ts") > col("click_ts"))
+          .groupBy("user_id").agg(min("ts").as("purchase_ts"))
+        v.join(c, Seq("user_id"), "left_outer")
+          .join(p, Seq("user_id"), "left_outer")
+          .select(col("user_id"), col("view_ts"),
+            coalesce(col("click_ts"),
+              lit("1970-01-01 00:00:00").cast("timestamp")).as("click_ts"),
+            coalesce(col("purchase_ts"),
+              lit("1970-01-01 00:00:00").cast("timestamp")).as("purchase_ts"),
+            when(col("purchase_ts").isNotNull, 3)
+              .when(col("click_ts").isNotNull, 2)
+              .otherwise(1).cast("int").as("stage"))
+      },
+      Some("""WITH fv AS (SELECT user_id, min(ts) AS view_ts
+             |  FROM events WHERE event_type = 'view' GROUP BY 1),
+             |fc AS (SELECT e.user_id, min(e.ts) AS click_ts
+             |  FROM events e JOIN fv USING (user_id)
+             |  WHERE e.event_type = 'click' AND e.ts > fv.view_ts GROUP BY 1),
+             |fp AS (SELECT e.user_id, min(e.ts) AS purchase_ts
+             |  FROM events e JOIN fc USING (user_id)
+             |  WHERE e.event_type = 'purchase' AND e.ts > fc.click_ts GROUP BY 1)
+             |SELECT v.user_id, v.view_ts,
+             |  coalesce(c.click_ts, TIMESTAMP '1970-01-01') AS click_ts,
+             |  coalesce(p.purchase_ts, TIMESTAMP '1970-01-01') AS purchase_ts,
+             |  CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+             |            WHEN c.user_id IS NOT NULL THEN 2
+             |            ELSE 1 END AS INT) AS stage
+             |FROM fv v LEFT JOIN fc c USING (user_id)
+             |  LEFT JOIN fp p USING (user_id)""".stripMargin))
   )
 }

@@ -234,6 +234,50 @@ def main():
         hmax = max(hmax, hop_bound(out, d))
     print("g7 sources present:", 200 - missing, "hop bound:", hmax)
 
+    # WCC oracle bound (g10): the min-label relaxation chain needs
+    # >= max over components of BFS-eccentricity(min-id member). Audited
+    # here so Oracle.HopsWcc carries real provenance.
+    und = {}
+    for u, es in out.items():
+        for v, _c in es:
+            und.setdefault(u, set()).add(v)
+            und.setdefault(v, set()).add(u)
+    for n in ids:
+        und.setdefault(n, set())
+    seen, comps = set(), []
+    for n in ids:
+        if n in seen:
+            continue
+        comp, q = {n}, [n]
+        seen.add(n)
+        while q:
+            u = q.pop()
+            for v in und[u]:
+                if v not in seen:
+                    seen.add(v)
+                    comp.add(v)
+                    q.append(v)
+        comps.append(comp)
+    ecc_max = 0
+    for comp in comps:
+        src = min(comp)
+        d = {src: 0}
+        queue = [src]
+        head = 0
+        while head < len(queue):
+            u = queue[head]
+            head += 1
+            for v in und[u]:
+                if v not in d:
+                    d[v] = d[u] + 1
+                    queue.append(v)
+        ecc_max = max(ecc_max, max(d.values()))
+    print("wcc components:", len(comps),
+          "max min-label eccentricity:", ecc_max)
+    assert ecc_max <= 70, (
+        f"WCC eccentricity {ecc_max} exceeds Oracle.HopsWcc=70 — "
+        "raise the constant in queries/Graph.scala AND here")
+
     print("yen k=3:")
     for idx, (nodes, running) in enumerate(yen3(out, SRC, DST)):
         reduce_total = 0.0
