@@ -485,6 +485,43 @@ object Graph {
               |  da.deg + db.deg - c.n_common AS n_union
               |FROM cand c JOIN dg da ON da.n = c.node_a
               |  JOIN dg db ON db.n = c.node_b
-              |WHERE c.n_common * 3 >= (da.deg + db.deg - c.n_common) * 1""".stripMargin))
+              |WHERE c.n_common * 3 >= (da.deg + db.deg - c.n_common) * 1""".stripMargin)),
+
+    // Closeness centrality over the canonical source set (the reference
+    // platform's gds.alpha.closeness), reusing the multi-source
+    // relaxation kernel and its chainMulti oracle. Per-node distance
+    // sums quantize to integer micro-units BEFORE summing — the
+    // distances themselves are bit-identical cross-engine (g4's
+    // contract), and integer sums are order-independent, which is what
+    // makes a SUM over 2k doubles hash-oracle-able at all. Output keeps
+    // (n_reached, total micro-distance); closeness = (n−1)/Σ derives
+    // exactly from the two integers.
+    GQ("g15_closeness",
+      (s, _) => {
+        val sources = (0 until 200).map(i => (i * 17 + 1).toString)
+        val pg = g(s)
+        val present = pg.nodes.select("nodeId")
+          .filter(col("nodeId").isin(sources: _*))
+          .collect().map(_.getString(0)).toSeq
+        ShortestPaths.apsp(s, pg, Some(present))
+          .filter(col("source_id") =!= col("target_id"))
+          .select(col("source_id"),
+            floor(col("distance") * 1e6 + 0.5).cast("long").as("dm"))
+          .groupBy("source_id")
+          .agg(count(lit(1)).as("n_reached"),
+            sum(col("dm")).as("total_dist_micro"))
+      },
+      sliceOracle({
+        val srcVals = (0 until 200).map(i => s"('${i * 17 + 1}')").mkString(",")
+        s"""WITH ${Oracle.edgesCte},
+           |srcs AS MATERIALIZED (SELECT id FROM (VALUES $srcVals) v(id)
+           |  WHERE id IN (SELECT * FROM ids)),
+           |${Oracle.chainMulti(Oracle.HopsMulti)}
+           |SELECT source AS source_id, count(*) AS n_reached,
+           |  CAST(sum(CAST(floor(dist * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+           |    AS total_dist_micro
+           |FROM s${Oracle.HopsMulti} WHERE source <> node
+           |GROUP BY 1""".stripMargin
+      }))
   )
 }
