@@ -522,6 +522,36 @@ object Graph {
            |    AS total_dist_micro
            |FROM s${Oracle.HopsMulti} WHERE source <> node
            |GROUP BY 1""".stripMargin
-      }))
+      })),
+
+    // k-core decomposition (the reference platform's gds.kcore): peel
+    // degree-<k nodes to fixpoint. Oracle is a chained peel (16 rounds
+    // padded over the audited depth of 9; rounds past the fixpoint are
+    // no-ops). Slice-1 2-core: 2 600 nodes.
+    GQ("g16_kcore",
+      (s, _) => graft.algo.KCore.core(s, g(s).projection.select("src", "dst"),
+          k = 2)
+        .select(col("node").as("node_id"), col("core_degree")),
+      sliceOracle {
+        val rounds = 16
+        val peel = (1 to rounds).map { i =>
+          s"""kd$i AS MATERIALIZED (SELECT n, count(*) AS dg FROM (
+             |  SELECT a AS n FROM ke${i - 1} UNION ALL SELECT b AS n FROM ke${i - 1})
+             |  GROUP BY 1),
+             |ke$i AS MATERIALIZED (
+             |  SELECT e.a, e.b FROM ke${i - 1} e
+             |  JOIN kd$i da ON da.n = e.a JOIN kd$i db ON db.n = e.b
+             |  WHERE da.dg >= 2 AND db.dg >= 2)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ${Oracle.edgesCte},
+           |ke0 AS MATERIALIZED (
+           |  SELECT least(src, dst) AS a, greatest(src, dst) AS b
+           |  FROM edges WHERE src <> dst GROUP BY 1, 2),
+           |$peel
+           |SELECT n AS node_id, CAST(count(*) AS BIGINT) AS core_degree
+           |FROM (SELECT a AS n FROM ke$rounds
+           |      UNION ALL SELECT b AS n FROM ke$rounds)
+           |GROUP BY 1""".stripMargin
+      })
   )
 }

@@ -308,6 +308,23 @@ class GraphAlgoSpec extends AnyFunSuite {
     }
   }
 
+  test("kcore: fixture peel; forced-distributed ≡ local on slice 1") {
+    // triangle abc (2-core) + pendant chain c-d-e peeled in two rounds
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("c", "d"), ("d", "e")).toDF("src", "dst")
+    val got = algo.KCore.core(spark, edges, k = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+    val local = algo.KCore.core(spark, pg.projection.select("src", "dst"),
+        k = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(local.size === 2600)
+    val dist = algo.KCore.core(spark, pg.projection.select("src", "dst"),
+        k = 2, localEdgeThreshold = 0L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dist === local)
+  }
+
   test("node similarity: fixture Jaccard counts; threshold excludes weak pairs") {
     // N(a)={x,y,z}, N(b)={x,y,w}, N(c)={x}, N(d)={q}
     val edges = Seq(
