@@ -153,7 +153,22 @@ object GraphScaleCheck {
     println(f"[scale] triangles: $nRandNodes%,d nodes / $nRandEdges%,d edges -> " +
       f"${triTotal / 3}%,d triangles in $tTri%.1f s, ≡ driver brute force")
 
-    println(f"""{"wcc_path_sec":$tPath%.1f,"wcc_rand_sec":$tDist%.1f,"pagerank_sec":$tPr%.1f,"triangles_sec":$tTri%.1f,"n_path":$nPath,"n_rand_nodes":$nRandNodes,"n_rand_edges":$nRandEdges}""")
+    // ---- 5. k-core: forced-distributed ≡ driver peel -------------------
+    val (kc, tKc) = timed {
+      algo.KCore.core(spark, triEdges, k = 3, localEdgeThreshold = 0L)
+        .cache()
+    }
+    val kcLocal = algo.KCore.core(spark, triEdges, k = 3)
+    val kcDiff = kc.as("a").join(kcLocal.as("b"), Seq("node"), "full_outer")
+      .filter(col("a.core_degree").isNull || col("b.core_degree").isNull ||
+        col("a.core_degree") =!= col("b.core_degree")).count()
+    val kcN = kc.count()
+    require(kcDiff == 0, s"kcore: distributed != driver peel on $kcDiff nodes")
+    kc.unpersist()
+    println(f"[scale] kcore: $nRandNodes%,d nodes / $nRandEdges%,d edges -> " +
+      f"$kcN%,d in the 3-core in $tKc%.1f s, ≡ driver peel")
+
+    println(f"""{"wcc_path_sec":$tPath%.1f,"wcc_rand_sec":$tDist%.1f,"pagerank_sec":$tPr%.1f,"triangles_sec":$tTri%.1f,"kcore_sec":$tKc%.1f,"n_path":$nPath,"n_rand_nodes":$nRandNodes,"n_rand_edges":$nRandEdges}""")
     spark.stop()
   }
 }
