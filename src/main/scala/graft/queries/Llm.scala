@@ -44,6 +44,29 @@ object Llm {
     *  - cosine is the same double-precision formulation the
     *    llm_ann_bruteforce oracle already hash-matches with.
     */
+  /** BM25 oracle CTEs + score expression, shared by llm_bm25 and
+    * llm_rrf_fusion so the two retrieval oracles cannot drift.
+    */
+  private val Bm25Ctes: String =
+    """mb AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+      |  FROM documents),
+      |mbl AS (SELECT doc_id, tk, len(tk) AS dl FROM mb),
+      |mst AS (SELECT count(*) AS n,
+      |        CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM mbl),
+      |mdf AS (SELECT tok, count(*) AS df FROM (
+      |    SELECT doc_id, unnest(list_distinct(tk)) AS tok FROM mbl)
+      |  WHERE tok IN ('spark','query','vector','window') GROUP BY 1),
+      |mtf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM (
+      |    SELECT doc_id, dl, unnest(tk) AS tok FROM mbl)
+      |  WHERE tok IN ('spark','query','vector','window') GROUP BY 1, 2, 3)""".stripMargin
+
+  private val Bm25ScoreExpr: String =
+    """round(sum(CAST(round(
+      |    ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * (t.tf * (1.2 + 1))
+      |      / (t.tf + 1.2 * ((1 - 0.75) + (0.75 * t.dl) / s.avgdl))
+      |    * 1e6, 0) AS BIGINT)) / 1e6, 6)""".stripMargin
+
   private object KmOracle {
     def cos(a: String, b: String): String =
       s"""(list_sum(list_transform(list_zip($a, $b),
@@ -1140,25 +1163,74 @@ object Llm {
     GQ("llm_bm25",
       (s, dir) => Scoring.bm25(t(s, dir).documents,
         terms = Seq("spark", "query", "vector", "window")),
-      Some("""WITH mb AS (
-             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
-             |  FROM documents),
-             |mbl AS (SELECT doc_id, tk, len(tk) AS dl FROM mb),
-             |mst AS (SELECT count(*) AS n,
-             |        CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM mbl),
-             |mdf AS (SELECT tok, count(*) AS df FROM (
-             |    SELECT doc_id, unnest(list_distinct(tk)) AS tok FROM mbl)
-             |  WHERE tok IN ('spark','query','vector','window') GROUP BY 1),
-             |mtf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM (
-             |    SELECT doc_id, dl, unnest(tk) AS tok FROM mbl)
-             |  WHERE tok IN ('spark','query','vector','window') GROUP BY 1, 2, 3)
+      Some(s"""WITH $Bm25Ctes
              |SELECT t.doc_id, count(*) AS n_matched,
-             |  round(sum(CAST(round(
-             |    ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * (t.tf * (1.2 + 1))
-             |      / (t.tf + 1.2 * ((1 - 0.75) + (0.75 * t.dl) / s.avgdl))
-             |    * 1e6, 0) AS BIGINT)) / 1e6, 6) AS score
+             |  $Bm25ScoreExpr AS score
              |FROM mtf t JOIN mdf d USING (tok) CROSS JOIN mst s
              |GROUP BY 1""".stripMargin)),
+
+    // ---- hybrid retrieval: reciprocal-rank fusion (BM25 ⊕ cosine) -----
+    // RRF (Cormack et al.): Σ 1/(60 + rank) over the two top-50 lists,
+    // held in integer micro-units (1e6 // (60 + rank)) so the fused
+    // score is exact. Both ranks are deterministic cross-engine: the
+    // BM25 score is micro-unit-summed and the cosine is the round-6
+    // value the ann oracle already hash-matches, each with an id
+    // tiebreak. The rank windows run AFTER a TakeOrderedAndProject
+    // top-50 cut, so no corpus-wide single-partition window exists.
+    GQ("llm_rrf_fusion",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val bmTop = Scoring.bm25(t(s, dir).documents,
+            terms = Seq("spark", "query", "vector", "window"))
+          .orderBy(col("score").desc, col("doc_id").asc).limit(50)
+        val bmRank = bmTop.withColumn("rank_bm25", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)).cast("int"))
+          .select(col("doc_id"), col("rank_bm25"))
+        val cosTop = Similarity.bruteForceTopK(
+          t(s, dir).embeddings, queryVec(s, dir), k = 50)
+        val cosRank = cosTop.withColumn("rank_cos", row_number().over(
+          Window.orderBy(col("cosine").desc, col("vec_id").asc)).cast("int"))
+          .select(col("vec_id").as("doc_id"), col("rank_cos"))
+        bmRank.join(cosRank, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            coalesce(col("rank_bm25"), lit(0)).as("rank_bm25"),
+            coalesce(col("rank_cos"), lit(0)).as("rank_cos"))
+          .selectExpr("doc_id", "rank_bm25", "rank_cos",
+            """CAST(coalesce(CASE WHEN rank_bm25 > 0
+              |  THEN 1000000 div (60 + rank_bm25) END, 0)
+              |+ coalesce(CASE WHEN rank_cos > 0
+              |  THEN 1000000 div (60 + rank_cos) END, 0)
+              |AS BIGINT) AS rrf_micro""".stripMargin)
+          .orderBy(col("rrf_micro").desc, col("doc_id").asc).limit(20)
+      },
+      Some(s"""WITH $Bm25Ctes,
+             |bmsc AS (SELECT t.doc_id, $Bm25ScoreExpr AS score
+             |  FROM mtf t JOIN mdf d USING (tok) CROSS JOIN mst s GROUP BY 1),
+             |bmrk AS (SELECT doc_id, rank_bm25 FROM (
+             |  SELECT doc_id, CAST(row_number() OVER (
+             |    ORDER BY score DESC, doc_id) AS INT) AS rank_bm25 FROM bmsc)
+             |  WHERE rank_bm25 <= 50),
+             |fq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+             |cosc AS (SELECT vec_id AS doc_id,
+             |  round(list_sum(list_transform(list_zip(embedding, (SELECT qv FROM fq)),
+             |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+             |   / (sqrt(list_sum(list_transform(embedding,
+             |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |    * sqrt(list_sum(list_transform((SELECT qv FROM fq),
+             |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim
+             |  FROM embeddings),
+             |cork AS (SELECT doc_id, rank_cos FROM (
+             |  SELECT doc_id, CAST(row_number() OVER (
+             |    ORDER BY sim DESC, doc_id) AS INT) AS rank_cos FROM cosc)
+             |  WHERE rank_cos <= 50)
+             |SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+             |  CAST(coalesce(b.rank_bm25, 0) AS INT) AS rank_bm25,
+             |  CAST(coalesce(c.rank_cos, 0) AS INT) AS rank_cos,
+             |  CAST(coalesce(1000000 // (60 + b.rank_bm25), 0)
+             |     + coalesce(1000000 // (60 + c.rank_cos), 0) AS BIGINT)
+             |    AS rrf_micro
+             |FROM bmrk b FULL OUTER JOIN cork c ON b.doc_id = c.doc_id
+             |ORDER BY rrf_micro DESC, doc_id LIMIT 20""".stripMargin)),
 
     // ---- bigram-LM perplexity scoring (self-trained, add-k smoothed) --
     GQ("llm_bigram_nll",

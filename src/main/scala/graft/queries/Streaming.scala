@@ -175,6 +175,50 @@ object Streaming {
         s.read.parquet(out)
       },
       Some("""SELECT event_id, user_id, event_type, round(value, 4) AS value
-             |FROM events""".stripMargin))
+             |FROM events""".stripMargin)),
+
+    // Spark 4 transformWithState as a REAL stream, hash-oracled: the
+    // custom sessionizer emits CLOSED sessions only (a 30-min silence
+    // gap closes one; each user's final session stays open in state), so
+    // the oracle is the gaps-and-islands rewrite MINUS each user's last
+    // island. total_value stays out of the contract: the fold sums
+    // doubles in ts order, DuckDB in scan order — integer fields only.
+    // TWS requires the RocksDB state store; the conf is scoped to this
+    // query and restored.
+    GQ("stream_sessions_tws",
+      (s, dir) => {
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+        try {
+          import s.implicits._
+          runToMemory(s, "graft_stream_tws", "append")(
+            EventStreams.sessionizeTws(
+              EventStreams.readEvents(s, s"$dir/events.parquet")
+                .select(col("ts"), col("user_id"), col("value"))
+                .as[EventStreams.Ev]).toDF()
+              .select(col("user_id"), col("session_start"),
+                col("session_end"), col("n_events")))
+        } finally {
+          prev match {
+            case Some(v) => s.conf.set(key, v)
+            case None => s.conf.unset(key)
+          }
+        }
+      },
+      Some("""WITH o AS (
+             |  SELECT user_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |      OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+             |    THEN 1 ELSE 0 END AS brk
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |si AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+             |  ROWS UNBOUNDED PRECEDING) AS sid FROM o),
+             |g AS (SELECT user_id, sid, min(ts) AS session_start,
+             |  max(ts) AS session_end, count(*) AS n_events
+             |  FROM si GROUP BY user_id, sid)
+             |SELECT user_id, session_start, session_end, n_events
+             |FROM g QUALIFY sid < max(sid) OVER (PARTITION BY user_id)""".stripMargin))
   )
 }

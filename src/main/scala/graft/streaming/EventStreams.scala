@@ -195,6 +195,18 @@ object EventStreams {
 
   // ---- custom state: flatMapGroupsWithState sessionizer ---------------
 
+  // SessionState start/last are MICROSECONDS since epoch:
+  // Timestamp.getTime alone is millis and silently drops the micros the
+  // events carry, which breaks exact session-boundary equality against
+  // a SQL oracle.
+  private def micros(t: java.sql.Timestamp): Long =
+    (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+  private def tsOf(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(us / 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
   final case class Ev(ts: java.sql.Timestamp, user_id: Long, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, total: Double)
   final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
@@ -214,18 +226,17 @@ object EventStreams {
         (uid: Long, rows: Iterator[Ev], state: GroupState[List[SessionState]]) =>
           // batch-friendly: process this group's rows in ts order, emit
           // every closed session, keep the open one in state
-          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          val sorted = rows.toSeq.sortBy(e => micros(e.ts))
           var open = state.getOption.flatMap(_.headOption)
           val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
           sorted.foreach { e =>
-            val t = e.ts.getTime
+            val t = micros(e.ts)
             open match {
-              case Some(s) if t - s.last <= gapMs =>
+              case Some(s) if t - s.last <= gapMs * 1000L =>
                 open = Some(s.copy(last = t, n = s.n + 1,
                   total = s.total + e.value))
               case Some(s) =>
-                out += SessionOut(uid, new java.sql.Timestamp(s.start),
-                  new java.sql.Timestamp(s.last), s.n,
+                out += SessionOut(uid, tsOf(s.start), tsOf(s.last), s.n,
                   math.rint(s.total * 10000) / 10000)
                 open = Some(SessionState(t, t, 1, e.value))
               case None =>
@@ -266,18 +277,17 @@ object EventStreams {
     override def handleInputRows(uid: Long, rows: Iterator[Ev],
         tv: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[SessionOut] = {
-      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      val sorted = rows.toSeq.sortBy(e => micros(e.ts))
       var cur = if (open.exists()) Some(open.get()) else None
       val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
       sorted.foreach { e =>
-        val t = e.ts.getTime
+        val t = micros(e.ts)
         cur match {
-          case Some(s) if t - s.last <= gapMs =>
+          case Some(s) if t - s.last <= gapMs * 1000L =>
             cur = Some(s.copy(last = t, n = s.n + 1,
               total = s.total + e.value))
           case Some(s) =>
-            out += SessionOut(uid, new java.sql.Timestamp(s.start),
-              new java.sql.Timestamp(s.last), s.n,
+            out += SessionOut(uid, tsOf(s.start), tsOf(s.last), s.n,
               math.rint(s.total * 10000) / 10000)
             cur = Some(SessionState(t, t, 1, e.value))
           case None =>
