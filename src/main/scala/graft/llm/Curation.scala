@@ -409,6 +409,48 @@ object Curation {
         (col("running_total") - col("__base") + 1L).as("pos"))
   }
 
+  /** Composed training-data export: temperature domain-mixture sample →
+    * deterministic shuffle-shard assignment → per-shard sequence packing
+    * (token offsets and [first_seq, last_seq] within each shard's
+    * training stream). The full layout job a pretraining run executes
+    * after curation — and, because every stage is deterministic and
+    * engine-portable, the WHOLE composition is hash-oracle-able
+    * (the curation counterpart of llm_curation_e2e's filter pipeline).
+    *
+    * Scale: mixture is a broadcast-rate map-side filter; shard/pos and
+    * the per-shard token prefix come from two PrefixSum passes over the
+    * same (shard, key) total order (two range shuffles — the price of
+    * emitting both orderings; a fused single-pass variant could carry
+    * both weights) plus |shards|-row base-offset joins. Callers should
+    * `graft.core.Checkpoints.release` the result.
+    */
+  def dataprepE2e(docs: DataFrame, domainCol: String = "lang",
+      tau: Double = 0.5, nShards: Int = 8, capacity: Int = 512,
+      buckets: Int = 32): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    val sampled = domainMixture(docs, domainCol, tau)
+    val withTok = sampled.join(docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens")), Seq("doc_id"))
+    val sharded = shuffleShards(withTok, nShards, buckets)
+    val keyed = withTok.join(sharded, Seq("doc_id"))
+      .withColumn("skey",
+        md5(concat(lit("shuf:"), col("doc_id").cast("string"))))
+      .withColumn("__k",
+        concat(lpad(col("shard").cast("string"), 2, "0"), col("skey")))
+    val run = graft.operators.PrefixSum.running(keyed, "__k", "n_tokens",
+      buckets)
+    val bases = run.groupBy(col("shard"))
+      .agg(min(col("running_total") - col("n_tokens")).as("__base"))
+    run.join(broadcast(bases), Seq("shard"))
+      .withColumn("start_tok",
+        col("running_total") - col("n_tokens") - col("__base"))
+      .select(col("doc_id"), col(domainCol), col("shard"), col("pos"),
+        col("n_tokens").cast("int").as("n_tokens"), col("start_tok"),
+        floor(col("start_tok") / capacity).as("first_seq"),
+        floor((col("start_tok") + col("n_tokens") - 1) / capacity)
+          .as("last_seq"))
+  }
+
   /** Split each document into fixed-size token windows with overlap —
     * the chunking step of a context-window-bounded pretraining or
     * retrieval pipeline (`chunkSize` tokens per chunk, chunk starts

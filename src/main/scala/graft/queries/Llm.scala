@@ -1081,6 +1081,48 @@ object Llm {
              |  row_number() OVER (PARTITION BY shard ORDER BY skey) AS pos
              |FROM shs""".stripMargin)),
 
+    // ---- composed training-data export (mixture → shard → pack) -------
+    // Every stage shares its CTE text with the standalone oracles
+    // (mixture rates, shuffle-key sharding, token counting), so the
+    // composition cannot drift from the pieces.
+    GQ("llm_dataprep_e2e",
+      (s, dir) => Curation.dataprepE2e(t(s, dir).documents,
+        domainCol = "lang", tau = 0.5, nShards = 8, capacity = 512),
+      Some("""WITH dmc AS (SELECT lang, count(*) AS n_d FROM documents GROUP BY 1),
+             |dmw AS (SELECT lang, n_d,
+             |    CAST(floor(sqrt(n_d) * 1e6 + 0.5) AS BIGINT) AS w_d FROM dmc),
+             |dmt AS (SELECT sum(w_d) AS w_tot, sum(n_d) AS n_tot FROM dmw),
+             |dmr AS (SELECT lang,
+             |    least(1.0, (0.5 * CAST(n_tot AS DOUBLE) * CAST(w_d AS DOUBLE))
+             |      / (CAST(w_tot AS DOUBLE) * CAST(n_d AS DOUBLE))) AS r_d
+             |  FROM dmw CROSS JOIN dmt),
+             |dmb AS (SELECT lang,
+             |    printf('%04x', least(CAST(floor(r_d * 65536.0) AS BIGINT), 65535)) AS bound_hex
+             |  FROM dmr),
+             |dps AS (
+             |  SELECT d.doc_id, d.lang,
+             |    len(regexp_split_to_array(trim(d.text), '\s+')) AS n_tokens,
+             |    md5('shuf:' || CAST(d.doc_id AS VARCHAR)) AS skey
+             |  FROM documents d JOIN dmb b USING (lang)
+             |  WHERE substr(md5('mix:' ||
+             |      regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g')), 1, 4)
+             |    <= b.bound_hex),
+             |dsh AS (SELECT *, CAST(
+             |    ((instr('0123456789abcdef', substr(skey, 1, 1)) - 1) * 16
+             |      + instr('0123456789abcdef', substr(skey, 2, 1)) - 1) % 8
+             |  AS INT) AS shard FROM dps),
+             |drk AS (SELECT doc_id, lang, shard, n_tokens,
+             |    row_number() OVER (PARTITION BY shard ORDER BY skey) AS pos,
+             |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY skey
+             |      ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
+             |  FROM dsh)
+             |SELECT doc_id, lang, shard, CAST(pos AS BIGINT) AS pos,
+             |  CAST(n_tokens AS INT) AS n_tokens,
+             |  CAST(start_tok AS BIGINT) AS start_tok,
+             |  CAST(start_tok // 512 AS BIGINT) AS first_seq,
+             |  CAST((start_tok + n_tokens - 1) // 512 AS BIGINT) AS last_seq
+             |FROM drk""".stripMargin)),
+
     // ---- cross-document duplicated n-gram audit -----------------------
     GQ("llm_dup_ngrams",
       (s, dir) => Dedup.dupNgrams(t(s, dir).documents,

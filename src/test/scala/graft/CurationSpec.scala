@@ -345,6 +345,37 @@ class CurationSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("dataprepE2e: per-shard token streams are contiguous from zero") {
+    val out = Curation.dataprepE2e(docs, "lang", tau = 0.5, nShards = 8,
+      capacity = 512).cache()
+    try {
+      val rows = out.select("shard", "pos", "n_tokens", "start_tok",
+          "first_seq", "last_seq")
+        .as[(Int, Long, Int, Long, Long, Long)].collect()
+      rows.groupBy(_._1).foreach { case (shard, rs) =>
+        val byPos = rs.sortBy(_._2)
+        assert(byPos.head._4 === 0L, s"shard $shard must start at token 0")
+        byPos.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(b._4 === a._4 + a._3,
+              s"shard $shard pos ${b._2}: stream not contiguous")
+          case _ =>
+        }
+        byPos.foreach { r =>
+          assert(r._5 === r._4 / 512 &&
+            r._6 === (r._4 + r._3 - 1) / 512)
+        }
+      }
+      // the sampled set is exactly the domainMixture sample
+      val sampleIds = Curation.domainMixture(docs, "lang", 0.5)
+        .select("doc_id").as[Long].collect().toSet
+      assert(out.select("doc_id").as[Long].collect().toSet === sampleIds)
+    } finally {
+      graft.core.Checkpoints.release(out)
+      out.unpersist()
+    }
+  }
+
   test("dupNgrams finds planted cross-doc boilerplate, not unique text") {
     val boiler = "all rights reserved by the site"
     val d = Seq(
