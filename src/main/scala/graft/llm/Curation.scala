@@ -417,33 +417,42 @@ object Curation {
     * engine-portable, the WHOLE composition is hash-oracle-able
     * (the curation counterpart of llm_curation_e2e's filter pipeline).
     *
-    * Scale: mixture is a broadcast-rate map-side filter; shard/pos and
-    * the per-shard token prefix come from two PrefixSum passes over the
-    * same (shard, key) total order (two range shuffles — the price of
-    * emitting both orderings; a fused single-pass variant could carry
-    * both weights) plus |shards|-row base-offset joins. Callers should
-    * `graft.core.Checkpoints.release` the result.
+    * Scale: mixture is a broadcast-rate map-side filter; shard, pos AND
+    * the per-shard token prefix all come from ONE multi-weight PrefixSum
+    * pass over the (shard, key) total order (one range shuffle carrying
+    * both the rank weight and the token weight) plus one |shards|-row
+    * base-offset join. Callers should `graft.core.Checkpoints.release`
+    * the result.
     */
   def dataprepE2e(docs: DataFrame, domainCol: String = "lang",
       tau: Double = 0.5, nShards: Int = 8, capacity: Int = 512,
       buckets: Int = 32): DataFrame = {
     require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    require(nShards >= 1 && nShards <= 99,
+      s"nShards must be in [1, 99], got $nShards")
     val sampled = domainMixture(docs, domainCol, tau)
     val withTok = sampled.join(docs.select(col("doc_id"),
       TextAnalysis.tokenCount(col("text")).as("n_tokens")), Seq("doc_id"))
-    val sharded = shuffleShards(withTok, nShards, buckets)
-    val keyed = withTok.join(sharded, Seq("doc_id"))
+    // same shuffle key + shard recipe as shuffleShards — the oracle CTEs
+    // are shared text, so the two must not drift
+    val keyed = withTok
       .withColumn("skey",
         md5(concat(lit("shuf:"), col("doc_id").cast("string"))))
+      .withColumn("shard", pmod(
+        conv(substring(col("skey"), 1, 2), 16, 10).cast("int"),
+        lit(nShards)))
       .withColumn("__k",
         concat(lpad(col("shard").cast("string"), 2, "0"), col("skey")))
-    val run = graft.operators.PrefixSum.running(keyed, "__k", "n_tokens",
-      buckets)
+      .withColumn("__one", lit(1L))
+    val run = graft.operators.PrefixSum.runningMulti(keyed, "__k",
+      Seq("__one", "n_tokens"), buckets)
     val bases = run.groupBy(col("shard"))
-      .agg(min(col("running_total") - col("n_tokens")).as("__base"))
+      .agg(min(col("running___one")).as("__pbase"),
+        min(col("running_n_tokens") - col("n_tokens")).as("__tbase"))
     run.join(broadcast(bases), Seq("shard"))
+      .withColumn("pos", col("running___one") - col("__pbase") + 1L)
       .withColumn("start_tok",
-        col("running_total") - col("n_tokens") - col("__base"))
+        col("running_n_tokens") - col("n_tokens") - col("__tbase"))
       .select(col("doc_id"), col(domainCol), col("shard"), col("pos"),
         col("n_tokens").cast("int").as("n_tokens"), col("start_tok"),
         floor(col("start_tok") / capacity).as("first_seq"),

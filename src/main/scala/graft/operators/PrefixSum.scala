@@ -54,10 +54,27 @@ object PrefixSum {
     */
   def running(df: DataFrame, keyCol: String, weightCol: String,
       buckets: Int = 32): DataFrame = {
+    require(!df.columns.contains("running_total"),
+      "input must not already have a running_total column")
+    runningMulti(df, keyCol, Seq(weightCol), buckets)
+      .withColumnRenamed(s"running_$weightCol", "running_total")
+  }
+
+  /** Several independent prefix sums over the SAME key order in one
+    * range shuffle + one accumulator pass — a consumer needing both a
+    * rank (weight 1) and a weighted offset (e.g. token counts) pays one
+    * shuffle instead of two. Returns `df` plus a `running_<weightCol>`
+    * long column per requested weight.
+    */
+  def runningMulti(df: DataFrame, keyCol: String, weightCols: Seq[String],
+      buckets: Int = 32): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    require(weightCols.nonEmpty, "need at least one weight column")
+    val wTmp = weightCols.indices.map(i => s"__w$i")
+    val outCols = weightCols.map(w => s"running_$w")
     // __bucket matters most: withColumn would REPLACE an existing one in
-    // place and the positional dropRight(2) below would strip real data
-    val reserved = Seq("__bucket", "__w", "running_total")
+    // place and the positional dropRight below would strip real data
+    val reserved = Seq("__bucket") ++ wTmp ++ outCols
     require(!df.columns.exists(reserved.contains),
       s"input must not already have ${reserved.mkString("/")} columns")
 
@@ -73,44 +90,50 @@ object PrefixSum {
     val parted = df.repartitionByRange(buckets, col(keyCol))
       .withColumn("__bucket", spark_partition_id())
       .localCheckpoint()
-    val work = parted.withColumn("__w",
-      coalesce(col(weightCol).cast("long"), lit(0L)))
+    val work = weightCols.zip(wTmp).foldLeft(parted) { case (d, (w, t)) =>
+      d.withColumn(t, coalesce(col(w).cast("long"), lit(0L)))
+    }
 
     // O(buckets) rows to the driver — bounded by the caller's bucket
     // count, not by data volume (the IVF centroid collect pattern).
     // Empty partitions are simply absent (they contribute 0 anyway).
-    val spark = parted.sparkSession
-    import spark.implicits._
     val subtotals = work
       .groupBy(col("__bucket"))
-      .agg(sum(col("__w")).as("__sub"))
-      .as[(Int, Long)]
+      .agg(sum(col(wTmp.head)).as("s0"),
+        wTmp.tail.zipWithIndex.map { case (t, i) =>
+          sum(col(t)).as(s"s${i + 1}") }: _*)
       .collect()
+      .map(r => r.getInt(0) -> wTmp.indices.map(i => r.getLong(i + 1)).toArray)
       .sortBy(_._1)
 
     // Exclusive prefix over the subtotals = each partition's base
-    // offset; small enough to ride along in the task closure.
-    val offsets: Map[Int, Long] =
-      subtotals.map(_._1).zip(subtotals.map(_._2).scanLeft(0L)(_ + _).init)
-        .toMap
+    // offsets; small enough to ride along in the task closure.
+    val offsets: Map[Int, Array[Long]] =
+      subtotals.map(_._1).zip(
+        subtotals.map(_._2).scanLeft(Array.fill(wTmp.size)(0L)) {
+          (acc, s) => acc.zip(s).map { case (a, b) => a + b }
+        }.init).toMap
 
     val bIdx = work.schema.fieldIndex("__bucket")
-    val wIdx = work.schema.fieldIndex("__w")
-    val outSchema = df.schema.add("running_total", LongType,
-      nullable = false)
+    val wIdxs = wTmp.map(work.schema.fieldIndex).toArray
+    val outSchema = outCols.foldLeft(df.schema)(
+      (sch, c) => sch.add(c, LongType, nullable = false))
+    val nW = wIdxs.length
     // One mapPartitions invocation sees exactly one bucket (bucket =
     // partition index by construction, and the function sits below any
-    // caller-added repartitioning in the plan), so the offset is read
+    // caller-added repartitioning in the plan), so the offsets are read
     // from the first row's bucket id.
     work
       .sortWithinPartitions(col(keyCol))
       .mapPartitions { it =>
-        var acc = 0L
-        var init = false
+        var accs: Array[Long] = null
         it.map { r =>
-          if (!init) { acc = offsets.getOrElse(r.getInt(bIdx), 0L); init = true }
-          acc += r.getLong(wIdx)
-          Row.fromSeq(r.toSeq.dropRight(2) :+ acc)
+          if (accs == null)
+            accs = offsets.getOrElse(r.getInt(bIdx),
+              Array.fill(nW)(0L)).clone()
+          var i = 0
+          while (i < nW) { accs(i) += r.getLong(wIdxs(i)); i += 1 }
+          Row.fromSeq(r.toSeq.dropRight(1 + nW) ++ accs.toSeq)
         }
       }(Encoders.row(outSchema))
   }

@@ -38,6 +38,18 @@ class CurationSpec extends AnyFunSuite {
       val coalesced = out.coalesce(1)
         .select("k", "running_total").as[(Long, Long)].collect().toMap
       assert(coalesced === expected, s"coalesce(1), buckets=$buckets")
+      // multi-weight: one pass must equal two independent passes
+      val multi = PrefixSum.runningMulti(
+        rows.toDF("k", "w").withColumn("u", org.apache.spark.sql.functions.lit(1L)),
+        "k", Seq("w", "u"), buckets)
+      val gotW = multi.select("k", "running_w").as[(Long, Long)]
+        .collect().toMap
+      val gotU = multi.select("k", "running_u").as[(Long, Long)]
+        .collect().toMap
+      assert(gotW === expected, s"multi running_w, buckets=$buckets")
+      val expectedRank = rows.sortBy(_._1).zipWithIndex
+        .map { case ((k, _), i) => k -> (i + 1L) }.toMap
+      assert(gotU === expectedRank, s"multi running_u, buckets=$buckets")
       graft.core.Checkpoints.release(out)
     }
   }
