@@ -46,9 +46,28 @@ object Bench {
     * perturbed — measured 1.3-1.6× total inflation in that window.
     */
   private val LoadThreshold = 2.0
-  private val Load5Threshold = 4.0
+  // Round 5 measured a run that started at 5-min load 3.83 — just under
+  // the old 4.0 gate — and still came out ~1.9× inflated vs idle, so the
+  // "recent burst" window matters more than first assumed. 2.5 keeps a
+  // genuinely-settling machine admissible while catching that case.
+  private val Load5Threshold = 2.5
   private def loaded(): Boolean =
     loadavg1() > LoadThreshold || loadavg5() > Load5Threshold
+
+  /** Coarse inflation-risk band stamped into the JSON alongside the hard
+    * `tainted` bit: rounds 2/4/5 showed timings inflate roughly with
+    * ambient load even BELOW the taint gates, so consumers comparing
+    * across rounds need the band, not just the boolean. Calibration from
+    * observed runs: idle (≤0.5/≤1.0) ≈ 1×; below the gates ≈ 1.0-1.5×;
+    * above them 2-20×.
+    */
+  private def riskBand(): String = {
+    val l1 = loadavg1(); val l5 = loadavg5()
+    if (l1 < 0 || l5 < 0) "unknown"
+    else if (l1 <= 0.5 && l5 <= 1.0) "low"
+    else if (l1 <= LoadThreshold && l5 <= Load5Threshold) "elevated"
+    else "high"
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -65,6 +84,7 @@ object Bench {
       waited += 1
     }
     val tainted = loaded()
+    val risk = riskBand()
     if (tainted) System.err.println(
       f"[bench] still loaded (1m=${loadavg1()}%.2f 5m=${loadavg5()}%.2f) " +
         f"after ${waited * 30} s — timings will be marked tainted")
@@ -165,7 +185,7 @@ object Bench {
         System.err.println(s"[bench] graph-kernel timing failed: $e")
         "{}"
     }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","tainted":$tainted,"queries":$qs,"graph_kernels":$kernels,"loadavg_start":$loadStart,"loadavg_end":${loadavg()},"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","tainted":$tainted,"load_risk":"$risk","queries":$qs,"graph_kernels":$kernels,"loadavg_start":$loadStart,"loadavg_end":${loadavg()},"sf":"$sfDir"}""")
     // The harness that collects this output keeps only a ~2 KB stdout
     // tail; with ~80 queries the full line above outgrows that window and
     // its head (metric/total) gets truncated away. Repeat the headline
@@ -176,7 +196,7 @@ object Bench {
     def fam(p: String): Double =
       results.collect { case (k, v) if k.startsWith(p) => v }.sum
     val fams = f""""q":${fam("q")}%.1f,"llm":${fam("llm")}%.1f,"g":${fam("g")}%.1f,"stream":${fam("stream")}%.1f"""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","tainted":$tainted,"n_queries":${results.size},"family_sec":{$fams},"slowest":$slow,"graph_kernels":$kernels,"loadavg_start":$loadStart,"loadavg_end":${loadavg()},"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","tainted":$tainted,"load_risk":"$risk","n_queries":${results.size},"family_sec":{$fams},"slowest":$slow,"graph_kernels":$kernels,"loadavg_start":$loadStart,"loadavg_end":${loadavg()},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

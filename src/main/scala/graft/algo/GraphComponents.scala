@@ -110,7 +110,7 @@ object GraphComponents {
           jumped = h2.join(hooks.select(col("root"),
               col("tgt").as("old_t")), Seq("root"))
             .filter(col("tgt") =!= col("old_t")).count()
-          hooks.unpersist()
+          graft.core.Checkpoints.release(hooks)
           hooks = h2
         }
         // 3. re-map labels and contract the edge list through the hooks
@@ -119,7 +119,7 @@ object GraphComponents {
           .select(col("node"),
             coalesce(col("tgt"), col("component")).as("component"))
           .localCheckpoint(true)
-        labels.unpersist()
+        graft.core.Checkpoints.release(labels)
         labels = nextLabels
         val remapped = cedges
           .join(hooks.select(col("root").as("a"), col("tgt").as("na")),
@@ -130,15 +130,21 @@ object GraphComponents {
             coalesce(col("nb"), col("b")).as("b"))
           .filter(col("a") =!= col("b")).distinct()
           .localCheckpoint(true)
-        cedges.unpersist()
+        graft.core.Checkpoints.release(cedges)
         cedges = remapped
       }
-      hooks.unpersist()
+      graft.core.Checkpoints.release(hooks)
       iter += 1
       if (sys.env.contains("GRAFT_WCC_DEBUG"))
         System.err.println(s"[wcc] round $iter hooks=$hookCount")
     }
-    cedges.unpersist()
+    graft.core.Checkpoints.release(cedges)
+    if (hookCount > 0)
+      throw new IllegalStateException(
+        s"wcc did not converge within $maxIter rounds " +
+          s"(last round hooked $hookCount roots); raise maxIter — " +
+          "hook+contract needs O(log n) rounds, so hitting this bound " +
+          "indicates a pathological input, not a tuning matter")
     labels
   }
 }

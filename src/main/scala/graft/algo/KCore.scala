@@ -77,6 +77,14 @@ object KCore {
       und = next
       iter += 1
     }
+    if (changed > 0) {
+      graft.core.Checkpoints.release(und)
+      throw new IllegalStateException(
+        s"k-core peel did not converge within $maxIter rounds " +
+          s"(last round removed $changed edges); raise maxIter — " +
+          "peel depth is graph-inherent (chains peel O(n) rounds), and " +
+          "a partial residual graph is NOT the k-core")
+    }
     val out = und.select(col("a").as("node"))
       .union(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("core_degree"))

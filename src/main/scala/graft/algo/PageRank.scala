@@ -70,7 +70,12 @@ object PageRank {
       for (_ <- 1 to iters) {
         val in = scala.collection.mutable.HashMap.empty[String, Long]
           .withDefaultValue(0L)
-        pairs.foreach { case (s, d) => in(d) += r(s) / deg(s) }
+        // r.get: an edge whose src is outside the node frame contributes
+        // nothing — same as the distributed path's inner join of ranks
+        // with deg (deg still counts ALL out-edges, so mass sent toward
+        // ids outside the node set leaks identically on both paths)
+        pairs.foreach { case (s, d) =>
+          r.get(s).foreach(rs => in(d) += rs / deg(s)) }
         r = ids.map(v => v -> (base + 85L * in(v) / 100L)).toMap
       }
       val spark = nodes.sparkSession
@@ -94,7 +99,7 @@ object PageRank {
           s"CAST($base + (85 * coalesce(m, CAST(0 AS BIGINT))) div 100" +
             " AS BIGINT) AS r")
         .localCheckpoint(true)
-      ranks.unpersist()
+      graft.core.Checkpoints.release(ranks)
       ranks = next
     }
     deg.unpersist()
