@@ -136,6 +136,69 @@ object Dedup {
       .limit(k)
   }
 
+  /** Substring-level dedup EXECUTION (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better"): where dupNgrams only
+    * AUDITS repeated sequences, this removes them. Every w-token window
+    * occurring in >= minDocs distinct documents is a duplicated span;
+    * all its occurrences except the corpus-first one (lexicographic min
+    * (doc_id, start) — the same all-but-one retention rule as exact
+    * dedup) are cut, every token position under a cut span drops, and
+    * each document is reassembled from its surviving tokens in order.
+    *
+    * Returns (doc_id, n_tokens, n_cut, text_dedup); a document that is
+    * entirely boilerplate survives with n_cut = n_tokens and empty text.
+    *
+    * Scale: gram generation is map-side; duplicated-gram detection is
+    * ONE skew-tolerant aggregation per gram (count(DISTINCT doc_id)
+    * plans as Spark's expand + two-level agg, and the kept occurrence
+    * min(struct(doc_id, start)) rides the same pass as a
+    * partial-aggregable min — no window over the unbounded per-gram
+    * occurrence list); the occurrence→dup join is a hash join keyed by
+    * gram; the cut-position explode is bounded by w × duplicate
+    * occurrences; the anti-join and reassembly shuffle by doc_id.
+    * Nothing quadratic, no driver state — the same plan at 100 TB.
+    */
+  def cutDupSpans(docs: DataFrame, w: Int = 5, minDocs: Int = 2): DataFrame = {
+    require(w >= 1, s"w must be >= 1, got $w")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val withToks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val grams = withToks.select(col("doc_id"),
+      explode(filter(
+        transform(col("toks"), (_, i) =>
+          when(i <= size(col("toks")) - w,
+            struct(i.as("start"),
+              concat_ws(" ", slice(col("toks"), i + 1, lit(w))).as("gram")))),
+        x => x.isNotNull)).as("o"))
+      .select(col("doc_id"), col("o.start").as("start"),
+        col("o.gram").as("gram"))
+    val dup = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        min(struct(col("doc_id"), col("start"))).as("keep"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("gram"), col("keep.doc_id").as("keep_doc"),
+        col("keep.start").as("keep_start"))
+    val cuts = grams.join(dup, Seq("gram"))
+      .filter(!(col("doc_id") === col("keep_doc") &&
+        col("start") === col("keep_start")))
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + lit(w - 1))).as("pos"))
+      .distinct()
+    val toksPos = withToks.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("pos", "token")))
+    val kept = toksPos.join(cuts, Seq("doc_id", "pos"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("token")))),
+        s => s.getField("token"))).as("text_dedup"))
+    withToks
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_cut"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
   /** k-value MinHash signature in ONE array pass via the native
     * double-hashing expression (functions.MinHashSignatureExpr) — the
     * naive k-transforms formulation traverses and re-hashes the shingle

@@ -625,6 +625,58 @@ object Llm {
              |       coalesce(r.text_dedup, '') AS text_dedup
              |FROM tot t LEFT JOIN reb r USING (doc_id)""".stripMargin)),
 
+    // ---- substring-level dedup EXECUTION (Lee et al. span removal) ----
+    // dupNgrams' audit turned into surgery: 5-token windows seen in >= 2
+    // distinct docs are duplicated spans; all but the corpus-first
+    // occurrence are cut and docs reassemble from surviving tokens. The
+    // whole pipeline is deterministic integer/string work, so the oracle
+    // mirrors it stage by stage (grams -> dup set -> first-occurrence
+    // rank -> cut positions -> anti-join -> ordered reassembly). The
+    // corpus genuinely contains cross-doc 5-grams (30 docs cut at
+    // sf0.001), so the operator is exercised without planting.
+    GQ("llm_substring_dedup",
+      (s, dir) => Dedup.cutDupSpans(t(s, dir).documents, w = 5, minDocs = 2),
+      Some("""WITH tk AS (
+             |  SELECT doc_id,
+             |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+             |      ' ') AS t
+             |  FROM documents),
+             |st AS (
+             |  SELECT doc_id, t,
+             |         unnest(range(0, greatest(len(t) - 4, 0))) AS start
+             |  FROM tk),
+             |gr AS (
+             |  SELECT doc_id, start,
+             |         array_to_string(t[start + 1 : start + 5], ' ') AS gram
+             |  FROM st),
+             |dup AS (
+             |  SELECT gram FROM gr GROUP BY gram
+             |  HAVING count(DISTINCT doc_id) >= 2),
+             |rk AS (
+             |  SELECT doc_id, start,
+             |         row_number() OVER (PARTITION BY gram
+             |           ORDER BY doc_id, start) AS rn
+             |  FROM gr JOIN dup USING (gram)),
+             |cut AS (
+             |  SELECT DISTINCT doc_id, unnest(range(start, start + 5)) AS pos
+             |  FROM rk WHERE rn > 1),
+             |tok AS (
+             |  SELECT doc_id, unnest(range(0, len(t))) AS pos,
+             |         unnest(t) AS token
+             |  FROM tk),
+             |keep AS (
+             |  SELECT k.doc_id, k.pos, k.token
+             |  FROM tok k LEFT JOIN cut c ON k.doc_id = c.doc_id AND k.pos = c.pos
+             |  WHERE c.doc_id IS NULL),
+             |reb AS (
+             |  SELECT doc_id, count(*) AS n_kept,
+             |         string_agg(token, ' ' ORDER BY pos) AS text_dedup
+             |  FROM keep GROUP BY 1)
+             |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+             |       CAST(len(t.t) - coalesce(r.n_kept, 0) AS BIGINT) AS n_cut,
+             |       coalesce(r.text_dedup, '') AS text_dedup
+             |FROM tk t LEFT JOIN reb r USING (doc_id)""".stripMargin)),
+
     // ---- SimHash signatures (md5-derived token hash → full-SQL oracle)
     GQ("llm_simhash_groups",
       (s, dir) => t(s, dir).documents

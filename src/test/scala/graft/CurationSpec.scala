@@ -405,4 +405,30 @@ class CurationSpec extends AnyFunSuite {
     // every returned gram is in ≥ 2 docs
     assert(out.forall(_._2 >= 2))
   }
+
+  test("cutDupSpans excises planted boilerplate, keeps first occurrence") {
+    val boiler = "all rights reserved by the site"
+    val d = Seq(
+      (1L, s"alpha beta $boiler gamma"),
+      (2L, s"$boiler delta epsilon"),
+      (3L, "unique words only here nothing shared at all"),
+      (4L, s"zeta $boiler omega"),
+      (5L, boiler)).toDF("doc_id", "text")
+    val out = graft.llm.Dedup.cutDupSpans(d, w = 5, minDocs = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1 holds the corpus-first occurrence of both duplicated
+    // 5-grams, so it keeps its full (normalized) text
+    assert(out(1L) === ((1L, 9L, 0L, s"alpha beta $boiler gamma")))
+    // doc 2's leading boilerplate is cut (positions 0-5, the union of
+    // both overlapping dup-gram spans), unique tail survives
+    assert(out(2L) === ((2L, 8L, 6L, "delta epsilon")))
+    // doc 3 shares no 5-gram with anything — untouched
+    assert(out(3L)._3 === 0L)
+    assert(out(3L)._4 === "unique words only here nothing shared at all")
+    // doc 4: interior boilerplate excised, both flanks survive
+    assert(out(4L) === ((4L, 8L, 6L, "zeta omega")))
+    // doc 5 is ENTIRELY boilerplate: survives as a row with empty text
+    assert(out(5L) === ((5L, 6L, 6L, "")))
+  }
 }
