@@ -1,0 +1,136 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Perceptual-hash image near-duplicate detection — the image-content
+  * counterpart of the text near-dup family (reference scope: the graph
+  * study has no image ops; this is north-star LLM-pipeline surface,
+  * same category as Dedup/Similarity).
+  *
+  * Two classic content hashes over the decoded raster (public
+  * algorithms, e.g. the pHash family write-ups):
+  *  - aHash (average hash): 8×8 luma grid, bit = cell ≥ grid mean;
+  *  - dHash (difference hash): 9×8 luma grid, bit = left < right —
+  *    robust to global brightness shifts where aHash is not.
+  *
+  * Both use NEAREST-NEIGHBOR sampling at integer grid positions
+  * (x·w div 9, y·h div 8) and integer Rec.601 luma
+  * ((299r + 587g + 114b) div 1000) so the hash is a pure integer
+  * function of the raster — bit-identical across engines, which is what
+  * lets the llm_image_neardup oracle re-derive it in SQL from the
+  * deterministic synthetic-pixel recipe while the Spark side computes it
+  * from REAL decoded container bytes (pngPixels/bmpPixels): a hash match
+  * proves decode + hash end to end. Each 64-bit hash ships as two
+  * unsigned 32-bit halves (hi, lo) to keep sign semantics trivial in
+  * both engines.
+  *
+  * Scale design mirrors Dedup.simhashNearDup (Manku et al. pigeonhole
+  * banding): hashing is pure map-side work per image (no shuffle, codec
+  * state per partition); near-dup candidates come from per-band equality
+  * buckets over the dHash — two signatures within Hamming k < bands must
+  * agree on ≥ 1 band — then exact Hamming verifies on both hashes.
+  * Never all-pairs.
+  */
+object ImageDedup {
+
+  final case class ImageHashRow(media_id: Long, width: Int, height: Int,
+      ahash_hi: Long, ahash_lo: Long, dhash_hi: Long, dhash_lo: Long)
+
+  /** (aHash, dHash) of a row-major packed-0xRRGGBB raster. */
+  def perceptualHashes(w: Int, h: Int, px: Array[Int]): (Long, Long) = {
+    require(w > 0 && h > 0 && px.length >= w * h,
+      s"raster ${px.length} px does not cover ${w}x$h")
+    def luma(x: Int, y: Int): Int = {
+      val v = px(y * w + x)
+      (299 * ((v >> 16) & 0xff) + 587 * ((v >> 8) & 0xff) +
+        114 * (v & 0xff)) / 1000
+    }
+    val ls = new Array[Int](64)
+    var i = 0
+    while (i < 64) {
+      ls(i) = luma((i % 8) * w / 8, (i / 8) * h / 8)
+      i += 1
+    }
+    var total = 0
+    i = 0
+    while (i < 64) { total += ls(i); i += 1 }
+    var a = 0L
+    i = 0
+    // l*64 >= total avoids the mean division (exact integer compare)
+    while (i < 64) { if (ls(i) * 64 >= total) a |= 1L << i; i += 1 }
+    var d = 0L
+    var y = 0
+    while (y < 8) {
+      val sy = y * h / 8
+      var x = 0
+      while (x < 8) {
+        if (luma(x * w / 9, sy) < luma((x + 1) * w / 9, sy))
+          d |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    (a, d)
+  }
+
+  /** Per-image perceptual hashes over REAL container decode: PNG first
+    * (magic-checked), BMP fallback. Undecodable payloads drop (same
+    * totality contract as MediaHeaders — a corrupt blob in 100 TB of
+    * crawl data must not kill the stage). Pure map-side; payload bytes
+    * never shuffle.
+    */
+  def imageHashes(media: Dataset[Multimodal.MediaRow]): Dataset[ImageHashRow] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").flatMap { m =>
+      MediaHeaders.pngPixels(m.payload)
+        .orElse(MediaHeaders.bmpPixels(m.payload))
+        .map { case (w, h, px) =>
+          val (a, d) = perceptualHashes(w, h, px)
+          ImageHashRow(m.media_id, w, h,
+            a >>> 32, a & 0xffffffffL, d >>> 32, d & 0xffffffffL)
+        }
+    }
+  }
+
+  /** Near-dup image pairs within Hamming `maxHamming` on BOTH hashes
+    * (dHash bands generate candidates; requiring the aHash to agree too
+    * suppresses gradient-texture false positives). Output
+    * (id_a, id_b, dhash_hamming, ahash_hamming), id_a < id_b.
+    */
+  def nearDup(hashes: DataFrame, maxHamming: Int = 2,
+      bands: Int = 4): DataFrame = {
+    require(maxHamming < bands, "pigeonhole needs maxHamming < bands")
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    val bits = 64 / bands
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
+    val sigs = hashes.select(col("media_id"),
+      shiftleft(col("dhash_hi"), 32).bitwiseOR(col("dhash_lo")).as("dh"),
+      shiftleft(col("ahash_hi"), 32).bitwiseOR(col("ahash_lo")).as("ah"))
+      .cache()
+    val banded = sigs.select(col("media_id"), col("dh"), col("ah"),
+      posexplode(array((0 until bands).map { b =>
+        shiftrightunsigned(col("dh"), b * bits).bitwiseAND(lit(mask))
+      }: _*)).as(Seq("band_id", "band_val")))
+    val cands = banded.select(col("band_id"), col("band_val"),
+        col("media_id").as("id_a"), col("dh").as("dh_a"), col("ah").as("ah_a"))
+      .join(banded.select(col("band_id"), col("band_val"),
+        col("media_id").as("id_b"), col("dh").as("dh_b"),
+        col("ah").as("ah_b")),
+        Seq("band_id", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val verified = cands
+      .withColumn("dhash_hamming",
+        bit_count(col("dh_a").bitwiseXOR(col("dh_b"))).cast("long"))
+      .withColumn("ahash_hamming",
+        bit_count(col("ah_a").bitwiseXOR(col("ah_b"))).cast("long"))
+      .filter(col("dhash_hamming") <= maxHamming &&
+        col("ahash_hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"),
+        col("dhash_hamming"), col("ahash_hamming"))
+      .localCheckpoint(true)
+    sigs.unpersist()
+    verified
+  }
+}

@@ -1439,6 +1439,80 @@ object Llm {
       },
       Some("""SELECT doc_id AS media_id,
          |  CAST((doc_id % 16) // 4 + 1 AS BIGINT) AS n_sampled
-         |FROM documents WHERE doc_id % 3 = 2""".stripMargin))
+         |FROM documents WHERE doc_id % 3 = 2""".stripMargin)),
+
+    // ---- perceptual-hash image near-dup (aHash/dHash over real decode)
+    // The Spark side hashes REAL decoded container bytes (pngPixels /
+    // bmpPixels); the oracle re-derives the same integer grid-sample
+    // lumas straight from the deterministic doc_id pixel recipe
+    // (syntheticMedia's gradient), packs the same bit layout into
+    // (hi, lo) halves, and brute-forces the pair join DuckDB-side. A
+    // hash match therefore proves decode + nearest-grid sampling +
+    // Rec.601 luma + bit packing + Hamming banding end to end (the
+    // banding is pigeonhole-lossless at maxHamming 2 < 4 bands, so the
+    // banded Spark pair set equals the oracle's brute-force pair set).
+    GQ("llm_image_neardup",
+      (s, dir) => {
+        val media = Multimodal.syntheticMedia(s, t(s, dir).documents)
+        graft.llm.ImageDedup.nearDup(
+          graft.llm.ImageDedup.imageHashes(media).toDF(),
+          maxHamming = 2, bands = 4)
+      },
+      Some("""WITH dims AS (
+         |  SELECT doc_id, 16 + doc_id % 48 AS pw, 16 + (doc_id // 5) % 48 AS ph
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |ag AS (
+         |  SELECT doc_id, pw, ph, unnest(range(0, 64)) AS i FROM dims),
+         |alum AS (
+         |  SELECT doc_id, i,
+         |         (299 * ((((i % 8) * pw) // 8 * 7 + doc_id) % 256)
+         |        + 587 * ((((i // 8) * ph) // 8 * 5 + doc_id // 3) % 256)
+         |        + 114 * ((((i % 8) * pw) // 8 + ((i // 8) * ph) // 8 + doc_id)
+         |                 % 256)) // 1000 AS l
+         |  FROM ag),
+         |atot AS (SELECT doc_id, sum(l) AS t FROM alum GROUP BY 1),
+         |abits AS (
+         |  SELECT a.doc_id,
+         |         sum(CASE WHEN l * 64 >= t AND i >= 32
+         |             THEN CAST(1 AS BIGINT) << CAST(i - 32 AS INT)
+         |             ELSE 0 END) AS ahash_hi,
+         |         sum(CASE WHEN l * 64 >= t AND i < 32
+         |             THEN CAST(1 AS BIGINT) << CAST(i AS INT)
+         |             ELSE 0 END) AS ahash_lo
+         |  FROM alum a JOIN atot USING (doc_id) GROUP BY 1),
+         |dg AS (
+         |  SELECT doc_id, pw, ph, unnest(range(0, 64)) AS j FROM dims),
+         |dlum AS (
+         |  SELECT doc_id, j,
+         |         (299 * (((((j % 8) * pw) // 9) * 7 + doc_id) % 256)
+         |        + 587 * (((((j // 8) * ph) // 8) * 5 + doc_id // 3) % 256)
+         |        + 114 * ((((j % 8) * pw) // 9 + ((j // 8) * ph) // 8 + doc_id)
+         |                 % 256)) // 1000 AS l1,
+         |         (299 * ((((((j % 8) + 1) * pw) // 9) * 7 + doc_id) % 256)
+         |        + 587 * (((((j // 8) * ph) // 8) * 5 + doc_id // 3) % 256)
+         |        + 114 * (((((j % 8) + 1) * pw) // 9 + ((j // 8) * ph) // 8
+         |                 + doc_id) % 256)) // 1000 AS l2
+         |  FROM dg),
+         |dbits AS (
+         |  SELECT doc_id,
+         |         sum(CASE WHEN l1 < l2 AND j >= 32
+         |             THEN CAST(1 AS BIGINT) << CAST(j - 32 AS INT)
+         |             ELSE 0 END) AS dhash_hi,
+         |         sum(CASE WHEN l1 < l2 AND j < 32
+         |             THEN CAST(1 AS BIGINT) << CAST(j AS INT)
+         |             ELSE 0 END) AS dhash_lo
+         |  FROM dlum GROUP BY 1),
+         |hs AS (SELECT * FROM abits JOIN dbits USING (doc_id)),
+         |pr AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         CAST(bit_count(xor(a.dhash_hi, b.dhash_hi))
+         |            + bit_count(xor(a.dhash_lo, b.dhash_lo)) AS BIGINT)
+         |           AS dhash_hamming,
+         |         CAST(bit_count(xor(a.ahash_hi, b.ahash_hi))
+         |            + bit_count(xor(a.ahash_lo, b.ahash_lo)) AS BIGINT)
+         |           AS ahash_hamming
+         |  FROM hs a JOIN hs b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, dhash_hamming, ahash_hamming
+         |FROM pr WHERE dhash_hamming <= 2 AND ahash_hamming <= 2""".stripMargin))
   )
 }

@@ -56,4 +56,41 @@ class MultimodalGoldenSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("image near-dup finds planted near-identical rasters only") {
+    import spark.implicits._
+    import graft.llm.{ImageDedup, MediaHeaders}
+    // base: a 32x24 gradient; near: same but ONE pixel flipped; far: an
+    // unrelated checkerboard. aHash/dHash must pair (1,2) and leave 3
+    // unpaired — and the PNG encoding of the same raster must hash
+    // identically to the BMP one (decode-path independence).
+    val (w, h) = (32, 24)
+    val base = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      ((x * 7 % 256) << 16) | ((y * 5 % 256) << 8) | ((x + y) % 256)
+    }
+    val near = base.clone(); near(5 * w + 7) = 0xffffff
+    val far = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      if ((x / 4 + y / 4) % 2 == 0) 0xffffff else 0x000000
+    }
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", MediaHeaders.bmpBytesRgb(w, h, base)),
+      Multimodal.MediaRow(2L, "image", MediaHeaders.bmpBytesRgb(w, h, near)),
+      Multimodal.MediaRow(3L, "image", MediaHeaders.bmpBytesRgb(w, h, far)),
+      Multimodal.MediaRow(4L, "image", MediaHeaders.pngBytesRgb(w, h, base, 2))
+    ).toDS()
+    val hashes = ImageDedup.imageHashes(media).toDF()
+    val pairs = ImageDedup.nearDup(hashes, maxHamming = 2, bands = 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // the one-pixel variant pairs with base (both hash encodings of it)
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L),
+      s"planted near-dup (1,2) not found in $pairs")
+    // PNG and BMP encodings of the SAME raster are Hamming-0 twins
+    assert(pairs.contains((1L, 4L, 0L, 0L)),
+      s"cross-format identical pair (1,4) not exact in $pairs")
+    // the checkerboard pairs with nothing
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated image spuriously paired: $pairs")
+  }
 }
