@@ -24,19 +24,16 @@ object Bench {
       s"[${s(0)},${s(1)},${s(2)}]"
     } catch { case _: Throwable => "[]" }
 
-  private def loadavg1(): Double =
+  /** One atomic (l1, l5) sample. Taint bit and risk band must derive from
+    * the SAME sample — separate reads raced (round-6 advice): the JSON
+    * could carry tainted=false next to load_risk=high.
+    */
+  private def loadSample(): (Double, Double) =
     try {
-      new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("/proc/loadavg"))).trim
-        .split("\\s+")(0).toDouble
-    } catch { case _: Throwable => -1.0 }
-
-  private def loadavg5(): Double =
-    try {
-      new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("/proc/loadavg"))).trim
-        .split("\\s+")(1).toDouble
-    } catch { case _: Throwable => -1.0 }
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).trim.split("\\s+")
+      (s(0).toDouble, s(1).toDouble)
+    } catch { case _: Throwable => (-1.0, -1.0) }
 
   /** Ambient load above this makes wall-clock timings meaningless (2-20×
     * inflation observed in rounds 2 and 4); gate on it rather than let a
@@ -51,8 +48,8 @@ object Bench {
   // "recent burst" window matters more than first assumed. 2.5 keeps a
   // genuinely-settling machine admissible while catching that case.
   private val Load5Threshold = 2.5
-  private def loaded(): Boolean =
-    loadavg1() > LoadThreshold || loadavg5() > Load5Threshold
+  private def loaded(l1: Double, l5: Double): Boolean =
+    l1 > LoadThreshold || l5 > Load5Threshold
 
   /** Coarse inflation-risk band stamped into the JSON alongside the hard
     * `tainted` bit: rounds 2/4/5 showed timings inflate roughly with
@@ -61,33 +58,38 @@ object Bench {
     * observed runs: idle (≤0.5/≤1.0) ≈ 1×; below the gates ≈ 1.0-1.5×;
     * above them 2-20×.
     */
-  private def riskBand(): String = {
-    val l1 = loadavg1(); val l5 = loadavg5()
+  private def riskBand(l1: Double, l5: Double): String =
     if (l1 < 0 || l5 < 0) "unknown"
     else if (l1 <= 0.5 && l5 <= 1.0) "low"
     else if (l1 <= LoadThreshold && l5 <= Load5Threshold) "elevated"
     else "high"
-  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // Wait up to 3 minutes for the machine to go idle; if it never does,
-    // run anyway but stamp "tainted": true into the JSON so no consumer
-    // can mistake a load-polluted total for an engine regression.
-    var waited = 0
-    while (loaded() && waited < 6) {
+    // BENCH_r06 passed the hard taint gates at 5-min load 2.39 and still
+    // came out ~2.8× inflated, so the gate now aims higher: wait (default
+    // up to 5 min, SPARK_GRAFT_BENCH_WAIT_SEC to change) for the LOW risk
+    // band, not merely for "under the taint thresholds". If low never
+    // arrives, run anyway — a late bench beats no bench — and stamp the
+    // honest band so no consumer mistakes inflation for regression.
+    val maxWaitSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_WAIT_SEC", "300").toInt
+    var waitedSec = 0
+    var (l1, l5) = loadSample()
+    while (riskBand(l1, l5) != "low" && l1 >= 0 && waitedSec < maxWaitSec) {
       System.err.println(
-        f"[bench] ambient load 1m=${loadavg1()}%.2f 5m=${loadavg5()}%.2f " +
-          f"(gates $LoadThreshold%.1f/$Load5Threshold%.1f) — " +
-          s"waiting 30 s (${waited + 1}/6)")
+        f"[bench] ambient load 1m=$l1%.2f 5m=$l5%.2f (band " +
+          s"${riskBand(l1, l5)}, want low) — waiting 30 s " +
+          s"($waitedSec/$maxWaitSec s)")
       Thread.sleep(30000)
-      waited += 1
+      waitedSec += 30
+      val s = loadSample(); l1 = s._1; l5 = s._2
     }
-    val tainted = loaded()
-    val risk = riskBand()
-    if (tainted) System.err.println(
-      f"[bench] still loaded (1m=${loadavg1()}%.2f 5m=${loadavg5()}%.2f) " +
-        f"after ${waited * 30} s — timings will be marked tainted")
+    // tainted and the band derive from the SAME final sample
+    val tainted = loaded(l1, l5)
+    val risk = riskBand(l1, l5)
+    if (risk != "low") System.err.println(
+      f"[bench] still band=$risk (1m=$l1%.2f 5m=$l5%.2f) after " +
+        f"$waitedSec s — timings carry load_risk=$risk, tainted=$tainted")
     val loadStart = loadavg()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -139,12 +139,17 @@ object GraphComponents {
         System.err.println(s"[wcc] round $iter hooks=$hookCount")
     }
     graft.core.Checkpoints.release(cedges)
-    if (hookCount > 0)
+    if (hookCount > 0) {
+      // the labels checkpoint is never handed to the caller on this path,
+      // so release it before failing (KCore's non-convergence path does
+      // the same for its undirected edge state)
+      graft.core.Checkpoints.release(labels)
       throw new IllegalStateException(
         s"wcc did not converge within $maxIter rounds " +
           s"(last round hooked $hookCount roots); raise maxIter — " +
           "hook+contract needs O(log n) rounds, so hitting this bound " +
           "indicates a pathological input, not a tuning matter")
+    }
     labels
   }
 }

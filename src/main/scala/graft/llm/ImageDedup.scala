@@ -97,6 +97,18 @@ object ImageDedup {
     * (dHash bands generate candidates; requiring the aHash to agree too
     * suppresses gradient-texture false positives). Output
     * (id_a, id_b, dhash_hamming, ahash_hamming), id_a < id_b.
+    *
+    * Bucket-skew hardening (round-6 advice): low-texture corpora
+    * concentrate on degenerate band values (all-zero bands from flat
+    * rows), making one band bucket quadratic. The bucket key is
+    * therefore TWO-level pigeonhole: a matching pair must agree on band
+    * b AND, given that, its remaining bits differ in ≤ maxHamming
+    * positions, so it also agrees on ≥ 1 of (maxHamming+1) sub-chunks
+    * of the band-zeroed hash. Keying on (band, sub-chunk) is lossless
+    * and splits a hot band bucket by everything OUTSIDE the band;
+    * only images whose FULL hashes collide stay co-bucketed — and an
+    * identical-hash cluster's pair list is genuinely quadratic output,
+    * not avoidable join skew.
     */
   def nearDup(hashes: DataFrame, maxHamming: Int = 2,
       bands: Int = 4): DataFrame = {
@@ -104,20 +116,33 @@ object ImageDedup {
     require(64 % bands == 0, s"bands must divide 64, got $bands")
     val bits = 64 / bands
     val mask = if (bits == 64) -1L else (1L << bits) - 1
+    val subs = maxHamming + 1
     val sigs = hashes.select(col("media_id"),
       shiftleft(col("dhash_hi"), 32).bitwiseOR(col("dhash_lo")).as("dh"),
       shiftleft(col("ahash_hi"), 32).bitwiseOR(col("ahash_lo")).as("ah"))
       .cache()
-    val banded = sigs.select(col("media_id"), col("dh"), col("ah"),
-      posexplode(array((0 until bands).map { b =>
+    val keys = for { b <- 0 until bands; j <- 0 until subs } yield {
+      val bandVal =
         shiftrightunsigned(col("dh"), b * bits).bitwiseAND(lit(mask))
-      }: _*)).as(Seq("band_id", "band_val")))
-    val cands = banded.select(col("band_id"), col("band_val"),
+      // band b zeroed in BOTH sides, so sub-chunk equality is exactly
+      // "no differing bit in this chunk outside the band"
+      val rest = col("dh").bitwiseAND(lit(~(mask << (b * bits))))
+      val lo = j * 64 / subs
+      val width = (j + 1) * 64 / subs - lo
+      val subMask = if (width == 64) -1L else (1L << width) - 1
+      val subVal = shiftrightunsigned(rest, lo).bitwiseAND(lit(subMask))
+      struct(bandVal.as("bv"), subVal.as("sv"))
+    }
+    val banded = sigs.select(col("media_id"), col("dh"), col("ah"),
+        posexplode(array(keys: _*)).as(Seq("key_id", "k")))
+      .select(col("media_id"), col("dh"), col("ah"), col("key_id"),
+        col("k.bv").as("band_val"), col("k.sv").as("sub_val"))
+    val cands = banded.select(col("key_id"), col("band_val"), col("sub_val"),
         col("media_id").as("id_a"), col("dh").as("dh_a"), col("ah").as("ah_a"))
-      .join(banded.select(col("band_id"), col("band_val"),
+      .join(banded.select(col("key_id"), col("band_val"), col("sub_val"),
         col("media_id").as("id_b"), col("dh").as("dh_b"),
         col("ah").as("ah_b")),
-        Seq("band_id", "band_val"))
+        Seq("key_id", "band_val", "sub_val"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
     val verified = cands
