@@ -59,10 +59,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NearestCentroidsExpr].getName,
         "graft_nearest_centroids"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        NearestCentroidsExpr(exprs(0),
-          GraftFunctions.litLongSeq(exprs(1), "graft_nearest_centroids", "ids"),
-          GraftFunctions.litFloatMatrix(exprs(2), "graft_nearest_centroids", "vecs"),
-          GraftFunctions.litPosInt(exprs(3), "graft_nearest_centroids", "n"))))
+        GraftFunctions.buildNearestCentroids(exprs)))
     ext.injectFunction((
       FunctionIdentifier("graft_bloom_contains"),
       new ExpressionInfo(classOf[BloomContainsExpr].getName,

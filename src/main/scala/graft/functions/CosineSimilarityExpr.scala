@@ -172,6 +172,25 @@ object GraftFunctions {
     }
   }
 
+  /** Analysis-time builder for graft_nearest_centroids: evaluate the
+    * literal ids/vecs table ONCE, ship it as a Spark broadcast, and hand
+    * the expression only the handle — executors fetch the table once
+    * (torrent blocks) instead of re-deserializing it with every task, so
+    * the autoCentroids 2²⁰ cap (≈256 MB of floats) stops implying
+    * hundreds of MB of per-task serialized literal. Runs during
+    * analysis, so the active session's SparkContext is in scope.
+    */
+  private[graft] def buildNearestCentroids(
+      exprs: Seq[Expression]): Expression = {
+    val table = new CentroidTable(
+      litLongSeq(exprs(1), "graft_nearest_centroids", "ids").toArray,
+      litFloatMatrix(exprs(2), "graft_nearest_centroids", "vecs")
+        .map(_.toArray).toArray)
+    NearestCentroidsExpr(exprs(0),
+      SparkSession.active.sparkContext.broadcast(table),
+      litPosInt(exprs(3), "graft_nearest_centroids", "n"))
+  }
+
   // per-session registration guard: column builders call register() on
   // every invocation (langScores alone calls it four times per column),
   // so short-circuit repeat registrations instead of re-replacing all
@@ -217,10 +236,7 @@ object GraftFunctions {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_nearest_centroids",
-      exprs => NearestCentroidsExpr(exprs(0),
-        litLongSeq(exprs(1), "graft_nearest_centroids", "ids"),
-        litFloatMatrix(exprs(2), "graft_nearest_centroids", "vecs"),
-        litPosInt(exprs(3), "graft_nearest_centroids", "n")),
+      buildNearestCentroids,
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bloom_contains",

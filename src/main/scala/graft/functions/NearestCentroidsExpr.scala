@@ -102,19 +102,22 @@ object NearestCentroidsUtil {
 
 /** `graft_nearest_centroids(embedding, ids, vecs, n)` — the top-`n`
   * nearest centroid ids (cosine, descending; ties to larger id) of an
-  * array<float> embedding against a literal centroid table.
+  * array<float> embedding against a broadcast centroid table.
   *
   * This is the zero-shuffle argmax under IVF assignment (`n = 1`) and
   * multi-probe selection (`n = nProbe`): a pure map-side projection, no
-  * join, no shuffle. The centroid table travels as ONE reference object,
-  * so plan size and codegen cost are independent of the centroid count —
-  * thousands of centroids are fine (4096 × 64 floats ≈ 1 MB of task
-  * binary); beyond memory-resident sizes a deployment would switch to a
-  * broadcast centroid-table join, with the downstream bucket-join shape
-  * unchanged.
+  * join, no shuffle. The registry builder evaluates the literal ids/vecs
+  * arguments ONCE at analysis time, ships the table as a Spark broadcast
+  * variable, and the expression carries only the broadcast handle — so
+  * the table is serialized once per executor (torrent blocks), NOT once
+  * per task. At the autoCentroids 2²⁰ cap (2²⁰ × 64 floats ≈ 256 MB) a
+  * task-serialized reference object would re-ship that with every task
+  * batch; the broadcast makes the cap actually usable. Plan strings and
+  * generated code stay size-independent as before.
   */
-case class NearestCentroidsExpr(child: Expression, ids: Seq[Long],
-    vecs: Seq[Seq[Float]], n: Int) extends UnaryExpression {
+case class NearestCentroidsExpr(child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[CentroidTable], n: Int)
+    extends UnaryExpression {
   require(n >= 1, s"$prettyName: n must be >= 1, got $n")
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -128,17 +131,20 @@ case class NearestCentroidsExpr(child: Expression, ids: Seq[Long],
 
   override def foldable: Boolean = child.foldable
 
-  @transient private lazy val table: CentroidTable =
-    new CentroidTable(ids.toArray, vecs.map(_.toArray).toArray)
+  @transient private lazy val table: CentroidTable = bc.value
 
   override def nullSafeEval(input: Any): Any =
     NearestCentroidsUtil.topIds(input.asInstanceOf[ArrayData], table, n)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val tableRef = ctx.addReferenceObj("graftCentroidTable", table,
-      classOf[CentroidTable].getName)
+    val bcRef = ctx.addReferenceObj("graftCentroidBcast", bc,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    val tableCls = classOf[CentroidTable].getName
+    // resolve the broadcast once per codegen instance, not per row
+    val tableName = ctx.addMutableState(tableCls, "graftCentroidTable",
+      v => s"$v = ($tableCls) $bcRef.value();")
     nullSafeCodeGen(ctx, ev, a => {
-      s"${ev.value} = graft.functions.NearestCentroidsUtil.topIds($a, $tableRef, $n);"
+      s"${ev.value} = graft.functions.NearestCentroidsUtil.topIds($a, $tableName, $n);"
     })
   }
 
@@ -147,10 +153,10 @@ case class NearestCentroidsExpr(child: Expression, ids: Seq[Long],
 
   override def prettyName: String = "graft_nearest_centroids"
 
-  // the default Expression.toString flattens constructor args, which
-  // would inline the whole centroid matrix into every explain /
-  // treeString / UI plan render — elide it to its dimensions so plan
-  // STRINGS stay size-independent too, not just the generated code
+  // the default Expression.toString flattens constructor args — elide
+  // the table to its dimensions so plan STRINGS stay size-independent
+  // too, not just the generated code (k read driver-side: bc.value on
+  // the driver returns the local reference, no fetch)
   override def toString: String =
-    s"$prettyName($child, k=${ids.length}, n=$n)"
+    s"$prettyName($child, k=${bc.value.k}, n=$n)"
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.GQ
 import graft.core.Tables
-import graft.llm.{Curation, Dedup, Multimodal, Scoring, Similarity, TextAnalysis}
+import graft.llm.{Bpe, Curation, Dedup, Multimodal, Scoring, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings`
   * (north-star surface, SURVEY §7.4): dedup family, similarity search,
@@ -1513,6 +1513,25 @@ object Llm {
          |           AS ahash_hamming
          |  FROM hs a JOIN hs b ON a.doc_id < b.doc_id)
          |SELECT id_a, id_b, dhash_hamming, ahash_hamming
-         |FROM pr WHERE dhash_hamming <= 2 AND ahash_hamming <= 2""".stripMargin))
+         |FROM pr WHERE dhash_hamming <= 2 AND ahash_hamming <= 2""".stripMargin)),
+
+    // ---- real BPE tokenizer: train (merge table) + encode (per-doc) ----
+    // Sennrich-style greedy BPE with pinned deterministic semantics
+    // (pre-tokenize [a-z]+, overlap-counting pair stats, (cnt DESC, lft,
+    // rgt) tie-break, left-to-right non-overlapping merge passes). The
+    // oracle unrolls the training loop as one chained-CTE group per merge
+    // rank (BpeOracle) — the llm_substring_dedup staged-oracle technique
+    // — so both the learned merge table AND the full encoded corpus
+    // hash-compare. Replaces TextAnalysis.subwordCount's regex stand-in.
+    GQ("llm_bpe_train",
+      (s, dir) => Bpe.mergeTable(s,
+        Bpe.train(t(s, dir).documents, BpeOracle.NumMerges)),
+      Some(BpeOracle.trainSql)),
+    GQ("llm_bpe_encode",
+      (s, dir) => {
+        val d = t(s, dir).documents
+        Bpe.encode(d, Bpe.train(d, BpeOracle.NumMerges))
+      },
+      Some(BpeOracle.encodeSql))
   )
 }
