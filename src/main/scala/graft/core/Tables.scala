@@ -21,20 +21,22 @@ final class Tables(spark: SparkSession, sfDir: String) {
   def part: DataFrame = apply("part")
   def orders: DataFrame = apply("orders")
   def lineitem: DataFrame = apply("lineitem")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's vectorized
-    * parquet reader rejects. Read it as raw nanos (legacy long mode) and
-    * convert to a microsecond TimestampType column — lossless for this data
-    * (values carry at most µs precision) and matches DuckDB's view of the
-    * same file at µs granularity.
+  /** events.parquet has shipped with three different physical encodings of
+    * `ts` across testdata regenerations: TIMESTAMP(NANOS) (which Spark's
+    * vectorized reader rejects — read as raw nanos via the legacy long
+    * mode), plain `timestamp[us]` without a timezone (read as
+    * TIMESTAMP_NTZ), and UTC-adjusted `timestamp[us]` (read as
+    * TimestampType). Normalize ALL of them here to the session-UTC
+    * TimestampType so every downstream operator sees ONE canonical type —
+    * the session timezone is UTC, so the NTZ→LTZ cast is value-identical,
+    * and the nanos→micros conversion is lossless for this data (values
+    * carry at most µs precision). This single normalization point is what
+    * keeps range joins, `unix_micros`, and streaming state ops working
+    * regardless of how the files were written.
     */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = apply("events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
-    }
+    Tables.normalizeTs(apply("events"))
   }
   def documents: DataFrame = apply("documents")
   def embeddings: DataFrame = apply("embeddings")
@@ -43,4 +45,17 @@ final class Tables(spark: SparkSession, sfDir: String) {
 object Tables {
   def apply(spark: SparkSession, sfDir: String): Tables =
     new Tables(spark, sfDir)
+
+  /** Normalize a `ts` column to the session-UTC TimestampType whatever the
+    * stored encoding was (nanos-as-long, TIMESTAMP_NTZ, or TimestampType).
+    */
+  def normalizeTs(df: DataFrame, tsCol: String = "ts"): DataFrame =
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(tsCol,
+          col(tsCol).cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 }

@@ -29,11 +29,21 @@ object RangeJoin {
       bucketSeconds: Long): DataFrame = {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
     val w = lit(bucketSeconds.toDouble)
-    def bucketOf(c: String) = floor(col(c).cast("double") / w).cast("long")
+    // TIMESTAMP_NTZ has no direct cast to double — route it through the
+    // session-UTC TimestampType first (value-identical under a UTC
+    // session) so callers feeding un-normalized columns still plan
+    def bucketOf(df: DataFrame, c: String) = {
+      val base = df.schema(c).dataType match {
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          col(c).cast(org.apache.spark.sql.types.TimestampType)
+        case _ => col(c)
+      }
+      floor(base.cast("double") / w).cast("long")
+    }
 
     val lb = left.withColumn("__b",
-      explode(sequence(bucketOf(leftLo), bucketOf(leftHi))))
-    val rb = right.withColumn("__b", bucketOf(rightTs))
+      explode(sequence(bucketOf(left, leftLo), bucketOf(left, leftHi))))
+    val rb = right.withColumn("__b", bucketOf(right, rightTs))
 
     lb.join(rb, keys :+ "__b")
       .filter(col(rightTs) >= col(leftLo) && col(rightTs) <= col(leftHi))

@@ -68,16 +68,24 @@ object EventStreams {
   def readEvents(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = streamableDir(path)
+    // Probe the STORED type with a one-off batch read: the testdata has
+    // shipped ts as TIMESTAMP(NANOS) (reads as long under nanosAsLong),
+    // as plain timestamp[us] (reads as TIMESTAMP_NTZ), and as UTC-adjusted
+    // micros (TimestampType). Pinning one schema here is what broke all
+    // three stateful streaming queries when the encoding drifted —
+    // normalize every case to the session-UTC TimestampType instead
+    // (same contract as core.Tables.normalizeTs).
+    val storedTs = spark.read.parquet(dir).schema("ts").dataType
+    val schema = StructType(rawSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = storedTs) else f))
     // no maxFilesPerTrigger chunking: with multi-file input, per-file
     // micro-batches would advance the watermark between files (files are
     // not event-time-ordered), silently dropping "late" rows in stateful
     // operators — one batch keeps the finite-replay contract (streaming
     // result ≡ batch result) deterministic; multi-batch semantics are
     // exercised by the MemoryStream specs instead
-    spark.readStream
-      .schema(rawSchema)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.core.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(dir))
   }
 
   /** The documents table as a file-source stream — the continuous-
