@@ -145,20 +145,47 @@ object Bench {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] native-expression warmup failed: $e")
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // A query that throws (analysis-time or runtime) must surface as an
+    // ERROR, not as a suspiciously-fast timing: BENCH_r07 recorded q35/
+    // q43's fail-fast AnalysisExceptions as 0.28 s / 0.11 s "results" and
+    // the regression read as a speedup. Failed queries go to the `errors`
+    // map and are excluded from `queries`/total.
+    // self-test hook: SPARK_GRAFT_BENCH_BREAK=name injects a query that
+    // throws at construction, proving the errors map end-to-end without
+    // touching a real registry entry
+    val injected: Seq[(String, (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)] =
+      sys.env.get("SPARK_GRAFT_BENCH_BREAK").toSeq.map { n =>
+        n -> ((s: SparkSession, _: String) =>
+          s.read.parquet("/nonexistent/graft-bench-break"))
+      }
+    val raw = (SparkEntry.queries.toSeq ++ injected).sortBy(_._1)
+        .map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try {
+      val err = try {
         val df = fn(spark, sfDir)
         df.write.format("noop").mode("overwrite").save()
         // release per-result materializations (PrefixSum checkpoint,
         // distributed-kernel state) so earlier queries' storage doesn't
         // distort later queries' memory budget; no-op for plain plans
         graft.core.Checkpoints.release(df)
+        None
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
+    def jesc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val results = raw.collect { case (n, s, None) => (n, s) }
+    val errors = raw.collect { case (n, _, Some(m)) =>
+      "\"" + jesc(n) + "\":\"" + jesc(m.take(200)) + "\""
+    }.mkString("{", ",", "}")
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -187,7 +214,7 @@ object Bench {
         System.err.println(s"[bench] graph-kernel timing failed: $e")
         "{}"
     }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","tainted":$tainted,"load_risk":"$risk","queries":$qs,"graph_kernels":$kernels,"loadavg_start":$loadStart,"loadavg_end":${loadavg()},"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","tainted":$tainted,"load_risk":"$risk","queries":$qs,"errors":$errors,"graph_kernels":$kernels,"loadavg_start":$loadStart,"loadavg_end":${loadavg()},"sf":"$sfDir"}""")
     // The harness that collects this output keeps only a ~2 KB stdout
     // tail; with ~80 queries the full line above outgrows that window and
     // its head (metric/total) gets truncated away. Repeat the headline
@@ -198,7 +225,7 @@ object Bench {
     def fam(p: String): Double =
       results.collect { case (k, v) if k.startsWith(p) => v }.sum
     val fams = f""""q":${fam("q")}%.1f,"llm":${fam("llm")}%.1f,"g":${fam("g")}%.1f,"stream":${fam("stream")}%.1f"""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","tainted":$tainted,"load_risk":"$risk","n_queries":${results.size},"family_sec":{$fams},"slowest":$slow,"graph_kernels":$kernels,"loadavg_start":$loadStart,"loadavg_end":${loadavg()},"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","tainted":$tainted,"load_risk":"$risk","n_queries":${results.size},"n_errors":${raw.count(_._3.isDefined)},"errors":$errors,"family_sec":{$fams},"slowest":$slow,"graph_kernels":$kernels,"loadavg_start":$loadStart,"loadavg_end":${loadavg()},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
