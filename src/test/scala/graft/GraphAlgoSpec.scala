@@ -213,6 +213,89 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(byComp.forall { case (c, minMember) => c == minMember })
   }
 
+  test("scc: distributed FW-BW path ≡ local Tarjan on slice 1") {
+    val nodes = pg.nodes.select("nodeId")
+    val edges = pg.projection.select("src", "dst")
+    val local = algo.StronglyConnected.scc(spark, nodes, edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val dist = algo.StronglyConnected.scc(spark, nodes, edges,
+        localEdgeThreshold = 0L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(local.size === 3705)
+    assert(dist === local)
+    // slice-1 audit (tools/scc_golden.py): 113 SCCs, top sizes
+    // 2191/850/208, no singletons — and the slice's SCCs coincide with
+    // its WCCs (road segments are mostly paired), which the directed
+    // kernel must discover, not assume
+    assert(local.values.toSet.size === 113)
+    val sizes = local.groupBy(_._2).view.mapValues(_.size).values.toSeq
+      .sorted(Ordering[Int].reverse)
+    assert(sizes.take(3) === Seq(2191, 850, 208))
+    assert(sizes.last > 1)
+    val byComp = local.groupBy(_._2).map { case (c, m) => c -> m.keys.min }
+    assert(byComp.forall { case (c, minMember) => c == minMember })
+  }
+
+  test("scc: directed fixtures — cycles, chains, self-loops, isolates") {
+    // c1: 3-cycle a→b→c→a; chain c→d→e (d, e singletons);
+    // f⇄g 2-cycle; h isolated; i with self-loop only
+    val nodes = Seq("a", "b", "c", "d", "e", "f", "g", "h", "i").toDF("node")
+    val edges = Seq(
+      ("a", "b"), ("b", "c"), ("c", "a"),
+      ("c", "d"), ("d", "e"),
+      ("f", "g"), ("g", "f"), ("g", "f"), // parallel dup
+      ("i", "i")                          // self-loop
+    ).toDF("src", "dst")
+    val expected = Map(
+      "a" -> "a", "b" -> "a", "c" -> "a",
+      "d" -> "d", "e" -> "e",
+      "f" -> "f", "g" -> "f",
+      "h" -> "h", "i" -> "i")
+    val local = algo.StronglyConnected.scc(spark, nodes, edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(local === expected)
+    val dist = algo.StronglyConnected.scc(spark, nodes, edges,
+        localEdgeThreshold = 0L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(dist === expected)
+  }
+
+  test("scc: random digraphs ≡ brute-force mutual reachability") {
+    for (seed <- Seq(7, 23, 71, 131, 223)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 15 + rnd.nextInt(15)
+      val pairs = (for (_ <- 0 until 35 + rnd.nextInt(40)) yield
+        (s"v${rnd.nextInt(n)}", s"v${rnd.nextInt(n)}"))
+        .filter(e => e._1 != e._2).distinct
+      val nodesDf = (0 until n).map(i => s"v$i").toDF("node")
+      val edgesDf = pairs.toDF("src", "dst")
+      // brute: forward-reachable sets by BFS, label = min mutual partner
+      val adj = pairs.groupBy(_._1).map { case (k, es) =>
+        k -> es.map(_._2).toSet }
+      def reach(start: String): Set[String] = {
+        val seen = scala.collection.mutable.Set(start)
+        val q = scala.collection.mutable.Queue(start)
+        while (q.nonEmpty) {
+          adj.getOrElse(q.dequeue(), Set.empty).foreach { v =>
+            if (seen.add(v)) q.enqueue(v)
+          }
+        }
+        seen.toSet
+      }
+      val fwd = (0 until n).map(i => s"v$i").map(v => v -> reach(v)).toMap
+      val expected = fwd.keys.map { v =>
+        v -> fwd(v).filter(u => fwd(u).contains(v)).min // v ∈ fwd(v)
+      }.toMap
+      val dist = algo.StronglyConnected.scc(spark, nodesDf, edgesDf,
+          localEdgeThreshold = 0L)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(dist === expected, s"scc-dist seed=$seed")
+      val local = algo.StronglyConnected.scc(spark, nodesDf, edgesDf)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(local === expected, s"scc-local seed=$seed")
+    }
+  }
+
   test("triangles: fixture counts, dup/reverse edges collapse, zeros kept") {
     // two triangles sharing edge b–c, one spectator node e; parallel and
     // reversed edges must not double-count
