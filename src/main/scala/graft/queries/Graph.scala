@@ -186,6 +186,47 @@ object Graph {
       (Seq(und, c0) ++ steps).mkString(",\n")
     }
 
+    /** Betweenness chains over the multi-source relaxation fixpoint
+      * s<hops> (chainMulti): the shortest-path DAG by exact double
+      * equality, then σ (exact integer path counts) and δ (micro
+      * fixed-point dependencies, floor division) as full-recompute
+      * chains — round k is exact for DAG depth ≤ k, and the audited max
+      * depth is 89 (tools/betweenness_golden.py), so <hops>=100 rounds
+      * land every engine on the same integers. Every op is integer
+      * after the DAG, making sums order-independent and the whole
+      * recurrence hash-oracle-able.
+      */
+    def betweennessChains(hops: Int): String = {
+      val dag = s"""dag AS MATERIALIZED (
+         |  SELECT du.source, du.node AS u, e.dst AS v
+         |  FROM s$hops du JOIN edges e ON e.src = du.node
+         |  JOIN s$hops dv ON dv.source = du.source AND dv.node = e.dst
+         |  WHERE du.dist + e.cost = dv.dist)""".stripMargin
+      val g0 = "g0 AS MATERIALIZED (SELECT id AS source, id AS node, CAST(1 AS BIGINT) AS sg FROM srcs)"
+      val gsteps = (1 to hops).map { i =>
+        s"""g$i AS MATERIALIZED (
+           |  SELECT id AS source, id AS node, CAST(1 AS BIGINT) AS sg FROM srcs
+           |  UNION ALL
+           |  SELECT d.source, d.v AS node, CAST(sum(s.sg) AS BIGINT) AS sg
+           |  FROM dag d JOIN g${i - 1} s ON s.source = d.source AND s.node = d.u
+           |  WHERE d.v <> d.source
+           |  GROUP BY 1, 2)""".stripMargin
+      }
+      val d0 = s"d0 AS MATERIALIZED (SELECT source, node, CAST(0 AS BIGINT) AS dl FROM s$hops)"
+      val dsteps = (1 to hops).map { i =>
+        s"""d$i AS MATERIALIZED (
+           |  SELECT r.source, r.node,
+           |         CAST(coalesce(sum((su.sg * (1000000 + dw.dl)) // sw.sg), 0) AS BIGINT) AS dl
+           |  FROM s$hops r
+           |  LEFT JOIN dag x ON x.source = r.source AND x.u = r.node
+           |  LEFT JOIN g$hops su ON su.source = r.source AND su.node = r.node
+           |  LEFT JOIN g$hops sw ON sw.source = x.source AND sw.node = x.v
+           |  LEFT JOIN d${i - 1} dw ON dw.source = x.source AND dw.node = x.v
+           |  GROUP BY 1, 2)""".stripMargin
+      }
+      (Seq(dag, g0) ++ gsteps ++ Seq(d0) ++ dsteps).mkString(",\n")
+    }
+
     /** Exact-integer PageRank chain p0..p<iters> (micro-mass 10¹²,
       * d = 0.85): every op is integer (`//`, integer sums), so the
       * chain is bit-identical to algo.PageRank's DataFrame loop.
@@ -581,6 +622,35 @@ object Graph {
               |SELECT n.START_NODE AS node_id,
               |       coalesce(min(m.u), n.START_NODE) AS component
               |FROM ids n LEFT JOIN mutual m ON m.v = n.START_NODE
-              |GROUP BY 1""".stripMargin))
+              |GROUP BY 1""".stripMargin)),
+
+    // Betweenness centrality over the canonical g7/g15 source set (the
+    // reference platform's gds.betweenness, sampled-source mode). Exact
+    // integer σ over the shortest-path DAG + micro fixed-point δ with
+    // floor division — the only Brandes formulation whose sums are
+    // order-independent and therefore hash-oracle-able (float δ never
+    // is). Audited against tools/betweenness_golden.py (2 318 nodes
+    // carry positive bc on slice 1; top node 739).
+    GQ("g18_betweenness",
+      (s, _) => {
+        val sources = (0 until 200).map(i => (i * 17 + 1).toString)
+        val pg = g(s)
+        graft.algo.Betweenness.run(s, pg.nodes.select("nodeId"),
+            pg.projection.select("src", "dst", "cost"), sources)
+          .select(col("node").as("node_id"), col("bc_micro"))
+      },
+      sliceOracle({
+        val srcVals = (0 until 200).map(i => s"('${i * 17 + 1}')").mkString(",")
+        s"""WITH ${Oracle.edgesCte},
+           |srcs AS MATERIALIZED (SELECT id FROM (VALUES $srcVals) v(id)
+           |  WHERE id IN (SELECT * FROM ids)),
+           |${Oracle.chainMulti(Oracle.HopsMulti)},
+           |${Oracle.betweennessChains(Oracle.HopsMulti)}
+           |SELECT n.START_NODE AS node_id,
+           |  CAST(coalesce(sum(CASE WHEN d.node <> d.source THEN d.dl END), 0)
+           |    AS BIGINT) AS bc_micro
+           |FROM ids n LEFT JOIN d${Oracle.HopsMulti} d ON d.node = n.START_NODE
+           |GROUP BY 1""".stripMargin
+      }))
   )
 }

@@ -296,6 +296,47 @@ class GraphAlgoSpec extends AnyFunSuite {
     }
   }
 
+  test("betweenness: slice-1 kernel matches the independent golden") {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val tree = om.readTree(new java.io.File(
+      "tools/goldens/betweenness_slice1.json"))
+    val golden = scala.collection.mutable.HashMap.empty[String, Long]
+    tree.fields().forEachRemaining(e => golden(e.getKey) = e.getValue.asLong())
+    val sources = (0 until 200).map(i => (i * 17 + 1).toString)
+    val got = algo.Betweenness.run(spark, pg.nodes.select("nodeId"),
+        pg.projection.select("src", "dst", "cost"), sources)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.size === 3705)
+    assert(got === golden.toMap)
+    // audited shape: 2318 nodes carry positive bc; top node 739
+    assert(got.count(_._2 > 0L) === 2318)
+    assert(got.maxBy(_._2)._1 === "739")
+  }
+
+  test("betweenness: distributed path ≡ local kernel on random digraphs") {
+    // integer-valued double costs force genuine shortest-path ties, so
+    // σ > 1 and the fixed-point δ division are both exercised
+    for (seed <- Seq(11, 47, 83)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 12 + rnd.nextInt(10)
+      val pairs = (for (_ <- 0 until 40 + rnd.nextInt(30)) yield
+        (s"v${rnd.nextInt(n)}", s"v${rnd.nextInt(n)}",
+          (1 + rnd.nextInt(4)).toDouble))
+        .filter(e => e._1 != e._2)
+        .groupBy(e => (e._1, e._2)).map(_._2.minBy(_._3)).toSeq
+      val nodesDf = (0 until n).map(i => s"v$i").toDF("node")
+      val edgesDf = pairs.toDF("src", "dst", "cost")
+      val sources = (0 until n by 3).map(i => s"v$i")
+      val local = algo.Betweenness.run(spark, nodesDf, edgesDf, sources)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val dist = algo.Betweenness.run(spark, nodesDf, edgesDf, sources,
+          maxHops = 25, localEdgeThreshold = 0L)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(dist === local, s"betweenness seed=$seed")
+      assert(local.values.exists(_ > 0L), s"degenerate case seed=$seed")
+    }
+  }
+
   test("triangles: fixture counts, dup/reverse edges collapse, zeros kept") {
     // two triangles sharing edge b–c, one spectator node e; parallel and
     // reversed edges must not double-count
