@@ -186,6 +186,34 @@ object Graph {
       (Seq(und, c0) ++ steps).mkString(",\n")
     }
 
+    /** Synchronous min-tie-break label-propagation chain l0..l<rounds>:
+      * each step every node adopts the most frequent neighbor label
+      * (ties → minimum label, VARCHAR order), isolated nodes keep their
+      * own. The FIXED round count is part of the semantics (g16's peel
+      * convention), so the chain is the whole contract — no convergence
+      * argument needed.
+      */
+    def lpaChain(rounds: Int): String = {
+      val und = """lund AS MATERIALIZED (SELECT src, dst FROM edges WHERE src <> dst
+                  |  UNION SELECT dst AS src, src AS dst FROM edges WHERE src <> dst)""".stripMargin
+      val l0 = "l0 AS MATERIALIZED (SELECT START_NODE AS node, START_NODE AS lbl FROM ids)"
+      val steps = (1 to rounds).map { i =>
+        s"""lc$i AS MATERIALIZED (
+           |  SELECT u.src AS node, l.lbl, count(*) AS c
+           |  FROM lund u JOIN l${i - 1} l ON l.node = u.dst
+           |  GROUP BY 1, 2),
+           |l$i AS MATERIALIZED (
+           |  SELECT p.node,
+           |    coalesce(min(CASE WHEN c.c = m.mc THEN c.lbl END), p.lbl) AS lbl
+           |  FROM l${i - 1} p
+           |  LEFT JOIN (SELECT node, max(c) AS mc FROM lc$i GROUP BY 1) m
+           |    ON m.node = p.node
+           |  LEFT JOIN lc$i c ON c.node = p.node
+           |  GROUP BY p.node, p.lbl)""".stripMargin
+      }
+      (Seq(und, l0) ++ steps).mkString(",\n")
+    }
+
     /** Betweenness chains over the multi-source relaxation fixpoint
       * s<hops> (chainMulti): the shortest-path DAG by exact double
       * equality, then σ (exact integer path counts) and δ (micro
@@ -651,6 +679,24 @@ object Graph {
            |    AS BIGINT) AS bc_micro
            |FROM ids n LEFT JOIN d${Oracle.HopsMulti} d ON d.node = n.START_NODE
            |GROUP BY 1""".stripMargin
-      }))
+      })),
+
+    // Label-propagation communities (the reference platform's
+    // gds.labelPropagation) — synchronous rounds, most-frequent neighbor
+    // label, min tie-break, FIXED 16 rounds as the deterministic
+    // contract (async random-order LPA can never be oracled). The Spark
+    // superstep loop and the 16-step chained CTE compute the identical
+    // label table.
+    GQ("g19_labelprop",
+      (s, _) => {
+        val pg = g(s)
+        graft.algo.LabelPropagation.run(s, pg.nodes.select("nodeId"),
+            pg.projection.select("src", "dst"), rounds = 16)
+          .select(col("node").as("node_id"), col("community"))
+      },
+      sliceOracle(s"""WITH ${Oracle.edgesCte},
+              |${Oracle.lpaChain(16)}
+              |SELECT node AS node_id, lbl AS community
+              |FROM l16""".stripMargin))
   )
 }

@@ -337,6 +337,55 @@ class GraphAlgoSpec extends AnyFunSuite {
     }
   }
 
+  test("label propagation: DataFrame superstep ≡ in-memory reference on slice 1") {
+    val nodes = pg.nodes.select("nodeId")
+    val edges = pg.projection.select("src", "dst")
+    val got = algo.LabelPropagation.run(spark, nodes, edges, rounds = 16)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val nodeIds = nodes.collect().map(_.getString(0))
+    val pairs = edges.collect().map(r => (r.getString(0), r.getString(1)))
+    val ref = algo.LabelPropagation.localReference(nodeIds, pairs, 16)
+    assert(got.size === 3705)
+    assert(got === ref)
+    // communities must be real (propagation happened, not identity)
+    assert(got.values.toSet.size < 3705)
+    assert(got.exists { case (n, c) => n != c })
+  }
+
+  test("label propagation: deterministic tie-breaks on fixtures") {
+    // star a-{b,c}: b,c adopt a; a sees {b,c} tied → min label b.
+    // isolated z keeps its own label. Round 2 re-ties deterministically.
+    val nodes = Seq("a", "b", "c", "z").toDF("node")
+    val edges = Seq(("a", "b"), ("a", "c")).toDF("src", "dst")
+    val r1 = algo.LabelPropagation.run(spark, nodes, edges, rounds = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(r1 === Map("a" -> "b", "b" -> "a", "c" -> "a", "z" -> "z"))
+    val ref = algo.LabelPropagation.localReference(
+      Array("a", "b", "c", "z"), Array(("a", "b"), ("a", "c")), 16)
+    val r16 = algo.LabelPropagation.run(spark, nodes, edges, rounds = 16)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(r16 === ref)
+  }
+
+  test("label propagation: random graphs ≡ reference across rounds") {
+    for (seed <- Seq(5, 29, 97)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 15 + rnd.nextInt(15)
+      val pairs = (for (_ <- 0 until 30 + rnd.nextInt(40)) yield
+        (s"v${rnd.nextInt(n)}", s"v${rnd.nextInt(n)}"))
+        .filter(e => e._1 != e._2).distinct
+      val nodesDf = (0 until n).map(i => s"v$i").toDF("node")
+      val edgesDf = pairs.toDF("src", "dst")
+      for (rounds <- Seq(1, 4, 16)) {
+        val got = algo.LabelPropagation.run(spark, nodesDf, edgesDf, rounds)
+          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+        val ref = algo.LabelPropagation.localReference(
+          (0 until n).map(i => s"v$i").toArray, pairs.toArray, rounds)
+        assert(got === ref, s"lpa seed=$seed rounds=$rounds")
+      }
+    }
+  }
+
   test("triangles: fixture counts, dup/reverse edges collapse, zeros kept") {
     // two triangles sharing edge b–c, one spectator node e; parallel and
     // reversed edges must not double-count
