@@ -180,14 +180,68 @@ object GraftFunctions {
     * hundreds of MB of per-task serialized literal. Runs during
     * analysis, so the active session's SparkContext is in scope.
     */
+  /** Broadcast lifecycle: Catalyst re-analyzes a fresh plan copy many
+    * times per query, and a kmeans/IVF loop issues a fresh query per
+    * iteration — naively that is a new broadcast per analysis, reclaimed
+    * only when ContextCleaner's GC-driven sweep eventually notices
+    * (slow-burn executor/disk pressure with wide centroid tables in a
+    * long-lived session). Two-part fix: (1) identical tables dedup to ONE
+    * broadcast via a content digest, so re-analysis is free; (2) distinct
+    * tables (loop iterations) enter a small LRU whose evictions are
+    * DESTROYED eagerly — by eviction time the evicted iteration's query
+    * has long since finished. Keyed by applicationId so a new context
+    * never sees a stale handle; stopped contexts purge on access.
+    */
+  private val MaxCachedCentroidBroadcasts = 4
+  private val centroidBroadcasts =
+    new java.util.LinkedHashMap[(String, String),
+        org.apache.spark.broadcast.Broadcast[CentroidTable]](16, 0.75f, true)
+
+  private[graft] def centroidBroadcastCount: Int =
+    centroidBroadcasts.synchronized { centroidBroadcasts.size }
+
+  private def digestOf(t: CentroidTable): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val bb = java.nio.ByteBuffer.allocate(8)
+    t.ids.foreach { id => bb.clear(); bb.putLong(id); md.update(bb.array()) }
+    t.vecs.foreach { row =>
+      val vb = java.nio.ByteBuffer.allocate(4 * row.length)
+      row.foreach(vb.putFloat)
+      md.update(vb.array())
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
   private[graft] def buildNearestCentroids(
       exprs: Seq[Expression]): Expression = {
     val table = new CentroidTable(
       litLongSeq(exprs(1), "graft_nearest_centroids", "ids").toArray,
       litFloatMatrix(exprs(2), "graft_nearest_centroids", "vecs")
         .map(_.toArray).toArray)
-    NearestCentroidsExpr(exprs(0),
-      SparkSession.active.sparkContext.broadcast(table),
+    val sc = SparkSession.active.sparkContext
+    val key = (sc.applicationId, digestOf(table))
+    val bc = centroidBroadcasts.synchronized {
+      val it = centroidBroadcasts.entrySet().iterator()
+      while (it.hasNext) {
+        if (it.next().getKey._1 != sc.applicationId) it.remove()
+      }
+      val cached = centroidBroadcasts.get(key)
+      if (cached != null) cached
+      else {
+        val fresh = sc.broadcast(table)
+        centroidBroadcasts.put(key, fresh)
+        if (centroidBroadcasts.size > MaxCachedCentroidBroadcasts) {
+          val eldest = centroidBroadcasts.entrySet().iterator().next()
+          // non-blocking destroy: the evicted iteration's query finished
+          // before this one was even built
+          try eldest.getValue.destroy()
+          catch { case scala.util.control.NonFatal(_) => () }
+          centroidBroadcasts.remove(eldest.getKey)
+        }
+        fresh
+      }
+    }
+    NearestCentroidsExpr(exprs(0), bc,
       litPosInt(exprs(3), "graft_nearest_centroids", "n"))
   }
 

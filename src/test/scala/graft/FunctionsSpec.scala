@@ -170,6 +170,28 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_nearest_centroids: broadcast dedup + bounded LRU across a 50-iteration loop") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val rows = Seq((1L, Seq(1.0f, 0.0f))).toDF("id", "embedding")
+    def run(tableSeed: Int): Unit = {
+      val cents = Seq((tableSeed.toLong, Seq(tableSeed.toFloat, 1.0f)))
+      rows.select(Similarity.nearestCentroids(col("embedding"), cents, 1))
+        .collect()
+    }
+    // identical table re-analyzed: count must not grow per call
+    run(1000); val afterFirst = GraftFunctions.centroidBroadcastCount
+    run(1000); run(1000)
+    assert(GraftFunctions.centroidBroadcastCount === afterFirst)
+    // 50 distinct tables (the kmeans-loop shape): LRU caps live handles —
+    // superseded iterations' broadcasts are destroyed, not accumulated
+    (1 to 50).foreach(run)
+    assert(GraftFunctions.centroidBroadcastCount <= 4)
+    // and the surviving cached entry still evaluates correctly
+    run(50)
+    assert(GraftFunctions.centroidBroadcastCount <= 4)
+  }
+
   test("graft_nearest_centroids: ties to larger id, null-safe, n > k capped") {
     GraftFunctions.register(spark)
     import spark.implicits._
