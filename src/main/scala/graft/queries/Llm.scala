@@ -203,7 +203,7 @@ object Llm {
     * threshold. Shared by llm_minhash_neardup and llm_dedup_corpus so
     * the two oracles cannot drift.
     */
-  private def minhashCtes(src: String): String =
+  private[queries] def minhashCtes(src: String): String =
     s"""mpw(j, p) AS (SELECT 0, CAST(1 AS HUGEINT)
        |  UNION ALL SELECT j+1, p*2 FROM mpw WHERE j < 63),
        |mpw16(i, w) AS (SELECT 16, CAST(1 AS HUGEINT)

@@ -219,6 +219,35 @@ object Streaming {
              |  max(ts) AS session_end, count(*) AS n_events
              |  FROM si GROUP BY user_id, sid)
              |SELECT user_id, session_start, session_end, n_events
-             |FROM g QUALIFY sid < max(sid) OVER (PARTITION BY user_id)""".stripMargin))
+             |FROM g QUALIFY sid < max(sid) OVER (PARTITION BY user_id)""".stripMargin)),
+
+    // REAL streaming near-dup at ingest: MinHash+LSH with per-band bucket
+    // state (transformWithState ListState), verifying exact Jaccard
+    // in-state as documents arrive. Oracled with the SAME shared CTE
+    // chain as the batch llm_minhash_neardup (finite replay ≡ batch —
+    // same signatures, buckets, and verification arithmetic), at the
+    // same 0.3 driver threshold. RocksDB provider scoped like the TWS
+    // sessionizer.
+    GQ("stream_minhash_neardup",
+      (s, dir) => {
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+        try {
+          runToMemory(s, "graft_stream_neardup", "append")(
+            graft.streaming.StreamingDedup.nearDupPairs(
+              EventStreams.readDocuments(s, s"$dir/documents.parquet"),
+              w = 3, k = 32, bands = 8, minJaccard = 0.3))
+        } finally {
+          prev match {
+            case Some(v) => s.conf.set(key, v)
+            case None => s.conf.unset(key)
+          }
+        }
+      },
+      Some(s"""WITH RECURSIVE ${Llm.minhashCtes("documents")}
+             |SELECT id_a, id_b, jaccard FROM mver
+             |WHERE jaccard >= 0.3""".stripMargin))
   )
 }

@@ -160,6 +160,40 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming near-dup at ingest ≡ batch minhashNearDup on the same slice") {
+    // per-band bucket state (transformWithState ListState) with in-state
+    // exact-Jaccard verification must reproduce the batch operator's
+    // verified pair set exactly on finite replay — same signatures,
+    // same buckets, same arithmetic
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = graft.streaming.StreamingDedup.nearDupPairs(
+          EventStreams.readDocuments(spark, s"$sf/documents.parquet"),
+          w = 3, k = 32, bands = 8, minJaccard = 0.3)
+        .writeStream.format("memory").queryName("t_stream_neardup")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val streamed = spark.table("t_stream_neardup").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = graft.llm.Dedup.minhashNearDup(
+          spark.read.parquet(s"$sf/documents.parquet"),
+          w = 3, k = 32, bands = 8, minJaccard = 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(streamed.nonEmpty)
+      assert(streamed === batch)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("custom-state sessionizer agrees with built-in session_window") {
     val ev = batchEvents.select(col("ts"), col("user_id"), col("value"))
       .as[EventStreams.Ev]
