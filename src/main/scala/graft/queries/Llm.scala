@@ -1515,6 +1515,153 @@ object Llm {
          |SELECT id_a, id_b, dhash_hamming, ahash_hamming
          |FROM pr WHERE dhash_hamming <= 2 AND ahash_hamming <= 2""".stripMargin)),
 
+    // ---- perceptual video near-dup (pooled frame dHash/aHash) ---------
+    // Frames sampled at stride 4 from REAL AVI decode, per-frame image
+    // hashes majority-pooled per bit (ties → 1) into one 64-bit video
+    // signature, then the SAME skew-hardened banding as llm_image_neardup.
+    // The oracle re-derives every frame's grid lumas from the synthetic
+    // per-frame gradient recipe, pools, packs, and brute-forces the pair
+    // join — a match proves AVI decode + frame sampling + pooling +
+    // banding end to end.
+    GQ("llm_video_neardup",
+      (s, dir) => {
+        val media = Multimodal.syntheticMedia(s, t(s, dir).documents)
+        graft.llm.ImageDedup.nearDup(
+          graft.llm.MediaDedup.videoHashes(media, stride = 4).toDF(),
+          maxHamming = 2, bands = 4)
+      },
+      Some("""WITH vdims AS (
+         |  SELECT doc_id, 8 + doc_id % 17 AS fw, 8 + (doc_id // 11) % 13 AS fh,
+         |         1 + doc_id % 16 AS nf
+         |  FROM documents WHERE doc_id % 3 = 2),
+         |vf AS (SELECT doc_id, fw, fh, unnest(range(0, nf, 4)) AS fi FROM vdims),
+         |vag AS (SELECT doc_id, fw, fh, fi, unnest(range(0, 64)) AS i FROM vf),
+         |valum AS (
+         |  SELECT doc_id, fi, i,
+         |         (299 * ((((i % 8) * fw) // 8 * 3 + fi * 11 + doc_id) % 256)
+         |        + 587 * ((((i // 8) * fh) // 8 * 7 + fi * 5) % 256)
+         |        + 114 * ((((i % 8) * fw) // 8 + ((i // 8) * fh) // 8 + fi
+         |                 + doc_id) % 256)) // 1000 AS l
+         |  FROM vag),
+         |vatot AS (SELECT doc_id, fi, sum(l) AS t FROM valum GROUP BY 1, 2),
+         |vapool AS (
+         |  SELECT doc_id, i,
+         |         CASE WHEN 2 * sum(CASE WHEN l * 64 >= t THEN 1 ELSE 0 END)
+         |              >= count(*) THEN 1 ELSE 0 END AS b
+         |  FROM valum a JOIN vatot USING (doc_id, fi) GROUP BY 1, 2),
+         |vabits AS (
+         |  SELECT doc_id,
+         |         sum(CASE WHEN b = 1 AND i >= 32
+         |             THEN CAST(1 AS BIGINT) << CAST(i - 32 AS INT)
+         |             ELSE 0 END) AS ahash_hi,
+         |         sum(CASE WHEN b = 1 AND i < 32
+         |             THEN CAST(1 AS BIGINT) << CAST(i AS INT)
+         |             ELSE 0 END) AS ahash_lo
+         |  FROM vapool GROUP BY 1),
+         |vdg AS (SELECT doc_id, fw, fh, fi, unnest(range(0, 64)) AS j FROM vf),
+         |vdlum AS (
+         |  SELECT doc_id, fi, j,
+         |         (299 * (((((j % 8) * fw) // 9) * 3 + fi * 11 + doc_id) % 256)
+         |        + 587 * (((((j // 8) * fh) // 8) * 7 + fi * 5) % 256)
+         |        + 114 * ((((j % 8) * fw) // 9 + ((j // 8) * fh) // 8 + fi
+         |                 + doc_id) % 256)) // 1000 AS l1,
+         |         (299 * ((((((j % 8) + 1) * fw) // 9) * 3 + fi * 11 + doc_id) % 256)
+         |        + 587 * (((((j // 8) * fh) // 8) * 7 + fi * 5) % 256)
+         |        + 114 * (((((j % 8) + 1) * fw) // 9 + ((j // 8) * fh) // 8 + fi
+         |                 + doc_id) % 256)) // 1000 AS l2
+         |  FROM vdg),
+         |vdpool AS (
+         |  SELECT doc_id, j,
+         |         CASE WHEN 2 * sum(CASE WHEN l1 < l2 THEN 1 ELSE 0 END)
+         |              >= count(*) THEN 1 ELSE 0 END AS b
+         |  FROM vdlum GROUP BY 1, 2),
+         |vdbits AS (
+         |  SELECT doc_id,
+         |         sum(CASE WHEN b = 1 AND j >= 32
+         |             THEN CAST(1 AS BIGINT) << CAST(j - 32 AS INT)
+         |             ELSE 0 END) AS dhash_hi,
+         |         sum(CASE WHEN b = 1 AND j < 32
+         |             THEN CAST(1 AS BIGINT) << CAST(j AS INT)
+         |             ELSE 0 END) AS dhash_lo
+         |  FROM vdpool GROUP BY 1),
+         |vhs AS (SELECT * FROM vabits JOIN vdbits USING (doc_id)),
+         |vpr AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         CAST(bit_count(xor(a.dhash_hi, b.dhash_hi))
+         |            + bit_count(xor(a.dhash_lo, b.dhash_lo)) AS BIGINT)
+         |           AS dhash_hamming,
+         |         CAST(bit_count(xor(a.ahash_hi, b.ahash_hi))
+         |            + bit_count(xor(a.ahash_lo, b.ahash_lo)) AS BIGINT)
+         |           AS ahash_hamming
+         |  FROM vhs a JOIN vhs b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, dhash_hamming, ahash_hamming
+         |FROM vpr WHERE dhash_hamming <= 2 AND ahash_hamming <= 2""".stripMargin)),
+
+    // ---- perceptual audio near-dup (block-energy hashes) --------------
+    // 64-block integer mean-|amplitude| grid over REAL WAV decode: aHash
+    // bit = block ≥ overall mean, dHash bit = quieter than right
+    // neighbor on a 65-block grid (the 1-D analogue of the 9×8 image
+    // difference grid). Same banding. The oracle rebuilds the triangle-
+    // wave samples from the generator recipe; block(i) inverts the
+    // lo = k·n//B partition exactly (k = ((i+1)·B − 1)//n).
+    GQ("llm_audio_neardup",
+      (s, dir) => {
+        val media = Multimodal.syntheticMedia(s, t(s, dir).documents)
+        graft.llm.ImageDedup.nearDup(
+          graft.llm.MediaDedup.audioHashes(media).toDF(),
+          maxHamming = 2, bands = 4)
+      },
+      Some("""WITH adoc AS (
+         |  SELECT doc_id,
+         |         (8000 * (1 + (doc_id // 3) % 3)) * (1 + doc_id % 5) // 100 AS ns,
+         |         64 + doc_id % 192 AS period
+         |  FROM documents WHERE doc_id % 3 = 1),
+         |asmp AS (SELECT doc_id, ns, period, unnest(range(0, ns)) AS i FROM adoc),
+         |aval AS (
+         |  SELECT doc_id, ns, i,
+         |         abs((CASE WHEN (i % period) < period // 2 THEN i % period
+         |              ELSE period - (i % period) END) * 4096
+         |             // greatest(1, period // 2) - 2048) AS av
+         |  FROM asmp),
+         |am64 AS (SELECT doc_id, ((i + 1) * 64 - 1) // ns AS k,
+         |                sum(av) // count(*) AS m
+         |         FROM aval GROUP BY 1, 2),
+         |atot AS (SELECT doc_id, sum(m) AS t FROM am64 GROUP BY 1),
+         |aabits AS (
+         |  SELECT a.doc_id,
+         |         sum(CASE WHEN m * 64 >= t AND k >= 32
+         |             THEN CAST(1 AS BIGINT) << CAST(k - 32 AS INT)
+         |             ELSE 0 END) AS ahash_hi,
+         |         sum(CASE WHEN m * 64 >= t AND k < 32
+         |             THEN CAST(1 AS BIGINT) << CAST(k AS INT)
+         |             ELSE 0 END) AS ahash_lo
+         |  FROM am64 a JOIN atot USING (doc_id) GROUP BY 1),
+         |am65 AS (SELECT doc_id, ((i + 1) * 65 - 1) // ns AS k,
+         |                sum(av) // count(*) AS m
+         |         FROM aval GROUP BY 1, 2),
+         |adbits AS (
+         |  SELECT x.doc_id,
+         |         sum(CASE WHEN x.m < y.m AND x.k >= 32
+         |             THEN CAST(1 AS BIGINT) << CAST(x.k - 32 AS INT)
+         |             ELSE 0 END) AS dhash_hi,
+         |         sum(CASE WHEN x.m < y.m AND x.k < 32
+         |             THEN CAST(1 AS BIGINT) << CAST(x.k AS INT)
+         |             ELSE 0 END) AS dhash_lo
+         |  FROM am65 x JOIN am65 y ON y.doc_id = x.doc_id AND y.k = x.k + 1
+         |  WHERE x.k < 64 GROUP BY 1),
+         |ahs AS (SELECT * FROM aabits JOIN adbits USING (doc_id)),
+         |apr AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         CAST(bit_count(xor(a.dhash_hi, b.dhash_hi))
+         |            + bit_count(xor(a.dhash_lo, b.dhash_lo)) AS BIGINT)
+         |           AS dhash_hamming,
+         |         CAST(bit_count(xor(a.ahash_hi, b.ahash_hi))
+         |            + bit_count(xor(a.ahash_lo, b.ahash_lo)) AS BIGINT)
+         |           AS ahash_hamming
+         |  FROM ahs a JOIN ahs b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, dhash_hamming, ahash_hamming
+         |FROM apr WHERE dhash_hamming <= 2 AND ahash_hamming <= 2""".stripMargin)),
+
     // ---- real BPE tokenizer: train (merge table) + encode (per-doc) ----
     // Sennrich-style greedy BPE with pinned deterministic semantics
     // (pre-tokenize [a-z]+, overlap-counting pair stats, (cnt DESC, lft,

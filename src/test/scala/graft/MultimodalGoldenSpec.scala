@@ -93,4 +93,81 @@ class MultimodalGoldenSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
       s"unrelated image spuriously paired: $pairs")
   }
+
+  test("video hashes: AVI decode ≡ recipe-derived pooled hashes") {
+    import graft.llm.{ImageDedup, MediaDedup}
+    // decode-based hashes must equal hashes computed straight from the
+    // synthetic per-frame gradient recipe (what the SQL oracle does) —
+    // proving the AVI round trip + stride sampling + majority pooling
+    val videoIds = (0L until 60L).filter(_ % 3 == 2)
+    val docs = spark.range(60).toDF("doc_id")
+    val got = MediaDedup.videoHashes(
+        Multimodal.syntheticMedia(spark, docs), stride = 4)
+      .collect().map(r => r.media_id ->
+        ((r.ahash_hi << 32) | r.ahash_lo, (r.dhash_hi << 32) | r.dhash_lo))
+      .toMap
+    assert(got.keySet === videoIds.toSet)
+    videoIds.foreach { id =>
+      val frames = 1 + (id % 16).toInt
+      val (fw, fh) = (8 + (id % 17).toInt, 8 + ((id / 11) % 13).toInt)
+      val hashes = (0 until frames by 4).map { fi =>
+        val px = Array.tabulate(fw * fh) { i =>
+          val x = i % fw; val y = i / fw
+          (((x * 3 + fi * 11 + id) % 256).toInt << 16) |
+            (((y * 7 + fi * 5) % 256).toInt << 8) |
+            ((x + y + fi + id) % 256).toInt
+        }
+        ImageDedup.perceptualHashes(fw, fh, px)
+      }
+      val want = (MediaDedup.poolBits(hashes.map(_._1)),
+        MediaDedup.poolBits(hashes.map(_._2)))
+      assert(got(id) === want, s"video id=$id")
+    }
+  }
+
+  test("audio hashes: WAV decode ≡ recipe-derived block hashes; gain-shift pairs") {
+    import spark.implicits._
+    import graft.llm.{ImageDedup, MediaDedup, MediaHeaders}
+    // recipe equivalence on the synthetic corpus
+    val docs = spark.range(60).toDF("doc_id")
+    val got = MediaDedup.audioHashes(Multimodal.syntheticMedia(spark, docs))
+      .collect().map(r => r.media_id ->
+        ((r.ahash_hi << 32) | r.ahash_lo, (r.dhash_hi << 32) | r.dhash_lo))
+      .toMap
+    assert(got.keySet === (0L until 60L).filter(_ % 3 == 1).toSet)
+    (0L until 60L).filter(_ % 3 == 1).foreach { id =>
+      val rate = 8000 * (1 + ((id / 3) % 3).toInt)
+      val nSamples = rate * (1 + (id % 5).toInt) / 100
+      val period = 64 + (id % 192).toInt
+      val samples = Array.tabulate(nSamples) { i =>
+        val ph = i % period
+        val tri = if (ph < period / 2) ph else period - ph
+        ((tri * 4096 / math.max(1, period / 2)) - 2048).toShort
+      }
+      val want = MediaDedup.audioBlockHashes(samples).get
+      assert(got(id) === want, s"audio id=$id")
+    }
+    // dHash is gain-invariant by construction: a half-volume copy of a
+    // noise-ish signal keeps every block ordering, so the pair verifies
+    // at Hamming 0 on dHash; an unrelated constant tone pairs with
+    // nothing
+    val rnd = new scala.util.Random(42)
+    val sig = Array.tabulate(4000)(_ =>
+      (rnd.nextInt(4096) - 2048).toShort)
+    val halved = sig.map(s => (s / 2).toShort)
+    val flat = Array.tabulate(4000)(i =>
+      (if (i / 500 % 2 == 0) 2000 else -2000).toShort)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", MediaHeaders.wavBytesPcm16(8000, sig)),
+      Multimodal.MediaRow(2L, "audio", MediaHeaders.wavBytesPcm16(8000, halved)),
+      Multimodal.MediaRow(3L, "audio", MediaHeaders.wavBytesPcm16(8000, flat))
+    ).toDS()
+    val pairs = ImageDedup.nearDup(
+        MediaDedup.audioHashes(media).toDF(), maxHamming = 2, bands = 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L),
+      s"gain-shifted twin (1,2) not found in $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated tone spuriously paired: $pairs")
+  }
 }
