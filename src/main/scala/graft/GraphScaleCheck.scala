@@ -168,7 +168,83 @@ object GraphScaleCheck {
     println(f"[scale] kcore: $nRandNodes%,d nodes / $nRandEdges%,d edges -> " +
       f"$kcN%,d in the 3-core in $tKc%.1f s, ≡ driver peel")
 
-    println(f"""{"wcc_path_sec":$tPath%.1f,"wcc_rand_sec":$tDist%.1f,"pagerank_sec":$tPr%.1f,"triangles_sec":$tTri%.1f,"kcore_sec":$tKc%.1f,"n_path":$nPath,"n_rand_nodes":$nRandNodes,"n_rand_edges":$nRandEdges}""")
+    // ---- 6. SCC: forced-distributed FW-BW ≡ driver Tarjan --------------
+    // Random digraphs at this density carry a giant SCC + log-ish
+    // diameter — the realistic shape for the refinement's inner
+    // fixpoints. (A 1M-node directed CYCLE would need O(n) inner hops:
+    // label-propagation SCC is O(diameter) per round like every
+    // published distributed SCC — GraphX's included — and unlike WCC
+    // there is no lossless hook/contract for DIRECTED reachability.
+    // Trim handles DAG tails; high-diameter cores are the documented
+    // worst case.)
+    val sccNodes = spark.range(nRandNodes)
+      .select(format_string("r%07d", col("id")).as("node"))
+    val sccEdges = spark.range(nRandEdges)
+      .select(
+        format_string("r%07d", pmod(xxhash64(col("id"), lit(7)), lit(nRandNodes.toLong))).as("src"),
+        format_string("r%07d", pmod(xxhash64(col("id"), lit(8)), lit(nRandNodes.toLong))).as("dst"))
+      .cache()
+    val (sccDist, tScc) = timed {
+      algo.StronglyConnected.scc(spark, sccNodes, sccEdges,
+        localEdgeThreshold = 0L).cache()
+    }
+    val sccLocal = algo.StronglyConnected.scc(spark, sccNodes, sccEdges)
+    val sccDiff = sccDist.as("a").join(sccLocal.as("b"), Seq("node"))
+      .filter(col("a.component") =!= col("b.component")).count()
+    val nScc = sccDist.select("component").distinct().count()
+    require(sccDiff == 0, s"scc: distributed != Tarjan on $sccDiff nodes")
+    require(sccDist.count() == nRandNodes, "scc must label every node")
+    sccDist.unpersist(); sccEdges.unpersist()
+    println(f"[scale] scc: $nRandNodes%,d nodes / $nRandEdges%,d edges -> " +
+      f"$nScc%,d SCCs in $tScc%.1f s, ≡ driver Tarjan")
+
+    // ---- 7. label propagation: repartition-independence ----------------
+    // the arg-min struct aggregation is order-independent by
+    // construction; a different input partitioning must reproduce every
+    // label bit for bit (the PageRank check's analogue)
+    val (lpa1, tLpa) = timed {
+      algo.LabelPropagation.run(spark, triNodes, triEdges, rounds = 8)
+        .cache()
+    }
+    val lpa2 = algo.LabelPropagation.run(spark, triNodes.repartition(13),
+      triEdges.repartition(7), rounds = 8)
+    val lpaDiff = lpa1.as("a").join(lpa2.as("b"), Seq("node"))
+      .filter(col("a.community") =!= col("b.community")).count()
+    val nComm = lpa1.select("community").distinct().count()
+    require(lpaDiff == 0, s"lpa differs under repartition on $lpaDiff nodes")
+    lpa1.unpersist()
+    println(f"[scale] labelprop: $nRandNodes%,d nodes x 8 rounds -> " +
+      f"$nComm%,d communities in $tLpa%.1f s, repartition-invariant")
+
+    // ---- 8. betweenness: forced-distributed ≡ local Brandes ------------
+    // smaller graph (the σ/δ propagations run a fixed round budget), 16
+    // sampled sources — the sampled-source production shape
+    val bcN = math.max(nRandNodes / 10, 1000)
+    val bcNodes = spark.range(bcN)
+      .select(format_string("r%07d", col("id")).as("node"))
+    val bcEdges = spark.range(bcN * 4L)
+      .select(
+        format_string("r%07d", pmod(xxhash64(col("id"), lit(9)), lit(bcN.toLong))).as("src"),
+        format_string("r%07d", pmod(xxhash64(col("id"), lit(10)), lit(bcN.toLong))).as("dst"),
+        (pmod(xxhash64(col("id"), lit(11)), lit(9L)) + 1).cast("double").as("cost"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(min("cost").as("cost"))
+      .cache()
+    val bcSources = (0 until 16).map(i => f"r${i * 37}%07d")
+    val (bcDist, tBc) = timed {
+      algo.Betweenness.run(spark, bcNodes, bcEdges, bcSources,
+        maxHops = 40, localEdgeThreshold = 0L).cache()
+    }
+    val bcLocal = algo.Betweenness.run(spark, bcNodes, bcEdges, bcSources)
+    val bcDiff = bcDist.as("a").join(bcLocal.as("b"), Seq("node"))
+      .filter(col("a.bc_micro") =!= col("b.bc_micro")).count()
+    require(bcDiff == 0, s"betweenness: distributed != local on $bcDiff nodes")
+    val bcPos = bcDist.filter(col("bc_micro") > 0).count()
+    bcDist.unpersist(); bcEdges.unpersist()
+    println(f"[scale] betweenness: $bcN%,d nodes, 16 sources -> " +
+      f"$bcPos%,d positive-bc nodes in $tBc%.1f s, ≡ local Brandes")
+
+    println(f"""{"wcc_path_sec":$tPath%.1f,"wcc_rand_sec":$tDist%.1f,"pagerank_sec":$tPr%.1f,"triangles_sec":$tTri%.1f,"kcore_sec":$tKc%.1f,"scc_sec":$tScc%.1f,"labelprop_sec":$tLpa%.1f,"betweenness_sec":$tBc%.1f,"n_path":$nPath,"n_rand_nodes":$nRandNodes,"n_rand_edges":$nRandEdges}""")
     spark.stop()
   }
 }

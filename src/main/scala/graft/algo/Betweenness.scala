@@ -165,21 +165,47 @@ object Betweenness {
       .localCheckpoint(true)
     val seeds = present.toDF("source")
       .select(col("source"), col("source").as("node"), lit(1L).as("sg"))
-    // σ: full recompute per round — σ_k(v) = Σ_preds σ_{k-1}(u), seeds 1
-    var sigma = seeds.localCheckpoint(true)
-    for (_ <- 1 to maxHops) {
-      val step = sigmaStep(seeds, dag, sigma)
-      graft.core.Checkpoints.release(sigma)
-      sigma = step
+    // σ: full recompute per round — σ_k(v) = Σ_preds σ_{k-1}(u), seeds 1.
+    // Iterated to FIXPOINT (round k is exact for DAG depth ≤ k; a
+    // no-change round proves convergence since each round is a pure
+    // function of the last), with maxHops as a hard cap that FAILS
+    // loudly — a silently-truncated σ would produce wrong integers.
+    def toFixpoint(init: DataFrame,
+        step: DataFrame => DataFrame,
+        key: Seq[String], valCol: String, what: String): DataFrame = {
+      var cur = init
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < maxHops) {
+        iter += 1
+        val next = step(cur)
+        // value diffs on shared keys PLUS newly-reached rows (the σ table
+        // grows monotonically as propagation advances; an inner join
+        // alone would miss the growth and stop early)
+        changed = next.join(
+            cur.withColumnRenamed(valCol, "__old"), key)
+          .filter(col(valCol) =!= col("__old")).count() +
+          math.abs(next.count() - cur.count())
+        graft.core.Checkpoints.release(cur)
+        cur = next
+      }
+      if (changed > 0) {
+        graft.core.Checkpoints.release(cur)
+        throw new IllegalStateException(
+          s"betweenness $what propagation still changing after $maxHops " +
+            "rounds — the shortest-path DAG is deeper than maxHops; " +
+            "raise it (rounds past the true depth are no-ops)")
+      }
+      cur
     }
+    val sigma = toFixpoint(seeds.localCheckpoint(true),
+      s => sigmaStep(seeds, dag, s), Seq("source", "node"), "sg", "sigma")
     // δ: δ_k(v) = Σ_succ (σ_v·(M+δ_{k-1}(w))) div σ_w, full recompute
-    var delta = dist.select(col("source"), col("node"), lit(0L).as("dl"))
-      .localCheckpoint(true)
-    for (_ <- 1 to maxHops) {
-      val step = deltaStep(dist, dag, sigma, delta)
-      graft.core.Checkpoints.release(delta)
-      delta = step
-    }
+    val delta = toFixpoint(
+      dist.select(col("source"), col("node"), lit(0L).as("dl"))
+        .localCheckpoint(true),
+      d => deltaStep(dist, dag, sigma, d), Seq("source", "node"), "dl",
+      "delta")
     val out = nodes.select(col(nodes.columns(0)).cast("string").as("node"))
       .join(delta.filter(col("node") =!= col("source"))
           .groupBy("node").agg(sum(col("dl")).as("bc_micro")),
