@@ -186,6 +186,40 @@ object Graph {
       (Seq(und, c0) ++ steps).mkString(",\n")
     }
 
+    /** HITS chain h0..h<iters> in ppm fixed point (the g11 integer
+      * discipline): auth = (Σ in-hub · 10⁶ div total) · 10⁶ then hub =
+      * (Σ out-auth · 10⁶ div total) · 10⁶ per round — every op integer,
+      * every sum order-independent; the ppm-then-rescale form keeps all
+      * Spark-side products inside BIGINT (DuckDB would silently promote
+      * to HUGEINT and diverge from an overflowing engine otherwise).
+      */
+    def hitsChain(iters: Int): String = {
+      val unit = s"(1000000000000 // (SELECT cnt FROM nct))"
+      val h0 = s"h0 AS MATERIALIZED (SELECT START_NODE AS node, CAST($unit AS BIGINT) AS hub, CAST($unit AS BIGINT) AS auth FROM ids)"
+      val steps = (1 to iters).map { i =>
+        s"""ar$i AS MATERIALIZED (
+           |  SELECT e.dst AS node, sum(h.hub) AS raw
+           |  FROM edges e JOIN h${i - 1} h ON h.node = e.src GROUP BY 1),
+           |at$i AS MATERIALIZED (SELECT sum(raw) AS t FROM ar$i),
+           |ha$i AS MATERIALIZED (
+           |  SELECT n.node, n.hub,
+           |    CAST((coalesce(a.raw, 0) * 1000000 // (SELECT t FROM at$i))
+           |      * 1000000 AS BIGINT) AS auth
+           |  FROM h${i - 1} n LEFT JOIN ar$i a USING (node)),
+           |hr$i AS MATERIALIZED (
+           |  SELECT e.src AS node, sum(x.auth) AS raw
+           |  FROM edges e JOIN ha$i x ON x.node = e.dst GROUP BY 1),
+           |ht$i AS MATERIALIZED (SELECT sum(raw) AS t FROM hr$i),
+           |h$i AS MATERIALIZED (
+           |  SELECT n.node,
+           |    CAST((coalesce(r.raw, 0) * 1000000 // (SELECT t FROM ht$i))
+           |      * 1000000 AS BIGINT) AS hub, n.auth
+           |  FROM ha$i n LEFT JOIN hr$i r USING (node))""".stripMargin
+      }
+      (Seq("nct AS MATERIALIZED (SELECT count(*) AS cnt FROM ids)", h0) ++
+        steps).mkString(",\n")
+    }
+
     /** Synchronous min-tie-break label-propagation chain l0..l<rounds>:
       * each step every node adopts the most frequent neighbor label
       * (ties → minimum label, VARCHAR order), isolated nodes keep their
@@ -697,6 +731,24 @@ object Graph {
       sliceOracle(s"""WITH ${Oracle.edgesCte},
               |${Oracle.lpaChain(16)}
               |SELECT node AS node_id, lbl AS community
-              |FROM l16""".stripMargin))
+              |FROM l16""".stripMargin)),
+
+    // HITS hubs & authorities (the reference platform's gds.alpha.hits)
+    // in ppm fixed point with L1 normalization — the only formulation
+    // whose per-round sums are order-independent and whose products
+    // stay inside BIGINT in both engines (L2's sqrt is irrational;
+    // see algo.Hits scaladoc). Fixed 10 rounds like g11.
+    GQ("g20_hits",
+      (s, _) => {
+        val pg = g(s)
+        graft.algo.Hits.run(pg.nodes.select("nodeId"),
+            pg.projection.select("src", "dst"), iters = 10)
+          .select(col("node").as("node_id"), col("hub_micro"),
+            col("auth_micro"))
+      },
+      sliceOracle(s"""WITH ${Oracle.edgesCte},
+              |${Oracle.hitsChain(10)}
+              |SELECT node AS node_id, hub AS hub_micro, auth AS auth_micro
+              |FROM h10""".stripMargin))
   )
 }

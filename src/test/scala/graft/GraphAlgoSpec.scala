@@ -386,6 +386,67 @@ class GraphAlgoSpec extends AnyFunSuite {
     }
   }
 
+  test("hits: distributed ≡ sequential on slice 1; mass bounds hold") {
+    val nodes = pg.nodes.select("nodeId")
+    val edges = pg.projection.select("src", "dst")
+    val local = algo.Hits.run(nodes, edges, iters = 10)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val dist = algo.Hits.run(nodes, edges, iters = 10,
+        localEdgeThreshold = 0L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(local.size === 3705)
+    assert(dist === local)
+    // each ppm-normalized vector sums to ≤ 10¹² and is non-degenerate
+    val hubSum = local.values.iterator.map(_._1).sum
+    val authSum = local.values.iterator.map(_._2).sum
+    assert(hubSum > 0L && hubSum <= 1_000_000_000_000L)
+    assert(authSum > 0L && authSum <= 1_000_000_000_000L)
+    assert(local.values.exists(_._1 > 0L) && local.values.exists(_._2 > 0L))
+  }
+
+  test("hits: star fixture — leaves are pure authorities, hub is pure hub") {
+    // c -> {a, b, d}: c is the only hub; a/b/d split authority evenly;
+    // iso has neither. Exact ppm thirds: (10^6 div 3) * 10^6 each.
+    val nodes = Seq("a", "b", "c", "d", "iso").toDF("node")
+    val edges = Seq(("c", "a"), ("c", "b"), ("c", "d")).toDF("src", "dst")
+    val got = algo.Hits.run(nodes, edges, iters = 10)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val third = (1_000_000L / 3L) * 1_000_000L
+    assert(got("c") === ((1_000_000_000_000L, 0L)))
+    Seq("a", "b", "d").foreach(v => assert(got(v) === ((0L, third)), v))
+    assert(got("iso") === ((0L, 0L)))
+    // edgeless graph: degenerate rounds keep the uniform vector
+    val flat = algo.Hits.run(nodes,
+        Seq.empty[(String, String)].toDF("src", "dst"), iters = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).distinct
+    assert(flat === Seq((200_000_000_000L, 200_000_000_000L)))
+  }
+
+  test("hits: random digraphs — distributed ≡ sequential across iterations") {
+    for (seed <- Seq(13, 61)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 15 + rnd.nextInt(15)
+      val pairs = (for (_ <- 0 until 40 + rnd.nextInt(40)) yield
+        (s"v${rnd.nextInt(n)}", s"v${rnd.nextInt(n)}"))
+        .filter(e => e._1 != e._2).distinct
+      val nodesDf = (0 until n).map(i => s"v$i").toDF("node")
+      val edgesDf = pairs.toDF("src", "dst")
+      for (iters <- Seq(1, 5)) {
+        val local = algo.Hits.run(nodesDf, edgesDf, iters)
+          .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+          .toMap
+        val dist = algo.Hits.run(nodesDf, edgesDf, iters,
+            localEdgeThreshold = 0L)
+          .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+          .toMap
+        assert(dist === local, s"hits seed=$seed iters=$iters")
+      }
+    }
+  }
+
   test("triangles: fixture counts, dup/reverse edges collapse, zeros kept") {
     // two triangles sharing edge b–c, one spectator node e; parallel and
     // reversed edges must not double-count
