@@ -221,6 +221,36 @@ object Streaming {
              |SELECT user_id, session_start, session_end, n_events
              |FROM g QUALIFY sid < max(sid) OVER (PARTITION BY user_id)""".stripMargin)),
 
+    // REAL stream-stream LEFT OUTER interval join: unmatched purchases
+    // emit sentinel-extended (c_id −1, c_ts epoch — NULLs never
+    // hash-compare) once the global watermark proves no click can still
+    // match. The oracle encodes the exact finite-replay flush boundary:
+    // unmatched rows appear iff p_ts < min(max p_ts, max c_ts) − 1 h
+    // (the terminal no-data batch's watermark); StreamingSpec pins the
+    // same boundary against the batch join.
+    GQ("stream_outer_interval_join",
+      (s, dir) => runToMemory(s, "graft_stream_ssouter", "append")(
+        EventStreams.purchaseClickOuterJoin(
+          EventStreams.readEvents(s, s"$dir/events.parquet"))),
+      Some("""WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts
+             |          FROM events WHERE event_type = 'purchase'),
+             |c AS (SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts
+             |      FROM events WHERE event_type = 'click'),
+             |wm AS (SELECT least((SELECT max(p_ts) FROM p),
+             |                    (SELECT max(c_ts) FROM c))
+             |              - INTERVAL 1 HOUR AS w),
+             |pj AS (
+             |  SELECT p.p_id, p.user_id, p.p_ts, c.c_id, c.c_ts
+             |  FROM p LEFT JOIN c
+             |    ON c.c_user = p.user_id
+             |    AND c.c_ts >= p.p_ts - INTERVAL 10 MINUTE
+             |    AND c.c_ts <= p.p_ts)
+             |SELECT p_id, user_id, p_ts,
+             |  coalesce(c_id, -1) AS c_id,
+             |  coalesce(c_ts, TIMESTAMP '1970-01-01') AS c_ts
+             |FROM pj
+             |WHERE c_id IS NOT NULL OR p_ts < (SELECT w FROM wm)""".stripMargin)),
+
     // REAL streaming near-dup at ingest: MinHash+LSH with per-band bucket
     // state (transformWithState ListState), verifying exact Jaccard
     // in-state as documents arrive. Oracled with the SAME shared CTE

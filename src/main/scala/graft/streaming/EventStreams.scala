@@ -183,6 +183,43 @@ object EventStreams {
         col("c_id"), col("c_ts"))
   }
 
+  /** LEFT OUTER stream-stream interval join — the missing-match-aware
+    * variant of purchaseClickJoin: every purchase row emits, and one
+    * with NO same-user click in its preceding 10 minutes emits
+    * null-extended (here sentinel-extended: c_id −1, c_ts epoch — the
+    * q34 convention, because engine NULL encodings never hash-compare)
+    * as soon as the watermark PROVES no matching click can still
+    * arrive. That proof is the whole mechanism: an unmatched purchase
+    * sits in join state until the global watermark (min of both sides'
+    * event-time watermarks) passes its p_ts — the latest possible
+    * matching click time — and only then flushes. On finite replay the
+    * terminal no-data micro-batch advances the watermark to
+    * max(event time) − 1 h, so purchases OLDER than that threshold
+    * flush deterministically and YOUNGER unmatched ones are still in
+    * state when the query stops, i.e. absent from the output. The
+    * oracle encodes exactly that boundary (StreamingSpec pins it
+    * against the batch join first).
+    */
+  def purchaseClickOuterJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+          col("c_ts") <= col("p_ts"),
+        "left_outer")
+      .select(col("p_id"), col("p_user").as("user_id"), col("p_ts"),
+        coalesce(col("c_id"), lit(-1L)).as("c_id"),
+        coalesce(col("c_ts"), lit("1970-01-01").cast("timestamp"))
+          .as("c_ts"))
+  }
+
   /** Stream-static enrichment: join the event stream against a STATIC
     * dimension table, then aggregate per enriched key. The static side
     * needs no streaming state at all — it is planned as an ordinary

@@ -160,6 +160,52 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("outer interval join: matches ≡ batch; unmatched flush exactly at the watermark") {
+    val q = EventStreams.purchaseClickOuterJoin(
+        EventStreams.readEvents(spark, s"$sf/events.parquet"))
+      .writeStream.format("memory").queryName("t_outer_join")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("t_outer_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime,
+        r.getLong(3), r.getTimestamp(4).getTime)).toSet
+    // batch expectation: full left-outer join, with sentinel-extended
+    // rows kept ONLY for purchases older than the final watermark
+    // (min of both sides' max event time − 1 h) — younger unmatched
+    // purchases are still in state when the finite stream stops
+    val ev = batchEvents
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val wmMillis = math.min(
+      p.agg(max("p_ts")).head().getTimestamp(0).getTime,
+      c.agg(max("c_ts")).head().getTimestamp(0).getTime) - 3600L * 1000L
+    val joined = p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+          col("c_ts") <= col("p_ts"),
+        "left_outer")
+      .select(col("p_id"), col("p_user"), col("p_ts"), col("c_id"),
+        col("c_ts"))
+      .collect()
+    val expected = joined.flatMap { r =>
+      val pTs = r.getTimestamp(2).getTime
+      if (!r.isNullAt(3))
+        Some((r.getLong(0), r.getLong(1), pTs, r.getLong(3),
+          r.getTimestamp(4).getTime))
+      else if (pTs < wmMillis)
+        Some((r.getLong(0), r.getLong(1), pTs, -1L, 0L))
+      else None
+    }.toSet
+    assert(streamed.nonEmpty)
+    assert(streamed.exists(_._4 == -1L),
+      "no sentinel-extended rows — the outer flush never happened")
+    assert(streamed === expected)
+  }
+
   test("streaming near-dup at ingest ≡ batch minhashNearDup on the same slice") {
     // per-band bucket state (transformWithState ListState) with in-state
     // exact-Jaccard verification must reproduce the batch operator's
