@@ -186,6 +186,44 @@ object Graph {
       (Seq(und, c0) ++ steps).mkString(",\n")
     }
 
+    /** Deterministic random-walk chain wk0..wk<length> (the md5-keyed
+      * next-hop contract of algo.RandomWalks): per step, the correlated
+      * positional-hex-digit sum parses the first 8 md5 hex digits — the
+      * minhash-oracle technique — and picks the (H mod deg)-th
+      * ascending-id out-neighbor.
+      */
+    def walkChain(numWalks: Int, length: Int): String = {
+      val walkVals = (0 until numWalks).map(w => s"($w)").mkString(", ")
+      val pre = s"""whx(i, p) AS (SELECT * FROM (VALUES (1, 268435456),
+         |  (2, 16777216), (3, 1048576), (4, 65536), (5, 4096), (6, 256),
+         |  (7, 16), (8, 1)) v(i, p)),
+         |wnbr AS MATERIALIZED (
+         |  SELECT src, dst,
+         |         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+         |  FROM (SELECT DISTINCT src, dst FROM edges)),
+         |wdeg AS MATERIALIZED (SELECT src, count(*) AS deg FROM wnbr GROUP BY 1),
+         |wk0 AS MATERIALIZED (
+         |  SELECT START_NODE AS start, w.walk, START_NODE AS cur
+         |  FROM ids CROSS JOIN (VALUES $walkVals) w(walk))""".stripMargin
+      val steps = (1 to length).map { t =>
+        s"""wk$t AS MATERIALIZED (
+           |  SELECT s.start, s.walk, n.dst AS cur
+           |  FROM wk${t - 1} s
+           |  JOIN wdeg d ON d.src = s.cur
+           |  JOIN wnbr n ON n.src = s.cur AND n.idx = ((
+           |    SELECT sum((strpos('0123456789abcdef', substr(
+           |      md5(concat_ws('|', s.start, s.walk, $t, s.cur)), x.i, 1)) - 1)
+           |      * x.p)
+           |    FROM whx x) % d.deg))""".stripMargin
+      }
+      val levels = (s"SELECT start, walk, 0 AS step, start AS node FROM wk0" +:
+        (1 to length).map(t =>
+          s"SELECT start, walk, $t AS step, cur AS node FROM wk$t"))
+        .mkString("\nUNION ALL\n")
+      (Seq(pre) ++ steps).mkString(",\n") +
+        s",\nwall AS (\n$levels)"
+    }
+
     /** HITS chain h0..h<iters> in ppm fixed point (the g11 integer
       * discipline): auth = (Σ in-hub · 10⁶ div total) · 10⁶ then hub =
       * (Σ out-auth · 10⁶ div total) · 10⁶ per round — every op integer,
@@ -749,6 +787,24 @@ object Graph {
       sliceOracle(s"""WITH ${Oracle.edgesCte},
               |${Oracle.hitsChain(10)}
               |SELECT node AS node_id, hub AS hub_micro, auth AS auth_micro
-              |FROM h10""".stripMargin))
+              |FROM h10""".stripMargin)),
+
+    // Deterministic random-walk corpus (the DeepWalk/node2vec sampling
+    // shape: walk sequences feed a skip-gram embedding trainer like
+    // token windows — a training-data-pipeline operator as much as a
+    // graph one). True PRNG walks are un-oracle-able, so the contract
+    // fixes the randomness: next hop = ascending-id out-neighbor at
+    // index (first-8-hex-of-md5(start|walk|step|cur) mod outdeg);
+    // dead ends stop early; 2 walks × 8 steps per node.
+    GQ("g21_walks",
+      (s, _) => {
+        val pg = g(s)
+        graft.algo.RandomWalks.walks(pg.nodes.select("nodeId"),
+          pg.projection.select("src", "dst"), numWalks = 2, length = 8)
+      },
+      sliceOracle(s"""WITH ${Oracle.edgesCte},
+              |${Oracle.walkChain(2, 8)}
+              |SELECT start AS start_id, walk AS walk_id, step, node AS node_id
+              |FROM wall""".stripMargin))
   )
 }

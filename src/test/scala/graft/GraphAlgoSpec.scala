@@ -447,6 +447,46 @@ class GraphAlgoSpec extends AnyFunSuite {
     }
   }
 
+  test("random walks: DataFrame chain ≡ in-memory reference on slice 1") {
+    val got = algo.RandomWalks.walks(pg.nodes.select("nodeId"),
+        pg.projection.select("src", "dst"), numWalks = 2, length = 8)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSet
+    val nodeIds = pg.nodes.select("nodeId").collect().map(_.getString(0))
+    val pairs = pg.projection.select("src", "dst").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val ref = algo.RandomWalks.localReference(nodeIds, pairs, 2, 8)
+    assert(got === ref)
+    // every (node, walk) pair has its step-0 row; walks genuinely move
+    assert(got.count(_._3 == 0) === 3705 * 2)
+    assert(got.exists(t => t._3 > 0 && t._4 != t._1))
+    // determinism under repartition
+    val again = algo.RandomWalks.walks(
+        pg.nodes.select("nodeId").repartition(7),
+        pg.projection.select("src", "dst").repartition(13), 2, 8)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSet
+    assert(again === got)
+  }
+
+  test("random walks: dead ends stop early, neighbor order is by id") {
+    // a -> {b, c}; b dead end; c -> a (cycle). Walks from b emit only
+    // step 0. Next-hop from a must index the ID-SORTED neighbor list.
+    val nodes = Seq("a", "b", "c").toDF("node")
+    val edges = Seq(("a", "b"), ("a", "c"), ("c", "a")).toDF("src", "dst")
+    val got = algo.RandomWalks.walks(nodes, edges, numWalks = 3, length = 5)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSet
+    val ref = algo.RandomWalks.localReference(Array("a", "b", "c"),
+      Array(("a", "b"), ("a", "c"), ("c", "a")), 3, 5)
+    assert(got === ref)
+    assert(got.filter(t => t._1 == "b") === got.filter(t =>
+      t._1 == "b" && t._3 == 0), "dead-end walks must stop at step 0")
+  }
+
   test("triangles: fixture counts, dup/reverse edges collapse, zeros kept") {
     // two triangles sharing edge b–c, one spectator node e; parallel and
     // reversed edges must not double-count
