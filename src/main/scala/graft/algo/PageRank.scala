@@ -106,4 +106,64 @@ object PageRank {
     e.unpersist()
     ranks.select(col("node"), col("r").as("rank_micro"))
   }
+
+  /** Personalized PageRank: the teleport mass returns to ONE seed node
+    * instead of spreading uniformly — the similarity/recommendation
+    * variant (`gds.pageRank` with sourceNodes). Same exact-integer
+    * discipline as `run`: all mass starts at the seed, each round
+    * r(v) = [v = seed]·(15·mass div 100) + (85·Σ_in contrib) div 100,
+    * so every sum is order-independent and the chained-CTE oracle is
+    * bit-identical. Dangling/truncation leakage as in `run`.
+    */
+  def personalized(nodes: DataFrame, edges: DataFrame, seed: String,
+      iters: Int = 10, mass: Long = 1_000_000_000_000L,
+      localEdgeThreshold: Long = LocalEdgeThreshold): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val nodeIds = nodes.select(col(nodes.columns(0)).as("node"))
+    val e = edges.select(col(edges.columns(0)).as("src"),
+      col(edges.columns(1)).as("dst")).cache()
+    val nEdges = e.count()
+    val base = 15L * mass / 100L
+    if (nEdges <= localEdgeThreshold) {
+      val pairs = e.collect().map(r => (r.getString(0), r.getString(1)))
+      e.unpersist()
+      val ids = nodeIds.collect().map(_.getString(0))
+      require(ids.contains(seed), s"seed $seed not in node set")
+      val deg = pairs.groupBy(_._1).map { case (s, es) =>
+        s -> es.length.toLong }
+      var r = ids.map(v => v -> (if (v == seed) mass else 0L)).toMap
+      for (_ <- 1 to iters) {
+        val in = scala.collection.mutable.HashMap.empty[String, Long]
+          .withDefaultValue(0L)
+        pairs.foreach { case (s, d) =>
+          r.get(s).foreach(rs => in(d) += rs / deg(s)) }
+        r = ids.map(v =>
+          v -> ((if (v == seed) base else 0L) + 85L * in(v) / 100L)).toMap
+      }
+      val spark = nodes.sparkSession
+      import spark.implicits._
+      return ids.map(v => (v, r(v))).toSeq.toDF("node", "rank_micro")
+    }
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).cache()
+    var ranks = nodeIds.withColumn("r",
+        when(col("node") === seed, lit(mass)).otherwise(lit(0L)))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contribs = ranks.join(deg, ranks("node") === deg("src"))
+        .selectExpr("src", "r div deg AS c")
+      val sums = e.join(contribs, Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum("c").as("m"))
+      val next = nodeIds.join(sums, Seq("node"), "left_outer")
+        .selectExpr("node",
+          s"CAST((CASE WHEN node = '$seed' THEN ${base}L ELSE 0L END)" +
+            " + (85 * coalesce(m, CAST(0 AS BIGINT))) div 100" +
+            " AS BIGINT) AS r")
+        .localCheckpoint(true)
+      graft.core.Checkpoints.release(ranks)
+      ranks = next
+    }
+    deg.unpersist()
+    e.unpersist()
+    ranks.select(col("node"), col("r").as("rank_micro"))
+  }
 }

@@ -186,6 +186,27 @@ object Graph {
       (Seq(und, c0) ++ steps).mkString(",\n")
     }
 
+    /** Personalized-PageRank chain pp0..pp<iters>: g11's integer chain
+      * with the teleport mass returning to the single seed.
+      */
+    def pprChain(seed: String, iters: Int): String = {
+      val deg = "ppdeg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY 1)"
+      val base = "(15 * 1000000000000 // 100)"
+      val p0 = s"pp0 AS MATERIALIZED (SELECT START_NODE AS node, CAST(CASE WHEN START_NODE = '$seed' THEN 1000000000000 ELSE 0 END AS BIGINT) AS r FROM ids)"
+      val steps = (1 to iters).map { i =>
+        s"""pp$i AS MATERIALIZED (
+           |  SELECT n.START_NODE AS node,
+           |    CAST((CASE WHEN n.START_NODE = '$seed' THEN $base ELSE 0 END)
+           |      + (85 * coalesce(s.m, 0)) // 100 AS BIGINT) AS r
+           |  FROM ids n LEFT JOIN (
+           |    SELECT e.dst AS node, sum(p.r // d.deg) AS m
+           |    FROM pp${i - 1} p JOIN ppdeg d ON d.src = p.node
+           |      JOIN edges e ON e.src = p.node
+           |    GROUP BY 1) s ON s.node = n.START_NODE)""".stripMargin
+      }
+      (Seq(deg, p0) ++ steps).mkString(",\n")
+    }
+
     /** Deterministic random-walk chain wk0..wk<length> (the md5-keyed
       * next-hop contract of algo.RandomWalks): per step, the correlated
       * positional-hex-digit sum parses the first 8 md5 hex digits — the
@@ -805,6 +826,22 @@ object Graph {
       sliceOracle(s"""WITH ${Oracle.edgesCte},
               |${Oracle.walkChain(2, 8)}
               |SELECT start AS start_id, walk AS walk_id, step, node AS node_id
-              |FROM wall""".stripMargin))
+              |FROM wall""".stripMargin)),
+
+    // Personalized PageRank from the canonical source (gds.pageRank with
+    // sourceNodes): teleport mass returns to the seed only — the
+    // similarity/recommendation variant, in g11's exact-integer
+    // micro-mass discipline (order-independent sums, hash-oracle-able).
+    GQ("g22_ppr",
+      (s, _) => {
+        val pg = g(s)
+        graft.algo.PageRank.personalized(pg.nodes.select("nodeId"),
+            pg.projection.select("src", "dst"), seed = Src, iters = 10)
+          .select(col("node").as("node_id"), col("rank_micro"))
+      },
+      sliceOracle(s"""WITH ${Oracle.edgesCte},
+              |${Oracle.pprChain(Src, 10)}
+              |SELECT node AS node_id, r AS rank_micro
+              |FROM pp10""".stripMargin))
   )
 }

@@ -487,6 +487,25 @@ class GraphAlgoSpec extends AnyFunSuite {
       t._1 == "b" && t._3 == 0), "dead-end walks must stop at step 0")
   }
 
+  test("ppr: distributed ≡ sequential on slice 1; mass localizes at the seed") {
+    val nodes = pg.nodes.select("nodeId")
+    val edges = pg.projection.select("src", "dst")
+    val local = algo.PageRank.personalized(nodes, edges, queries.Graph.Src,
+        iters = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dist = algo.PageRank.personalized(nodes, edges, queries.Graph.Src,
+        iters = 10, localEdgeThreshold = 0L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(local.size === 3705)
+    assert(dist === local)
+    // the seed keeps the teleport mass — it must rank at/near the top,
+    // and nodes unreachable from the seed carry exactly 0
+    assert(local(queries.Graph.Src) >= 150_000_000_000L * 85L / 100L)
+    assert(local.values.exists(_ == 0L))
+    val totalMass = local.values.sum
+    assert(totalMass > 0L && totalMass <= 1_000_000_000_000L)
+  }
+
   test("triangles: fixture counts, dup/reverse edges collapse, zeros kept") {
     // two triangles sharing edge b–c, one spectator node e; parallel and
     // reversed edges must not double-count
