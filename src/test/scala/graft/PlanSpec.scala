@@ -180,4 +180,36 @@ class PlanSpec extends AnyFunSuite {
     val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
     assert(exchanges.forall(_.contains("shard")), p)
   }
+
+  test("random-walk step: equi joins only, never nested-loop/cartesian") {
+    // each of the L steps must be a hash/sort-merge equi join of the
+    // frontier against the neighbor-index table — a nested loop here
+    // multiplies by |V| at scale. The md5 pick must be codegen'd
+    // expressions (no UDF objects in the plan).
+    import spark.implicits._
+    val nodes = (0 until 50).map(i => s"v$i").toDF("node")
+    val edges = (0 until 50).flatMap(i =>
+      Seq((s"v$i", s"v${(i + 1) % 50}"), (s"v$i", s"v${(i * 7) % 50}")))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    val p = plan(graft.algo.RandomWalks.walks(nodes, edges,
+      numWalks = 1, length = 2))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
+
+  test("video/audio hashing stages are map-side: no shuffle before banding") {
+    // perceptual hashing is pure per-row work over the payload column;
+    // the FIRST exchange must belong to the banding join downstream,
+    // never to the hash computation itself (shuffling payload bytes is
+    // the classic 100 TB mistake)
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(60)
+    val media = graft.llm.Multimodal.syntheticMedia(spark, docs)
+    for (hashed <- Seq(
+        graft.llm.MediaDedup.videoHashes(media, stride = 4).toDF(),
+        graft.llm.MediaDedup.audioHashes(media).toDF())) {
+      val p = plan(hashed)
+      assert(countShuffles(p) === 0, p)
+    }
+  }
 }
