@@ -84,6 +84,134 @@ object RandomWalks {
       col("step"), col("node").as("node_id"))
   }
 
+  /** node2vec-style SECOND-ORDER biased walks (Grover & Leskovec): the
+    * next hop from `cur` (arrived from `prev`) weights each candidate
+    * out-neighbor x by
+    *
+    *   retWeight  if x = prev                (1/p, the return parameter)
+    *   adjWeight  if the edge prev→x exists  (distance-1: stay local)
+    *   farWeight  otherwise                  (1/q, the in-out parameter)
+    *
+    * with the defaults (1, 4, 2) ≙ p = 4, q = 2 scaled to integers —
+    * integer weights are the contract precisely so the weighted pick is
+    * exact: r = H(start|walk|t|cur|prev) mod Σw selects the unique
+    * candidate whose cumulative-weight interval [cum−w, cum) contains r,
+    * candidates in ascending id order. Step 1 has prev = '' (matches
+    * nothing), so all weights fall to farWeight and the pick is uniform.
+    * Directed convention: "adjacent to prev" means the DIRECTED edge
+    * prev→x (the corpus is a digraph; the undirected variant is the
+    * symmetrized projection).
+    *
+    * Per step: one equi-join frontier×neighbors, one left join against
+    * the edge set for the adjacency flag, one windowed cumulative sum
+    * partitioned per frontier row — no driver state, no UDF.
+    */
+  def node2vecWalks(nodes: DataFrame, edges: DataFrame, numWalks: Int = 2,
+      length: Int = 8, retWeight: Int = 1, adjWeight: Int = 4,
+      farWeight: Int = 2): DataFrame = {
+    require(numWalks >= 1 && length >= 1, "numWalks and length must be >= 1")
+    require(retWeight >= 1 && adjWeight >= 1 && farWeight >= 1,
+      "weights must be positive integers")
+    import org.apache.spark.sql.expressions.Window
+    val nodeIds = nodes.select(col(nodes.columns(0)).cast("string").as("node"))
+    val e = edges.select(col(edges.columns(0)).cast("string").as("src"),
+      col(edges.columns(1)).cast("string").as("dst")).distinct()
+      .localCheckpoint(true)
+    val walkIds = (0 until numWalks).map(lit(_))
+    var frontier = nodeIds
+      .select(col("node").as("start"),
+        explode(array(walkIds: _*)).as("walk"),
+        lit("").as("prev"), col("node").as("cur"))
+      .localCheckpoint(true)
+    var out = frontier.select(col("start"), col("walk"),
+      lit(0).as("step"), col("cur").as("node"))
+      .localCheckpoint(true)
+    for (t <- 1 to length) {
+      val cands = frontier
+        .join(e, col("cur") === e("src"))
+        .select(col("start"), col("walk"), col("prev"), col("cur"),
+          col("dst").as("cand"))
+      val flagged = cands
+        .join(e.select(col("src").as("f_src"), col("dst").as("f_dst"),
+          lit(1).as("adj")),
+          col("prev") === col("f_src") && col("cand") === col("f_dst"),
+          "left_outer")
+        .withColumn("w",
+          when(col("cand") === col("prev"), lit(retWeight.toLong))
+            .when(col("adj") === 1, lit(adjWeight.toLong))
+            .otherwise(lit(farWeight.toLong)))
+      val part = Window.partitionBy("start", "walk", "cur", "prev")
+      val cum = sum(col("w")).over(part.orderBy("cand")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      val tot = sum(col("w")).over(part)
+      val key = concat_ws("|", col("start"), col("walk"), lit(t),
+        col("cur"), col("prev"))
+      val r = conv(substring(md5(key), 1, 8), 16, 10).cast("long") % tot
+      val next = flagged
+        .withColumn("cum", cum).withColumn("r", r)
+        .where(col("r") >= col("cum") - col("w") && col("r") < col("cum"))
+        .select(col("start"), col("walk"), col("cur").as("prev"),
+          col("cand").as("cur"))
+        .localCheckpoint(true)
+      val level = next.select(col("start"), col("walk"),
+        lit(t).as("step"), col("cur").as("node"))
+      val nextOut = out.union(level).localCheckpoint(true)
+      graft.core.Checkpoints.release(out)
+      graft.core.Checkpoints.release(frontier)
+      out = nextOut
+      frontier = next
+    }
+    graft.core.Checkpoints.release(frontier)
+    graft.core.Checkpoints.release(e)
+    out.select(col("start").as("start_id"), col("walk").as("walk_id"),
+      col("step"), col("node").as("node_id"))
+  }
+
+  /** In-memory reference of node2vecWalks' exact contract. */
+  private[graft] def localNode2vecReference(nodeIds: Array[String],
+      pairs: Array[(String, String)], numWalks: Int, length: Int,
+      retWeight: Int = 1, adjWeight: Int = 4, farWeight: Int = 2)
+      : Set[(String, Int, Int, String)] = {
+    val dpairs = pairs.distinct
+    val nbrs = dpairs.groupBy(_._1)
+      .map { case (k, es) => k -> es.map(_._2).distinct.sorted }
+    val edgeSet = dpairs.toSet
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(key: String): Long = {
+      val hex = md.digest(key.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val out = scala.collection.mutable.Set.empty[(String, Int, Int, String)]
+    for (v <- nodeIds; wk <- 0 until numWalks) {
+      var prev = ""
+      var cur = v
+      out += ((v, wk, 0, cur))
+      var t = 1
+      var alive = true
+      while (t <= length && alive) {
+        nbrs.get(cur) match {
+          case Some(ns) =>
+            val ws = ns.map { x =>
+              if (x == prev) retWeight.toLong
+              else if (edgeSet.contains((prev, x))) adjWeight.toLong
+              else farWeight.toLong
+            }
+            val r = h(s"$v|$wk|$t|$cur|$prev") % ws.sum
+            var acc = 0L
+            var i = 0
+            while (acc + ws(i) <= r) { acc += ws(i); i += 1 }
+            prev = cur
+            cur = ns(i)
+            out += ((v, wk, t, cur))
+          case None => alive = false
+        }
+        t += 1
+      }
+    }
+    out.toSet
+  }
+
   /** In-memory reference of the same contract for audits. */
   private[graft] def localReference(nodeIds: Array[String],
       pairs: Array[(String, String)], numWalks: Int, length: Int)

@@ -186,6 +186,53 @@ object Graph {
       (Seq(und, c0) ++ steps).mkString(",\n")
     }
 
+    /** node2vec second-order walk chain nv0..nv<length>: per step,
+      * candidates carry the integer (ret, adj, far) weight by CASE +
+      * EXISTS(prev→cand), the windowed cumulative sum orders candidates
+      * by id, and the md5 positional-hex hash mod Σw picks the unique
+      * candidate whose [cum−w, cum) interval contains it — the exact
+      * algo.RandomWalks.node2vecWalks contract.
+      */
+    def node2vecChain(numWalks: Int, length: Int, retW: Int, adjW: Int,
+        farW: Int): String = {
+      val walkVals = (0 until numWalks).map(w => s"($w)").mkString(", ")
+      val pre = s"""nvhx(i, p) AS (SELECT * FROM (VALUES (1, 268435456),
+         |  (2, 16777216), (3, 1048576), (4, 65536), (5, 4096), (6, 256),
+         |  (7, 16), (8, 1)) v(i, p)),
+         |nvnbr AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+         |nv0 AS MATERIALIZED (
+         |  SELECT START_NODE AS start, w.walk, '' AS prev, START_NODE AS cur
+         |  FROM ids CROSS JOIN (VALUES $walkVals) w(walk))""".stripMargin
+      val steps = (1 to length).map { t =>
+        s"""nvc$t AS MATERIALIZED (
+           |  SELECT s.start, s.walk, s.prev, s.cur, n.dst AS cand,
+           |    CASE WHEN n.dst = s.prev THEN $retW
+           |         WHEN EXISTS (SELECT 1 FROM nvnbr e2
+           |                      WHERE e2.src = s.prev AND e2.dst = n.dst)
+           |           THEN $adjW
+           |         ELSE $farW END AS w
+           |  FROM nv${t - 1} s JOIN nvnbr n ON n.src = s.cur),
+           |nvs$t AS MATERIALIZED (
+           |  SELECT *, sum(w) OVER (PARTITION BY start, walk, cur, prev
+           |      ORDER BY cand ROWS UNBOUNDED PRECEDING) AS cum,
+           |    sum(w) OVER (PARTITION BY start, walk, cur, prev) AS tot
+           |  FROM nvc$t),
+           |nv$t AS MATERIALIZED (
+           |  SELECT start, walk, cur AS prev, cand AS cur
+           |  FROM (SELECT *, ((
+           |      SELECT sum((strpos('0123456789abcdef', substr(
+           |        md5(concat_ws('|', start, walk, $t, cur, prev)), x.i, 1))
+           |        - 1) * x.p)
+           |      FROM nvhx x) % tot) AS r FROM nvs$t)
+           |  WHERE r >= cum - w AND r < cum)""".stripMargin
+      }
+      val levels = (s"SELECT start, walk, 0 AS step, cur AS node FROM nv0" +:
+        (1 to length).map(t =>
+          s"SELECT start, walk, $t AS step, cur AS node FROM nv$t"))
+        .mkString("\nUNION ALL\n")
+      (Seq(pre) ++ steps).mkString(",\n") + s",\nnvall AS (\n$levels)"
+    }
+
     /** Personalized-PageRank chain pp0..pp<iters>: g11's integer chain
       * with the teleport mass returning to the single seed.
       */
@@ -842,6 +889,22 @@ object Graph {
       sliceOracle(s"""WITH ${Oracle.edgesCte},
               |${Oracle.pprChain(Src, 10)}
               |SELECT node AS node_id, r AS rank_micro
-              |FROM pp10""".stripMargin))
+              |FROM pp10""".stripMargin)),
+
+    // node2vec second-order biased walks (Grover & Leskovec) — g21's
+    // corpus sampler with the (p, q) return/in-out bias, integer
+    // weights (1, 4, 2) ≙ p=4, q=2 so the weighted pick is exact and
+    // cross-engine: cumulative-weight interval selection under the same
+    // md5 hash family. Directed adjacency convention (prev→x).
+    GQ("g23_node2vec",
+      (s, _) => {
+        val pg = g(s)
+        graft.algo.RandomWalks.node2vecWalks(pg.nodes.select("nodeId"),
+          pg.projection.select("src", "dst"), numWalks = 2, length = 8)
+      },
+      sliceOracle(s"""WITH ${Oracle.edgesCte},
+              |${Oracle.node2vecChain(2, 8, 1, 4, 2)}
+              |SELECT start AS start_id, walk AS walk_id, step, node AS node_id
+              |FROM nvall""".stripMargin))
   )
 }

@@ -506,6 +506,46 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(totalMass > 0L && totalMass <= 1_000_000_000_000L)
   }
 
+  test("node2vec walks: DataFrame chain ≡ in-memory reference on slice 1") {
+    val got = algo.RandomWalks.node2vecWalks(pg.nodes.select("nodeId"),
+        pg.projection.select("src", "dst"), numWalks = 2, length = 8)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSet
+    val nodeIds = pg.nodes.select("nodeId").collect().map(_.getString(0))
+    val pairs = pg.projection.select("src", "dst").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val ref = algo.RandomWalks.localNode2vecReference(nodeIds, pairs, 2, 8)
+    assert(got === ref)
+    // the bias must actually change trajectories vs the uniform walker
+    val uniform = algo.RandomWalks.localReference(nodeIds, pairs, 2, 8)
+    assert(got !== uniform)
+    assert(got.count(_._3 == 0) === 3705 * 2)
+  }
+
+  test("node2vec walks: weights steer the pick on a fixture") {
+    // a -> {b, c}, b -> a, c -> a: walks bounce through a. With an
+    // overwhelming return weight the step AFTER a->x must return to a;
+    // with an overwhelming far weight, from x it must still go to a
+    // (only neighbor), but from a (arrived from x) the non-adjacent
+    // non-return candidate wins.
+    val nodes = Seq("a", "b", "c").toDF("node")
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "a"), ("c", "a"))
+      .toDF("src", "dst")
+    val pairs = Array(("a", "b"), ("a", "c"), ("b", "a"), ("c", "a"))
+    for ((rw, aw, fw) <- Seq((1000, 1, 1), (1, 1000, 1), (1, 1, 1000))) {
+      val got = algo.RandomWalks.node2vecWalks(nodes, edges,
+          numWalks = 2, length = 6, retWeight = rw, adjWeight = aw,
+          farWeight = fw)
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3)))
+        .toSet
+      val ref = algo.RandomWalks.localNode2vecReference(
+        Array("a", "b", "c"), pairs, 2, 6, rw, aw, fw)
+      assert(got === ref, s"weights=($rw,$aw,$fw)")
+    }
+  }
+
   test("triangles: fixture counts, dup/reverse edges collapse, zeros kept") {
     // two triangles sharing edge b–c, one spectator node e; parallel and
     // reversed edges must not double-count
