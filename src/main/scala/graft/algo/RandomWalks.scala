@@ -167,6 +167,29 @@ object RandomWalks {
       col("step"), col("node").as("node_id"))
   }
 
+  /** Skip-gram (center, context) training pairs from a walk corpus —
+    * the step that turns sampled walks into embedding training data
+    * (DeepWalk/node2vec §3: walks are sentences, nodes are tokens, the
+    * window works exactly like word2vec's). One self-join per walk keyed
+    * by (start, walk) with |Δstep| ≤ window, aggregated to
+    * (center, context, n_pairs) — counts, not a pair multiset, so the
+    * output is order-independent and hash-oracle-able. The join is
+    * equi-keyed on the walk id (≤ (length+1)·(2·window) rows per walk),
+    * never node-keyed, so walk skew cannot concentrate it.
+    */
+  def skipGramPairs(walks: DataFrame, window: Int = 2): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val a = walks.select(col("start_id"), col("walk_id"),
+      col("step").as("a_step"), col("node_id").as("center"))
+    val b = walks.select(col("start_id"), col("walk_id"),
+      col("step").as("b_step"), col("node_id").as("context"))
+    a.join(b, Seq("start_id", "walk_id"))
+      .filter(col("a_step") =!= col("b_step") &&
+        abs(col("a_step") - col("b_step")) <= window)
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** In-memory reference of node2vecWalks' exact contract. */
   private[graft] def localNode2vecReference(nodeIds: Array[String],
       pairs: Array[(String, String)], numWalks: Int, length: Int,

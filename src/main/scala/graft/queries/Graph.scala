@@ -905,6 +905,28 @@ object Graph {
       sliceOracle(s"""WITH ${Oracle.edgesCte},
               |${Oracle.node2vecChain(2, 8, 1, 4, 2)}
               |SELECT start AS start_id, walk AS walk_id, step, node AS node_id
-              |FROM nvall""".stripMargin))
+              |FROM nvall""".stripMargin)),
+
+    // Skip-gram (center, context) pairs over the g21 walk corpus with
+    // window 2 — walks are sentences, nodes are tokens, the window is
+    // word2vec's (DeepWalk §3). Aggregated counts keep the output
+    // order-independent; the oracle reruns the walk chain and the same
+    // windowed self-join.
+    GQ("g24_walk_pairs",
+      (s, _) => {
+        val pg = g(s)
+        graft.algo.RandomWalks.skipGramPairs(
+          graft.algo.RandomWalks.walks(pg.nodes.select("nodeId"),
+            pg.projection.select("src", "dst"), numWalks = 2, length = 8),
+          window = 2)
+      },
+      sliceOracle(s"""WITH ${Oracle.edgesCte},
+              |${Oracle.walkChain(2, 8)}
+              |SELECT a.node AS center, b.node AS context,
+              |       count(*) AS n_pairs
+              |FROM wall a JOIN wall b
+              |  ON a.start = b.start AND a.walk = b.walk
+              |  AND a.step <> b.step AND abs(a.step - b.step) <= 2
+              |GROUP BY 1, 2""".stripMargin))
   )
 }

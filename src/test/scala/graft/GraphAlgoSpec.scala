@@ -546,6 +546,33 @@ class GraphAlgoSpec extends AnyFunSuite {
     }
   }
 
+  test("skip-gram pairs: window fixture + symmetry over a known walk") {
+    import spark.implicits._
+    // one walk a,b,c,d: window-2 pairs are exactly the |Δstep|<=2
+    // ordered pairs; the relation is symmetric (n(x,y) = n(y,x))
+    val w = Seq(("s", 0, 0, "a"), ("s", 0, 1, "b"), ("s", 0, 2, "c"),
+      ("s", 0, 3, "d")).toDF("start_id", "walk_id", "step", "node_id")
+    val got = algo.RandomWalks.skipGramPairs(w, window = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val expected = Map(
+      ("a", "b") -> 1L, ("a", "c") -> 1L,
+      ("b", "a") -> 1L, ("b", "c") -> 1L, ("b", "d") -> 1L,
+      ("c", "a") -> 1L, ("c", "b") -> 1L, ("c", "d") -> 1L,
+      ("d", "b") -> 1L, ("d", "c") -> 1L)
+    assert(got === expected)
+    // slice-1 corpus: symmetric counts, no self-free guarantee violated
+    val pairs = algo.RandomWalks.skipGramPairs(
+      algo.RandomWalks.walks(pg.nodes.select("nodeId"),
+        pg.projection.select("src", "dst"), 2, 8), 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(pairs.nonEmpty)
+    pairs.foreach { case ((x, y), n) =>
+      assert(pairs((y, x)) === n, s"asymmetric pair ($x,$y)")
+    }
+  }
+
   test("triangles: fixture counts, dup/reverse edges collapse, zeros kept") {
     // two triangles sharing edge b–c, one spectator node e; parallel and
     // reversed edges must not double-count
