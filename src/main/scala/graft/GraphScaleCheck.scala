@@ -244,7 +244,43 @@ object GraphScaleCheck {
     println(f"[scale] betweenness: $bcN%,d nodes, 16 sources -> " +
       f"$bcPos%,d positive-bc nodes in $tBc%.1f s, ≡ local Brandes")
 
-    println(f"""{"wcc_path_sec":$tPath%.1f,"wcc_rand_sec":$tDist%.1f,"pagerank_sec":$tPr%.1f,"triangles_sec":$tTri%.1f,"kcore_sec":$tKc%.1f,"scc_sec":$tScc%.1f,"labelprop_sec":$tLpa%.1f,"betweenness_sec":$tBc%.1f,"n_path":$nPath,"n_rand_nodes":$nRandNodes,"n_rand_edges":$nRandEdges}""")
+    // ---- 9. node2vec walks: distributed ≡ in-memory reference ----------
+    // walk corpora are the embedding-training input; the check is the
+    // exact contract (md5 picks, weighted intervals) at 20× slice scale
+    // plus repartition-invariance of the join/window pipeline
+    val nvN = math.max(nRandNodes / 5, 1000)
+    val nvNodes = spark.range(nvN)
+      .select(format_string("r%07d", col("id")).as("node"))
+    val nvEdges = spark.range(nvN * 4L)
+      .select(
+        format_string("r%07d", pmod(xxhash64(col("id"), lit(13)), lit(nvN.toLong))).as("src"),
+        format_string("r%07d", pmod(xxhash64(col("id"), lit(14)), lit(nvN.toLong))).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().cache()
+    val (nv, tNv) = timed {
+      algo.RandomWalks.node2vecWalks(nvNodes, nvEdges,
+        numWalks = 2, length = 8).cache()
+    }
+    val nvRows = nv.count()
+    val nvRef = algo.RandomWalks.localNode2vecReference(
+      nvNodes.collect().map(_.getString(0)),
+      nvEdges.collect().map(r => (r.getString(0), r.getString(1))), 2, 8)
+    val nvGot = nv.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSet
+    require(nvGot == nvRef,
+      s"node2vec: distributed (${nvGot.size}) != reference (${nvRef.size})")
+    val nv2 = algo.RandomWalks.node2vecWalks(nvNodes.repartition(13),
+      nvEdges.repartition(7), numWalks = 2, length = 8)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSet
+    require(nv2 == nvGot, "node2vec differs under repartition")
+    nv.unpersist(); nvEdges.unpersist()
+    println(f"[scale] node2vec: $nvN%,d nodes x 2 walks x 8 steps -> " +
+      f"$nvRows%,d corpus rows in $tNv%.1f s, ≡ reference, " +
+      "repartition-invariant")
+
+    println(f"""{"wcc_path_sec":$tPath%.1f,"wcc_rand_sec":$tDist%.1f,"pagerank_sec":$tPr%.1f,"triangles_sec":$tTri%.1f,"kcore_sec":$tKc%.1f,"scc_sec":$tScc%.1f,"labelprop_sec":$tLpa%.1f,"betweenness_sec":$tBc%.1f,"node2vec_sec":$tNv%.1f,"n_path":$nPath,"n_rand_nodes":$nRandNodes,"n_rand_edges":$nRandEdges}""")
     spark.stop()
   }
 }
