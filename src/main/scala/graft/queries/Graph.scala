@@ -927,6 +927,37 @@ object Graph {
               |FROM wall a JOIN wall b
               |  ON a.start = b.start AND a.walk = b.walk
               |  AND a.step <> b.step AND abs(a.step - b.step) <= 2
-              |GROUP BY 1, 2""".stripMargin))
+              |GROUP BY 1, 2""".stripMargin)),
+
+    // Sampled eccentricity over the canonical source set (the companion
+    // distance metric to g15's closeness — gds.alpha eccentricity/
+    // diameter family): ecc(s) = max finite distance from s. max over
+    // the bit-identical relaxation distances is order-independent, so
+    // unlike a Σ no quantization is needed — round(·,4) as the
+    // presentation contract like g7.
+    GQ("g25_eccentricity",
+      (s, _) => {
+        val sources = (0 until 200).map(i => (i * 17 + 1).toString)
+        val pg = g(s)
+        val present = pg.nodes.select("nodeId")
+          .filter(col("nodeId").isin(sources: _*))
+          .collect().map(_.getString(0)).toSeq
+        ShortestPaths.apsp(s, pg, Some(present))
+          .filter(col("source_id") =!= col("target_id"))
+          .groupBy("source_id")
+          .agg(count(lit(1)).as("n_reached"),
+            round(max(col("distance")), 4).as("eccentricity"))
+      },
+      sliceOracle({
+        val srcVals = (0 until 200).map(i => s"('${i * 17 + 1}')").mkString(",")
+        s"""WITH ${Oracle.edgesCte},
+           |srcs AS MATERIALIZED (SELECT id FROM (VALUES $srcVals) v(id)
+           |  WHERE id IN (SELECT * FROM ids)),
+           |${Oracle.chainMulti(Oracle.HopsMulti)}
+           |SELECT source AS source_id, count(*) AS n_reached,
+           |  round(max(dist), 4) AS eccentricity
+           |FROM s${Oracle.HopsMulti} WHERE source <> node
+           |GROUP BY 1""".stripMargin
+      }))
   )
 }
