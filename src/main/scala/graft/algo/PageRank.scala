@@ -144,20 +144,26 @@ object PageRank {
       import spark.implicits._
       return ids.map(v => (v, r(v))).toSeq.toDF("node", "rank_micro")
     }
+    // Same precondition as the local path: a missing seed must fail
+    // loudly, not return an all-zero vector. One bounded count, once.
+    require(nodeIds.filter(col("node") === lit(seed)).limit(1).count() == 1,
+      s"seed $seed not in node set")
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).cache()
     var ranks = nodeIds.withColumn("r",
-        when(col("node") === seed, lit(mass)).otherwise(lit(0L)))
+        when(col("node") === lit(seed), lit(mass)).otherwise(lit(0L)))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
       val contribs = ranks.join(deg, ranks("node") === deg("src"))
         .selectExpr("src", "r div deg AS c")
       val sums = e.join(contribs, Seq("src"))
         .groupBy(col("dst").as("node")).agg(sum("c").as("m"))
+      // teleport term via the Column API — `seed` is a data value, never
+      // spliced into SQL text (quotes in ids parse fine this way)
       val next = nodeIds.join(sums, Seq("node"), "left_outer")
-        .selectExpr("node",
-          s"CAST((CASE WHEN node = '$seed' THEN ${base}L ELSE 0L END)" +
-            " + (85 * coalesce(m, CAST(0 AS BIGINT))) div 100" +
-            " AS BIGINT) AS r")
+        .select(col("node"),
+          (when(col("node") === lit(seed), lit(base)).otherwise(lit(0L)) +
+            expr("(85 * coalesce(m, CAST(0 AS BIGINT))) div 100"))
+            .cast("bigint").as("r"))
         .localCheckpoint(true)
       graft.core.Checkpoints.release(ranks)
       ranks = next

@@ -251,7 +251,13 @@ object StronglyConnected {
           "FW-BW refinement strictly splits classes each round, so " +
           "hitting this bound indicates a pathological input")
     }
-    done
+    if (done == null) {
+      // empty node set: nothing was ever trimmed or finalized, so no
+      // batch reached `done` — return an empty, correctly-typed frame
+      // instead of null (callers .select on the result)
+      import spark.implicits._
+      Seq.empty[(String, String)].toDF("node", "component")
+    } else done
   }
 
   /** Min-label reachability fixpoint: lbl(v) ← min over the forward

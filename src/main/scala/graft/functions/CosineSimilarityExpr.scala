@@ -203,8 +203,17 @@ object GraftFunctions {
   private def digestOf(t: CentroidTable): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     val bb = java.nio.ByteBuffer.allocate(8)
-    t.ids.foreach { id => bb.clear(); bb.putLong(id); md.update(bb.array()) }
+    def putLong(v: Long): Unit = {
+      bb.clear(); bb.putLong(v); md.update(bb.array())
+    }
+    // length-prefix every section and row: without delimiters two
+    // different (ids, vecs) splits that concatenate to the same byte
+    // stream would collide and silently share one broadcast table
+    putLong(t.ids.length.toLong)
+    t.ids.foreach(putLong)
+    putLong(t.vecs.length.toLong)
     t.vecs.foreach { row =>
+      putLong(row.length.toLong)
       val vb = java.nio.ByteBuffer.allocate(4 * row.length)
       row.foreach(vb.putFloat)
       md.update(vb.array())

@@ -56,11 +56,15 @@ object MediaDedup {
       : Dataset[MediaHashRow] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { m =>
-      MediaHeaders.aviFrames(m.payload).map { case (w, h, frames) =>
+      MediaHeaders.aviFrames(m.payload).flatMap { case (w, h, frames) =>
         val sampled = (0 until frames.length by stride).map(frames)
         val hashes = sampled.map(px => ImageDedup.perceptualHashes(w, h, px))
-        toRow(m.media_id, hashes.length,
-          poolBits(hashes.map(_._1)), poolBits(hashes.map(_._2)))
+        // a zero-frame video has no signal: poolBits on an empty list
+        // would yield all-ones (2*0 >= 0 per bit) and spuriously pair
+        // every such video as an exact near-dup — drop it instead
+        if (hashes.isEmpty) None
+        else Some(toRow(m.media_id, hashes.length,
+          poolBits(hashes.map(_._1)), poolBits(hashes.map(_._2))))
       }
     }
   }

@@ -302,6 +302,10 @@ object Graph {
     def hitsChain(iters: Int): String = {
       val unit = s"(1000000000000 // (SELECT cnt FROM nct))"
       val h0 = s"h0 AS MATERIALIZED (SELECT START_NODE AS node, CAST($unit AS BIGINT) AS hub, CAST($unit AS BIGINT) AS auth FROM ids)"
+      // degenerate-round rule mirrors Hits.run: a raw sum of 0/NULL
+      // (edgeless round) KEEPS the previous vector instead of emitting
+      // NULL / dividing by zero — both sides of the pinned contract
+      // stay total on degenerate inputs
       val steps = (1 to iters).map { i =>
         s"""ar$i AS MATERIALIZED (
            |  SELECT e.dst AS node, sum(h.hub) AS raw
@@ -309,8 +313,11 @@ object Graph {
            |at$i AS MATERIALIZED (SELECT sum(raw) AS t FROM ar$i),
            |ha$i AS MATERIALIZED (
            |  SELECT n.node, n.hub,
-           |    CAST((coalesce(a.raw, 0) * 1000000 // (SELECT t FROM at$i))
-           |      * 1000000 AS BIGINT) AS auth
+           |    CASE WHEN (SELECT t FROM at$i) IS NULL
+           |           OR (SELECT t FROM at$i) = 0 THEN n.auth
+           |    ELSE CAST((coalesce(a.raw, 0) * 1000000
+           |           // (SELECT t FROM at$i)) * 1000000 AS BIGINT)
+           |    END AS auth
            |  FROM h${i - 1} n LEFT JOIN ar$i a USING (node)),
            |hr$i AS MATERIALIZED (
            |  SELECT e.src AS node, sum(x.auth) AS raw
@@ -318,8 +325,11 @@ object Graph {
            |ht$i AS MATERIALIZED (SELECT sum(raw) AS t FROM hr$i),
            |h$i AS MATERIALIZED (
            |  SELECT n.node,
-           |    CAST((coalesce(r.raw, 0) * 1000000 // (SELECT t FROM ht$i))
-           |      * 1000000 AS BIGINT) AS hub, n.auth
+           |    CASE WHEN (SELECT t FROM ht$i) IS NULL
+           |           OR (SELECT t FROM ht$i) = 0 THEN n.hub
+           |    ELSE CAST((coalesce(r.raw, 0) * 1000000
+           |           // (SELECT t FROM ht$i)) * 1000000 AS BIGINT)
+           |    END AS hub, n.auth
            |  FROM ha$i n LEFT JOIN hr$i r USING (node))""".stripMargin
       }
       (Seq("nct AS MATERIALIZED (SELECT count(*) AS cnt FROM ids)", h0) ++

@@ -739,4 +739,38 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(got.values.sum <= 1_000_000_000_000L)
     assert(got.values.sum > 600_000_000_000L)
   }
+
+  test("scc: empty node set returns an empty typed frame, not null") {
+    val nodes = Seq.empty[String].toDF("node")
+    val edges = Seq.empty[(String, String)].toDF("src", "dst")
+    val local = algo.StronglyConnected.scc(spark, nodes, edges)
+    assert(local != null && local.count() === 0L)
+    assert(local.columns.toSeq === Seq("node", "component"))
+    val dist = algo.StronglyConnected.scc(spark, nodes, edges,
+      localEdgeThreshold = -1L)
+    assert(dist != null && dist.count() === 0L)
+    assert(dist.columns.toSeq === Seq("node", "component"))
+  }
+
+  test("ppr: missing seed fails loudly on BOTH dispatch paths; " +
+      "quoted seed ids survive the distributed teleport expression") {
+    val nodes = Seq("a", "o'brien").toDF("node")
+    val edges = Seq(("a", "o'brien"), ("o'brien", "a")).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      algo.PageRank.personalized(nodes, edges, "zzz", iters = 2)
+    }
+    intercept[IllegalArgumentException] {
+      algo.PageRank.personalized(nodes, edges, "zzz", iters = 2,
+        localEdgeThreshold = 0L)
+    }
+    // a seed containing a quote is a data value, never SQL text: the
+    // distributed path must parse, run, and agree with the local one
+    val loc = algo.PageRank.personalized(nodes, edges, "o'brien", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dist = algo.PageRank.personalized(nodes, edges, "o'brien", iters = 3,
+        localEdgeThreshold = 0L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dist === loc)
+    assert(loc("o'brien") > 0L)
+  }
 }
