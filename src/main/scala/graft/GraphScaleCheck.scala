@@ -203,11 +203,11 @@ object GraphScaleCheck {
     // construction; a different input partitioning must reproduce every
     // label bit for bit (the PageRank check's analogue)
     val (lpa1, tLpa) = timed {
-      algo.LabelPropagation.run(spark, triNodes, triEdges, rounds = 8)
-        .cache()
+      algo.LabelPropagation.run(spark, triNodes, triEdges, rounds = 8,
+        localEdgeThreshold = 0L).cache()
     }
     val lpa2 = algo.LabelPropagation.run(spark, triNodes.repartition(13),
-      triEdges.repartition(7), rounds = 8)
+      triEdges.repartition(7), rounds = 8, localEdgeThreshold = 0L)
     val lpaDiff = lpa1.as("a").join(lpa2.as("b"), Seq("node"))
       .filter(col("a.community") =!= col("b.community")).count()
     val nComm = lpa1.select("community").distinct().count()

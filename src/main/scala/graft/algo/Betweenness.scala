@@ -41,7 +41,7 @@ object Betweenness {
   val Micro: Long = 1_000_000L
 
   /** Same production-safe driver budget as GraphComponents. */
-  val LocalEdgeThreshold: Long = 5_000_000L
+  val LocalEdgeThreshold: Long = graft.core.LocalBudget.MaxLocalEdges
 
   /** (node, bc_micro) for every node in `nodes`. `edges` must be the
     * algorithm projection (src, dst, cost) with positive costs and
@@ -52,9 +52,10 @@ object Betweenness {
       localEdgeThreshold: Long = LocalEdgeThreshold): DataFrame = {
     val e = edges.select(col("src").cast("string"), col("dst").cast("string"),
       col("cost").cast("double")).cache()
-    val nEdges = e.count()
+    val (nEdges, estBytes) = graft.core.LocalBudget.measureEdges(e)
     val out =
-      if (nEdges <= localEdgeThreshold) {
+      if (graft.core.LocalBudget.fitsLocal(nEdges, estBytes,
+          localEdgeThreshold)) {
         val pairs = e.collect().map(r =>
           (r.getString(0), r.getString(1), r.getDouble(2)))
         val nodeIds = nodes.select(col(nodes.columns(0)).cast("string"))

@@ -40,7 +40,7 @@ object GraphComponents {
     * overhead, far below executor/driver heaps; beyond it the
     * distributed path costs only O(log n) rounds.
     */
-  val LocalEdgeThreshold: Long = 5_000_000L
+  val LocalEdgeThreshold: Long = graft.core.LocalBudget.MaxLocalEdges
 
   /** (node, component) for every node in `nodes`; `edges` is directed
     * (src, dst) and is symmetrized internally — isolated nodes become
@@ -51,8 +51,9 @@ object GraphComponents {
       localEdgeThreshold: Long = LocalEdgeThreshold): DataFrame = {
     val e = edges.select(col(edges.columns(0)).as("src"),
       col(edges.columns(1)).as("dst")).cache()
-    val nEdges = e.count()
-    if (nEdges <= localEdgeThreshold) {
+    val (nEdges, estBytes) = graft.core.LocalBudget.measureEdges(e)
+    if (graft.core.LocalBudget.fitsLocal(nEdges, estBytes,
+        localEdgeThreshold)) {
       val pairs = e.collect().map(r => (r.getString(0), r.getString(1)))
       e.unpersist()
       val nodeIds = nodes.select(col(nodes.columns(0)).cast("string"))

@@ -34,7 +34,7 @@ import org.apache.spark.sql.functions._
   */
 object Hits {
 
-  val LocalEdgeThreshold: Long = 5_000_000L
+  val LocalEdgeThreshold: Long = graft.core.LocalBudget.MaxLocalEdges
   val Mass: Long = 1_000_000_000_000L
   private val Ppm = 1_000_000L
 
@@ -45,8 +45,9 @@ object Hits {
     val nodeIds = nodes.select(col(nodes.columns(0)).as("node"))
     val e = edges.select(col(edges.columns(0)).as("src"),
       col(edges.columns(1)).as("dst")).distinct().cache()
-    val nEdges = e.count()
-    if (nEdges <= localEdgeThreshold) {
+    val (nEdges, estBytes) = graft.core.LocalBudget.measureEdges(e)
+    if (graft.core.LocalBudget.fitsLocal(nEdges, estBytes,
+        localEdgeThreshold)) {
       val pairs = e.collect().map(r => (r.getString(0), r.getString(1)))
       e.unpersist()
       val ids = nodeIds.collect().map(_.getString(0))

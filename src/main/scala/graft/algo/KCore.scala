@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   */
 object KCore {
 
-  val LocalEdgeThreshold: Long = 5_000_000L
+  val LocalEdgeThreshold: Long = graft.core.LocalBudget.MaxLocalEdges
 
   /** (node, core_degree) for every member of the k-core of the
     * undirected simple projection of `edges`.
@@ -35,7 +35,8 @@ object KCore {
       .select(least(col("s"), col("d")).as("a"),
         greatest(col("s"), col("d")).as("b"))
       .distinct().localCheckpoint(true)
-    if (und.count() <= localEdgeThreshold) {
+    if ({ val (n, b) = graft.core.LocalBudget.measureEdges(und)
+          graft.core.LocalBudget.fitsLocal(n, b, localEdgeThreshold) }) {
       val pairs = und.collect().map(r => (r.getString(0), r.getString(1)))
       graft.core.Checkpoints.release(und)
       val adj = scala.collection.mutable.HashMap

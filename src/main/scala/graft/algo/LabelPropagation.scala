@@ -30,9 +30,31 @@ object LabelPropagation {
     * edges collapse (neighbor multiplicity is 0/1 per pair).
     */
   def run(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
-      rounds: Int = 16): DataFrame = {
+      rounds: Int = 16,
+      localEdgeThreshold: Long = graft.core.LocalBudget.MaxLocalEdges)
+      : DataFrame = {
     val e = edges.select(col(edges.columns(0)).cast("string").as("a"),
       col(edges.columns(1)).cast("string").as("b"))
+    // Adaptive dispatch (the PageRank.run policy, shared byte budget):
+    // 16 distributed rounds on a driver-sized graph are pure scheduling
+    // overhead (~17 s on the 3 705-node slice); the sequential twin
+    // localReference computes the identical label table, pinned
+    // bit-equal by GraphAlgoSpec on both paths.
+    val (nEdges, estBytes) = graft.core.LocalBudget.measureEdges(e)
+    if (graft.core.LocalBudget.fitsLocal(nEdges, estBytes,
+        localEdgeThreshold)) {
+      val pairs = e.collect().map(r => (r.getString(0), r.getString(1)))
+      val ids = nodes.select(col(nodes.columns(0)).cast("string"))
+        .collect().map(_.getString(0))
+      // drop edges touching ids outside the node frame — the distributed
+      // loop's inner join on the neighbor label does the same, so a
+      // label-less endpoint contributes nothing on either path
+      val idSet = ids.toSet
+      val known = pairs.filter(p => idSet(p._1) && idSet(p._2))
+      val labels = localReference(ids, known, rounds)
+      import spark.implicits._
+      return ids.toSeq.map(n => (n, labels(n))).toDF("node", "community")
+    }
     val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
       .filter(col("a") =!= col("b")).distinct()
       .localCheckpoint(true)

@@ -43,7 +43,7 @@ object PageRank {
     * paths bit-equal, GraphScaleCheck exercises the distributed one at
     * 2M edges.
     */
-  val LocalEdgeThreshold: Long = 5_000_000L
+  val LocalEdgeThreshold: Long = graft.core.LocalBudget.MaxLocalEdges
 
   /** (node, rank_micro) after `iters` iterations; `nodes` is a
     * one-column node-id frame, `edges` a (src, dst) simple digraph.
@@ -55,8 +55,9 @@ object PageRank {
     val nodeIds = nodes.select(col(nodes.columns(0)).as("node"))
     val e = edges.select(col(edges.columns(0)).as("src"),
       col(edges.columns(1)).as("dst")).cache()
-    val nEdges = e.count()
-    if (nEdges <= localEdgeThreshold) {
+    val (nEdges, estBytes) = graft.core.LocalBudget.measureEdges(e)
+    if (graft.core.LocalBudget.fitsLocal(nEdges, estBytes,
+        localEdgeThreshold)) {
       val pairs = e.collect().map(r => (r.getString(0), r.getString(1)))
       e.unpersist()
       val ids = nodeIds.collect().map(_.getString(0))
@@ -122,9 +123,10 @@ object PageRank {
     val nodeIds = nodes.select(col(nodes.columns(0)).as("node"))
     val e = edges.select(col(edges.columns(0)).as("src"),
       col(edges.columns(1)).as("dst")).cache()
-    val nEdges = e.count()
+    val (nEdges, estBytes) = graft.core.LocalBudget.measureEdges(e)
     val base = 15L * mass / 100L
-    if (nEdges <= localEdgeThreshold) {
+    if (graft.core.LocalBudget.fitsLocal(nEdges, estBytes,
+        localEdgeThreshold)) {
       val pairs = e.collect().map(r => (r.getString(0), r.getString(1)))
       e.unpersist()
       val ids = nodeIds.collect().map(_.getString(0))

@@ -32,13 +32,17 @@ object ShortestPaths {
     */
   val LocalEdgeThreshold: Long =
     sys.props.get("graft.local.edge.threshold").map(_.toLong)
-      .getOrElse(5_000_000L)
+      .getOrElse(graft.core.LocalBudget.MaxLocalEdges)
 
   private def localGraph(g: PropertyGraph): LocalGraph =
     LocalGraph.fromProjection(g.projection, Some(g.nodes))
 
-  private def useLocal(g: PropertyGraph): Boolean =
-    g.projection.count() <= LocalEdgeThreshold
+  private def useLocal(g: PropertyGraph): Boolean = {
+    // shared byte-budget guard (core.LocalBudget): the sys-prop row cap
+    // survives as an explicit per-deployment backstop
+    val (n, b) = graft.core.LocalBudget.measureEdges(g.projection)
+    graft.core.LocalBudget.fitsLocal(n, b, LocalEdgeThreshold)
+  }
 
   /** G1: single-pair Dijkstra, streamed path rows with running cost. */
   def dijkstraPath(spark: SparkSession, g: PropertyGraph,

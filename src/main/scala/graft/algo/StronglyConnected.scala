@@ -51,7 +51,7 @@ import org.apache.spark.sql.functions._
 object StronglyConnected {
 
   /** Same production-safe driver budget as GraphComponents. */
-  val LocalEdgeThreshold: Long = 5_000_000L
+  val LocalEdgeThreshold: Long = graft.core.LocalBudget.MaxLocalEdges
 
   /** (node, component) for every node in `nodes`; `edges` is directed
     * (src, dst); parallel edges and self-loops are tolerated. Isolated
@@ -63,8 +63,9 @@ object StronglyConnected {
     val e = edges.select(col(edges.columns(0)).cast("string").as("src"),
         col(edges.columns(1)).cast("string").as("dst"))
       .filter(col("src") =!= col("dst")).distinct().cache()
-    val nEdges = e.count()
-    if (nEdges <= localEdgeThreshold) {
+    val (nEdges, estBytes) = graft.core.LocalBudget.measureEdges(e)
+    if (graft.core.LocalBudget.fitsLocal(nEdges, estBytes,
+        localEdgeThreshold)) {
       val pairs = e.collect().map(r => (r.getString(0), r.getString(1)))
       e.unpersist()
       val nodeIds = nodes.select(col(nodes.columns(0)).cast("string"))

@@ -34,7 +34,7 @@ object Triangles {
     * the distributed plan runs. GraphAlgoSpec pins the paths equal;
     * GraphScaleCheck validates the distributed one at 2M edges.
     */
-  val LocalEdgeThreshold: Long = 5_000_000L
+  val LocalEdgeThreshold: Long = graft.core.LocalBudget.MaxLocalEdges
 
   def perNode(nodes: DataFrame, edges: DataFrame,
       localEdgeThreshold: Long = LocalEdgeThreshold): DataFrame = {
@@ -45,7 +45,8 @@ object Triangles {
       .select(least(col("s"), col("d")).as("a"),
         greatest(col("s"), col("d")).as("b"))
       .distinct().cache()
-    if (und.count() <= localEdgeThreshold) {
+    if ({ val (n, b) = graft.core.LocalBudget.measureEdges(und)
+          graft.core.LocalBudget.fitsLocal(n, b, localEdgeThreshold) }) {
       val pairs = und.collect().map(r => (r.getString(0), r.getString(1)))
       und.unpersist()
       val ids = nodes.select(col(nodes.columns(0)).cast("string"))

@@ -340,13 +340,21 @@ class GraphAlgoSpec extends AnyFunSuite {
   test("label propagation: DataFrame superstep ≡ in-memory reference on slice 1") {
     val nodes = pg.nodes.select("nodeId")
     val edges = pg.projection.select("src", "dst")
-    val got = algo.LabelPropagation.run(spark, nodes, edges, rounds = 16)
+    // force the DISTRIBUTED superstep loop — the adaptive local path IS
+    // localReference, so only the loop needs the cross-check
+    val got = algo.LabelPropagation.run(spark, nodes, edges, rounds = 16,
+        localEdgeThreshold = 0L)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     val nodeIds = nodes.collect().map(_.getString(0))
     val pairs = edges.collect().map(r => (r.getString(0), r.getString(1)))
     val ref = algo.LabelPropagation.localReference(nodeIds, pairs, 16)
     assert(got.size === 3705)
     assert(got === ref)
+    // and the adaptive dispatch (local path on a slice-1-sized graph)
+    // agrees bit for bit
+    val adaptive = algo.LabelPropagation.run(spark, nodes, edges, rounds = 16)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(adaptive === got)
     // communities must be real (propagation happened, not identity)
     assert(got.values.toSet.size < 3705)
     assert(got.exists { case (n, c) => n != c })
@@ -357,12 +365,14 @@ class GraphAlgoSpec extends AnyFunSuite {
     // isolated z keeps its own label. Round 2 re-ties deterministically.
     val nodes = Seq("a", "b", "c", "z").toDF("node")
     val edges = Seq(("a", "b"), ("a", "c")).toDF("src", "dst")
-    val r1 = algo.LabelPropagation.run(spark, nodes, edges, rounds = 1)
+    val r1 = algo.LabelPropagation.run(spark, nodes, edges, rounds = 1,
+        localEdgeThreshold = 0L)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(r1 === Map("a" -> "b", "b" -> "a", "c" -> "a", "z" -> "z"))
     val ref = algo.LabelPropagation.localReference(
       Array("a", "b", "c", "z"), Array(("a", "b"), ("a", "c")), 16)
-    val r16 = algo.LabelPropagation.run(spark, nodes, edges, rounds = 16)
+    val r16 = algo.LabelPropagation.run(spark, nodes, edges, rounds = 16,
+        localEdgeThreshold = 0L)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(r16 === ref)
   }
@@ -377,7 +387,8 @@ class GraphAlgoSpec extends AnyFunSuite {
       val nodesDf = (0 until n).map(i => s"v$i").toDF("node")
       val edgesDf = pairs.toDF("src", "dst")
       for (rounds <- Seq(1, 4, 16)) {
-        val got = algo.LabelPropagation.run(spark, nodesDf, edgesDf, rounds)
+        val got = algo.LabelPropagation.run(spark, nodesDf, edgesDf, rounds,
+            localEdgeThreshold = 0L)
           .collect().map(r => r.getString(0) -> r.getString(1)).toMap
         val ref = algo.LabelPropagation.localReference(
           (0 until n).map(i => s"v$i").toArray, pairs.toArray, rounds)
