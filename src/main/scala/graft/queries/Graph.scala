@@ -292,6 +292,48 @@ object Graph {
         s",\nwall AS (\n$levels)"
     }
 
+    /** Embedding-training chain em0..em<epochs> over the g24 pair table
+      * (assumes walkChain's `wall` CTE precedes it): the closed-form-
+      * per-epoch integer recurrence of algo.EmbeddingTrain —
+      * em'(v,k) = (7·em + 3·(Σ n_pairs·em_ctx div Σ n_pairs)) div 10,
+      * everything nonnegative below the prime modulus so truncating
+      * (Spark div) and floor (DuckDB //) division agree, md5-hex init
+      * per (node, dim) via the whx positional-digit table walkChain
+      * already defines.
+      */
+    def embedChain(window: Int, dims: Int, epochs: Int): String = {
+      val m = graft.algo.EmbeddingTrain.Modulus
+      val dimVals = (0 until dims).map(k => s"($k)").mkString(", ")
+      val pre = s"""epairs AS MATERIALIZED (
+         |  SELECT a.node AS center, b.node AS context, count(*) AS n_pairs
+         |  FROM wall a JOIN wall b
+         |    ON a.start = b.start AND a.walk = b.walk
+         |    AND a.step <> b.step AND abs(a.step - b.step) <= $window
+         |  GROUP BY 1, 2),
+         |etot AS MATERIALIZED (
+         |  SELECT center, sum(n_pairs) AS n_tot FROM epairs GROUP BY 1),
+         |em0 AS MATERIALIZED (
+         |  SELECT START_NODE AS node, d.k AS dim,
+         |    CAST((SELECT sum((strpos('0123456789abcdef', substr(
+         |      md5(concat_ws('|', START_NODE, d.k)), x.i, 1)) - 1) * x.p)
+         |      FROM whx x) % $m AS BIGINT) AS val
+         |  FROM ids CROSS JOIN (VALUES $dimVals) d(k))""".stripMargin
+      val steps = (1 to epochs).map { i =>
+        s"""em$i AS MATERIALIZED (
+           |  SELECT e.node, e.dim,
+           |    CAST(CASE WHEN t.n_tot IS NULL OR t.n_tot = 0 THEN e.val
+           |      ELSE (7 * e.val + 3 * (coalesce(c.cs, 0) // t.n_tot)) // 10
+           |    END AS BIGINT) AS val
+           |  FROM em${i - 1} e
+           |  LEFT JOIN (
+           |    SELECT p.center, x.dim, sum(p.n_pairs * x.val) AS cs
+           |    FROM epairs p JOIN em${i - 1} x ON x.node = p.context
+           |    GROUP BY 1, 2) c ON c.center = e.node AND c.dim = e.dim
+           |  LEFT JOIN etot t ON t.center = e.node)""".stripMargin
+      }
+      (Seq(pre) ++ steps).mkString(",\n")
+    }
+
     /** HITS chain h0..h<iters> in ppm fixed point (the g11 integer
       * discipline): auth = (Σ in-hub · 10⁶ div total) · 10⁶ then hub =
       * (Σ out-auth · 10⁶ div total) · 10⁶ per round — every op integer,
@@ -968,6 +1010,32 @@ object Graph {
            |  round(max(dist), 4) AS eccentricity
            |FROM s${Oracle.HopsMulti} WHERE source <> node
            |GROUP BY 1""".stripMargin
-      }))
+      })),
+
+    // Embedding training over the g24 skip-gram pairs — the pipeline's
+    // terminal stage (graph → walks → windows → vectors; GDS node2vec's
+    // train surface). Float SGD is order-dependent and can never
+    // hash-match, so the contract is algo.EmbeddingTrain's closed-form-
+    // per-epoch integer recurrence: each epoch every center vector moves
+    // 3/10 of the way toward the n_pairs-weighted integer mean of its
+    // context vectors (md5-hex init, all state nonnegative below a prime
+    // modulus). Co-occurring nodes converge, non-co-occurring nodes keep
+    // independent positions — skip-gram geometry in exact arithmetic.
+    GQ("g26_embed_train",
+      (s, _) => {
+        val pg = g(s)
+        val pairs = graft.algo.RandomWalks.skipGramPairs(
+          graft.algo.RandomWalks.walks(pg.nodes.select("nodeId"),
+            pg.projection.select("src", "dst"), numWalks = 2, length = 8),
+          window = 2)
+        graft.algo.EmbeddingTrain.train(pg.nodes.select("nodeId"), pairs,
+            dims = 4, epochs = 6)
+          .select(col("node").as("node_id"), col("dim"), col("val"))
+      },
+      sliceOracle(s"""WITH ${Oracle.edgesCte},
+              |${Oracle.walkChain(2, 8)},
+              |${Oracle.embedChain(2, 4, 6)}
+              |SELECT node AS node_id, dim, val
+              |FROM em6""".stripMargin))
   )
 }

@@ -584,6 +584,69 @@ class GraphAlgoSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding train: distributed epochs ≡ sequential twin on slice 1; " +
+      "pairless nodes keep their md5 init vector") {
+    val nodes = pg.nodes.select("nodeId")
+    val pairs = algo.RandomWalks.skipGramPairs(
+      algo.RandomWalks.walks(nodes, pg.projection.select("src", "dst"),
+        2, 8), 2)
+    val local = algo.EmbeddingTrain.train(nodes, pairs, dims = 4, epochs = 6)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    val dist = algo.EmbeddingTrain.train(nodes, pairs, dims = 4, epochs = 6,
+        localPairThreshold = 0L)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    assert(local.size === 3705 * 4)
+    assert(dist === local)
+    // epoch-0 init: a node with no pairs (none on slice 1 — fabricate by
+    // training with an empty pair table) keeps H(v|k) mod M everywhere
+    import spark.implicits._
+    val frozen = algo.EmbeddingTrain.train(nodes,
+        Seq.empty[(String, String, Long)]
+          .toDF("center", "context", "n_pairs"), dims = 2, epochs = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(key: String): Long = java.lang.Long.parseLong(
+      md.digest(key.getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.take(8), 16)
+    frozen.foreach { case ((v, k), x) =>
+      assert(x === h(s"$v|$k") % algo.EmbeddingTrain.Modulus)
+    }
+  }
+
+  test("embedding train: planted communities embed closer than cross pairs") {
+    import spark.implicits._
+    // two 6-cliques bridged by one edge: walks stay inside a clique
+    // almost always, so trained vectors must cluster by clique
+    val a = (0 until 6).map(i => s"a$i")
+    val b = (0 until 6).map(i => s"b$i")
+    val cliqueEdges = (for (xs <- Seq(a, b); x <- xs; y <- xs if x != y)
+      yield (x, y)) :+ (("a0", "b0")) :+ (("b0", "a0"))
+    val nodesDf = (a ++ b).toDF("node")
+    val edgesDf = cliqueEdges.toDF("src", "dst")
+    val walks = algo.RandomWalks.walks(nodesDf, edgesDf, numWalks = 4,
+      length = 8)
+    val emb = algo.EmbeddingTrain
+      .train(nodesDf, algo.RandomWalks.skipGramPairs(walks, 2),
+        dims = 8, epochs = 8)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    def vec(v: String): Array[Double] =
+      (0 until 8).map(k => emb((v, k)).toDouble).toArray
+    def dist(x: String, y: String): Double =
+      math.sqrt(vec(x).zip(vec(y)).map { case (p, q) =>
+        (p - q) * (p - q) }.sum)
+    val intra = (for (xs <- Seq(a, b); x <- xs; y <- xs if x < y)
+      yield dist(x, y))
+    val inter = for (x <- a; y <- b) yield dist(x, y)
+    val meanIntra = intra.sum / intra.size
+    val meanInter = inter.sum / inter.size
+    assert(meanIntra * 2 < meanInter,
+      s"planted communities not separated: intra=$meanIntra inter=$meanInter")
+  }
+
   test("triangles: fixture counts, dup/reverse edges collapse, zeros kept") {
     // two triangles sharing edge b–c, one spectator node e; parallel and
     // reversed edges must not double-count
