@@ -214,7 +214,22 @@ object Bench {
         System.err.println(s"[bench] graph-kernel timing failed: $e")
         "{}"
     }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","tainted":$tainted,"load_risk":"$risk","queries":$qs,"errors":$errors,"graph_kernels":$kernels,"loadavg_start":$loadStart,"loadavg_end":${loadavg()},"sf":"$sfDir"}""")
+    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","tainted":$tainted,"load_risk":"$risk","queries":$qs,"errors":$errors,"graph_kernels":$kernels,"loadavg_start":$loadStart,"loadavg_end":${loadavg()},"sf":"$sfDir"}"""
+    println(fullLine)
+    // The collecting harness keeps only a truncated stdout tail (observed:
+    // BENCH_r0{5..8}.json all carry parsed:null with the line cut mid-key),
+    // so ALSO persist the full JSON to a file in the repo — committed at
+    // round end, it preserves every per-query timing for later comparison
+    // even when the stdout capture clips.
+    try {
+      val out = java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_OUT", "/root/repo/notes/bench_last.json"))
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, (fullLine + "\n").getBytes("UTF-8"))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] could not persist bench JSON: $e")
+    }
     // The harness that collects this output keeps only a ~2 KB stdout
     // tail; with ~80 queries the full line above outgrows that window and
     // its head (metric/total) gets truncated away. Repeat the headline

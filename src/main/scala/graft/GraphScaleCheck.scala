@@ -258,7 +258,7 @@ object GraphScaleCheck {
       .filter(col("src") =!= col("dst")).distinct().cache()
     val (nv, tNv) = timed {
       algo.RandomWalks.node2vecWalks(nvNodes, nvEdges,
-        numWalks = 2, length = 8).cache()
+        numWalks = 2, length = 8, localEdgeThreshold = 0L).cache()
     }
     val nvRows = nv.count()
     val nvRef = algo.RandomWalks.localNode2vecReference(
@@ -270,7 +270,8 @@ object GraphScaleCheck {
     require(nvGot == nvRef,
       s"node2vec: distributed (${nvGot.size}) != reference (${nvRef.size})")
     val nv2 = algo.RandomWalks.node2vecWalks(nvNodes.repartition(13),
-      nvEdges.repartition(7), numWalks = 2, length = 8)
+      nvEdges.repartition(7), numWalks = 2, length = 8,
+      localEdgeThreshold = 0L)
       .collect()
       .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3)))
       .toSet

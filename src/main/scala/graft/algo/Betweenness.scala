@@ -25,6 +25,20 @@ import org.apache.spark.sql.functions._
   *     agree bit for bit (audited by tools/betweenness_golden.py);
   *   - bc(v) = Σ_s δ_s(v), v ≠ s — an integer sum over sources.
   *
+  * ERROR CONTRACT of the sampled-source variant: the reported quantity
+  * is exactly Σ_{s∈S} δ_s(v) — a source-SET betweenness, not a rescaled
+  * estimate. With S = V it IS textbook all-sources Brandes in micro
+  * units (pinned by GraphAlgoSpec's unique-path fixtures, where σ ≡ 1
+  * makes the floor division exact). For S ⊂ V drawn uniformly, the
+  * unbiased estimator of full bc is (|V|/|S|)·bc_S(v); since each
+  * per-source term lies in [0, 10⁶·(|V|−2)], Hoeffding gives
+  * P(|(|V|/|S|)·bc_S − bc| > ε·10⁶·|V|·(|V|−2)) ≤ 2·exp(−2·|S|·ε²)
+  * — the Brandes–Pich (2007) bound: |S| = O(log|V|/ε²) sources suffice
+  * for ε-relative-to-max accuracy, independent of graph size, which is
+  * why sampled-source is the 100 TB shape. The canonical g18 source set
+  * is FIXED (not random), so its output is deterministic and the bound
+  * above describes how to size S when callers choose their own sample.
+  *
   * Adaptive dispatch as everywhere: below the driver edge budget the
   * per-source Brandes passes run locally (Dijkstra + topo sweep per
   * source, O(S·(E + V log V))); above it the distributed path runs the

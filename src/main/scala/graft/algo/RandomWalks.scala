@@ -32,12 +32,43 @@ import org.apache.spark.sql.functions._
   */
 object RandomWalks {
 
+  /** Adaptive dispatch shared by both walkers (the PageRank.run policy,
+    * core.LocalBudget byte guard): a driver-sized graph runs the
+    * sequential twin instead of L supersteps of scheduling overhead.
+    * Returns None when the graph must stay distributed.
+    */
+  private def tryLocal(nodes: DataFrame, edges: DataFrame, edgeCap: Long,
+      twin: (Array[String], Array[(String, String)]) =>
+        Set[(String, Int, Int, String)]): Option[DataFrame] = {
+    val e = edges.select(col(edges.columns(0)).cast("string").as("src"),
+      col(edges.columns(1)).cast("string").as("dst"))
+    val (nEdges, estBytes) = graft.core.LocalBudget.measureEdges(e)
+    if (!graft.core.LocalBudget.fitsLocal(nEdges, estBytes, edgeCap))
+      return None
+    // NOT filtered to the node frame: walks may traverse ids that only
+    // appear as edge endpoints (both paths share that semantics)
+    val pairs = e.collect().map(r => (r.getString(0), r.getString(1)))
+    val ids = nodes.select(col(nodes.columns(0)).cast("string"))
+      .collect().map(_.getString(0))
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    Some(twin(ids, pairs).toSeq
+      .toDF("start_id", "walk_id", "step", "node_id"))
+  }
+
   /** Exploded walk corpus: (start_id, walk_id, step, node_id), one row
     * per visited node per walk, steps 0..length.
     */
   def walks(nodes: DataFrame, edges: DataFrame, numWalks: Int = 2,
-      length: Int = 8): DataFrame = {
+      length: Int = 8,
+      localEdgeThreshold: Long = graft.core.LocalBudget.MaxLocalEdges)
+      : DataFrame = {
     require(numWalks >= 1 && length >= 1, "numWalks and length must be >= 1")
+    tryLocal(nodes, edges, localEdgeThreshold,
+      localReference(_, _, numWalks, length)) match {
+      case Some(df) => return df
+      case None =>
+    }
     val nodeIds = nodes.select(col(nodes.columns(0)).cast("string").as("node"))
     val e = edges.select(col(edges.columns(0)).cast("string").as("src"),
       col(edges.columns(1)).cast("string").as("dst")).distinct()
@@ -54,9 +85,15 @@ object RandomWalks {
         explode(array(walkIds: _*)).as("walk"),
         col("node").as("cur"))
       .localCheckpoint(true)
-    var out = frontier.select(col("start"), col("walk"),
-      lit(0).as("step"), col("cur").as("node"))
-      .localCheckpoint(true)
+    // Each level is a pure projection of its (eagerly checkpointed)
+    // frontier, so the output union is deferred to ONE materialization
+    // at the end instead of re-writing the growing prefix every step
+    // (O(corpus) total checkpoint bytes instead of O(L * corpus)). The
+    // per-step frontiers stay alive until that union lands.
+    val kept = scala.collection.mutable.ListBuffer[DataFrame](frontier)
+    val levels = scala.collection.mutable.ListBuffer[DataFrame](
+      frontier.select(col("start"), col("walk"),
+        lit(0).as("step"), col("cur").as("node")))
     for (t <- 1 to length) {
       val key = concat_ws("|", col("start"), col("walk"), lit(t), col("cur"))
       val withPick = frontier
@@ -69,15 +106,13 @@ object RandomWalks {
           withPick("pick") === nbr("idx"))
         .select(col("start"), col("walk"), col("dst").as("cur"))
         .localCheckpoint(true)
-      val level = next.select(col("start"), col("walk"),
+      kept += next
+      levels += next.select(col("start"), col("walk"),
         lit(t).as("step"), col("cur").as("node"))
-      val nextOut = out.union(level).localCheckpoint(true)
-      graft.core.Checkpoints.release(out)
-      graft.core.Checkpoints.release(frontier)
-      out = nextOut
       frontier = next
     }
-    graft.core.Checkpoints.release(frontier)
+    val out = levels.reduce(_ union _).localCheckpoint(true)
+    kept.foreach(graft.core.Checkpoints.release)
     graft.core.Checkpoints.release(nbr)
     graft.core.Checkpoints.release(deg)
     out.select(col("start").as("start_id"), col("walk").as("walk_id"),
@@ -105,13 +140,26 @@ object RandomWalks {
     * Per step: one equi-join frontier×neighbors, one left join against
     * the edge set for the adjacency flag, one windowed cumulative sum
     * partitioned per frontier row — no driver state, no UDF.
+    *
+    * Deliberately NOT precomputed as a (prev, cur)-keyed candidate
+    * table: that table has Σ indeg(c)·outdeg(c) rows, which explodes
+    * quadratically on scale-free hubs, while the per-step candidate
+    * volume here is bounded by numWalks·|E| regardless of skew.
     */
   def node2vecWalks(nodes: DataFrame, edges: DataFrame, numWalks: Int = 2,
       length: Int = 8, retWeight: Int = 1, adjWeight: Int = 4,
-      farWeight: Int = 2): DataFrame = {
+      farWeight: Int = 2,
+      localEdgeThreshold: Long = graft.core.LocalBudget.MaxLocalEdges)
+      : DataFrame = {
     require(numWalks >= 1 && length >= 1, "numWalks and length must be >= 1")
     require(retWeight >= 1 && adjWeight >= 1 && farWeight >= 1,
       "weights must be positive integers")
+    tryLocal(nodes, edges, localEdgeThreshold,
+      localNode2vecReference(_, _, numWalks, length, retWeight, adjWeight,
+        farWeight)) match {
+      case Some(df) => return df
+      case None =>
+    }
     import org.apache.spark.sql.expressions.Window
     val nodeIds = nodes.select(col(nodes.columns(0)).cast("string").as("node"))
     val e = edges.select(col(edges.columns(0)).cast("string").as("src"),
@@ -123,9 +171,10 @@ object RandomWalks {
         explode(array(walkIds: _*)).as("walk"),
         lit("").as("prev"), col("node").as("cur"))
       .localCheckpoint(true)
-    var out = frontier.select(col("start"), col("walk"),
-      lit(0).as("step"), col("cur").as("node"))
-      .localCheckpoint(true)
+    val kept = scala.collection.mutable.ListBuffer[DataFrame](frontier)
+    val levels = scala.collection.mutable.ListBuffer[DataFrame](
+      frontier.select(col("start"), col("walk"),
+        lit(0).as("step"), col("cur").as("node")))
     for (t <- 1 to length) {
       val cands = frontier
         .join(e, col("cur") === e("src"))
@@ -140,10 +189,14 @@ object RandomWalks {
           when(col("cand") === col("prev"), lit(retWeight.toLong))
             .when(col("adj") === 1, lit(adjWeight.toLong))
             .otherwise(lit(farWeight.toLong)))
-      val part = Window.partitionBy("start", "walk", "cur", "prev")
-      val cum = sum(col("w")).over(part.orderBy("cand")
+      // cum and tot share ONE window spec (same partition + order, only
+      // the frame differs) so Spark computes both in a single sort pass
+      val ordered = Window.partitionBy("start", "walk", "cur", "prev")
+        .orderBy("cand")
+      val cum = sum(col("w")).over(ordered
         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-      val tot = sum(col("w")).over(part)
+      val tot = sum(col("w")).over(ordered
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
       val key = concat_ws("|", col("start"), col("walk"), lit(t),
         col("cur"), col("prev"))
       val r = conv(substring(md5(key), 1, 8), 16, 10).cast("long") % tot
@@ -153,15 +206,13 @@ object RandomWalks {
         .select(col("start"), col("walk"), col("cur").as("prev"),
           col("cand").as("cur"))
         .localCheckpoint(true)
-      val level = next.select(col("start"), col("walk"),
+      kept += next
+      levels += next.select(col("start"), col("walk"),
         lit(t).as("step"), col("cur").as("node"))
-      val nextOut = out.union(level).localCheckpoint(true)
-      graft.core.Checkpoints.release(out)
-      graft.core.Checkpoints.release(frontier)
-      out = nextOut
       frontier = next
     }
-    graft.core.Checkpoints.release(frontier)
+    val out = levels.reduce(_ union _).localCheckpoint(true)
+    kept.foreach(graft.core.Checkpoints.release)
     graft.core.Checkpoints.release(e)
     out.select(col("start").as("start_id"), col("walk").as("walk_id"),
       col("step"), col("node").as("node_id"))

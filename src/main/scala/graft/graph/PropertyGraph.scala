@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   * `edges`: (src: String, dst: String, roadId: String, cost: Double)
   */
 final case class PropertyGraph(nodes: DataFrame, edges: DataFrame,
-    underlying: Seq[DataFrame] = Nil) {
+    underlying: Seq[DataFrame] = Nil,
+    pending: Option[DataFrame] = None) {
 
   /** The algorithm projection: parallel edges pre-aggregated to min cost
     * per (src, dst) — sound for every shortest-path semantic and the
@@ -29,6 +30,7 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame,
     */
   def unpersistAll(): Unit = {
     nodes.unpersist(); edges.unpersist(); projection.unpersist()
+    pending.foreach(_.unpersist())
     underlying.foreach(_.unpersist())
   }
 }

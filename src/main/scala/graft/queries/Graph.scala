@@ -55,14 +55,34 @@ object Graph {
       { case (s, p) => EdgeListIngest.build(s, p).cache() })
   }
 
+  /** Memoized incremental append of slice 2 onto the (cached) slice-1
+    * graph — g27's subject. Separate map because `cache`'s loader is the
+    * from-scratch build; purged/released together with it.
+    */
+  val Slice2EdgeList = "/root/reference/Shenzhen_Edgelist_2.csv"
+  private val appendCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), PropertyGraph]()
+  private def appendedGraph(s: SparkSession): PropertyGraph = {
+    val it = appendCache.entrySet().iterator()
+    while (it.hasNext) {
+      if (it.next().getKey._1.sparkContext.isStopped) it.remove()
+    }
+    appendCache.computeIfAbsent((s, Slice2EdgeList),
+      { case (ss, p) =>
+        EdgeListIngest.append(ss, graphFor(ss, DefaultEdgeList), p).cache()
+      })
+  }
+
   /** Drop and unpersist every graph cached for `spark`. */
   def release(spark: SparkSession): Unit = {
-    val it = cache.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (e.getKey._1 eq spark) {
-        if (!spark.sparkContext.isStopped) e.getValue.unpersistAll()
-        it.remove()
+    Seq(cache, appendCache).foreach { c =>
+      val it = c.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._1 eq spark) {
+          if (!spark.sparkContext.isStopped) e.getValue.unpersistAll()
+          it.remove()
+        }
       }
     }
   }
@@ -1036,6 +1056,47 @@ object Graph {
               |${Oracle.walkChain(2, 8)},
               |${Oracle.embedChain(2, 4, 6)}
               |SELECT node AS node_id, dim, val
-              |FROM em6""".stripMargin))
+              |FROM em6""".stripMargin)),
+
+    // Incremental batch append (EdgeListIngest.append): slice 2 merged
+    // into the slice-1 graph without re-ingest — the reference's
+    // growing-slice workflow (standalone.txt:1-11) in its production
+    // shape. The oracle is the FROM-SCRATCH build over both slices'
+    // raw rows, so the hash check IS the append≡rebuild equivalence
+    // (nodes, materialized edges, and the pending backlog all match).
+    // Both slice paths are fixed, so this stays oracled under
+    // GRAFT_EDGELIST overrides.
+    GQ("g27_append_graph",
+      (s, _) => {
+        val pg = appendedGraph(s)
+        pg.nodes.agg(count(lit(1)).as("n_nodes"))
+          .crossJoin(pg.edges.agg(count(lit(1)).as("n_edges"),
+            round(sum(col("cost")), 1).as("sum_cost")))
+          .crossJoin(pg.pending.get.agg(count(lit(1)).as("n_pending")))
+      },
+      Some(s"""WITH raw AS (
+              |  SELECT * FROM read_csv('${DefaultEdgeList}', header=true,
+              |    columns={'XCoord':'DOUBLE','YCoord':'DOUBLE',
+              |      'START_NODE':'VARCHAR','END_NODE':'VARCHAR',
+              |      'EDGE':'VARCHAR','LENGTH':'DOUBLE'})
+              |  WHERE START_NODE IS NOT NULL
+              |  UNION ALL
+              |  SELECT * FROM read_csv('${Slice2EdgeList}', header=true,
+              |    columns={'XCoord':'DOUBLE','YCoord':'DOUBLE',
+              |      'START_NODE':'VARCHAR','END_NODE':'VARCHAR',
+              |      'EDGE':'VARCHAR','LENGTH':'DOUBLE'})
+              |  WHERE START_NODE IS NOT NULL),
+              |nodes AS (SELECT DISTINCT START_NODE, XCoord, YCoord FROM raw),
+              |ids AS (SELECT DISTINCT START_NODE FROM nodes),
+              |cand AS (SELECT DISTINCT START_NODE AS src, END_NODE AS dst,
+              |  EDGE AS roadId, LENGTH AS cost FROM raw),
+              |edges AS (SELECT * FROM cand
+              |  WHERE src IN (SELECT * FROM ids)
+              |    AND dst IN (SELECT * FROM ids))
+              |SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+              |       (SELECT count(*) FROM edges) AS n_edges,
+              |       (SELECT round(sum(cost), 1) FROM edges) AS sum_cost,
+              |       (SELECT count(*) FROM cand) -
+              |         (SELECT count(*) FROM edges) AS n_pending""".stripMargin))
   )
 }

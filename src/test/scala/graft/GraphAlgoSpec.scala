@@ -45,6 +45,56 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(raw.count() === 9999L)
   }
 
+  private def nodeSet(p: graph.PropertyGraph): Set[(String, Double, Double)] =
+    p.nodes.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+  private def edgeSet(d: org.apache.spark.sql.DataFrame)
+      : Set[(String, String, String, Double)] =
+    d.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getDouble(3))).toSet
+
+  test("append: slice1 + slice2 ≡ from-scratch slice-2 build") {
+    // the shipped slices are cumulative prefixes, so a from-scratch
+    // build of slice 2 IS the union build the append contract promises
+    val slice2 = "/root/reference/Shenzhen_Edgelist_2.csv"
+    val scratch = EdgeListIngest.build(spark, slice2)
+    val inc = EdgeListIngest.append(spark, pg, slice2)
+    assert(nodeSet(inc) === nodeSet(scratch))
+    assert(edgeSet(inc.edges) === edgeSet(scratch.edges))
+    assert(edgeSet(inc.pending.get) === edgeSet(scratch.pending.get))
+    // chained append 1→2→3 still equals the from-scratch build
+    val slice3 = "/root/reference/Shenzhen_Edgelist_3.csv"
+    val inc3 = EdgeListIngest.append(spark, inc, slice3)
+    val scratch3 = EdgeListIngest.build(spark, slice3)
+    assert(nodeSet(inc3) === nodeSet(scratch3))
+    assert(edgeSet(inc3.edges) === edgeSet(scratch3.edges))
+    assert(edgeSet(inc3.pending.get) === edgeSet(scratch3.pending.get))
+  }
+
+  test("append: a later slice revives a pending (dangling-endpoint) edge") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-append")
+    val header = "XCoord,YCoord,START_NODE,END_NODE,EDGE,LENGTH\n"
+    def writeCsv(name: String, rows: String): String = {
+      val f = dir.resolve(name)
+      java.nio.file.Files.write(f, (header + rows).getBytes("UTF-8"))
+      f.toString
+    }
+    val rowsA = "1.0,1.0,1,2,e1,10.0\n2.0,2.0,2,1,e2,10.0\n1.0,1.0,1,9,e3,5.0\n"
+    val rowsB = "9.0,9.0,9,1,e4,7.0\n"
+    val pgA = EdgeListIngest.build(spark, writeCsv("a.csv", rowsA))
+    assert(pgA.edges.count() === 2L)        // 1→9 dangles: 9 not a node yet
+    assert(edgeSet(pgA.pending.get) === Set(("1", "9", "e3", 5.0)))
+    val pgB = EdgeListIngest.append(spark, pgA, writeCsv("b.csv", rowsB))
+    assert(pgB.nodes.count() === 3L)
+    assert(pgB.edges.count() === 4L)        // e3 revived + e4 appended
+    assert(pgB.pending.get.count() === 0L)
+    // DISJOINT slices: append ≡ from-scratch over the concatenation too
+    val scratch = EdgeListIngest.build(spark, writeCsv("u.csv", rowsA + rowsB))
+    assert(nodeSet(pgB) === nodeSet(scratch))
+    assert(edgeSet(pgB.edges) === edgeSet(scratch.edges))
+  }
+
   test("dijkstra 2022→2802 matches the frozen slice-1 golden") {
     val p = LocalKernels.dijkstra(lg, lg.idOf("2022"), lg.idOf("2802")).get
     assert(p.nodes.length > 1)
@@ -337,6 +387,39 @@ class GraphAlgoSpec extends AnyFunSuite {
     }
   }
 
+  test("betweenness error contract: FULL-source run is exact Brandes on " +
+      "unique-path fixtures") {
+    // g18's quantity is EXACTLY Σ_{s∈S} δ_s(v), not an estimate: with
+    // S = V it must equal textbook all-sources Brandes. On fixtures with
+    // unique shortest paths σ ≡ 1, so the micro fixed-point's floor
+    // division is exact and the analytic value is 10⁶ · #{(s,t) pairs
+    // whose shortest path passes through v}.
+    // Directed path p0→p1→…→p5: interior node i carries i·(n-1-i) pairs.
+    val n = 6
+    val pNodes = (0 until n).map(i => s"p$i").toDF("node")
+    val pEdges = (0 until n - 1).map(i => (s"p$i", s"p${i + 1}", 1.0))
+      .toDF("src", "dst", "cost")
+    val all = (0 until n).map(i => s"p$i")
+    for (thr <- Seq(Long.MaxValue, 0L)) {   // local kernel AND distributed
+      val got = algo.Betweenness.run(spark, pNodes, pEdges, all,
+          localEdgeThreshold = thr)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = (0 until n)
+        .map(i => s"p$i" -> 1_000_000L * i * (n - 1 - i)).toMap
+      assert(got === exact, s"path graph thr=$thr")
+    }
+    // Out-star + in-star through a hub: c is on every spoke-to-spoke
+    // path (k_in · k_out pairs); spokes carry 0.
+    val hubNodes = Seq("a1", "a2", "a3", "c", "b1", "b2").toDF("node")
+    val hubEdges = (Seq("a1", "a2", "a3").map(a => (a, "c", 1.0)) ++
+      Seq("b1", "b2").map(b => ("c", b, 1.0))).toDF("src", "dst", "cost")
+    val hubAll = Seq("a1", "a2", "a3", "c", "b1", "b2")
+    val gotHub = algo.Betweenness.run(spark, hubNodes, hubEdges, hubAll)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotHub("c") === 1_000_000L * 3 * 2)
+    assert(hubAll.filterNot(_ == "c").forall(v => gotHub(v) === 0L))
+  }
+
   test("label propagation: DataFrame superstep ≡ in-memory reference on slice 1") {
     val nodes = pg.nodes.select("nodeId")
     val edges = pg.projection.select("src", "dst")
@@ -460,7 +543,8 @@ class GraphAlgoSpec extends AnyFunSuite {
 
   test("random walks: DataFrame chain ≡ in-memory reference on slice 1") {
     val got = algo.RandomWalks.walks(pg.nodes.select("nodeId"),
-        pg.projection.select("src", "dst"), numWalks = 2, length = 8)
+        pg.projection.select("src", "dst"), numWalks = 2, length = 8,
+        localEdgeThreshold = 0L)
       .collect()
       .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3)))
       .toSet
@@ -475,11 +559,19 @@ class GraphAlgoSpec extends AnyFunSuite {
     // determinism under repartition
     val again = algo.RandomWalks.walks(
         pg.nodes.select("nodeId").repartition(7),
-        pg.projection.select("src", "dst").repartition(13), 2, 8)
+        pg.projection.select("src", "dst").repartition(13), 2, 8,
+        localEdgeThreshold = 0L)
       .collect()
       .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3)))
       .toSet
     assert(again === got)
+    // adaptive dispatch (driver-sized graph -> sequential twin) agrees
+    val adaptive = algo.RandomWalks.walks(pg.nodes.select("nodeId"),
+        pg.projection.select("src", "dst"), 2, 8)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSet
+    assert(adaptive === got)
   }
 
   test("random walks: dead ends stop early, neighbor order is by id") {
@@ -487,7 +579,8 @@ class GraphAlgoSpec extends AnyFunSuite {
     // step 0. Next-hop from a must index the ID-SORTED neighbor list.
     val nodes = Seq("a", "b", "c").toDF("node")
     val edges = Seq(("a", "b"), ("a", "c"), ("c", "a")).toDF("src", "dst")
-    val got = algo.RandomWalks.walks(nodes, edges, numWalks = 3, length = 5)
+    val got = algo.RandomWalks.walks(nodes, edges, numWalks = 3, length = 5,
+        localEdgeThreshold = 0L)
       .collect()
       .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3)))
       .toSet
@@ -519,7 +612,8 @@ class GraphAlgoSpec extends AnyFunSuite {
 
   test("node2vec walks: DataFrame chain ≡ in-memory reference on slice 1") {
     val got = algo.RandomWalks.node2vecWalks(pg.nodes.select("nodeId"),
-        pg.projection.select("src", "dst"), numWalks = 2, length = 8)
+        pg.projection.select("src", "dst"), numWalks = 2, length = 8,
+        localEdgeThreshold = 0L)
       .collect()
       .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3)))
       .toSet
@@ -532,6 +626,13 @@ class GraphAlgoSpec extends AnyFunSuite {
     val uniform = algo.RandomWalks.localReference(nodeIds, pairs, 2, 8)
     assert(got !== uniform)
     assert(got.count(_._3 == 0) === 3705 * 2)
+    // adaptive dispatch (driver-sized graph -> sequential twin) agrees
+    val adaptive = algo.RandomWalks.node2vecWalks(pg.nodes.select("nodeId"),
+        pg.projection.select("src", "dst"), numWalks = 2, length = 8)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSet
+    assert(adaptive === got)
   }
 
   test("node2vec walks: weights steer the pick on a fixture") {
@@ -547,7 +648,7 @@ class GraphAlgoSpec extends AnyFunSuite {
     for ((rw, aw, fw) <- Seq((1000, 1, 1), (1, 1000, 1), (1, 1, 1000))) {
       val got = algo.RandomWalks.node2vecWalks(nodes, edges,
           numWalks = 2, length = 6, retWeight = rw, adjWeight = aw,
-          farWeight = fw)
+          farWeight = fw, localEdgeThreshold = 0L)
         .collect()
         .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3)))
         .toSet

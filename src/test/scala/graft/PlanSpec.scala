@@ -192,7 +192,7 @@ class PlanSpec extends AnyFunSuite {
       Seq((s"v$i", s"v${(i + 1) % 50}"), (s"v$i", s"v${(i * 7) % 50}")))
       .filter(e => e._1 != e._2).toDF("src", "dst")
     val p = plan(graft.algo.RandomWalks.walks(nodes, edges,
-      numWalks = 1, length = 2))
+      numWalks = 1, length = 2, localEdgeThreshold = 0L))
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
