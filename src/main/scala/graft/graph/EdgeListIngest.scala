@@ -127,6 +127,20 @@ object EdgeListIngest {
   def append(spark: SparkSession, pg: PropertyGraph, path: String)
       : PropertyGraph = {
     val raw = readRaw(spark, path).cache()
+    appendRaw(spark, pg, raw)
+      .copy(underlying = raw +: pg.underlying)
+  }
+
+  /** The merge core on an already-typed raw frame — streaming
+    * micro-batches (GraphStreams.maintainFromFiles) call this per
+    * batch; the batch path above wraps readRaw. Does NOT cache or
+    * track `raw`: its lifecycle belongs to the caller (a streaming
+    * micro-batch frame expires when the batch ends, so the caller must
+    * materialize the result before the next batch).
+    */
+  def appendRaw(spark: SparkSession, pg: PropertyGraph, rawIn: DataFrame)
+      : PropertyGraph = {
+    val raw = rawIn.filter(col("START_NODE").isNotNull)
     val newNodes = nodes(raw)
       .join(pg.nodes, Seq("nodeId", "x", "y"), "left_anti")
     val allNodes = pg.nodes.unionByName(newNodes)
@@ -139,6 +153,24 @@ object EdgeListIngest {
     val allEdges = pg.edges.unionByName(resolved)
     val pend = candidates.join(resolved, EdgeCols, "left_anti")
     PropertyGraph(allNodes, allEdges,
-      underlying = raw +: pg.underlying, pending = Some(pend))
+      underlying = pg.underlying, pending = Some(pend))
+  }
+
+  /** An empty graph — the identity element for `append`/`appendRaw`
+    * (streaming maintenance starts from it).
+    */
+  def emptyGraph(spark: SparkSession): PropertyGraph = {
+    import org.apache.spark.sql.Row
+    val nodes = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(StructField("nodeId", StringType),
+        StructField("x", DoubleType), StructField("y", DoubleType))))
+    val edges = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(StructField("src", StringType),
+        StructField("dst", StringType), StructField("roadId", StringType),
+        StructField("cost", DoubleType))))
+    PropertyGraph(nodes, edges,
+      pending = Some(edges.filter(lit(false))))
   }
 }

@@ -539,6 +539,15 @@ object Dedup {
     * bands must agree exactly on ≥1 chunk, so candidate pairs come from
     * per-chunk equality buckets (one narrow shuffle), then Hamming is
     * verified with bit_count(xor). Never compares all pairs.
+    *
+    * The band join runs over DISTINCT signatures, not documents (the
+    * duplicate-fingerprint handling of the same paper): a real corpus
+    * carries huge exact-duplicate clusters, and banding doc-level rows
+    * makes candidate volume quadratic in clone multiplicity — the r9
+    * 10×-replicated scale run measured 136× cost for 10× data exactly
+    * because of it. Signature-level banding keeps the quadratic part
+    * confined to the final expansion join, whose size is the OUTPUT
+    * size (every clone pair genuinely is a hamming-0 near-dup pair).
     */
   def simhashNearDup(docs: DataFrame, maxHamming: Int = 3,
       bands: Int = 4): DataFrame = {
@@ -547,28 +556,42 @@ object Dedup {
     // 1L << 64 wraps to 1 (Scala shifts are mod 64): a full-width band
     // needs an explicit all-ones mask or every band_val collapses to 0
     val mask = if (bits == 64) -1L else (1L << bits) - 1
-    // (doc_id, simhash) is two longs per doc — cache it so the banded
-    // self-join below computes each signature once, not twice
+    // (doc_id, simhash) is two longs per doc — cached because the
+    // signature-distinct band join and both expansion sides read it
     val sigs = docs
       .select(col("doc_id"), simhash(col("text")).as("simhash"))
       .cache()
-    val banded = sigs.select(col("doc_id"), col("simhash"),
+    val distinctSigs = sigs.select(col("simhash")).distinct()
+    val banded = distinctSigs.select(col("simhash"),
       posexplode(array((0 until bands).map { b =>
         shiftrightunsigned(col("simhash"), b * bits)
           .bitwiseAND(lit(mask))
       }: _*)).as(Seq("band_id", "band_val")))
-    val cands = banded.select(col("band_id"), col("band_val"),
-        col("doc_id").as("id_a"), col("simhash").as("sig_a"))
+    // verified signature pairs: distinct unordered sig pairs sharing a
+    // band, within the Hamming bound. Same-signature pairs (hamming 0)
+    // are added explicitly below via the expansion join's >= vs >.
+    val sigPairs = banded.select(col("band_id"), col("band_val"),
+        col("simhash").as("sig_a"))
       .join(banded.select(col("band_id"), col("band_val"),
-        col("doc_id").as("id_b"), col("simhash").as("sig_b")),
+        col("simhash").as("sig_b")),
         Seq("band_id", "band_val"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
-      .dropDuplicates("id_a", "id_b")
-    val verified = cands
+      .filter(col("sig_a") =!= col("sig_b"))
+      .select(col("sig_a"), col("sig_b"))
+      .dropDuplicates("sig_a", "sig_b")
       .withColumn("hamming",
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
+      // identical signatures pair at hamming 0 (every band collides,
+      // so doc-level banding found them too)
+      .union(distinctSigs.select(col("simhash").as("sig_a"),
+        col("simhash").as("sig_b"), lit(0).as("hamming")))
+    // expand signature pairs back to ordered doc pairs
+    val verified = sigPairs
+      .join(sigs.select(col("simhash").as("sig_a"),
+        col("doc_id").as("id_a")), Seq("sig_a"))
+      .join(sigs.select(col("simhash").as("sig_b"),
+        col("doc_id").as("id_b")), Seq("sig_b"))
+      .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("hamming"))
       .localCheckpoint(true)
     sigs.unpersist()

@@ -496,4 +496,99 @@ object Similarity {
     // add a serialization boundary)
     rankTail(partial, k)
   }
+
+  /** Graph-based ANN — the HNSW-class retrieval structure (a routable
+    * proximity graph + greedy beam search; HNSW's layer 0 IS a pruned
+    * k-NN graph, and the published scalable builds construct it from
+    * bucketed candidates exactly like this). Everything is
+    * deterministic, so even the APPROXIMATE result is DuckDB-oracle-able
+    * end to end — the same property that makes llm_knn_join_ivf
+    * hash-verifiable:
+    *
+    *  BUILD: seeds → one k-means refine → each vector draws candidate
+    *  neighbors from its top-`graphProbes` centroid buckets (map-side
+    *  native argmax, no shuffle); exact cosine over bucket-co-resident
+    *  pairs; keep top-`m` per vector by (sim DESC, id ASC). Candidate
+    *  volume is Σ_buckets |b|² bounded by the √n centroid policy —
+    *  never all-pairs.
+    *
+    *  SEARCH: entry points = the most central vector of each bucket
+    *  (argmax cosine to own centroid, ties to smaller id); `rounds`
+    *  beam expansions — beam ∪ out-neighbors(beam), re-ranked by exact
+    *  cosine to the query, keep top-`efSearch` — then top-`k` of the
+    *  final beam, self-matches excluded. Each round is one equi-join
+    *  against the adjacency table + one bounded per-query rank; beam
+    *  state is |queries|·efSearch rows, independent of corpus size.
+    *
+    * Recall scales with efSearch/rounds exactly as published graph-ANN
+    * does; the planted-cluster spec pins recall ≥ 0.9 at the defaults.
+    * `queries` must have (q_id: Long, q_vec: Array[Float]) columns.
+    * Returns (q_id, vec_id, cosine) — cosine rounded only on output.
+    */
+  def graphAnn(spark: SparkSession, emb: DataFrame, queries: DataFrame,
+      k: Int = 10, m: Int = 6, efSearch: Int = 24, rounds: Int = 3,
+      nCentroids: Int = 16, graphProbes: Int = 2, dim: Int = 64)
+      : DataFrame = {
+    require(k >= 1 && m >= 1 && efSearch >= k && rounds >= 1,
+      s"need k>=1, m>=1, efSearch>=k, rounds>=1")
+    import spark.implicits._
+    val vecs = emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    val seeds = seedCentroids(vecs, nCentroids)
+    val refined = kmeansRefine(spark, assignToCentroids(vecs, seeds), dim)
+      .cache()
+    val cents = refined.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    refined.unpersist()
+    // ---- build: bucketed m-NN adjacency -----------------------------
+    val probed = vecs.select(col("vec_id"), col("embedding"),
+      explode(nearestCentroids(col("embedding"), cents, graphProbes))
+        .as("cid"))
+    val aSide = probed.select(col("cid"), col("vec_id").as("src"),
+      col("embedding").as("src_vec"))
+    val bSide = probed.select(col("cid"), col("vec_id").as("dst"),
+      col("embedding").as("dst_vec"))
+    val adj = aSide.join(bSide, Seq("cid"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        cosine(col("src_vec"), col("dst_vec")).as("sim"))
+      .dropDuplicates("src", "dst")   // pair may share several buckets
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("src").orderBy(col("sim").desc, col("dst").asc)))
+      .filter(col("rn") <= m)
+      .select(col("src"), col("dst"))
+      .localCheckpoint(true)   // reused by every beam round
+    // ---- entry points: most central vector per bucket ---------------
+    val centDf = cents.toDF("c_id", "c_vec")
+    val entries = assignToCentroids(vecs, cents)
+      .join(broadcast(centDf), col("centroid_id") === col("c_id"))
+      .select(col("centroid_id"),
+        struct(cosine(col("embedding"), col("c_vec")).as("sim"),
+          (-col("vec_id")).as("nid")).as("s"))
+      .groupBy("centroid_id").agg(max(col("s")).as("s"))
+      .select((-col("s.nid")).as("vec_id")).distinct()
+    val q = queries.select(col("q_id"), col("q_vec"))
+    // ---- search: beam expansion rounds ------------------------------
+    var beam = q.select(col("q_id")).crossJoin(entries)
+      .select(col("q_id"), col("vec_id"))
+    def rescore(cand: DataFrame): DataFrame = cand
+      .join(vecs, Seq("vec_id"))
+      .join(q, Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("embedding"), col("q_vec")).as("sim"))
+    for (_ <- 1 to rounds) {
+      val nbrs = beam.join(adj, beam("vec_id") === adj("src"))
+        .select(col("q_id"), col("dst").as("vec_id"))
+      beam = rescore(beam.union(nbrs).distinct())
+        .withColumn("rn", row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("sim").desc, col("vec_id").asc)))
+        .filter(col("rn") <= efSearch)
+        .select(col("q_id"), col("vec_id"))
+    }
+    rescore(beam.filter(col("vec_id") =!= col("q_id")))
+      .withColumn("rn", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("sim").desc, col("vec_id").asc)))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"), round(col("sim"), 6).as("cosine"))
+  }
 }

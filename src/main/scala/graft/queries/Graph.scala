@@ -73,6 +73,45 @@ object Graph {
       })
   }
 
+  /** Shared from-scratch-rebuild oracle over slice 1 ∪ slice 2 — used
+    * by BOTH g27_append_graph (batch append) and stream_graph_append
+    * (streaming maintenance), so the two append surfaces are pinned to
+    * the same ground truth and cannot drift.
+    */
+  private[queries] val AppendOracleSql: String =
+    s"""WITH raw AS (
+       |  SELECT * FROM read_csv('${DefaultEdgeList}', header=true,
+       |    columns={'XCoord':'DOUBLE','YCoord':'DOUBLE',
+       |      'START_NODE':'VARCHAR','END_NODE':'VARCHAR',
+       |      'EDGE':'VARCHAR','LENGTH':'DOUBLE'})
+       |  WHERE START_NODE IS NOT NULL
+       |  UNION ALL
+       |  SELECT * FROM read_csv('/root/reference/Shenzhen_Edgelist_2.csv',
+       |    header=true,
+       |    columns={'XCoord':'DOUBLE','YCoord':'DOUBLE',
+       |      'START_NODE':'VARCHAR','END_NODE':'VARCHAR',
+       |      'EDGE':'VARCHAR','LENGTH':'DOUBLE'})
+       |  WHERE START_NODE IS NOT NULL),
+       |nodes AS (SELECT DISTINCT START_NODE, XCoord, YCoord FROM raw),
+       |ids AS (SELECT DISTINCT START_NODE FROM nodes),
+       |cand AS (SELECT DISTINCT START_NODE AS src, END_NODE AS dst,
+       |  EDGE AS roadId, LENGTH AS cost FROM raw),
+       |edges AS (SELECT * FROM cand
+       |  WHERE src IN (SELECT * FROM ids)
+       |    AND dst IN (SELECT * FROM ids))
+       |SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+       |       (SELECT count(*) FROM edges) AS n_edges,
+       |       (SELECT round(sum(cost), 1) FROM edges) AS sum_cost,
+       |       (SELECT count(*) FROM cand) -
+       |         (SELECT count(*) FROM edges) AS n_pending""".stripMargin
+
+  /** The shared one-row summary both append queries emit. */
+  private[queries] def appendSummary(pg: PropertyGraph): DataFrame =
+    pg.nodes.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(pg.edges.agg(count(lit(1)).as("n_edges"),
+        round(sum(col("cost")), 1).as("sum_cost")))
+      .crossJoin(pg.pending.get.agg(count(lit(1)).as("n_pending")))
+
   /** Drop and unpersist every graph cached for `spark`. */
   def release(spark: SparkSession): Unit = {
     Seq(cache, appendCache).foreach { c =>
@@ -1067,36 +1106,7 @@ object Graph {
     // Both slice paths are fixed, so this stays oracled under
     // GRAFT_EDGELIST overrides.
     GQ("g27_append_graph",
-      (s, _) => {
-        val pg = appendedGraph(s)
-        pg.nodes.agg(count(lit(1)).as("n_nodes"))
-          .crossJoin(pg.edges.agg(count(lit(1)).as("n_edges"),
-            round(sum(col("cost")), 1).as("sum_cost")))
-          .crossJoin(pg.pending.get.agg(count(lit(1)).as("n_pending")))
-      },
-      Some(s"""WITH raw AS (
-              |  SELECT * FROM read_csv('${DefaultEdgeList}', header=true,
-              |    columns={'XCoord':'DOUBLE','YCoord':'DOUBLE',
-              |      'START_NODE':'VARCHAR','END_NODE':'VARCHAR',
-              |      'EDGE':'VARCHAR','LENGTH':'DOUBLE'})
-              |  WHERE START_NODE IS NOT NULL
-              |  UNION ALL
-              |  SELECT * FROM read_csv('${Slice2EdgeList}', header=true,
-              |    columns={'XCoord':'DOUBLE','YCoord':'DOUBLE',
-              |      'START_NODE':'VARCHAR','END_NODE':'VARCHAR',
-              |      'EDGE':'VARCHAR','LENGTH':'DOUBLE'})
-              |  WHERE START_NODE IS NOT NULL),
-              |nodes AS (SELECT DISTINCT START_NODE, XCoord, YCoord FROM raw),
-              |ids AS (SELECT DISTINCT START_NODE FROM nodes),
-              |cand AS (SELECT DISTINCT START_NODE AS src, END_NODE AS dst,
-              |  EDGE AS roadId, LENGTH AS cost FROM raw),
-              |edges AS (SELECT * FROM cand
-              |  WHERE src IN (SELECT * FROM ids)
-              |    AND dst IN (SELECT * FROM ids))
-              |SELECT (SELECT count(*) FROM nodes) AS n_nodes,
-              |       (SELECT count(*) FROM edges) AS n_edges,
-              |       (SELECT round(sum(cost), 1) FROM edges) AS sum_cost,
-              |       (SELECT count(*) FROM cand) -
-              |         (SELECT count(*) FROM edges) AS n_pending""".stripMargin))
+      (s, _) => appendSummary(appendedGraph(s)),
+      Some(AppendOracleSql))
   )
 }

@@ -853,6 +853,78 @@ object Llm {
              |SELECT q_id, vec_id, round(sim, 6) AS cosine
              |FROM ir WHERE rn <= 5""".stripMargin)),
 
+    // ---- graph-based ANN (the HNSW-class path) ------------------------
+    // Deterministic k-NN-graph build (bucketed candidates, top-6 per
+    // vector) + 3 beam-search rounds from per-bucket entry points —
+    // every rank tie-broken on exact doubles, so the routed APPROXIMATE
+    // result hash-verifies against the same chain in DuckDB.
+    GQ("llm_ann_graph",
+      (s, dir) => {
+        val emb = t(s, dir).embeddings
+        val qs = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        Similarity.graphAnn(s, emb, qs, k = 10, m = 6, efSearch = 24,
+          rounds = 3, nCentroids = 16, graphProbes = 2)
+      },
+      Some {
+        def beamRound(t: Int): String = {
+          val prev = s"gb${t - 1}"
+          s"""gc$t AS (SELECT q_id, vec_id FROM $prev
+             |  UNION
+             |  SELECT b.q_id, a.dst AS vec_id FROM $prev b
+             |    JOIN gadj a ON a.src = b.vec_id),
+             |gb$t AS (SELECT q_id, vec_id FROM (
+             |    SELECT c.q_id, c.vec_id,
+             |      row_number() OVER (PARTITION BY c.q_id
+             |        ORDER BY ${KmOracle.cos("e.embedding", "q.qv")} DESC,
+             |          c.vec_id ASC) AS rn
+             |    FROM gc$t c JOIN embeddings e ON e.vec_id = c.vec_id
+             |      JOIN gq q ON q.q_id = c.q_id) WHERE rn <= 24)""".stripMargin
+        }
+        s"""WITH gq AS (SELECT vec_id AS q_id, embedding AS qv
+           |  FROM embeddings WHERE vec_id < 8),
+           |${KmOracle.seeds(16)},
+           |${KmOracle.assign("seeds", "ga0")},
+           |${KmOracle.refine("ga0", "gr1")},
+           |${KmOracle.assign("gr1", "ga1")},
+           |gp AS (SELECT vec_id, embedding, c_id FROM (
+           |    SELECT e.vec_id, e.embedding, s.c_id,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${KmOracle.cos("e.embedding", "s.c_vec")} DESC,
+           |          s.c_id DESC) AS rn
+           |    FROM embeddings e CROSS JOIN gr1 s) WHERE rn <= 2),
+           |gcand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+           |  FROM gp a JOIN gp b ON a.c_id = b.c_id
+           |    AND a.vec_id <> b.vec_id),
+           |gsim AS (SELECT c.src, c.dst,
+           |    ${KmOracle.cos("ea.embedding", "eb.embedding")} AS sim
+           |  FROM gcand c JOIN embeddings ea ON ea.vec_id = c.src
+           |    JOIN embeddings eb ON eb.vec_id = c.dst),
+           |gadj AS (SELECT src, dst FROM (
+           |    SELECT src, dst, row_number() OVER (PARTITION BY src
+           |      ORDER BY sim DESC, dst ASC) AS rn FROM gsim)
+           |  WHERE rn <= 6),
+           |gent AS (SELECT DISTINCT vec_id FROM (
+           |    SELECT a.vec_id, row_number() OVER (PARTITION BY a.centroid_id
+           |      ORDER BY ${KmOracle.cos("a.embedding", "r.c_vec")} DESC,
+           |        a.vec_id ASC) AS rn
+           |    FROM ga1 a JOIN gr1 r ON r.c_id = a.centroid_id)
+           |  WHERE rn = 1),
+           |gb0 AS (SELECT q.q_id, g.vec_id FROM gq q CROSS JOIN gent g),
+           |${beamRound(1)},
+           |${beamRound(2)},
+           |${beamRound(3)}
+           |SELECT q_id, vec_id, round(sim, 6) AS cosine FROM (
+           |  SELECT c.q_id, c.vec_id,
+           |    ${KmOracle.cos("e.embedding", "q.qv")} AS sim,
+           |    row_number() OVER (PARTITION BY c.q_id
+           |      ORDER BY ${KmOracle.cos("e.embedding", "q.qv")} DESC,
+           |        c.vec_id ASC) AS rn
+           |  FROM gb3 c JOIN embeddings e ON e.vec_id = c.vec_id
+           |    JOIN gq q ON q.q_id = c.q_id
+           |  WHERE c.vec_id <> c.q_id) WHERE rn <= 10""".stripMargin
+      }),
+
     // ---- k-means document clustering over embeddings ------------------
     GQ("llm_kmeans_clusters",
       (s, dir) => Similarity.kmeans(s, t(s, dir).embeddings, k = 8, iters = 3)

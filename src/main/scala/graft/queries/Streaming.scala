@@ -278,6 +278,27 @@ object Streaming {
       },
       Some(s"""WITH RECURSIVE ${Llm.minhashCtes("documents")}
              |SELECT id_a, id_b, jaccard FROM mver
-             |WHERE jaccard >= 0.3""".stripMargin))
+             |WHERE jaccard >= 0.3""".stripMargin)),
+
+    // Streaming graph maintenance: the reference's growing-slice feed
+    // (standalone.txt:1-11) as a live file-source stream, one CSV per
+    // micro-batch, MERGEd into the running graph via foreachBatch +
+    // EdgeListIngest.appendRaw. The oracle is the SAME from-scratch
+    // rebuild SQL as g27_append_graph, so streamed maintenance ≡ batch
+    // append ≡ full re-import is checked end to end by one hash.
+    GQ("stream_graph_append",
+      (s, _) => withStreamPartitions(s, 8) {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-graph-stream")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(Graph.DefaultEdgeList),
+          dir.resolve("0001.csv"))
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(Graph.Slice2EdgeList),
+          dir.resolve("0002.csv"))
+        Graph.appendSummary(
+          graft.streaming.GraphStreams.maintainFromFiles(s, dir.toString))
+      },
+      Some(Graph.AppendOracleSql))
   )
 }

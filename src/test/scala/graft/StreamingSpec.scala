@@ -312,4 +312,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.map(_._2).sum ===
       spark.read.parquet(s"$sf/documents.parquet").count())
   }
+
+  test("streaming graph maintenance ≡ batch build; pending edge revives " +
+      "across micro-batch boundaries") {
+    // same fixture as the batch append spec: batch A leaves edge 1→9
+    // dangling (9 not yet a node), batch B adds node 9 — the stream
+    // processes one file per micro-batch, so the revival must survive a
+    // REAL batch boundary through the checkpointed pending backlog
+    val dir = java.nio.file.Files.createTempDirectory("graft-gstream-spec")
+    val header = "XCoord,YCoord,START_NODE,END_NODE,EDGE,LENGTH\n"
+    java.nio.file.Files.write(dir.resolve("0001.csv"),
+      (header + "1.0,1.0,1,2,e1,10.0\n2.0,2.0,2,1,e2,10.0\n" +
+        "1.0,1.0,1,9,e3,5.0\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("0002.csv"),
+      (header + "9.0,9.0,9,1,e4,7.0\n").getBytes("UTF-8"))
+    val pg = graft.streaming.GraphStreams.maintainFromFiles(
+      spark, dir.toString)
+    assert(pg.nodes.count() === 3L)
+    assert(pg.edges.count() === 4L)        // e3 revived + e4 appended
+    assert(pg.pending.get.count() === 0L)
+    val edgeSet = pg.edges.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getDouble(3))).toSet
+    assert(edgeSet === Set(("1", "2", "e1", 10.0), ("2", "1", "e2", 10.0),
+      ("1", "9", "e3", 5.0), ("9", "1", "e4", 7.0)))
+  }
 }
