@@ -121,6 +121,13 @@ object ImageDedup {
       shiftleft(col("dhash_hi"), 32).bitwiseOR(col("dhash_lo")).as("dh"),
       shiftleft(col("ahash_hi"), 32).bitwiseOR(col("ahash_lo")).as("ah"))
       .cache()
+    // Band DISTINCT (dh, ah) signatures, not media rows (the r9 fix
+    // shared with Dedup.simhashNearDup): duplicate-media clusters made
+    // the doc-level candidate join quadratic in clone multiplicity
+    // (measured 63 s at the 10× scale corpus). Verified signature pairs
+    // expand back to media pairs at the very end, so the quadratic part
+    // is confined to the genuine OUTPUT.
+    val distinctSigs = sigs.select(col("dh"), col("ah")).distinct()
     val keys = for { b <- 0 until bands; j <- 0 until subs } yield {
       val bandVal =
         shiftrightunsigned(col("dh"), b * bits).bitwiseAND(lit(mask))
@@ -133,25 +140,35 @@ object ImageDedup {
       val subVal = shiftrightunsigned(rest, lo).bitwiseAND(lit(subMask))
       struct(bandVal.as("bv"), subVal.as("sv"))
     }
-    val banded = sigs.select(col("media_id"), col("dh"), col("ah"),
+    val banded = distinctSigs.select(col("dh"), col("ah"),
         posexplode(array(keys: _*)).as(Seq("key_id", "k")))
-      .select(col("media_id"), col("dh"), col("ah"), col("key_id"),
+      .select(col("dh"), col("ah"), col("key_id"),
         col("k.bv").as("band_val"), col("k.sv").as("sub_val"))
-    val cands = banded.select(col("key_id"), col("band_val"), col("sub_val"),
-        col("media_id").as("id_a"), col("dh").as("dh_a"), col("ah").as("ah_a"))
+    val sigPairs = banded.select(col("key_id"), col("band_val"),
+        col("sub_val"), col("dh").as("dh_a"), col("ah").as("ah_a"))
       .join(banded.select(col("key_id"), col("band_val"), col("sub_val"),
-        col("media_id").as("id_b"), col("dh").as("dh_b"),
-        col("ah").as("ah_b")),
+        col("dh").as("dh_b"), col("ah").as("ah_b")),
         Seq("key_id", "band_val", "sub_val"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    val verified = cands
+      .filter(col("dh_a") =!= col("dh_b") || col("ah_a") =!= col("ah_b"))
+      .select(col("dh_a"), col("ah_a"), col("dh_b"), col("ah_b"))
+      .dropDuplicates("dh_a", "ah_a", "dh_b", "ah_b")
       .withColumn("dhash_hamming",
         bit_count(col("dh_a").bitwiseXOR(col("dh_b"))).cast("long"))
       .withColumn("ahash_hamming",
         bit_count(col("ah_a").bitwiseXOR(col("ah_b"))).cast("long"))
       .filter(col("dhash_hamming") <= maxHamming &&
         col("ahash_hamming") <= maxHamming)
+      // identical signatures pair at hamming (0, 0); disjoint from the
+      // join side, which keeps only non-identical signature pairs
+      .union(distinctSigs.select(col("dh").as("dh_a"),
+        col("ah").as("ah_a"), col("dh").as("dh_b"), col("ah").as("ah_b"),
+        lit(0L).as("dhash_hamming"), lit(0L).as("ahash_hamming")))
+    val verified = sigPairs
+      .join(sigs.select(col("dh").as("dh_a"), col("ah").as("ah_a"),
+        col("media_id").as("id_a")), Seq("dh_a", "ah_a"))
+      .join(sigs.select(col("dh").as("dh_b"), col("ah").as("ah_b"),
+        col("media_id").as("id_b")), Seq("dh_b", "ah_b"))
+      .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         col("dhash_hamming"), col("ahash_hamming"))
       .localCheckpoint(true)
