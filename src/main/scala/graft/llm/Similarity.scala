@@ -532,8 +532,14 @@ object Similarity {
     require(k >= 1 && m >= 1 && efSearch >= k && rounds >= 1,
       s"need k>=1, m>=1, efSearch>=k, rounds>=1")
     import spark.implicits._
+    // checkpointed (not cached) because the corpus is re-read by the
+    // probe explode, the adjacency build, the entry argmax, and one
+    // rescore per beam round — and a checkpoint is released by the
+    // harness's Checkpoints.release walk over the returned plan, where
+    // a cache() would leak across queries
     val vecs = emb.filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true)
     val seeds = seedCentroids(vecs, nCentroids)
     val refined = kmeansRefine(spark, assignToCentroids(vecs, seeds), dim)
       .cache()
@@ -567,7 +573,7 @@ object Similarity {
           (-col("vec_id")).as("nid")).as("s"))
       .groupBy("centroid_id").agg(max(col("s")).as("s"))
       .select((-col("s.nid")).as("vec_id")).distinct()
-    val q = queries.select(col("q_id"), col("q_vec"))
+    val q = queries.select(col("q_id"), col("q_vec")).localCheckpoint(true)
     // ---- search: beam expansion rounds ------------------------------
     var beam = q.select(col("q_id")).crossJoin(entries)
       .select(col("q_id"), col("vec_id"))

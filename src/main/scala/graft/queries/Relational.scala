@@ -1008,5 +1008,50 @@ object Relational {
              |            ELSE 1 END AS INT) AS stage
              |FROM fv v LEFT JOIN fc c USING (user_id)
              |  LEFT JOIN fp p USING (user_id)""".stripMargin))
+  ,
+
+    // Sink round trip (SURVEY §2.1 S2 + S7, promoted from suite-only to
+    // driver-oracled): partitioned size-bounded parquet write → read
+    // back (S2), then bulk delete as a filtered OVERWRITE of the same
+    // dataset → read back again (S7, the immutable-engine delete
+    // mapping). The oracle derives both states straight from the source
+    // table, so a hash match proves write→read fidelity AND overwrite
+    // semantics end to end. Prices quantize to integer cents per row
+    // before summing (the determinism contract for double aggregates).
+    GQ("q48_sink_roundtrip",
+      (s, dir) => {
+        val orders = t(s, dir).orders
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-sink-rt").toString + "/orders"
+        graft.sources.Sinks.parquet(orders, path,
+          partitionBy = Seq("o_orderstatus"), maxRecordsPerFile = 2000,
+          sortWithinPartitionsBy = Seq("o_orderkey"))
+        val back = s.read.parquet(path)
+        // materialize BEFORE the overwrite below rewrites the files
+        val before = back.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_before"),
+            sum(round(col("o_totalprice") * 100, 0).cast("long"))
+              .as("cents_before"))
+          .localCheckpoint(true)
+        val retained = back.filter(col("o_orderstatus") =!= "O")
+          .localCheckpoint(true)   // a path cannot be read and overwritten lazily
+        graft.sources.Sinks.parquet(retained, path,
+          partitionBy = Seq("o_orderstatus"), maxRecordsPerFile = 2000)
+        val after = s.read.parquet(path).groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_after"))
+        before.join(after, Seq("o_orderstatus"), "left_outer")
+          .select(col("o_orderstatus"), col("n_before"),
+            col("cents_before"),
+            coalesce(col("n_after"), lit(0L)).as("n_after"))
+      },
+      Some("""WITH b AS (
+             |  SELECT o_orderstatus, count(*) AS n_before,
+             |    sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             |      AS cents_before
+             |  FROM orders GROUP BY 1)
+             |SELECT o_orderstatus, n_before, cents_before,
+             |  CASE WHEN o_orderstatus = 'O' THEN 0
+             |       ELSE n_before END AS n_after
+             |FROM b""".stripMargin))
   )
 }
