@@ -46,6 +46,19 @@ object ScalePolicyCheck {
         nCentroids = 0, nProbe = 4)
         .write.format("noop").mode("overwrite").save()
     }
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    time("graphAnn nCentroids=16 (oracle-pinned)") {
+      val d = graft.llm.Similarity.graphAnn(spark, emb, queries,
+        nCentroids = 16)
+      d.write.format("noop").mode("overwrite").save()
+      graft.core.Checkpoints.release(d)
+    }
+    time("graphAnn nCentroids=0 (sqrt-n policy)") {
+      val d = graft.llm.Similarity.graphAnn(spark, emb, queries)
+      d.write.format("noop").mode("overwrite").save()
+      graft.core.Checkpoints.release(d)
+    }
     spark.stop()
   }
 }

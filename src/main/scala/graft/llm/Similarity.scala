@@ -524,10 +524,17 @@ object Similarity {
     * does; the planted-cluster spec pins recall ≥ 0.9 at the defaults.
     * `queries` must have (q_id: Long, q_vec: Array[Float]) columns.
     * Returns (q_id, vec_id, cosine) — cosine rounded only on output.
+    *
+    * nCentroids = 0 (the default) applies the √n autoCentroids policy —
+    * the binding scale knob: with a FIXED bucket count the build's
+    * candidate volume Σ|b|² grows quadratically (the r9 10× scale run
+    * measured 50× cost for 10× data on the oracle-pinned 16), while √n
+    * keeps it O(n^1.5). Explicit values are for oracled pipelines that
+    * need a literal centroid count.
     */
   def graphAnn(spark: SparkSession, emb: DataFrame, queries: DataFrame,
       k: Int = 10, m: Int = 6, efSearch: Int = 24, rounds: Int = 3,
-      nCentroids: Int = 16, graphProbes: Int = 2, dim: Int = 64)
+      nCentroids: Int = 0, graphProbes: Int = 2, dim: Int = 64)
       : DataFrame = {
     require(k >= 1 && m >= 1 && efSearch >= k && rounds >= 1,
       s"need k>=1, m>=1, efSearch>=k, rounds>=1")
@@ -540,7 +547,9 @@ object Similarity {
     val vecs = emb.filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding"))
       .localCheckpoint(true)
-    val seeds = seedCentroids(vecs, nCentroids)
+    val nCent =
+      if (nCentroids > 0) nCentroids else autoCentroids(vecs.count())
+    val seeds = seedCentroids(vecs, nCent)
     val refined = kmeansRefine(spark, assignToCentroids(vecs, seeds), dim)
       .cache()
     val cents = refined.collect()

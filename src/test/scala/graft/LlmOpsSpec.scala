@@ -292,8 +292,9 @@ class LlmOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (ann & exact).size.toDouble / exact.size
     info(f"graph-ANN recall@10: $recall%.3f")
-    // measured 2026-08-14: 0.831 at defaults, 0.975 at ef=48/4 rounds,
-    // on the sf0.001 embeddings (deterministic data → safe to pin)
+    // measured 2026-08-14: 0.881 at defaults (√n policy → 45 buckets),
+    // 0.947 at ef=48/4 rounds, on the sf0.001 embeddings (deterministic
+    // data → safe to pin)
     assert(recall >= 0.7, f"recall collapsed: $recall%.3f")
     // a wider beam must not lose recall
     val wide = Similarity.graphAnn(spark, base, qdf, k = 10,
