@@ -218,18 +218,40 @@ object Dedup {
     * (1/8)^(1/4) ≈ 0.6 Jaccard.
     */
   def minhashNearDup(docs: DataFrame, w: Int = 3, k: Int = 32,
-      bands: Int = 8, minJaccard: Double = 0.6): DataFrame = {
+      bands: Int = 8, minJaccard: Double = 0.6,
+      collapseExact: Boolean = true): DataFrame = {
     val rowsPerBand = k / bands
     require(bands * rowsPerBand == k, "bands must divide signature length")
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    if (!collapseExact) return minhashNearDupReps(docs, w, k, bands,
+      minJaccard)
+
+    // Exact-duplicate collapse (r9, the same clone-cluster hardening as
+    // simhashNearDup/ImageDedup): every downstream value — signature,
+    // band keys, shingle set, Jaccard — is a pure function of the TOKEN
+    // SEQUENCE, so the banded join and verification run on ONE
+    // representative per distinct sequence, and verified pairs expand
+    // back to member pairs at the end. Output is provably identical;
+    // candidate volume stops being quadratic in clone multiplicity
+    // (tokens never contain whitespace, so the space-joined fingerprint
+    // is collision-free up to md5).
+    val fped = docs.select(col("doc_id"),
+        md5(concat_ws(" ", tokens(col("text")))).as("fp"))
+      .cache()
+    val groups = fped.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("rep_id"),
+        count(lit(1)).as("n_members"))
+      .cache()
+    val reps = docs.join(
+      groups.select(col("rep_id").as("doc_id")), Seq("doc_id"), "left_semi")
 
     // Signature in one fused native pass (tokens → w-gram windows →
     // double-hash minima): no shingle strings or intermediate arrays are
     // materialized for the corpus — only candidates get real shingle sets.
-    graft.functions.GraftFunctions.register(
-      org.apache.spark.sql.SparkSession.active)
-    // (doc_id, sig) is k longs per doc — cache it so the banded
+    // (doc_id, sig) is k longs per rep — cache it so the banded
     // self-join below computes each signature once, not twice
-    val withSig = docs
+    val withSig = reps
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         call_function("graft_minhash_text", col("toks"), lit(w), lit(k))
@@ -250,7 +272,15 @@ object Dedup {
             .cast("array<string>"))
       }: _*)).as(Seq("band_id", "band_key")))
 
-    // candidate id pairs: self-join within bucket, ordered to dedupe (a<b)
+    // candidate id pairs: self-join within bucket, ordered to dedupe
+    // (a<b) — rep-level. Exact-duplicate groups re-enter as rep SELF
+    // pairs (id_a = id_b): the verify below computes their Jaccard on
+    // (sh, sh), so the empty-shingle and null-sig exclusions apply to
+    // clone groups exactly as they did to doc-level banding.
+    val selfPairs = groups.filter(col("n_members") > 1)
+      .join(withSig.select(col("doc_id").as("rep_id")), Seq("rep_id"),
+        "left_semi")
+      .select(col("rep_id").as("id_a"), col("rep_id").as("id_b"))
     val cands = banded.select(col("band_id"), col("band_key"),
         col("doc_id").as("id_a"))
       .join(banded.select(col("band_id"), col("band_key"),
@@ -258,6 +288,7 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+      .union(selfPairs)
       .cache()
 
     // exact Jaccard verification — shingle sets materialized ONLY for
@@ -266,6 +297,82 @@ object Dedup {
     // duplicate-dense corpus (the primary dedup use case) it is NOT
     // small, so no broadcast is forced — AQE decides from observed sizes
     // instead of failing on the 8 GB broadcast limit.
+    val candIds = cands.select(col("id_a").as("doc_id"))
+      .union(cands.select(col("id_b").as("doc_id"))).distinct()
+    val candSh = docs
+      .join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shinglesFromTokens(col("toks"), w).as("sh"))
+      .cache()
+    val verifiedReps = cands
+      .join(candSh.select(col("doc_id").as("id_a"),
+        col("sh").as("sh_a")), Seq("id_a"))
+      .join(candSh.select(col("doc_id").as("id_b"),
+        col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("uni") > 0)
+      .withColumn("jaccard", TextAnalysis.portableRound(
+        col("inter") / col("uni").cast("double"), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    // expand verified rep pairs to member pairs: cross-group pairs order
+    // by least/greatest (each unordered member pair appears exactly once
+    // because rep pairs carry id_a < id_b); same-group (self) pairs take
+    // the m_a < m_b half of the within-group cross join
+    val members = fped.join(groups.select(col("fp"), col("rep_id")),
+      Seq("fp"))
+    val verified = verifiedReps
+      .join(members.select(col("rep_id").as("id_a"),
+        col("doc_id").as("m_a")), Seq("id_a"))
+      .join(members.select(col("rep_id").as("id_b"),
+        col("doc_id").as("m_b")), Seq("id_b"))
+      .filter(col("id_a") =!= col("id_b") || col("m_a") < col("m_b"))
+      .select(least(col("m_a"), col("m_b")).as("id_a"),
+        greatest(col("m_a"), col("m_b")).as("id_b"), col("jaccard"))
+      // eager: the verified pair set is LSH-pruned; materializing it
+      // here lets the intermediates be unpersisted immediately instead
+      // of accumulating cached blocks across repeated dedup calls
+      .localCheckpoint(true)
+    withSig.unpersist()
+    cands.unpersist()
+    candSh.unpersist()
+    fped.unpersist()
+    groups.unpersist()
+    verified
+  }
+
+  /** Doc-level banding WITHOUT the exact-duplicate collapse — for
+    * callers whose input is provably free of token-identical documents
+    * (dedupCorpus runs this on exact()'s survivors: exact's
+    * fingerprintMd5 normalization IS the collapse fingerprint, so the
+    * collapse pass would group nothing and cost two shuffles).
+    */
+  private def minhashNearDupReps(docs: DataFrame, w: Int, k: Int,
+      bands: Int, minJaccard: Double): DataFrame = {
+    val rowsPerBand = k / bands
+    val withSig = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        call_function("graft_minhash_text", col("toks"), lit(w), lit(k))
+          .as("sig"))
+      .filter(col("sig").isNotNull)
+      .cache()
+    val banded = withSig.select(
+      col("doc_id"),
+      posexplode(array((0 until bands).map { b =>
+        concat_ws(",",
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
+            .cast("array<string>"))
+      }: _*)).as(Seq("band_id", "band_key")))
+    val cands = banded.select(col("band_id"), col("band_key"),
+        col("doc_id").as("id_a"))
+      .join(banded.select(col("band_id"), col("band_key"),
+        col("doc_id").as("id_b")), Seq("band_id", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .cache()
     val candIds = cands.select(col("id_a").as("doc_id"))
       .union(cands.select(col("id_b").as("doc_id"))).distinct()
     val candSh = docs
@@ -285,9 +392,6 @@ object Dedup {
         col("inter") / col("uni").cast("double"), 4))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-      // eager: the verified pair set is small (LSH pruned); materializing
-      // it here lets the intermediates be unpersisted immediately instead
-      // of accumulating cached blocks across repeated dedup calls
       .localCheckpoint(true)
     withSig.unpersist()
     cands.unpersist()
@@ -698,7 +802,10 @@ object Dedup {
     // the final anti-join — cache it so the exact-dedup groupBy shuffle
     // runs once, not once per downstream reference
     val survivors = docs.join(exactKeep, Seq("doc_id"), "left_semi").cache()
-    val pairs = minhashNearDup(survivors, w, k, bands, minJaccard)
+    // survivors carry one doc per fingerprintMd5, which IS the collapse
+    // fingerprint — skip the (provably no-op) exact-duplicate collapse
+    val pairs = minhashNearDup(survivors, w, k, bands, minJaccard,
+      collapseExact = false)
     val groups = transitiveGroups(pairs.select("id_a", "id_b"))
     // `drop` is small only when the corpus has few near-dups — the
     // opposite of the dedup-heavy case this operator exists for, so let

@@ -38,6 +38,32 @@ class LlmOpsSpec extends AnyFunSuite {
     pairs.foreach(r => assert(r.getDouble(2) >= 0.5))
   }
 
+  test("minhash near-dup: exact-duplicate collapse ≡ doc-level banding " +
+      "on a clone-heavy corpus") {
+    // every doc gains two exact clones (and one whitespace/case variant,
+    // which the token fingerprint must ALSO group) — the collapse path
+    // must emit the identical pair set the doc-level path emits,
+    // including all intra-clone jaccard-1.0 pairs
+    val base = docs.filter(col("doc_id") < 40).select("doc_id", "text")
+    val clones = base.select((col("doc_id") + 1000L).as("doc_id"),
+        col("text"))
+      .union(base.select((col("doc_id") + 2000L).as("doc_id"),
+        concat(upper(col("text")), lit("  ")).as("text")))
+    val all = base.union(clones)
+    val collapsed = Dedup.minhashNearDup(all, w = 3, k = 32, bands = 8,
+        minJaccard = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val docLevel = Dedup.minhashNearDup(all, w = 3, k = 32, bands = 8,
+        minJaccard = 0.5, collapseExact = false).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(collapsed === docLevel)
+    // the planted clone relations are present at jaccard 1.0 — note the
+    // case variant pairs only if tokens() lowercases (it does)
+    assert(collapsed.contains((0L, 1000L, 1.0)))
+    assert(collapsed.contains((0L, 2000L, 1.0)))
+    assert(collapsed.contains((1000L, 2000L, 1.0)))
+  }
+
   test("crossNearDup flags paraphrased bench docs, skips unrelated ones") {
     // bench doc 0; corpus has a one-word paraphrase of it (near-dup, must
     // flag), an exact copy (jaccard 1.0, must flag), and the unrelated
