@@ -501,16 +501,59 @@ object Dedup {
       minJacNum: Int = 3, minJacDen: Int = 5): DataFrame = {
     require(minJacNum > 0 && minJacNum <= minJacDen,
       s"threshold must be in (0,1]: $minJacNum/$minJacDen")
-    // No filter(size(sh) > 0) here, deliberately: empty shingle sets are
-    // harmless (explode skips them; only candidates reach the verify
-    // join), and a predicate on the derived column gets substituted
-    // below this project by pushdown — inlining the tokens expression
-    // into the lambda, where it re-evaluates PER ELEMENT (measured 16×
-    // on this stage; the HOF-interpreted pitfall via the optimizer).
-    val sh = docs
+    // Exact-duplicate collapse (r9, shared with minhashNearDup): the
+    // output (n_common, n_union) is a pure function of the shingle
+    // sets, which are pure functions of the token sequence — so the
+    // AllPairs prefix join runs on one representative per distinct
+    // sequence and verified pairs expand to member pairs at the end.
+    // Without it, clone clusters make prefix-join candidates quadratic
+    // in clone multiplicity (the r9 10× scale run measured the cost).
+    val fped = docs.select(col("doc_id"),
+        md5(concat_ws(" ", tokens(col("text")))).as("fp"))
+      .cache()
+    val groups = fped.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("rep_id"),
+        count(lit(1)).as("n_members"))
+      .cache()
+    val reps = docs.join(
+      groups.select(col("rep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    // Eagerly checkpointed: a materialization BARRIER, not just reuse.
+    // The selfReps projection below reads size(sh), and without the
+    // barrier the optimizer collapses projections and inlines the full
+    // tokens expression into the shingle lambda, re-evaluating it PER
+    // ELEMENT (the documented HOF-interpreted pitfall — measured 81 s
+    // vs ~1 s on the 10× corpus for exactly this size() read).
+    val sh = reps
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), shinglesFromTokens(col("toks"), w).as("sh"))
-    jaccardPairsFromSets(sh, minJacNum, minJacDen)
+      .localCheckpoint(true)
+    val repPairs = jaccardPairsFromSets(sh, minJacNum, minJacDen)
+    // intra-clone pairs: identical NONEMPTY sets have Jaccard exactly 1
+    // (empty-set docs never reached the prefix join in the doc-level
+    // formulation either — explode skips them)
+    val selfReps = groups.filter(col("n_members") > 1)
+      .join(sh.select(col("doc_id").as("rep_id"),
+        size(col("sh")).cast("long").as("n_sh")), Seq("rep_id"))
+      .filter(col("n_sh") > 0)
+      .select(col("rep_id").as("id_a"), col("rep_id").as("id_b"),
+        col("n_sh").as("n_common"), col("n_sh").as("n_union"))
+    val members = fped.join(groups.select(col("fp"), col("rep_id")),
+      Seq("fp"))
+    val expanded = repPairs.union(selfReps)
+      .join(members.select(col("rep_id").as("id_a"),
+        col("doc_id").as("m_a")), Seq("id_a"))
+      .join(members.select(col("rep_id").as("id_b"),
+        col("doc_id").as("m_b")), Seq("id_b"))
+      .filter(col("id_a") =!= col("id_b") || col("m_a") < col("m_b"))
+      .select(least(col("m_a"), col("m_b")).as("id_a"),
+        greatest(col("m_a"), col("m_b")).as("id_b"),
+        col("n_common"), col("n_union"))
+      .localCheckpoint(true)
+    fped.unpersist()
+    groups.unpersist()
+    graft.core.Checkpoints.release(sh)
+    graft.core.Checkpoints.release(repPairs)
+    expanded
   }
 
   /** Threshold-Jaccard similar pairs over arbitrary element SETS — the

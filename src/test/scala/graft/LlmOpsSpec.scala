@@ -64,6 +64,34 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(collapsed.contains((1000L, 2000L, 1.0)))
   }
 
+  test("jaccard near-dup: exact-duplicate collapse ≡ doc-level AllPairs " +
+      "on a clone-heavy corpus") {
+    val base = docs.filter(col("doc_id") < 40).select("doc_id", "text")
+    val clones = base.select((col("doc_id") + 1000L).as("doc_id"),
+        col("text"))
+      .union(base.select((col("doc_id") + 2000L).as("doc_id"),
+        concat(upper(col("text")), lit("  ")).as("text")))
+    val all = base.union(clones)
+    val collapsed = Dedup.jaccardNearDup(all, w = 3, minJacNum = 1,
+        minJacDen = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // doc-level path: the AllPairs core applied to EVERY doc's shingles
+    val shAll = all
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        Dedup.shinglesFromTokens(col("toks"), 3).as("sh"))
+    val docLevel = Dedup.jaccardPairsFromSets(shAll, 1, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(collapsed === docLevel)
+    // intra-clone pairs present with n_common == n_union (jaccard 1)
+    assert(collapsed.exists(p => p._1 == 0L && p._2 == 1000L &&
+      p._3 == p._4))
+    assert(collapsed.exists(p => p._1 == 1000L && p._2 == 2000L &&
+      p._3 == p._4))
+  }
+
   test("crossNearDup flags paraphrased bench docs, skips unrelated ones") {
     // bench doc 0; corpus has a one-word paraphrase of it (near-dup, must
     // flag), an exact copy (jaccard 1.0, must flag), and the unrelated
