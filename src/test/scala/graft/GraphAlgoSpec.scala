@@ -72,6 +72,45 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(edgeSet(inc3.pending.get) === edgeSet(scratch3.pending.get))
   }
 
+  test("append property: random edge lists, random batch splits — " +
+      "append chain ≡ from-scratch build") {
+    // seeded random graphs with deliberately dangling endpoints, split
+    // into 3 random batches: the chained append must equal the
+    // from-scratch build over the concatenation for EVERY split,
+    // including the pending backlog (danglers whose START_NODE arrives
+    // in a later batch revive; others stay pending)
+    val header = "XCoord,YCoord,START_NODE,END_NODE,EDGE,LENGTH\n"
+    for (seed <- Seq(7, 23, 91)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 12 + rnd.nextInt(10)
+      val rows = (0 until 60 + rnd.nextInt(40)).map { i =>
+        val src = rnd.nextInt(n)
+        // END_NODE may exceed the START_NODE id space → dangling
+        val dst = rnd.nextInt(n + 6)
+        f"$src%d.5,${src * 2}%d.5,$src,$dst,e${i % 37},${1 + rnd.nextInt(9)}.25\n"
+      }
+      val parts = rows.grouped(math.max(1, rows.size / 3 + 1)).toSeq
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-prop-$seed")
+      val paths = parts.zipWithIndex.map { case (p, i) =>
+        val f = dir.resolve(f"b$i%02d.csv")
+        java.nio.file.Files.write(f, (header + p.mkString).getBytes("UTF-8"))
+        f.toString
+      }
+      val union = dir.resolve("union.csv")
+      java.nio.file.Files.write(union,
+        (header + rows.mkString).getBytes("UTF-8"))
+      val inc = paths.tail.foldLeft(EdgeListIngest.build(spark, paths.head)) {
+        (pg, p) => EdgeListIngest.append(spark, pg, p)
+      }
+      val scratch = EdgeListIngest.build(spark, union.toString)
+      assert(nodeSet(inc) === nodeSet(scratch), s"nodes seed=$seed")
+      assert(edgeSet(inc.edges) === edgeSet(scratch.edges),
+        s"edges seed=$seed")
+      assert(edgeSet(inc.pending.get) === edgeSet(scratch.pending.get),
+        s"pending seed=$seed")
+    }
+  }
+
   test("append: a later slice revives a pending (dangling-endpoint) edge") {
     val dir = java.nio.file.Files.createTempDirectory("graft-append")
     val header = "XCoord,YCoord,START_NODE,END_NODE,EDGE,LENGTH\n"
