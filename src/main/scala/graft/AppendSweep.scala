@@ -17,7 +17,11 @@ import graft.graph.{EdgeListIngest, PropertyGraph}
   */
 object AppendSweep {
   def main(args: Array[String]): Unit = {
-    val slices = if (args.nonEmpty) args.map(_.toInt).toSeq else (1 to 7)
+    val streamMode = args.contains("stream")
+    val slices = args.filter(_ != "stream") match {
+      case a if a.nonEmpty => a.map(_.toInt).toSeq
+      case _ => (1 to 7)
+    }
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -36,6 +40,36 @@ object AppendSweep {
       (pg.nodes.count(), pg.edges.count(),
         pg.pending.map(_.count()).getOrElse(-1L))
 
+    if (streamMode) {
+      // STREAMING drain: all requested slices dropped into one stream
+      // directory, one file per micro-batch, maintained live — must
+      // equal a from-scratch build of the LAST slice (slices are
+      // cumulative), including the canonical Dijkstra cost
+      val dir = java.nio.file.Files.createTempDirectory("graft-sweep-stream")
+      slices.foreach { i =>
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"/root/reference/Shenzhen_Edgelist_$i.csv"),
+          dir.resolve(f"$i%04d.csv"))
+      }
+      val t0 = System.nanoTime()
+      val streamed = graft.streaming.GraphStreams
+        .maintainFromFiles(spark, dir.toString)
+      val (nI, eI, pI) = counts(streamed)
+      val tStream = (System.nanoTime() - t0) / 1e9
+      val scratch = EdgeListIngest
+        .build(spark, s"/root/reference/Shenzhen_Edgelist_${slices.last}.csv")
+        .cache()
+      val (nS, eS, pS) = counts(scratch)
+      val dI = dijkstraCost(streamed)
+      val dS = dijkstraCost(scratch)
+      require(nI == nS && eI == eS && pI == pS && dI == dS,
+        s"stream mismatch: streamed=($nI,$eI,$pI,$dI) scratch=($nS,$eS,$pS,$dS)")
+      println(f"[sweep] STREAMED ${slices.size} slices in $tStream%.1f s: " +
+        f"$nI nodes / $eI edges / $pI pending, dijkstra $dI%.3f ≡ " +
+        "from-scratch build of the last slice")
+      spark.stop()
+      return
+    }
     println("| slice | nodes | edges | pending | append_s | rebuild_s | dijkstra ≡ |")
     println("|---|---|---|---|---|---|---|")
     var inc: PropertyGraph = null
