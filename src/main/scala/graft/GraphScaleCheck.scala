@@ -281,7 +281,53 @@ object GraphScaleCheck {
       f"$nvRows%,d corpus rows in $tNv%.1f s, ≡ reference, " +
       "repartition-invariant")
 
-    println(f"""{"wcc_path_sec":$tPath%.1f,"wcc_rand_sec":$tDist%.1f,"pagerank_sec":$tPr%.1f,"triangles_sec":$tTri%.1f,"kcore_sec":$tKc%.1f,"scc_sec":$tScc%.1f,"labelprop_sec":$tLpa%.1f,"betweenness_sec":$tBc%.1f,"node2vec_sec":$tNv%.1f,"n_path":$nPath,"n_rand_nodes":$nRandNodes,"n_rand_edges":$nRandEdges}""")
+    // ---- 10. node similarity: prefix-filtered AllPairs ≡ wedge join ----
+    // neighbor-set Jaccard is the one kernel whose naive form explodes as
+    // Σ indeg(shared)²; the check runs the AllPairs operator at 50k nodes
+    // / ~190k edges and verifies the FULL pair set against a driver
+    // common-neighbor (wedge) reference computed the naive way
+    val nsN = math.max(nRandNodes / 10, 1000)
+    val nsEdges = spark.range(nsN * 4L)
+      .select(
+        format_string("r%07d", pmod(xxhash64(col("id"), lit(17)), lit(nsN.toLong))).as("src"),
+        format_string("r%07d", pmod(xxhash64(col("id"), lit(18)), lit(nsN.toLong))).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().cache()
+    val (nsPairs, tNs) = timed {
+      algo.NodeSimilarity.jaccard(nsEdges, minJacNum = 1, minJacDen = 3)
+        .cache()
+    }
+    val nsGot = nsPairs.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val nsAdj = nsEdges.collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (k, es) => k -> es.map(_._2).toSet }
+    val nsByNbr = nsAdj.toSeq.flatMap { case (n, vs) => vs.map(_ -> n) }
+      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).sorted }
+    val common = scala.collection.mutable.HashMap
+      .empty[(String, String), Long]
+    nsByNbr.values.foreach { ns =>
+      var i = 0
+      while (i < ns.length) {
+        var j = i + 1
+        while (j < ns.length) {
+          common.updateWith((ns(i), ns(j)))(c => Some(c.getOrElse(0L) + 1L))
+          j += 1
+        }
+        i += 1
+      }
+    }
+    val nsRef = common.iterator.flatMap { case ((a, b), c) =>
+      val u = nsAdj(a).size + nsAdj(b).size - c
+      if (c * 3L >= u) Some((a, b, c, u.toLong)) else None
+    }.toSet
+    require(nsGot == nsRef,
+      s"node-similarity: AllPairs (${nsGot.size}) != wedge reference " +
+        s"(${nsRef.size})")
+    nsPairs.unpersist(); nsEdges.unpersist()
+    println(f"[scale] node-similarity: $nsN%,d nodes -> ${nsGot.size}%,d " +
+      f"pairs in $tNs%.1f s, ≡ driver wedge join")
+
+    println(f"""{"wcc_path_sec":$tPath%.1f,"wcc_rand_sec":$tDist%.1f,"pagerank_sec":$tPr%.1f,"triangles_sec":$tTri%.1f,"kcore_sec":$tKc%.1f,"scc_sec":$tScc%.1f,"labelprop_sec":$tLpa%.1f,"betweenness_sec":$tBc%.1f,"node2vec_sec":$tNv%.1f,"nodesim_sec":$tNs%.1f,"n_path":$nPath,"n_rand_nodes":$nRandNodes,"n_rand_edges":$nRandEdges}""")
     spark.stop()
   }
 }
