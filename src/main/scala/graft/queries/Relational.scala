@@ -1020,29 +1020,64 @@ object Relational {
     // before summing (the determinism contract for double aggregates).
     GQ("q48_sink_roundtrip",
       (s, dir) => {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
         val orders = t(s, dir).orders
-        val path = java.nio.file.Files
-          .createTempDirectory("graft-sink-rt").toString + "/orders"
+        val base = java.nio.file.Files.createTempDirectory("graft-sink-rt")
+        val path = base.toString + "/orders"
         graft.sources.Sinks.parquet(orders, path,
           partitionBy = Seq("o_orderstatus"), maxRecordsPerFile = 2000,
           sortWithinPartitionsBy = Seq("o_orderkey"))
         val back = s.read.parquet(path)
-        // materialize BEFORE the overwrite below rewrites the files
+        // EAGER before-state: collected now, so the overwrite below
+        // cannot perturb it and the returned plan holds no file scan.
         val before = back.groupBy(col("o_orderstatus"))
           .agg(count(lit(1)).as("n_before"),
             sum(round(col("o_totalprice") * 100, 0).cast("long"))
               .as("cents_before"))
-          .localCheckpoint(true)
+          .collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+        // S7 delete-as-overwrite. Materialize the retained rows first (a
+        // path cannot be read and overwritten lazily), and pin STATIC
+        // partition-overwrite for the write: under dynamic mode a write
+        // containing no 'O' rows never touches the 'O' partition, so the
+        // "delete" would silently no-op for exactly the partition being
+        // deleted and n_after('O') would stay at n_before.
         val retained = back.filter(col("o_orderstatus") =!= "O")
-          .localCheckpoint(true)   // a path cannot be read and overwritten lazily
-        graft.sources.Sinks.parquet(retained, path,
+          .localCheckpoint(true)
+        val modeKey = "spark.sql.sources.partitionOverwriteMode"
+        val prevMode = s.conf.getOption(modeKey)
+        s.conf.set(modeKey, "static")
+        try graft.sources.Sinks.parquet(retained, path,
           partitionBy = Seq("o_orderstatus"), maxRecordsPerFile = 2000)
+        finally prevMode match {
+          case Some(m) => s.conf.set(modeKey, m)
+          case None    => s.conf.unset(modeKey)
+        }
         val after = s.read.parquet(path).groupBy(col("o_orderstatus"))
           .agg(count(lit(1)).as("n_after"))
-        before.join(after, Seq("o_orderstatus"), "left_outer")
-          .select(col("o_orderstatus"), col("n_before"),
-            col("cents_before"),
-            coalesce(col("n_after"), lit(0L)).as("n_after"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        graft.core.Checkpoints.release(retained)
+        // Inert result: a LocalRelation over the collected states —
+        // nothing in the returned plan can re-run IO, so the scratch dir
+        // can be removed before we return.
+        val rows = before.toSeq.sortBy(_._1).map { case (st, (n, cents)) =>
+          Row(st, n, cents, after.getOrElse(st, 0L))
+        }
+        import scala.jdk.CollectionConverters._
+        val out = s.createDataFrame(rows.asJava, StructType(Seq(
+          StructField("o_orderstatus", StringType),
+          StructField("n_before", LongType),
+          StructField("cents_before", LongType),
+          StructField("n_after", LongType))))
+        // best-effort recursive scratch cleanup (result no longer needs it)
+        try {
+          import java.nio.file.{Files, Path}
+          import java.util.Comparator
+          Files.walk(base).sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => Files.deleteIfExists(p))
+        } catch { case _: Throwable => () }
+        out
       },
       Some("""WITH b AS (
              |  SELECT o_orderstatus, count(*) AS n_before,
