@@ -465,6 +465,63 @@ object Graph {
       (Seq(und, l0) ++ steps).mkString(",\n")
     }
 
+    /** Louvain chain v0..v<rounds> over (node, lbl): synchronous
+      * parity-alternating modularity-gain moves with the all-integer
+      * score 2m·k(i,c) − k(i)·(Σtot(c) − [i∈c]·k(i)) and min-label
+      * tie-break — the algo.Louvain contract verbatim. vund holds both
+      * orientations of each distinct undirected pair, so count(*) over
+      * it IS 2m and a per-src count IS the degree.
+      */
+    def louvainChain(rounds: Int): String = {
+      val oddSet = "('1','3','5','7','9','b','d','f')"
+      val base = s"""vund AS MATERIALIZED (
+         |  SELECT src, dst FROM edges WHERE src <> dst
+         |  UNION SELECT dst AS src, src AS dst FROM edges WHERE src <> dst),
+         |vdeg AS MATERIALIZED (
+         |  SELECT i.START_NODE AS node, count(u.dst) AS deg
+         |  FROM ids i LEFT JOIN vund u ON u.src = i.START_NODE
+         |  GROUP BY 1),
+         |vm AS MATERIALIZED (SELECT count(*) AS m2 FROM vund),
+         |v0 AS MATERIALIZED (
+         |  SELECT START_NODE AS node, START_NODE AS lbl FROM ids)""".stripMargin
+      val steps = (1 to rounds).map { i =>
+        val in = if (i % 2 == 1) "IN" else "NOT IN"
+        s"""vs$i AS MATERIALIZED (
+           |  SELECT l.lbl AS cand, sum(d.deg) AS s
+           |  FROM v${i - 1} l JOIN vdeg d ON d.node = l.node GROUP BY 1),
+           |vk$i AS MATERIALIZED (
+           |  SELECT u.src AS node, l.lbl AS cand, count(*) AS kic
+           |  FROM vund u JOIN v${i - 1} l ON l.node = u.dst GROUP BY 1, 2),
+           |vc$i AS MATERIALIZED (
+           |  SELECT node, own, deg, cand, max(kic) AS kic FROM (
+           |    SELECT p.node, p.lbl AS own, d.deg, k.cand, k.kic
+           |    FROM v${i - 1} p JOIN vdeg d ON d.node = p.node
+           |    JOIN vk$i k ON k.node = p.node
+           |    UNION ALL
+           |    SELECT p.node, p.lbl AS own, d.deg, p.lbl AS cand,
+           |      CAST(0 AS BIGINT) AS kic
+           |    FROM v${i - 1} p JOIN vdeg d ON d.node = p.node)
+           |  GROUP BY 1, 2, 3, 4),
+           |vx$i AS MATERIALIZED (
+           |  SELECT c.node, c.cand,
+           |    m.m2 * c.kic - c.deg * (s.s -
+           |      CASE WHEN c.cand = c.own THEN c.deg ELSE 0 END) AS sc
+           |  FROM vc$i c JOIN vs$i s ON s.cand = c.cand CROSS JOIN vm m),
+           |v$i AS MATERIALIZED (
+           |  SELECT p.node,
+           |    CASE WHEN substr(md5(p.node), 1, 1) $in $oddSet
+           |      THEN coalesce(min(CASE WHEN x.sc = mx.ms THEN x.cand END),
+           |                    p.lbl)
+           |      ELSE p.lbl END AS lbl
+           |  FROM v${i - 1} p
+           |  LEFT JOIN (SELECT node, max(sc) AS ms FROM vx$i GROUP BY 1) mx
+           |    ON mx.node = p.node
+           |  LEFT JOIN vx$i x ON x.node = p.node
+           |  GROUP BY p.node, p.lbl)""".stripMargin
+      }
+      (Seq(base) ++ steps).mkString(",\n")
+    }
+
     /** Betweenness chains over the multi-source relaxation fixpoint
       * s<hops> (chainMulti): the shortest-path DAG by exact double
       * equality, then σ (exact integer path counts) and δ (micro
@@ -1107,6 +1164,25 @@ object Graph {
     // GRAFT_EDGELIST overrides.
     GQ("g27_append_graph",
       (s, _) => appendSummary(appendedGraph(s)),
-      Some(AppendOracleSql))
+      Some(AppendOracleSql)),
+
+    // Louvain community detection (the reference platform's
+    // production-tier gds.louvain) in the deterministic synchronous
+    // contract: parity-alternating modularity-gain moves, all-integer
+    // score (ΔQ × 2m²), min-label tie-break, fixed 16 rounds — see
+    // algo.Louvain. The DuckDB oracle replays the identical 16-step
+    // recurrence as chained CTEs, so a hash match pins every move of
+    // every round, not just the final partition shape.
+    GQ("g28_louvain",
+      (s, _) => {
+        val pg = g(s)
+        graft.algo.Louvain.run(s, pg.nodes.select("nodeId"),
+            pg.projection.select("src", "dst"), rounds = 16)
+          .select(col("node").as("node_id"), col("community"))
+      },
+      sliceOracle(s"""WITH ${Oracle.edgesCte},
+              |${Oracle.louvainChain(16)}
+              |SELECT node AS node_id, lbl AS community
+              |FROM v16""".stripMargin))
   )
 }

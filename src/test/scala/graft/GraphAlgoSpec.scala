@@ -499,6 +499,85 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(r16 === ref)
   }
 
+  test("louvain: DataFrame superstep ≡ in-memory reference on slice 1") {
+    val nodes = pg.nodes.select("nodeId")
+    val edges = pg.projection.select("src", "dst")
+    // force the DISTRIBUTED superstep loop — the adaptive local path IS
+    // localReference, so only the loop needs the cross-check
+    val got = algo.Louvain.run(spark, nodes, edges, rounds = 16,
+        localEdgeThreshold = 0L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val nodeIds = nodes.collect().map(_.getString(0))
+    val pairs = edges.collect().map(r => (r.getString(0), r.getString(1)))
+    val ref = algo.Louvain.localReference(nodeIds, pairs, 16)
+    assert(got.size === 3705)
+    assert(got === ref)
+    // and the adaptive dispatch (local path on a slice-1-sized graph)
+    // agrees bit for bit
+    val adaptive = algo.Louvain.run(spark, nodes, edges, rounds = 16)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(adaptive === got)
+    // communities must be real (moves happened, not the identity
+    // partition) and coarser than singletons
+    assert(got.values.toSet.size < 3705)
+    assert(got.exists { case (n, c) => n != c })
+  }
+
+  test("louvain: planted communities recovered; modularity beats singletons") {
+    // two 5-cliques joined by one bridge edge: the planted partition is
+    // the unique modularity optimum — each clique must land in ONE
+    // community and the two communities must differ
+    val cliqueA = (0 until 5).map(i => s"a$i")
+    val cliqueB = (0 until 5).map(i => s"b$i")
+    val intra = (for {
+      g <- Seq(cliqueA, cliqueB); i <- g.indices; j <- g.indices
+      if i < j
+    } yield (g(i), g(j)))
+    val edges = (intra :+ ("a0" -> "b0")).toDF("src", "dst")
+    val nodes = (cliqueA ++ cliqueB).toDF("node")
+    for (thr <- Seq(Long.MaxValue, 0L)) { // local twin AND distributed
+      val got = algo.Louvain.run(spark, nodes, edges, rounds = 16,
+          localEdgeThreshold = thr)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(cliqueA.map(got).toSet.size === 1, s"clique A split thr=$thr")
+      assert(cliqueB.map(got).toSet.size === 1, s"clique B split thr=$thr")
+      assert(got("a0") !== got("b0"), s"cliques merged thr=$thr")
+    }
+    // modularity of the found partition exceeds the singleton baseline
+    // (Q=.. for singletons is negative; planted split is ~0.46)
+    val part = algo.Louvain.localReference(
+      (cliqueA ++ cliqueB).toArray, (intra :+ ("a0" -> "b0")).toArray, 16)
+    val und = (intra :+ ("a0" -> "b0")).flatMap(p => Seq(p, p.swap)).distinct
+    val deg = und.groupBy(_._1).map { case (k, es) => k -> es.size.toDouble }
+    val m2 = und.size.toDouble
+    def q(p: Map[String, String]): Double =
+      und.count { case (u, v) => p(u) == p(v) } / m2 -
+        p.keys.groupBy(p).values.map(ns =>
+          math.pow(ns.map(deg).sum / m2, 2)).sum
+    assert(q(part) > 0.4)
+    assert(q(part) > q(part.keys.map(k => k -> k).toMap))
+  }
+
+  test("louvain: random graphs ≡ reference across rounds") {
+    for (seed <- Seq(11, 43, 71)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 15 + rnd.nextInt(15)
+      val pairs = (for (_ <- 0 until 30 + rnd.nextInt(40)) yield
+        (s"v${rnd.nextInt(n)}", s"v${rnd.nextInt(n)}"))
+        .filter(e => e._1 != e._2).distinct
+      val nodesDf = (0 until n).map(i => s"v$i").toDF("node")
+      val edgesDf = pairs.toDF("src", "dst")
+      for (rounds <- Seq(1, 4, 16)) {
+        val got = algo.Louvain.run(spark, nodesDf, edgesDf, rounds,
+            localEdgeThreshold = 0L)
+          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+        val ref = algo.Louvain.localReference(
+          (0 until n).map(i => s"v$i").toArray, pairs.toArray, rounds)
+        assert(got === ref, s"louvain seed=$seed rounds=$rounds")
+      }
+    }
+  }
+
   test("label propagation: random graphs ≡ reference across rounds") {
     for (seed <- Seq(5, 29, 97)) {
       val rnd = new scala.util.Random(seed)
