@@ -679,6 +679,35 @@ object Graph {
              |             (1, 67, 292107.7675, 9223.3373),
              |             (2, 67, 292325.0819, 9224.0622)) v(i, n, r, t)""".stripMargin)),
 
+    // G4 path-row shape (neo4j-code.txt:79-101): the A* stream YIELDs
+    // one row per path node (`RETURN NodeId, cost`) rather than the g5
+    // count/Max summary — the remaining literal corpus form. Same
+    // admissible-heuristic contract as g5, so the Dijkstra backward-walk
+    // oracle applies verbatim (unique optimum ⇒ identical rows, and the
+    // running cost at each node IS its SSSP distance).
+    GQ("g5b_astar_path",
+      (s, _) => ShortestPaths.astarPath(s, g(s), Src, Dst),
+      sliceOracle(s"""${Oracle.singleSourcePrefix}
+              |SELECT CAST((SELECT max(back) FROM w) - back AS INT) AS seq,
+              |       node AS node_id, dist AS cost
+              |FROM w""".stripMargin)),
+
+    // G5 path shape (neo4j-code.txt:147-165): Yen `YIELD path RETURN
+    // path LIMIT 1` — the BEST of the K paths rendered as rows. Paths
+    // stream in ascending total-cost order, so LIMIT 1 is path_index 0,
+    // which by Yen's construction is the Dijkstra optimum: the g2
+    // backward-walk oracle pins every (seq, node, running-cost) row.
+    GQ("g6b_yen_best_path",
+      (s, _) => ShortestPaths.yen(s, g(s), Src, Dst, 3)
+        .filter(col("path_index") === 0)
+        .select(posexplode(arrays_zip(col("node_ids"), col("costs"))))
+        .select(col("pos").cast("int").as("seq"),
+          col("col.node_ids").as("node_id"), col("col.costs").as("cost")),
+      sliceOracle(s"""${Oracle.singleSourcePrefix}
+              |SELECT CAST((SELECT max(back) FROM w) - back AS INT) AS seq,
+              |       node AS node_id, dist AS cost
+              |FROM w""".stripMargin)),
+
     // G3: APSP ranking query (neo4j-code.txt:56-77): finite distances,
     // self-pairs excluded, top-10 longest, id-tie-broken. Source set kept
     // explicit so the query scales as multi-source SSSP, never N².
