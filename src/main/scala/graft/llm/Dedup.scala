@@ -224,8 +224,8 @@ object Dedup {
     require(bands * rowsPerBand == k, "bands must divide signature length")
     graft.functions.GraftFunctions.register(
       org.apache.spark.sql.SparkSession.active)
-    if (!collapseExact) return minhashNearDupReps(docs, w, k, bands,
-      minJaccard)
+    if (!collapseExact) return minhashBandVerify(docs, w, k, bands,
+      minJaccard, selfPairs = None)
 
     // Exact-duplicate collapse (r9, the same clone-cluster hardening as
     // simhashNearDup/ImageDedup): every downstream value — signature,
@@ -239,6 +239,21 @@ object Dedup {
     val fped = docs.select(col("doc_id"),
         md5(concat_ws(" ", tokens(col("text")))).as("fp"))
       .cache()
+    // Early-out (r9 verdict item): on a MOSTLY-DISTINCT corpus the
+    // collapse grouping buys nothing and costs two extra shuffles —
+    // doc-level banding finds the few clone pairs anyway (identical
+    // signatures share every band bucket, Jaccard 1 ≥ any threshold),
+    // so the output is identical either way. One approximate aggregate
+    // decides; the collapse engages only when clones are plentiful
+    // enough (>5%) to threaten the quadratic candidate blowup it exists
+    // to prevent.
+    val st = fped.agg(count(lit(1)), approx_count_distinct(col("fp")))
+      .head()
+    if (st.getLong(1) >= 0.95 * st.getLong(0)) {
+      fped.unpersist()
+      return minhashBandVerify(docs, w, k, bands, minJaccard,
+        selfPairs = None)
+    }
     val groups = fped.groupBy(col("fp"))
       .agg(min(col("doc_id")).as("rep_id"),
         count(lit(1)).as("n_members"))
@@ -246,76 +261,14 @@ object Dedup {
     val reps = docs.join(
       groups.select(col("rep_id").as("doc_id")), Seq("doc_id"), "left_semi")
 
-    // Signature in one fused native pass (tokens → w-gram windows →
-    // double-hash minima): no shingle strings or intermediate arrays are
-    // materialized for the corpus — only candidates get real shingle sets.
-    // (doc_id, sig) is k longs per rep — cache it so the banded
-    // self-join below computes each signature once, not twice
-    val withSig = reps
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
-        call_function("graft_minhash_text", col("toks"), lit(w), lit(k))
-          .as("sig"))
-      .filter(col("sig").isNotNull)
-      .cache()
-
-    // explode into (band_id, band_key) keys — ids only, narrow shuffle.
-    // The key is the band's signature VALUES joined as a string, not a
-    // hash of them: same bucketing (equal slices ⇔ equal keys, with no
-    // hash-collision caveat), and engine-portable — the DuckDB oracle
-    // rebuilds the identical keys, which a xxhash64 band key precluded
-    val banded = withSig.select(
-      col("doc_id"),
-      posexplode(array((0 until bands).map { b =>
-        concat_ws(",",
-          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
-            .cast("array<string>"))
-      }: _*)).as(Seq("band_id", "band_key")))
-
-    // candidate id pairs: self-join within bucket, ordered to dedupe
-    // (a<b) — rep-level. Exact-duplicate groups re-enter as rep SELF
-    // pairs (id_a = id_b): the verify below computes their Jaccard on
-    // (sh, sh), so the empty-shingle and null-sig exclusions apply to
-    // clone groups exactly as they did to doc-level banding.
+    // Exact-duplicate groups re-enter as rep SELF pairs (id_a = id_b):
+    // the shared verify computes their Jaccard on (sh, sh), so the
+    // empty-shingle and null-sig exclusions apply to clone groups
+    // exactly as they did to doc-level banding.
     val selfPairs = groups.filter(col("n_members") > 1)
-      .join(withSig.select(col("doc_id").as("rep_id")), Seq("rep_id"),
-        "left_semi")
       .select(col("rep_id").as("id_a"), col("rep_id").as("id_b"))
-    val cands = banded.select(col("band_id"), col("band_key"),
-        col("doc_id").as("id_a"))
-      .join(banded.select(col("band_id"), col("band_key"),
-        col("doc_id").as("id_b")), Seq("band_id", "band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .union(selfPairs)
-      .cache()
-
-    // exact Jaccard verification — shingle sets materialized ONLY for
-    // docs that appear in a candidate pair. On a typical corpus that set
-    // is tiny and AQE turns these joins into broadcasts at runtime; on a
-    // duplicate-dense corpus (the primary dedup use case) it is NOT
-    // small, so no broadcast is forced — AQE decides from observed sizes
-    // instead of failing on the 8 GB broadcast limit.
-    val candIds = cands.select(col("id_a").as("doc_id"))
-      .union(cands.select(col("id_b").as("doc_id"))).distinct()
-    val candSh = docs
-      .join(candIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), shinglesFromTokens(col("toks"), w).as("sh"))
-      .cache()
-    val verifiedReps = cands
-      .join(candSh.select(col("doc_id").as("id_a"),
-        col("sh").as("sh_a")), Seq("id_a"))
-      .join(candSh.select(col("doc_id").as("id_b"),
-        col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
-      .filter(col("uni") > 0)
-      .withColumn("jaccard", TextAnalysis.portableRound(
-        col("inter") / col("uni").cast("double"), 4))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val verifiedReps = minhashBandVerify(reps, w, k, bands, minJaccard,
+      selfPairs = Some(selfPairs))
     // expand verified rep pairs to member pairs: cross-group pairs order
     // by least/greatest (each unordered member pair appears exactly once
     // because rep pairs carry id_a < id_b); same-group (self) pairs take
@@ -330,27 +283,31 @@ object Dedup {
       .filter(col("id_a") =!= col("id_b") || col("m_a") < col("m_b"))
       .select(least(col("m_a"), col("m_b")).as("id_a"),
         greatest(col("m_a"), col("m_b")).as("id_b"), col("jaccard"))
-      // eager: the verified pair set is LSH-pruned; materializing it
-      // here lets the intermediates be unpersisted immediately instead
-      // of accumulating cached blocks across repeated dedup calls
       .localCheckpoint(true)
-    withSig.unpersist()
-    cands.unpersist()
-    candSh.unpersist()
+    graft.core.Checkpoints.release(verifiedReps)
     fped.unpersist()
     groups.unpersist()
     verified
   }
 
-  /** Doc-level banding WITHOUT the exact-duplicate collapse — for
-    * callers whose input is provably free of token-identical documents
-    * (dedupCorpus runs this on exact()'s survivors: exact's
-    * fingerprintMd5 normalization IS the collapse fingerprint, so the
-    * collapse pass would group nothing and cost two shuffles).
+  /** The signature → band-bucket join → exact-Jaccard-verify core shared
+    * by the collapsed and doc-level minhash paths (r9 ADVICE: the two
+    * ~50-line copies could drift — now there is one). `selfPairs`
+    * injects rep self-pairs (id_a = id_b) so clone groups are verified
+    * under the same shingle-based exclusions as everything else; rows
+    * whose id has a null signature are dropped here, matching the old
+    * semi-join. Returns an eagerly-materialized (id_a, id_b, jaccard)
+    * frame with every internal cache released.
     */
-  private def minhashNearDupReps(docs: DataFrame, w: Int, k: Int,
-      bands: Int, minJaccard: Double): DataFrame = {
+  private def minhashBandVerify(docs: DataFrame, w: Int, k: Int,
+      bands: Int, minJaccard: Double,
+      selfPairs: Option[DataFrame]): DataFrame = {
     val rowsPerBand = k / bands
+    // Signature in one fused native pass (tokens → w-gram windows →
+    // double-hash minima): no shingle strings or intermediate arrays are
+    // materialized for the corpus — only candidates get real shingle
+    // sets. (doc_id, sig) is k longs per doc — cache it so the banded
+    // self-join computes each signature once, not twice.
     val withSig = docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
@@ -358,6 +315,11 @@ object Dedup {
           .as("sig"))
       .filter(col("sig").isNotNull)
       .cache()
+    // explode into (band_id, band_key) keys — ids only, narrow shuffle.
+    // The key is the band's signature VALUES joined as a string, not a
+    // hash of them: same bucketing (equal slices ⇔ equal keys, with no
+    // hash-collision caveat), and engine-portable — the DuckDB oracle
+    // rebuilds the identical keys, which a xxhash64 band key precluded
     val banded = withSig.select(
       col("doc_id"),
       posexplode(array((0 until bands).map { b =>
@@ -365,14 +327,25 @@ object Dedup {
           slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
             .cast("array<string>"))
       }: _*)).as(Seq("band_id", "band_key")))
-    val cands = banded.select(col("band_id"), col("band_key"),
+    val bandCands = banded.select(col("band_id"), col("band_key"),
         col("doc_id").as("id_a"))
       .join(banded.select(col("band_id"), col("band_key"),
         col("doc_id").as("id_b")), Seq("band_id", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .cache()
+    val cands = (selfPairs match {
+      case Some(sp) => bandCands.union(
+        sp.join(withSig.select(col("doc_id").as("id_a")), Seq("id_a"),
+          "left_semi"))
+      case None => bandCands
+    }).cache()
+    // exact Jaccard verification — shingle sets materialized ONLY for
+    // docs that appear in a candidate pair. On a typical corpus that set
+    // is tiny and AQE turns these joins into broadcasts at runtime; on a
+    // duplicate-dense corpus (the primary dedup use case) it is NOT
+    // small, so no broadcast is forced — AQE decides from observed sizes
+    // instead of failing on the 8 GB broadcast limit.
     val candIds = cands.select(col("id_a").as("doc_id"))
       .union(cands.select(col("id_b").as("doc_id"))).distinct()
     val candSh = docs
@@ -392,6 +365,9 @@ object Dedup {
         col("inter") / col("uni").cast("double"), 4))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+      // eager: the verified pair set is LSH-pruned; materializing it
+      // here lets the intermediates be unpersisted immediately instead
+      // of accumulating cached blocks across repeated dedup calls
       .localCheckpoint(true)
     withSig.unpersist()
     cands.unpersist()
@@ -511,6 +487,20 @@ object Dedup {
     val fped = docs.select(col("doc_id"),
         md5(concat_ws(" ", tokens(col("text")))).as("fp"))
       .cache()
+    // Early-out (r9 verdict item, same reasoning as minhashNearDup): on
+    // a mostly-distinct corpus the collapse grouping buys nothing and
+    // costs two extra shuffles — the AllPairs prefix join finds clone
+    // pairs anyway (identical nonempty sets share every prefix shingle
+    // at Jaccard 1), so the output is identical either way.
+    val st = fped.agg(count(lit(1)), approx_count_distinct(col("fp")))
+      .head()
+    if (st.getLong(1) >= 0.95 * st.getLong(0)) {
+      fped.unpersist()
+      val shAll = docs
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), shinglesFromTokens(col("toks"), w).as("sh"))
+      return jaccardPairsFromSets(shAll, minJacNum, minJacDen)
+    }
     val groups = fped.groupBy(col("fp"))
       .agg(min(col("doc_id")).as("rep_id"),
         count(lit(1)).as("n_members"))
