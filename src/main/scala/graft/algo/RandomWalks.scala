@@ -40,15 +40,22 @@ object RandomWalks {
   private def tryLocal(nodes: DataFrame, edges: DataFrame, edgeCap: Long,
       twin: (Array[String], Array[(String, String)]) =>
         Set[(String, Int, Int, String)]): Option[DataFrame] = {
+    // edgeCap <= 0 means "force distributed" (the spec hook): skip the
+    // measurement aggregation job entirely instead of paying for an
+    // answer the caller has already rejected
+    if (edgeCap <= 0) return None
     val e = edges.select(col(edges.columns(0)).cast("string").as("src"),
       col(edges.columns(1)).cast("string").as("dst"))
     val (nEdges, estBytes) = graft.core.LocalBudget.measureEdges(e)
     if (!graft.core.LocalBudget.fitsLocal(nEdges, estBytes, edgeCap))
       return None
     // NOT filtered to the node frame: walks may traverse ids that only
-    // appear as edge endpoints (both paths share that semantics)
+    // appear as edge endpoints (both paths share that semantics).
+    // ids DISTINCT to match the distributed paths' distinct node frame
+    // (one walk set per distinct start node on either path).
     val pairs = e.collect().map(r => (r.getString(0), r.getString(1)))
     val ids = nodes.select(col(nodes.columns(0)).cast("string"))
+      .distinct()
       .collect().map(_.getString(0))
     val spark = nodes.sparkSession
     import spark.implicits._
@@ -61,7 +68,8 @@ object RandomWalks {
     */
   def walks(nodes: DataFrame, edges: DataFrame, numWalks: Int = 2,
       length: Int = 8,
-      localEdgeThreshold: Long = graft.core.LocalBudget.MaxLocalEdges)
+      localEdgeThreshold: Long =
+        graft.core.LocalBudget.MaxSequentialWalkEdges)
       : DataFrame = {
     require(numWalks >= 1 && length >= 1, "numWalks and length must be >= 1")
     tryLocal(nodes, edges, localEdgeThreshold,
@@ -70,6 +78,7 @@ object RandomWalks {
       case None =>
     }
     val nodeIds = nodes.select(col(nodes.columns(0)).cast("string").as("node"))
+      .distinct()
     val e = edges.select(col(edges.columns(0)).cast("string").as("src"),
       col(edges.columns(1)).cast("string").as("dst")).distinct()
     // ascending-id neighbor index + out-degree, computed once
@@ -149,7 +158,8 @@ object RandomWalks {
   def node2vecWalks(nodes: DataFrame, edges: DataFrame, numWalks: Int = 2,
       length: Int = 8, retWeight: Int = 1, adjWeight: Int = 4,
       farWeight: Int = 2,
-      localEdgeThreshold: Long = graft.core.LocalBudget.MaxLocalEdges)
+      localEdgeThreshold: Long =
+        graft.core.LocalBudget.MaxSequentialWalkEdges)
       : DataFrame = {
     require(numWalks >= 1 && length >= 1, "numWalks and length must be >= 1")
     require(retWeight >= 1 && adjWeight >= 1 && farWeight >= 1,
@@ -162,6 +172,7 @@ object RandomWalks {
     }
     import org.apache.spark.sql.expressions.Window
     val nodeIds = nodes.select(col(nodes.columns(0)).cast("string").as("node"))
+      .distinct()
     val e = edges.select(col(edges.columns(0)).cast("string").as("src"),
       col(edges.columns(1)).cast("string").as("dst")).distinct()
       .localCheckpoint(true)

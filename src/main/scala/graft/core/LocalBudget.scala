@@ -40,6 +40,16 @@ object LocalBudget {
     */
   val MaxLocalEdges: Long = 50_000_000L
 
+  /** Tighter default for SEQUENTIAL O(V·L) twins (the walk kernels: one
+    * single-threaded md5 digest per node per step). The byte budget is
+    * tuned for local paths whose cost is one collect + near-linear
+    * array work; a walk twin at the top of that band would grind
+    * through tens of millions of digests on one core while the
+    * distributed path finishes its L supersteps. 2M edges keeps the
+    * twin's digest count in the hundreds of milliseconds.
+    */
+  val MaxSequentialWalkEdges: Long = 2_000_000L
+
   /** (rowCount, estimatedCollectedBytes) of a string edge frame, from
     * ONE aggregation job over its first two columns — callers use this
     * in place of the plain count() they ran before dispatching.
