@@ -111,6 +111,34 @@ class GraphAlgoSpec extends AnyFunSuite {
     }
   }
 
+  test("append over TRUE deltas: build(slice1) + delta2 + delta3 ≡ " +
+      "from-scratch slice-3 build") {
+    // r9 verdict item 5: the batch sweep replays cumulative slice files,
+    // so work-∝-delta was only proven for shuffle volume. Here the
+    // appended input IS the derived per-slice delta (suffix rows, prefix
+    // property re-verified inside deriveDelta) — the honest delta-feed
+    // workflow a production ingest would run.
+    val dir = java.nio.file.Files.createTempDirectory("graft-truedelta")
+    val header = {
+      val src = scala.io.Source.fromFile(slice1)
+      try src.getLines().next() finally src.close()
+    }
+    val l1 = AppendSweep.dataLines(slice1)
+    val l2 = AppendSweep.dataLines("/root/reference/Shenzhen_Edgelist_2.csv")
+    val l3 = AppendSweep.dataLines("/root/reference/Shenzhen_Edgelist_3.csv")
+    val d2 = dir.resolve("delta2.csv"); val d3 = dir.resolve("delta3.csv")
+    val n2 = AppendSweep.deriveDelta(l1, l2, header, d2)
+    val n3 = AppendSweep.deriveDelta(l2, l3, header, d3)
+    assert(n2 === l2.size - l1.size && n3 === l3.size - l2.size)
+    val inc = EdgeListIngest.append(spark,
+      EdgeListIngest.append(spark, pg, d2.toString), d3.toString)
+    val scratch = EdgeListIngest.build(spark,
+      "/root/reference/Shenzhen_Edgelist_3.csv")
+    assert(nodeSet(inc) === nodeSet(scratch))
+    assert(edgeSet(inc.edges) === edgeSet(scratch.edges))
+    assert(edgeSet(inc.pending.get) === edgeSet(scratch.pending.get))
+  }
+
   test("append: a later slice revives a pending (dangling-endpoint) edge") {
     val dir = java.nio.file.Files.createTempDirectory("graft-append")
     val header = "XCoord,YCoord,START_NODE,END_NODE,EDGE,LENGTH\n"
