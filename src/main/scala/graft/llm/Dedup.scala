@@ -745,13 +745,18 @@ object Dedup {
     * Returns (doc_id, group_id = min doc_id in component).
     */
   def transitiveGroups(pairs: DataFrame, maxIter: Int = 50,
-      localThreshold: Long = 5_000_000L): DataFrame = {
+      localThreshold: Long = graft.core.LocalBudget.MaxLocalEdges)
+      : DataFrame = {
     val spark = pairs.sparkSession
-    // Adaptive fast path (same policy as the shortest-path kernels): a
-    // pair set that fits on the driver resolves in one collect +
+    // Adaptive fast path (the shared core.LocalBudget byte-guard policy
+    // — r9 verdict item 6 retired the last bare row-count guard here):
+    // a pair set that fits the driver budget resolves in one collect +
     // union-find instead of paying a shuffle per propagation superstep.
+    // measureEdges' string-length estimate over long ids overestimates
+    // the collected (Long, Long) rows, so the admit is conservative.
     val cached = pairs.select(col("id_a"), col("id_b")).cache()
-    if (cached.count() <= localThreshold) {
+    val (nPairs, estBytes) = graft.core.LocalBudget.measureEdges(cached)
+    if (graft.core.LocalBudget.fitsLocal(nPairs, estBytes, localThreshold)) {
       val edges = cached.collect().map(r => (r.getLong(0), r.getLong(1)))
       cached.unpersist()
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]

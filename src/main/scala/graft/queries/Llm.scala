@@ -9,11 +9,15 @@ import graft.llm.{Bpe, Curation, Dedup, Multimodal, Scoring, Similarity, TextAna
   * (north-star surface, SURVEY §7.4): dedup family, similarity search,
   * text analysis, multimodal plumbing.
   *
-  * Oracle policy: deterministic single-pass ops (exact dedup, text stats,
-  * brute-force cosine) carry DuckDB oracles; LSH/banding ops hash with
-  * engine-specific functions (xxhash64) and are instead validated against
-  * their own exact-counterpart by the ScalaTest suite, so they ship
-  * rows-only here.
+  * Oracle policy (current since r6, this note was stale until r10):
+  * EVERY query here is hash-oracled — the LSH/banding family included.
+  * What made that possible: engine-portable hashing (md5 hex-digit
+  * arithmetic instead of xxhash64) for signatures/bands/fingerprints,
+  * band keys built from signature VALUES rather than hashes of them,
+  * integer or quantized outputs everywhere a float sum would be
+  * order-dependent, and DuckDB chained CTEs replaying each iterative
+  * contract. The ScalaTest exact-counterpart checks remain as a second
+  * line of defense, not as the primary gate.
   */
 object Llm {
 
