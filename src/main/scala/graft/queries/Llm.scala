@@ -859,9 +859,11 @@ object Llm {
 
     // ---- graph-based ANN (the HNSW-class path) ------------------------
     // Deterministic k-NN-graph build (bucketed candidates, top-6 per
-    // vector) + 3 beam-search rounds from per-bucket entry points —
-    // every rank tie-broken on exact doubles, so the routed APPROXIMATE
-    // result hash-verifies against the same chain in DuckDB.
+    // vector) + 3 beam-search rounds, entered through the COARSE
+    // CENTROID LAYER (each query routes to its top-4 centroids' entry
+    // points — bounded fan-out, r10) — every rank tie-broken on exact
+    // doubles, so the routed APPROXIMATE result hash-verifies against
+    // the same chain in DuckDB.
     GQ("llm_ann_graph",
       (s, dir) => {
         val emb = t(s, dir).embeddings
@@ -908,13 +910,21 @@ object Llm {
            |    SELECT src, dst, row_number() OVER (PARTITION BY src
            |      ORDER BY sim DESC, dst ASC) AS rn FROM gsim)
            |  WHERE rn <= 6),
-           |gent AS (SELECT DISTINCT vec_id FROM (
-           |    SELECT a.vec_id, row_number() OVER (PARTITION BY a.centroid_id
+           |gqp AS (SELECT q_id, c_id FROM (
+           |    SELECT q.q_id, s.c_id,
+           |      row_number() OVER (PARTITION BY q.q_id
+           |        ORDER BY ${KmOracle.cos("q.qv", "s.c_vec")} DESC,
+           |          s.c_id DESC) AS rn
+           |    FROM gq q CROSS JOIN gr1 s) WHERE rn <= 4),
+           |gent AS (SELECT centroid_id, vec_id FROM (
+           |    SELECT a.centroid_id, a.vec_id,
+           |      row_number() OVER (PARTITION BY a.centroid_id
            |      ORDER BY ${KmOracle.cos("a.embedding", "r.c_vec")} DESC,
            |        a.vec_id ASC) AS rn
            |    FROM ga1 a JOIN gr1 r ON r.c_id = a.centroid_id)
            |  WHERE rn = 1),
-           |gb0 AS (SELECT q.q_id, g.vec_id FROM gq q CROSS JOIN gent g),
+           |gb0 AS (SELECT DISTINCT p.q_id, g.vec_id FROM gqp p
+           |  JOIN gent g ON g.centroid_id = p.c_id),
            |${beamRound(1)},
            |${beamRound(2)},
            |${beamRound(3)}
