@@ -327,7 +327,26 @@ object GraphScaleCheck {
     println(f"[scale] node-similarity: $nsN%,d nodes -> ${nsGot.size}%,d " +
       f"pairs in $tNs%.1f s, ≡ driver wedge join")
 
-    println(f"""{"wcc_path_sec":$tPath%.1f,"wcc_rand_sec":$tDist%.1f,"pagerank_sec":$tPr%.1f,"triangles_sec":$tTri%.1f,"kcore_sec":$tKc%.1f,"scc_sec":$tScc%.1f,"labelprop_sec":$tLpa%.1f,"betweenness_sec":$tBc%.1f,"node2vec_sec":$tNv%.1f,"nodesim_sec":$tNs%.1f,"n_path":$nPath,"n_rand_nodes":$nRandNodes,"n_rand_edges":$nRandEdges}""")
+    // ---- 11. louvain: repartition-independence -------------------------
+    // every move is an arg-min over an all-integer score struct, so like
+    // LPA/PageRank the full 8-round community table must be bit-identical
+    // under a different input partitioning
+    val (lv1, tLv) = timed {
+      algo.Louvain.run(spark, triNodes, triEdges, rounds = 8,
+        localEdgeThreshold = 0L).cache()
+    }
+    val lv2 = algo.Louvain.run(spark, triNodes.repartition(13),
+      triEdges.repartition(7), rounds = 8, localEdgeThreshold = 0L)
+    val lvDiff = lv1.as("a").join(lv2.as("b"), Seq("node"))
+      .filter(col("a.community") =!= col("b.community")).count()
+    val lvComm = lv1.select("community").distinct().count()
+    require(lvDiff == 0, s"louvain differs under repartition on $lvDiff nodes")
+    require(lvComm < nRandNodes, "louvain never moved a node")
+    lv1.unpersist()
+    println(f"[scale] louvain: $nRandNodes%,d nodes x 8 rounds -> " +
+      f"$lvComm%,d communities in $tLv%.1f s, repartition-invariant")
+
+    println(f"""{"wcc_path_sec":$tPath%.1f,"wcc_rand_sec":$tDist%.1f,"pagerank_sec":$tPr%.1f,"triangles_sec":$tTri%.1f,"kcore_sec":$tKc%.1f,"scc_sec":$tScc%.1f,"labelprop_sec":$tLpa%.1f,"betweenness_sec":$tBc%.1f,"node2vec_sec":$tNv%.1f,"nodesim_sec":$tNs%.1f,"louvain_sec":$tLv%.1f,"n_path":$nPath,"n_rand_nodes":$nRandNodes,"n_rand_edges":$nRandEdges}""")
     spark.stop()
   }
 }
