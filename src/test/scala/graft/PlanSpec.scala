@@ -212,4 +212,36 @@ class PlanSpec extends AnyFunSuite {
       assert(countShuffles(p) === 0, p)
     }
   }
+
+  test("q48 sink roundtrip returns an INERT plan (LocalRelation only)") {
+    // the r9 driver-gate failure was a returned plan that lazily
+    // re-read a scratch dir the query itself had overwritten; the r10
+    // contract is that all IO happens during registry-function
+    // evaluation and the returned frame is a pure local relation — any
+    // file scan, exchange, or checkpoint scan reappearing here is the
+    // regression this test exists to catch
+    val df = SparkEntry.queries("q48_sink_roundtrip")(spark, sf)
+    val analyzed = df.queryExecution.analyzed.toString
+    val p = plan(df)
+    assert(analyzed.contains("LocalRelation"), analyzed)
+    // single-node plan: the LocalRelation IS the whole tree (no file
+    // source, no join, no checkpoint scan above or below it)
+    assert(analyzed.linesIterator.count(_.trim.nonEmpty) === 1, analyzed)
+    assert(!p.contains("FileScan") && !p.contains("Scan parquet"), p)
+    assert(!p.contains("Exchange") && !p.contains("ExistingRDD"), p)
+    // and the values match a direct aggregation of the source table
+    val got = df.collect().map(r => (r.getString(0),
+      (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val src = core.Tables(spark, sf).orders
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("c"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got.keySet === src.keySet)
+    got.foreach { case (st, (nb, cents, na)) =>
+      assert((nb, cents) === src(st), st)
+      assert(na === (if (st == "O") 0L else nb), st)
+    }
+  }
 }
