@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.GQ
 import graft.core.Tables
-import graft.llm.{Bpe, Curation, Dedup, Multimodal, Scoring, Similarity, TextAnalysis}
+import graft.llm.{Bpe, Curation, Dedup, Multimodal, QualityClassifier, Scoring, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings`
   * (north-star surface, SURVEY §7.4): dedup family, similarity search,
@@ -1765,6 +1765,94 @@ object Llm {
         val d = t(s, dir).documents
         Bpe.encode(d, Bpe.train(d, BpeOracle.NumMerges))
       },
-      Some(BpeOracle.encodeSql))
+      Some(BpeOracle.encodeSql)),
+
+    // ---- model-based quality filtering (CCNet/FineWeb pattern) --------
+    // Train a linear classifier to recognize the curated "reference"
+    // subset (here: the labeled-English slice, CCNet's
+    // reference-vs-random construction) from hashed bag-of-words
+    // features, then score the whole corpus; `pred` is the keep
+    // decision. Float SGD can never hash-match, so the contract is
+    // llm.QualityClassifier's synchronous integer batch perceptron —
+    // fixed epochs, md5-hex feature hashing, order-independent integer
+    // sums. The oracle replays every epoch's weight vector as chained
+    // CTEs, so a hash match pins the full training trajectory, not just
+    // the final accept set.
+    GQ("llm_quality_classifier",
+      (s, dir) => QualityClassifier.train(
+        t(s, dir).documents.select(col("doc_id"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("label"),
+          col("text")),
+        buckets = ClassifierOracle.NumBuckets,
+        epochs = ClassifierOracle.NumEpochs),
+      Some(ClassifierOracle.sql))
   )
+
+  /** Chained-CTE replay of QualityClassifier.train's batch-perceptron
+    * recurrence: qcf = the hashed integer feature table (first-4-md5-hex
+    * buckets — the whx positional-digit technique), then per epoch i a
+    * scoring pass qs{i} against (qw{i-1}, qb{i-1}) and the synchronous
+    * weight/bias update; the final SELECT is the scoring pass under the
+    * epoch-E model. sum() returns HUGEINT in DuckDB, so every surfaced
+    * column is CAST back to BIGINT to match Spark's long schema.
+    */
+  private object ClassifierOracle {
+    val NumBuckets = 64
+    val NumEpochs = 4
+
+    def sql: String = {
+      val base = s"""qcx(i, p) AS (SELECT * FROM (VALUES (1, 4096),
+        |  (2, 256), (3, 16), (4, 1)) v(i, p)),
+        |qcd AS MATERIALIZED (
+        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+        |  FROM documents),
+        |qcf AS MATERIALIZED (
+        |  SELECT doc_id, f, count(*) AS x FROM (
+        |    SELECT doc_id,
+        |      CAST((SELECT sum((strpos('0123456789abcdef',
+        |          substr(md5(tok), x.i, 1)) - 1) * x.p) FROM qcx x)
+        |        % $NumBuckets AS INT) AS f
+        |    FROM (SELECT doc_id,
+        |        unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+        |      FROM documents)
+        |    WHERE tok <> '')
+        |  GROUP BY 1, 2),
+        |qw0 AS MATERIALIZED (
+        |  SELECT DISTINCT f, CAST(0 AS BIGINT) AS wv FROM qcf),
+        |qb0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS bv)""".stripMargin
+      def scorePass(i: Int): String =
+        s"""qs$i AS MATERIALIZED (
+           |  SELECT d.doc_id, d.label,
+           |    CAST(coalesce(t.dot, 0) + (SELECT bv FROM qb${i - 1})
+           |      AS BIGINT) AS score
+           |  FROM qcd d LEFT JOIN (
+           |    SELECT ft.doc_id, sum(ft.x * w.wv) AS dot
+           |    FROM qcf ft JOIN qw${i - 1} w ON w.f = ft.f
+           |    GROUP BY 1) t ON t.doc_id = d.doc_id)""".stripMargin
+      val steps = (1 to NumEpochs).map { i =>
+        s"""${scorePass(i)},
+           |qe$i AS MATERIALIZED (
+           |  SELECT doc_id,
+           |    label - (CASE WHEN score > 0 THEN 1 ELSE 0 END) AS err
+           |  FROM qs$i
+           |  WHERE label - (CASE WHEN score > 0 THEN 1 ELSE 0 END) <> 0),
+           |qw$i AS MATERIALIZED (
+           |  SELECT w.f, CAST(w.wv + coalesce(u.dw, 0) AS BIGINT) AS wv
+           |  FROM qw${i - 1} w LEFT JOIN (
+           |    SELECT ft.f, sum(e.err * ft.x) AS dw
+           |    FROM qe$i e JOIN qcf ft ON ft.doc_id = e.doc_id
+           |    GROUP BY 1) u ON u.f = w.f),
+           |qb$i AS MATERIALIZED (
+           |  SELECT CAST((SELECT bv FROM qb${i - 1})
+           |    + coalesce((SELECT sum(err) FROM qe$i), 0) AS BIGINT) AS bv)"""
+          .stripMargin
+      }
+      s"""WITH $base,
+         |${steps.mkString(",\n")},
+         |${scorePass(NumEpochs + 1)}
+         |SELECT doc_id, CAST(label AS BIGINT) AS label, score,
+         |  CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
+         |FROM qs${NumEpochs + 1}""".stripMargin
+    }
+  }
 }
