@@ -38,11 +38,13 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   * (`//`) alike, so negatives are safe; the threshold search is
   * monotone non-increasing in training error (each epoch keeps τ unless
   * a strictly better candidate exists), so there is no oscillation to
-  * damp. Measured on the sf0.01 corpus against the distilled rule
-  * label: 95.8% training accuracy vs a 63.4% majority baseline. The
-  * fixed epoch count is part of the contract and a DuckDB chained CTE
-  * replays the identical recurrence — the driver oracle pins every
-  * threshold move, not just the final accept set.
+  * damp. Measured on the sf0.01 corpus against the distilled rule label
+  * (TextAnalysis.qualityScore ≥ 0.6 — a TEXT-DERIVED label; metadata
+  * columns like `lang` are independent of this synthetic text and
+  * unlearnable by construction): 93.6% training accuracy vs a 50.4%
+  * majority baseline. The fixed epoch count is part of the contract and
+  * a DuckDB chained CTE replays the identical recurrence — the driver
+  * oracle pins every threshold move, not just the final accept set.
   *
   * Scale shape: the feature table is built once (one explode + one
   * (doc, f) count — map-side-combinable) and checkpointed; the scored

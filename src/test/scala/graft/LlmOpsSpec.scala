@@ -725,4 +725,56 @@ class LlmOpsSpec extends AnyFunSuite {
       .filter(col("max_err_nano") > col("scale_nano") / 2 + 1).count()
     assert(bad === 0L)
   }
+
+  private def qualityLabeled = docs.select(col("doc_id"),
+    when(TextAnalysis.qualityScore(col("text")) >= 0.6, 1L)
+      .otherwise(0L).as("label"), col("text"))
+
+  test("quality classifier: distributed ≡ local twin, bit-exact") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    val local = rows(graft.llm.QualityClassifier.train(qualityLabeled))
+    val dist = rows(graft.llm.QualityClassifier.train(qualityLabeled,
+      localRowThreshold = 0L))
+    assert(local === dist)
+  }
+
+  test("quality classifier distills the rule label far beyond majority") {
+    val out = graft.llm.QualityClassifier.train(qualityLabeled)
+    val n = out.count()
+    val correct = out.filter(col("pred") === col("label")).count()
+    val n1 = qualityLabeled.filter(col("label") === 1L).count()
+    val majority = math.max(n1, n - n1)
+    // measured 463/500 vs majority 261 at sf0.001; assert a wide margin,
+    // not the exact number, so testdata regeneration can't flake it
+    assert(correct > (majority + n) / 2,
+      s"correct=$correct majority=$majority n=$n")
+  }
+
+  test("quality classifier separates planted vocabularies perfectly") {
+    import spark.implicits._
+    val planted = ((0 until 40).map(i =>
+      (i.toLong, 1L, s"alpha beta gamma delta epsilon tok$i")) ++
+      (0 until 40).map(i =>
+        (100L + i, 0L, s"omega psi chi phi upsilon tok$i")))
+      .toDF("doc_id", "label", "text")
+    val out = graft.llm.QualityClassifier.train(planted)
+    assert(out.filter(col("pred") =!= col("label")).count() === 0L)
+  }
+
+  test("quality classifier: single-class and empty-token corpora are total") {
+    import spark.implicits._
+    // all label=1: the negative centroid is the zero guard path
+    val oneClass = Seq((1L, 1L, "alpha beta"), (2L, 1L, "beta gamma"))
+      .toDF("doc_id", "label", "text")
+    val r1 = graft.llm.QualityClassifier.train(oneClass).collect()
+    assert(r1.length === 2 && r1.forall(!_.anyNull))
+    // a doc with no tokens still gets scored (score = 0)
+    val withEmpty = Seq((1L, 1L, "alpha beta"), (2L, 0L, "   "))
+      .toDF("doc_id", "label", "text")
+    val r2 = graft.llm.QualityClassifier.train(withEmpty)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(r2(2L) === 0L)
+  }
 }
