@@ -1,0 +1,70 @@
+package graft.algo
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.graph.PropertyGraph
+
+/** Landmark (pivot) distance oracle — the standard scale answer when
+  * pairwise shortest-path queries must be served over a graph too large
+  * for per-query traversals (Goldberg–Harrelson ALT / Potamias et al.
+  * landmark selection; the reference's APSP call site at
+  * neo4j-code.txt:56-77 is exactly the workload this precomputation
+  * serves once N² streaming stops being feasible).
+  *
+  * Precompute, once, for a small landmark set L:
+  *   rev[L, u] = d(u → L)   (one multi-source pass on the reversed graph)
+  *   fwd[L, v] = d(L → v)   (one multi-source pass on the forward graph)
+  * Then any query pair (u, v) is answered from |L| rows per side:
+  *   est(u, v) = min_{l ∈ L} rev[l, u] + fwd[l, v]  ≥  d(u, v),
+  * with equality whenever some landmark lies on an optimal u→v path.
+  *
+  * Scale shape: the two distance tables are |L|·|V| rows keyed by
+  * landmark — built by the same adaptive multi-source relaxation kernel
+  * as g7/g15/g25 (|L| supersteps batched in one pass, nothing driver-
+  * side above the LocalBudget), written once and reused by every query.
+  * A query batch joins its filtered |A|·|L| and |B|·|L| slices on the
+  * landmark key — broadcast-sized for online lookups, shuffle-free when
+  * the tables are bucketed by landmark. Estimate arithmetic is one IEEE
+  * add + an order-independent min over doubles + round(·,4), so the
+  * whole pipeline hash-oracles against the chained-relaxation CTEs.
+  */
+object Landmarks {
+
+  /** Triangle-inequality upper-bound estimates for every pair in
+    * `srcSet` × `dstSet` (u ≠ v) reachable through at least one
+    * landmark: (src_id, dst_id, n_via, est) where n_via counts the
+    * landmarks with both legs finite and est = min over them, rounded
+    * to 4 decimals (the g7 presentation contract).
+    */
+  def estimates(spark: SparkSession, g: PropertyGraph,
+      landmarks: Seq[String], srcSet: Seq[String], dstSet: Seq[String])
+      : DataFrame = {
+    // absent ids contribute nothing (they have no distance rows); the
+    // landmark set must also be restricted up front because the kernels
+    // reject unknown sources. Bounded by |landmarks| — driver-safe.
+    val present = g.nodes.select(col(g.nodes.columns(0)).cast("string"))
+      .filter(col(g.nodes.columns(0)).isin(landmarks: _*))
+      .collect().map(_.getString(0)).toSeq
+    val fwd = ShortestPaths.apsp(spark, g, Some(present))
+    // d(u → L) = d(L → u) on the reversed multigraph; apsp materializes
+    // eagerly (local CSR collect or checkpointed supersteps), so the
+    // temporary reversed projection cache is dropped right after.
+    val revG = PropertyGraph(g.nodes,
+      g.edges.select(col("dst").as("src"), col("src").as("dst"),
+        col("roadId"), col("cost")))
+    val rev = ShortestPaths.apsp(spark, revG, Some(present))
+    revG.projection.unpersist()
+    val du = rev.filter(col("target_id").isin(srcSet: _*))
+      .select(col("source_id").as("lm"), col("target_id").as("src_id"),
+        col("distance").as("du"))
+    val dv = fwd.filter(col("target_id").isin(dstSet: _*))
+      .select(col("source_id").as("lm"), col("target_id").as("dst_id"),
+        col("distance").as("dv"))
+    du.join(dv, Seq("lm"))
+      .filter(col("src_id") =!= col("dst_id"))
+      .groupBy("src_id", "dst_id")
+      .agg(count(lit(1)).as("n_via"),
+        round(min(col("du") + col("dv")), 4).as("est"))
+  }
+}

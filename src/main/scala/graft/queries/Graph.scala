@@ -205,6 +205,28 @@ object Graph {
       (s0 +: steps).mkString(",\n")
     }
 
+    /** chainMulti's reverse-direction twin r0..r<hops> over the flipped
+      * edge table: r<hops>(source, node, dist) = d(node → source). Hop
+      * bound audited by tools/landmark_golden.py — 89 across both
+      * directions for the g29 landmark set, padded to HopsMulti.
+      */
+    def chainMultiRev(hops: Int): String = {
+      val pre = """redges AS MATERIALIZED (
+                  |  SELECT dst AS src, src AS dst, cost FROM edges),
+                  |r0 AS MATERIALIZED (
+                  |  SELECT id AS source, id AS node, CAST(0.0 AS DOUBLE) AS dist
+                  |  FROM srcs)""".stripMargin
+      val steps = (1 to hops).map { i =>
+        s"""r$i AS MATERIALIZED (SELECT source, node, min(dist) AS dist FROM (
+           |  SELECT source, node, dist FROM r${i - 1}
+           |  UNION ALL
+           |  SELECT s.source, e.dst AS node, s.dist + e.cost AS dist
+           |  FROM r${i - 1} s JOIN redges e ON s.node = e.src) GROUP BY 1, 2)"""
+          .stripMargin
+      }
+      (pre +: steps).mkString(",\n")
+    }
+
     /** SSSP fixpoint + backward optimal-path walk from Dst. The walk
       * follows exact-double pred equality (dist(u) + cost == dist(v)) —
       * the identity Dijkstra established for its own pred — one row per
@@ -1212,6 +1234,42 @@ object Graph {
       sliceOracle(s"""WITH ${Oracle.edgesCte},
               |${Oracle.louvainChain(16)}
               |SELECT node AS node_id, lbl AS community
-              |FROM v16""".stripMargin))
+              |FROM v16""".stripMargin)),
+
+    // Landmark (pivot) distance oracle — the precompute-then-lookup
+    // answer to pairwise distance queries once per-query traversal (g2)
+    // or streamed APSP (g7) stops scaling: |L| reverse + |L| forward
+    // SSSP tables once, then est(u,v) = min_L d(u,L)+d(L,v) ≥ d(u,v)
+    // from |L| rows per side (ALT / Potamias landmark estimation; see
+    // algo.Landmarks). The oracle replays both direction chains and the
+    // same min-over-landmarks join; hop bound 89 audited both ways by
+    // tools/landmark_golden.py.
+    GQ("g29_landmark_dist",
+      (s, _) => {
+        val landmarks = (0 until 40).map(i => (i * 17 + 1).toString)
+        val srcSet = (0 until 40).map(i => (i * 31 + 2).toString)
+        val dstSet = (0 until 40).map(i => (i * 43 + 3).toString)
+        graft.algo.Landmarks.estimates(s, g(s), landmarks, srcSet, dstSet)
+      },
+      sliceOracle({
+        val lmVals = (0 until 40).map(i => s"('${i * 17 + 1}')").mkString(",")
+        val saVals = (0 until 40).map(i => s"('${i * 31 + 2}')").mkString(",")
+        val sbVals = (0 until 40).map(i => s"('${i * 43 + 3}')").mkString(",")
+        s"""WITH ${Oracle.edgesCte},
+           |srcs AS MATERIALIZED (SELECT id FROM (VALUES $lmVals) v(id)
+           |  WHERE id IN (SELECT * FROM ids)),
+           |qa AS MATERIALIZED (SELECT id FROM (VALUES $saVals) v(id)),
+           |qb AS MATERIALIZED (SELECT id FROM (VALUES $sbVals) v(id)),
+           |${Oracle.chainMulti(Oracle.HopsMulti)},
+           |${Oracle.chainMultiRev(Oracle.HopsMulti)}
+           |SELECT r.node AS src_id, f.node AS dst_id, count(*) AS n_via,
+           |  round(min(r.dist + f.dist), 4) AS est
+           |FROM r${Oracle.HopsMulti} r
+           |JOIN s${Oracle.HopsMulti} f ON f.source = r.source
+           |WHERE r.node IN (SELECT * FROM qa)
+           |  AND f.node IN (SELECT * FROM qb)
+           |  AND r.node <> f.node
+           |GROUP BY 1, 2""".stripMargin
+      }))
   )
 }

@@ -1094,4 +1094,34 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(dist === loc)
     assert(loc("o'brien") > 0L)
   }
+
+  test("landmark estimates: upper bound on exact distance, tight when the " +
+      "target is itself a landmark") {
+    val landmarks = (0 until 40).map(i => (i * 17 + 1).toString)
+    val srcSet = (0 until 40).map(i => (i * 31 + 2).toString)
+    // include the landmarks themselves as targets: d(u,L)+d(L,L)=d(u,L),
+    // so those rows must equal the exact distance bit-for-bit
+    val dstSet = (0 until 40).map(i => (i * 43 + 3).toString) ++
+      landmarks.take(5)
+    val est = graft.algo.Landmarks
+      .estimates(spark, pg, landmarks, srcSet, dstSet)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(est.nonEmpty)
+    // exact distances from each queried source via the local kernel
+    val exact = srcSet.filter(s => lg.index.containsKey(s)).map { s =>
+      val (d, _) = LocalKernels.sssp(lg, lg.idOf(s))
+      s -> d
+    }.toMap
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    est.foreach { case ((u, v), e) =>
+      val ex = exact(u)(lg.idOf(v))
+      assert(ex.isFinite, s"estimate for unreachable pair $u->$v")
+      // upper bound (rounding both sides to the presentation contract)
+      assert(e >= r4(ex) - 1e-9, s"$u->$v est $e < exact $ex")
+      if (landmarks.contains(v)) assert(e === r4(ex),
+        s"landmark target $u->$v est $e != exact $ex")
+    }
+  }
 }
