@@ -299,6 +299,35 @@ object Streaming {
         Graph.appendSummary(
           graft.streaming.GraphStreams.maintainFromFiles(s, dir.toString))
       },
-      Some(Graph.AppendOracleSql))
+      Some(Graph.AppendOracleSql)),
+
+    // Streaming vector-index ingest: the IVF coarse quantizer is
+    // trained on the batch bootstrap (seeds16 → assign → one k-means
+    // refine — the llm_ann_ivf recipe) and FROZEN; the embedding stream
+    // then assigns each arriving vector to its bucket map-side (the
+    // same native argmax expression, stateless — no shuffle, no state
+    // store). Static quantizer + incremental postings is how IVF
+    // services stay fresh without rebuild storms; the oracle replays
+    // quantizer training AND every stream assignment in SQL, and
+    // StreamingSpec pins stream ≡ batch assignment exactly.
+    GQ("stream_ann_ingest",
+      (s, dir) => {
+        import graft.llm.Similarity
+        val emb = Tables(s, dir).embeddings
+        val refined = Similarity.kmeansRefine(s,
+          Similarity.assignToCentroids(emb,
+            Similarity.seedCentroids(emb, 16)))
+        val cents = refined.select(col("c_id"), col("c_vec")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+        runToMemory(s, "graft_stream_ann", "append")(
+          graft.streaming.VectorStreams.assignAtIngest(
+            graft.streaming.VectorStreams.readEmbeddings(
+              s, s"$dir/embeddings.parquet"), cents))
+      },
+      Some(s"""WITH ${Llm.KmOracle.seeds(16)},
+             |${Llm.KmOracle.assign("seeds", "st_asg0")},
+             |${Llm.KmOracle.refine("st_asg0", "st_ref1")},
+             |${Llm.KmOracle.assign("st_ref1", "st_asgF")}
+             |SELECT vec_id, centroid_id FROM st_asgF""".stripMargin))
   )
 }

@@ -39,7 +39,7 @@ object EventStreams {
   /** Stage a single file into a listable directory (file-stream sources
     * read directories only); directories pass through unchanged.
     */
-  private def streamableDir(path: String): String = {
+  private[streaming] def streamableDir(path: String): String = {
     val f = new java.io.File(path)
     if (!f.isFile) path
     else {

@@ -337,4 +337,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(edgeSet === Set(("1", "2", "e1", 10.0), ("2", "1", "e2", 10.0),
       ("1", "9", "e3", 5.0), ("9", "1", "e4", 7.0)))
   }
+
+  test("streaming ANN ingest ≡ batch assignment under the frozen quantizer") {
+    import graft.llm.Similarity
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").cache()
+    val refined = Similarity.kmeansRefine(spark,
+      Similarity.assignToCentroids(emb, Similarity.seedCentroids(emb, 16)))
+    val cents = refined.select(col("c_id"), col("c_vec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val q = graft.streaming.VectorStreams.assignAtIngest(
+        graft.streaming.VectorStreams.readEmbeddings(
+          spark, s"$sf/embeddings.parquet"), cents)
+      .writeStream.format("memory").queryName("t_ann_ingest")
+      .outputMode("append").start()
+    val lastProgress = try {
+      q.processAllAvailable(); q.lastProgress
+    } finally q.stop()
+    val streamed = spark.table("t_ann_ingest")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = Similarity.assignToCentroids(emb, cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(streamed.size === batch.size)
+    assert(streamed === batch)
+    // stateless contract: no state-store operator in the streamed plan
+    if (lastProgress != null) assert(lastProgress.stateOperators.isEmpty)
+  }
 }
