@@ -79,50 +79,64 @@ object GraphComponents {
         .toDF("node", "component")
     }
     // ---- distributed: min-hook + contract ------------------------------
-    var labels = nodes.select(col(nodes.columns(0)).as("node"))
+    // Every loop state keeps TWO handles: the checkpoint (releasable)
+    // and a stats-clean freshStats view the next round's plans read.
+    // hooks/cedges/labels all fan out under several joins per round, so
+    // without the barrier the propagated sizeInBytes estimate compounds
+    // multiplicatively — the audited result carried a 3.3-MEGABIT
+    // statistic and every later optimizer pass paid BigInteger math on
+    // it (see Checkpoints.freshStats).
+    var labelsCp = nodes.select(col(nodes.columns(0)).as("node"))
       .withColumn("component", col("node"))
       .localCheckpoint(true)
+    var labels = labelsCp
     // contracted edge list between CURRENT roots, symmetric, loop-free
-    var cedges = e.select(col("src").as("a"), col("dst").as("b"))
+    var cedgesCp = e.select(col("src").as("a"), col("dst").as("b"))
       .union(e.select(col("dst").as("a"), col("src").as("b")))
       .filter(col("a") =!= col("b")).distinct()
       .localCheckpoint(true)
+    var cedges = cedgesCp
     e.unpersist()
     var iter = 0
     var hookCount = 1L
     while (hookCount > 0 && iter < maxIter) {
       // 1. hook every root to its minimum smaller neighbor root
-      var hooks = cedges.filter(col("b") < col("a"))
+      var hooksCp = cedges.filter(col("b") < col("a"))
         .groupBy(col("a").as("root")).agg(min(col("b")).as("tgt"))
         .localCheckpoint(true)
-      hookCount = hooks.count()
+      var hooks = graft.core.Checkpoints.freshStats(hooksCp)
+      hookCount = hooksCp.count()
       if (hookCount > 0) {
         // 2. close the hook map on itself (chains a→b→c… halve per jump;
         //    the iterated table is |hooks| rows, never the node set)
         var jumped = 1L
         while (jumped > 0) {
-          val h2 = hooks.as("h")
+          val h2cp = hooks.as("h")
             .join(hooks.select(col("root").as("t_root"),
               col("tgt").as("t_tgt")),
               col("h.tgt") === col("t_root"), "left_outer")
             .select(col("h.root").as("root"),
               coalesce(col("t_tgt"), col("h.tgt")).as("tgt"))
             .localCheckpoint(true)
+          val h2 = graft.core.Checkpoints.freshStats(h2cp)
           jumped = h2.join(hooks.select(col("root"),
               col("tgt").as("old_t")), Seq("root"))
             .filter(col("tgt") =!= col("old_t")).count()
-          graft.core.Checkpoints.release(hooks)
+          graft.core.Checkpoints.release(hooksCp)
+          hooksCp = h2cp
           hooks = h2
         }
         // 3. re-map labels and contract the edge list through the hooks
-        val nextLabels = labels.join(hooks.select(col("root").as("component"),
-            col("tgt")), Seq("component"), "left_outer")
+        val nextLabelsCp = labels
+          .join(hooks.select(col("root").as("component"), col("tgt")),
+            Seq("component"), "left_outer")
           .select(col("node"),
             coalesce(col("tgt"), col("component")).as("component"))
           .localCheckpoint(true)
-        graft.core.Checkpoints.release(labels)
-        labels = nextLabels
-        val remapped = cedges
+        graft.core.Checkpoints.release(labelsCp)
+        labelsCp = nextLabelsCp
+        labels = graft.core.Checkpoints.freshStats(nextLabelsCp)
+        val remappedCp = cedges
           .join(hooks.select(col("root").as("a"), col("tgt").as("na")),
             Seq("a"), "left_outer")
           .join(hooks.select(col("root").as("b"), col("tgt").as("nb")),
@@ -131,26 +145,27 @@ object GraphComponents {
             coalesce(col("nb"), col("b")).as("b"))
           .filter(col("a") =!= col("b")).distinct()
           .localCheckpoint(true)
-        graft.core.Checkpoints.release(cedges)
-        cedges = remapped
+        graft.core.Checkpoints.release(cedgesCp)
+        cedgesCp = remappedCp
+        cedges = graft.core.Checkpoints.freshStats(remappedCp)
       }
-      graft.core.Checkpoints.release(hooks)
+      graft.core.Checkpoints.release(hooksCp)
       iter += 1
       if (sys.env.contains("GRAFT_WCC_DEBUG"))
         System.err.println(s"[wcc] round $iter hooks=$hookCount")
     }
-    graft.core.Checkpoints.release(cedges)
+    graft.core.Checkpoints.release(cedgesCp)
     if (hookCount > 0) {
       // the labels checkpoint is never handed to the caller on this path,
       // so release it before failing (KCore's non-convergence path does
       // the same for its undirected edge state)
-      graft.core.Checkpoints.release(labels)
+      graft.core.Checkpoints.release(labelsCp)
       throw new IllegalStateException(
         s"wcc did not converge within $maxIter rounds " +
           s"(last round hooked $hookCount roots); raise maxIter — " +
           "hook+contract needs O(log n) rounds, so hitting this bound " +
           "indicates a pathological input, not a tuning matter")
     }
-    labels
+    labelsCp
   }
 }

@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   * parallel:
   *
   *  - the gain of node i joining community c is compared via the
-  *    INTEGER score  sc(i,c) = 2m·k(i,c) − k(i)·(Σtot(c) − [i∈c]·k(i)),
+  *    INTEGER score  sc(i,c) = 2m·w(i,c) − k(i)·(Σtot(c) − [i∈c]·k(i)),
   *    which is the standard ΔQ multiplied through by 2m² (a positive
   *    constant, so the argmax is unchanged) — every term is a count or
   *    a degree sum, so both engines compute identical BIGINTs and the
@@ -34,16 +34,28 @@ import org.apache.spark.sql.functions._
   *  - a FIXED 16 rounds (8 full parity sweeps) is the contract, g16's
   *    chained-peel convention: the round count is part of the
   *    semantics, so the DataFrame loop and the DuckDB 16-step chained
-  *    CTE compute the identical community table. No coarsening phase:
-  *    at a fixed round budget single-level moving is the deterministic
-  *    core (coarsening's community-merge order is engine-dependent).
+  *    CTE compute the identical community table.
+  *
+  * `run` is the single-level contract (g28). `runTwoLevel` adds the
+  * COARSENING phase classic Louvain is known for — deterministically:
+  * level-1 communities contract into super-nodes whose edge weights
+  * are the inter-community und-row multiplicities (internal rows
+  * become self-loops, so weighted degrees are conserved: Σk = 2m
+  * unchanged), and the SAME synchronous move rule runs on the weighted
+  * coarse graph for a fixed round budget (w(i,c) sums edge weights,
+  * self-loops excluded from w but included in k — textbook ΔQ). The
+  * "engine-dependent merge order" objection to coarsening disappears
+  * because contraction happens at one fixed barrier and the coarse
+  * sweep is the same deterministic parity rule.
   *
   * Scale shape: each round is two aggregations (Σtot per community —
-  * tiny, ≤|communities| rows; k(i,c) — one shuffle keyed by node) plus
+  * tiny, ≤|communities| rows; w(i,c) — one shuffle keyed by node) plus
   * one join back; state is one (node, community, parity) row per node.
-  * Nothing collects to the driver on the distributed path, so the same
-  * 16 rounds run unchanged at 100 TB; localCheckpoint cuts lineage per
-  * round and Checkpoints.release frees the previous state eagerly.
+  * Contraction is one further keyed aggregation, and the coarse graph
+  * is |communities|-sized — strictly cheaper than level 1. Nothing
+  * collects to the driver on the distributed path, so the same rounds
+  * run unchanged at 100 TB; localCheckpoint cuts lineage per round and
+  * Checkpoints.release frees the previous state eagerly.
   */
 object Louvain {
 
@@ -75,9 +87,90 @@ object Louvain {
       import spark.implicits._
       return ids.toSeq.map(n => (n, labels(n))).toDF("node", "community")
     }
+    val (und, degs, twoM) = prepare(spark, nodes, e)
+    val labels0 = degs.select(col("node"), col("node").as("lbl"))
+      .localCheckpoint(true)
+    val labels = moveLoop(und.withColumn("w", lit(1L)), degs, twoM,
+      labels0, rounds)
+    graft.core.Checkpoints.release(und)
+    val out = labels.select(col("node"), col("lbl").as("community"))
+    graft.core.Checkpoints.release(degs)
+    out
+  }
+
+  /** Two-level (hierarchical) Louvain: `rounds` level-1 moving rounds,
+    * one deterministic contraction, `coarseRounds` weighted rounds on
+    * the coarse graph, labels projected back to the original nodes —
+    * (node, community) where community is the final coarse label.
+    */
+  def runTwoLevel(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
+      rounds: Int = 16, coarseRounds: Int = 8,
+      localEdgeThreshold: Long = graft.core.LocalBudget.MaxLocalEdges)
+      : DataFrame = {
+    val e = edges.select(col(edges.columns(0)).cast("string").as("a"),
+      col(edges.columns(1)).cast("string").as("b"))
+    val (nEdges, estBytes) = graft.core.LocalBudget.measureEdges(e)
+    if (graft.core.LocalBudget.fitsLocal(nEdges, estBytes,
+        localEdgeThreshold)) {
+      val pairs = e.collect().map(r => (r.getString(0), r.getString(1)))
+      val ids = nodes.select(col(nodes.columns(0)).cast("string"))
+        .collect().map(_.getString(0))
+      val idSet = ids.toSet
+      val known = pairs.filter(p => idSet(p._1) && idSet(p._2))
+      val labels = localTwoLevel(ids, known, rounds, coarseRounds)
+      import spark.implicits._
+      return ids.toSeq.map(n => (n, labels(n))).toDF("node", "community")
+    }
+    val (und, degs, twoM) = prepare(spark, nodes, e)
+    val labels0 = degs.select(col("node"), col("node").as("lbl"))
+      .localCheckpoint(true)
+    val l1 = moveLoop(und.withColumn("w", lit(1L)), degs, twoM,
+      labels0, rounds)
+    // ---- contraction: communities → weighted super-nodes -------------
+    // W(c1,c2) = # und rows between the communities (symmetric; c1=c2
+    // rows are the self-loop weight = 2 × internal undirected edges).
+    // k(c) = Σ_c2 W(c,c2) = Σ_{i∈c} deg(i), so Σk stays 2m.
+    val wFull = und
+      .join(l1.select(col("node").as("a"), col("lbl").as("c1")), Seq("a"))
+      .join(l1.select(col("node").as("b"), col("lbl").as("c2")), Seq("b"))
+      .groupBy("c1", "c2").agg(count(lit(1)).as("w"))
+      .localCheckpoint(true)
+    graft.core.Checkpoints.release(und)
+    // every level-1 community appears (isolated communities keep k = 0)
+    val coarseDegs = l1.select(col("lbl").as("node")).distinct()
+      .join(wFull.groupBy(col("c1").as("node"))
+          .agg(sum(col("w")).as("deg")),
+        Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"))
+      .withColumn("odd", substring(md5(col("node")), 1, 1)
+        .isin("1", "3", "5", "7", "9", "b", "d", "f"))
+      .localCheckpoint(true)
+    val coarse0 = coarseDegs.select(col("node"), col("node").as("lbl"))
+      .localCheckpoint(true)
+    // self-loops feed k (via coarseDegs) but not w(i,c): the move score
+    // counts links to OTHER members only — textbook ΔQ
+    val l2 = moveLoop(
+      wFull.filter(col("c1") =!= col("c2"))
+        .select(col("c1").as("a"), col("c2").as("b"), col("w")),
+      coarseDegs, twoM, coarse0, coarseRounds)
+    // project: node → level-1 community → its final coarse label
+    val proj = l2.select(col("node").as("c_from"), col("lbl").as("c_to"))
+    val out = l1.join(proj, l1("lbl") === proj("c_from"))
+      .select(l1("node"), col("c_to").as("community"))
+    graft.core.Checkpoints.release(wFull)
+    graft.core.Checkpoints.release(coarseDegs)
+    graft.core.Checkpoints.release(degs)
+    out
+  }
+
+  /** Symmetrized distinct neighbor pairs among known nodes, per-node
+    * degrees + move parity, and 2m. All checkpoint-backed; callers
+    * release. Filters both endpoints to the node set, matching the
+    * local twin's idSet filter.
+    */
+  private def prepare(spark: SparkSession, nodes: DataFrame, e: DataFrame)
+      : (DataFrame, DataFrame, Long) = {
     val ns = nodes.select(col(nodes.columns(0)).cast("string").as("node"))
-    // undirected distinct neighbor pairs among known nodes (both
-    // orientations present), matching the local twin's idSet filter
     val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
       .filter(col("a") =!= col("b")).distinct()
       .join(ns.select(col("node").as("a")), Seq("a"), "left_semi")
@@ -85,23 +178,38 @@ object Louvain {
       .select("a", "b")
       .localCheckpoint(true)
     val twoM = und.count() // each unordered pair appears twice = 2m
-    // per-node degree (0 for isolated) + move parity, both round-invariant
     val degs = ns.join(und.withColumnRenamed("a", "node"), Seq("node"),
         "left_outer")
       .groupBy("node").agg(count(col("b")).as("deg"))
       .withColumn("odd", substring(md5(col("node")), 1, 1)
         .isin("1", "3", "5", "7", "9", "b", "d", "f"))
       .localCheckpoint(true)
-    var labels = degs.select(col("node"), col("node").as("lbl"))
-      .localCheckpoint(true)
+    (und, degs, twoM)
+  }
+
+  /** The shared synchronous parity-alternating move loop over a
+    * weighted adjacency `adj(a, b, w)` (a ≠ b rows only; level 1 uses
+    * unit weights) and `degs(node, deg, odd)`. Returns the final
+    * (node, lbl) table (checkpoint-backed; `lbl2` alias column added
+    * for self-join-free projection).
+    */
+  private def moveLoop(adj: DataFrame, degs: DataFrame, twoM: Long,
+      labels0: DataFrame, rounds: Int): DataFrame = {
+    // labelsCp is the checkpoint handle (releasable); labels is the
+    // stats-clean view each round reads — the round plan fans the state
+    // out under THREE joins, so without the barrier the propagated
+    // sizeInBytes estimate compounds multiplicatively per round (see
+    // Checkpoints.freshStats) and optimizer time explodes
+    var labelsCp = labels0
+    var labels = labels0
     for (i <- 1 to rounds) {
       val sig = labels.join(degs.select("node", "deg"), Seq("node"))
         .groupBy(col("lbl").as("cand")).agg(sum("deg").as("s"))
-      val kin = und
+      val kin = adj
         .join(labels.select(col("node").as("b"), col("lbl").as("cand")),
           Seq("b"))
         .groupBy(col("a").as("node"), col("cand"))
-        .agg(count(lit(1)).as("kic"))
+        .agg(sum(col("w")).as("kic"))
       val base = labels.join(degs.select("node", "deg", "odd"), Seq("node"))
       // candidates = neighbor communities ∪ own (kic 0 when no neighbor
       // shares it); max(kic) collapses the own-row duplicate
@@ -128,13 +236,11 @@ object Louvain {
             coalesce(col("new_lbl"), col("lbl"))).otherwise(col("lbl"))
             .as("lbl"))
         .localCheckpoint(true)
-      graft.core.Checkpoints.release(labels)
-      labels = next
+      graft.core.Checkpoints.release(labelsCp)
+      labelsCp = next
+      labels = graft.core.Checkpoints.freshStats(next)
     }
-    graft.core.Checkpoints.release(und)
-    val out = labels.select(col("node"), col("lbl").as("community"))
-    graft.core.Checkpoints.release(degs)
-    out
+    labelsCp
   }
 
   /** Reference implementation of the same contract for audits: plain
@@ -147,25 +253,61 @@ object Louvain {
       pairs: Array[(String, String)], rounds: Int): Map[String, String] = {
     val und = pairs.filter(p => p._1 != p._2)
       .flatMap(p => Seq(p, p.swap)).distinct
-    val nbrs = und.groupBy(_._1).map { case (k, es) => k -> es.map(_._2) }
+    val wAdj: Map[String, Array[(String, Long)]] = und.groupBy(_._1)
+      .map { case (k, es) => k -> es.map(e => (e._2, 1L)) }
     val deg: Map[String, Long] =
-      nodeIds.map(n => n -> nbrs.get(n).map(_.length.toLong).getOrElse(0L))
+      nodeIds.map(n => n -> wAdj.get(n).map(_.length.toLong).getOrElse(0L))
         .toMap
-    val twoM = und.length.toLong
-    val odd: Map[String, Boolean] = nodeIds.map(n => n -> oddParity(n)).toMap
-    var lbl: Map[String, String] = nodeIds.map(n => n -> n).toMap
+    weightedMoveRounds(nodeIds, wAdj, deg, und.length.toLong, rounds,
+      nodeIds.map(n => n -> n).toMap)
+  }
+
+  /** In-memory twin of runTwoLevel: level-1 rounds, contraction with
+    * self-loop-aware weighted degrees, weighted coarse rounds,
+    * projection.
+    */
+  private[graft] def localTwoLevel(nodeIds: Array[String],
+      pairs: Array[(String, String)], rounds: Int, coarseRounds: Int)
+      : Map[String, String] = {
+    val l1 = localReference(nodeIds, pairs, rounds)
+    val und = pairs.filter(p => p._1 != p._2)
+      .flatMap(p => Seq(p, p.swap)).distinct
+    val wMap = scala.collection.mutable.HashMap
+      .empty[(String, String), Long].withDefaultValue(0L)
+    und.foreach { case (a, b) => wMap((l1(a), l1(b))) += 1L }
+    val coarseIds = l1.values.toArray.distinct.sorted
+    val k: Map[String, Long] = coarseIds.map(c =>
+      c -> wMap.iterator.filter(_._1._1 == c).map(_._2).sum).toMap
+    val wAdj: Map[String, Array[(String, Long)]] = wMap.toArray
+      .collect { case ((c1, c2), w) if c1 != c2 => (c1, (c2, w)) }
+      .groupBy(_._1).map { case (c, es) => c -> es.map(_._2) }
+    val l2 = weightedMoveRounds(coarseIds, wAdj, k, und.length.toLong,
+      coarseRounds, coarseIds.map(c => c -> c).toMap)
+    nodeIds.map(n => n -> l2(l1(n))).toMap
+  }
+
+  /** The weighted synchronous move recurrence both in-memory paths
+    * share (unit weights at level 1).
+    */
+  private def weightedMoveRounds(ids: Array[String],
+      wAdj: Map[String, Array[(String, Long)]], deg: Map[String, Long],
+      twoM: Long, rounds: Int, init: Map[String, String])
+      : Map[String, String] = {
+    val odd: Map[String, Boolean] = ids.map(n => n -> oddParity(n)).toMap
+    var lbl = init
     for (i <- 1 to rounds) {
-      val sig: Map[String, Long] = nodeIds.groupBy(lbl)
+      val sig: Map[String, Long] = ids.groupBy(lbl)
         .map { case (c, ns) => c -> ns.map(deg).sum }
-      lbl = nodeIds.map { n =>
+      lbl = ids.map { n =>
         if (odd(n) != (i % 2 == 1)) n -> lbl(n)
         else {
           val own = lbl(n); val d = deg(n)
-          val kin: Map[String, Long] = nbrs.getOrElse(n, Array.empty[String])
-            .map(lbl).groupBy(identity)
-            .map { case (c, xs) => c -> xs.length.toLong }
-          val best = (kin.keySet + own).toSeq.map { c =>
-            val sc = twoM * kin.getOrElse(c, 0L) -
+          val kin = scala.collection.mutable.HashMap.empty[String, Long]
+            .withDefaultValue(0L)
+          wAdj.getOrElse(n, Array.empty[(String, Long)])
+            .foreach { case (m, w) => kin(lbl(m)) += w }
+          val best = (kin.keySet.toSet + own).toSeq.map { c =>
+            val sc = twoM * kin(c) -
               d * (sig.getOrElse(c, 0L) - (if (c == own) d else 0L))
             (-sc, c)
           }.min
@@ -174,6 +316,32 @@ object Louvain {
       }.toMap
     }
     lbl
+  }
+
+  /** Integer modularity numerator Q·(2m)² = Σ_C (2m·W(C,C) − Σtot(C)²)
+    * of a partition over the symmetrized distinct pairs — the audit
+    * metric the two-level spec uses (larger is better; exact integers,
+    * so cross-level comparison is exact).
+    */
+  private[graft] def modularityNum(nodeIds: Array[String],
+      pairs: Array[(String, String)], lbl: Map[String, String]): BigInt = {
+    val idSet = nodeIds.toSet
+    val und = pairs
+      .filter(p => p._1 != p._2 && idSet(p._1) && idSet(p._2))
+      .flatMap(p => Seq(p, p.swap)).distinct
+    val twoM = BigInt(und.length)
+    val deg = scala.collection.mutable.HashMap.empty[String, Long]
+      .withDefaultValue(0L)
+    und.foreach { case (a, _) => deg(a) += 1L }
+    val intra = scala.collection.mutable.HashMap.empty[String, Long]
+      .withDefaultValue(0L)
+    und.foreach { case (a, b) => if (lbl(a) == lbl(b)) intra(lbl(a)) += 1L }
+    val tot = scala.collection.mutable.HashMap.empty[String, BigInt]
+      .withDefaultValue(BigInt(0))
+    nodeIds.foreach(n => tot(lbl(n)) += deg(n))
+    lbl.values.toSet.iterator.map { (c: String) =>
+      twoM * intra(c) - tot(c) * tot(c)
+    }.sum
   }
 
   /** True iff the first hex digit of md5(s) is odd — the move-parity

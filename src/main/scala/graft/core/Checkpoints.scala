@@ -35,4 +35,29 @@ object Checkpoints {
     if (leaves.isEmpty) { df.unpersist(); () }
     else leaves.foreach(_.rdd.unpersist(blocking = false))
   }
+
+  /** A stats-clean view of a materialized (checkpointed) frame.
+    *
+    * Spark 4.x `localCheckpoint` carries the origin plan's ESTIMATED
+    * `Statistics` into the LogicalRDD leaf instead of the materialized
+    * size. In an iterative kernel whose per-round plan references the
+    * state MULTIPLE times under joins (Louvain's sig/kin/base fan-out),
+    * the propagated sizeInBytes therefore MULTIPLIES each round — its
+    * bit length grows ×3+ per round (measured 34 → 117 → 281 → … →
+    * 168 603 bits by round 12), and once it reaches megabits every
+    * optimizer pass does Toom-Cook BigInteger multiplications: rounds
+    * that compute in 0.5 s plan for minutes. (Kernels that reference
+    * state once per round — the SSSP relaxation — only grow the
+    * estimate's bits additively and never hit this.)
+    *
+    * The Row round-trip through createDataFrame yields a leaf with NO
+    * origin stats (plain defaultSizeInBytes), resetting the compounding
+    * at a constant per-round cost of one decode/encode pass over the
+    * state table. AQE re-plans joins from ACTUAL runtime sizes, so the
+    * lost estimate does not change physical strategy quality. NOTE:
+    * `release` cannot free the underlying checkpoint through the
+    * returned view — keep the checkpointed frame and release THAT.
+    */
+  def freshStats(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
 }

@@ -544,6 +544,69 @@ object Graph {
       (Seq(base) ++ steps).mkString(",\n")
     }
 
+    /** louvainChain's coarsening tail (the two-level gds.louvain
+      * contract): contract v<rounds> communities into weighted
+      * super-nodes — lwf(c1,c2) counts und rows between communities
+      * (c1=c2 rows are self-loop weight), lk(c) = Σ_c2 lwf(c,c2) so
+      * Σk stays 2m — then replay the SAME synchronous move recurrence
+      * with weighted w(i,c) (self-loops excluded from kic, included in
+      * deg: textbook ΔQ) for y1..y<coarseRounds>. Same md5 parity,
+      * same min-label tie-break, same m2.
+      */
+    def louvainCoarseChain(rounds: Int, coarseRounds: Int): String = {
+      val oddSet = "('1','3','5','7','9','b','d','f')"
+      val base = s"""${louvainChain(rounds)},
+         |lwf AS MATERIALIZED (
+         |  SELECT la.lbl AS c1, lb.lbl AS c2, count(*) AS w
+         |  FROM vund u JOIN v$rounds la ON la.node = u.src
+         |  JOIN v$rounds lb ON lb.node = u.dst GROUP BY 1, 2),
+         |lk AS MATERIALIZED (
+         |  SELECT c.lbl AS node, CAST(coalesce(sum(w.w), 0) AS BIGINT)
+         |    AS deg
+         |  FROM (SELECT DISTINCT lbl FROM v$rounds) c
+         |  LEFT JOIN lwf w ON w.c1 = c.lbl
+         |  GROUP BY 1),
+         |y0 AS MATERIALIZED (SELECT node, node AS lbl FROM lk)""".stripMargin
+      val steps = (1 to coarseRounds).map { i =>
+        val in = if (i % 2 == 1) "IN" else "NOT IN"
+        s"""ys$i AS MATERIALIZED (
+           |  SELECT l.lbl AS cand, sum(d.deg) AS s
+           |  FROM y${i - 1} l JOIN lk d ON d.node = l.node GROUP BY 1),
+           |yk$i AS MATERIALIZED (
+           |  SELECT w.c1 AS node, l.lbl AS cand,
+           |    CAST(sum(w.w) AS BIGINT) AS kic
+           |  FROM lwf w JOIN y${i - 1} l ON l.node = w.c2
+           |  WHERE w.c1 <> w.c2 GROUP BY 1, 2),
+           |yc$i AS MATERIALIZED (
+           |  SELECT node, own, deg, cand, max(kic) AS kic FROM (
+           |    SELECT p.node, p.lbl AS own, d.deg, k.cand, k.kic
+           |    FROM y${i - 1} p JOIN lk d ON d.node = p.node
+           |    JOIN yk$i k ON k.node = p.node
+           |    UNION ALL
+           |    SELECT p.node, p.lbl AS own, d.deg, p.lbl AS cand,
+           |      CAST(0 AS BIGINT) AS kic
+           |    FROM y${i - 1} p JOIN lk d ON d.node = p.node)
+           |  GROUP BY 1, 2, 3, 4),
+           |yx$i AS MATERIALIZED (
+           |  SELECT c.node, c.cand,
+           |    m.m2 * c.kic - c.deg * (s.s -
+           |      CASE WHEN c.cand = c.own THEN c.deg ELSE 0 END) AS sc
+           |  FROM yc$i c JOIN ys$i s ON s.cand = c.cand CROSS JOIN vm m),
+           |y$i AS MATERIALIZED (
+           |  SELECT p.node,
+           |    CASE WHEN substr(md5(p.node), 1, 1) $in $oddSet
+           |      THEN coalesce(min(CASE WHEN x.sc = mx.ms THEN x.cand END),
+           |                    p.lbl)
+           |      ELSE p.lbl END AS lbl
+           |  FROM y${i - 1} p
+           |  LEFT JOIN (SELECT node, max(sc) AS ms FROM yx$i GROUP BY 1) mx
+           |    ON mx.node = p.node
+           |  LEFT JOIN yx$i x ON x.node = p.node
+           |  GROUP BY p.node, p.lbl)""".stripMargin
+      }
+      (Seq(base) ++ steps).mkString(",\n")
+    }
+
     /** Betweenness chains over the multi-source relaxation fixpoint
       * s<hops> (chainMulti): the shortest-path DAG by exact double
       * equality, then σ (exact integer path counts) and δ (micro
@@ -1270,6 +1333,26 @@ object Graph {
            |  AND f.node IN (SELECT * FROM qb)
            |  AND r.node <> f.node
            |GROUP BY 1, 2""".stripMargin
-      }))
+      })),
+
+    // Two-level (hierarchical) Louvain — g28 plus the coarsening phase
+    // classic Louvain is known for, kept deterministic: one fixed
+    // contraction barrier (community → weighted super-node, Σk
+    // conserved at 2m), then the SAME synchronous parity move rule on
+    // the weighted coarse graph for a fixed 8 rounds. The oracle
+    // replays contraction and every weighted move as chained CTEs;
+    // the spec pins exact integer modularity non-decrease over level 1.
+    GQ("g30_louvain_multilevel",
+      (s, _) => {
+        val pg = g(s)
+        graft.algo.Louvain.runTwoLevel(s, pg.nodes.select("nodeId"),
+            pg.projection.select("src", "dst"),
+            rounds = 16, coarseRounds = 8)
+          .select(col("node").as("node_id"), col("community"))
+      },
+      sliceOracle(s"""WITH ${Oracle.edgesCte},
+              |${Oracle.louvainCoarseChain(16, 8)}
+              |SELECT v.node AS node_id, y.lbl AS community
+              |FROM v16 v JOIN y8 y ON y.node = v.lbl""".stripMargin))
   )
 }

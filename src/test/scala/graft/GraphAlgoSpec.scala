@@ -586,6 +586,68 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(q(part) > q(part.keys.map(k => k -> k).toMap))
   }
 
+  test("two-level louvain: distributed ≡ local twin; modularity never " +
+      "below level 1") {
+    val nodes = pg.nodes.select("nodeId")
+    val edges = pg.projection.select("src", "dst")
+    val nodeIds = nodes.collect().map(_.getString(0))
+    val pairs = edges.collect().map(r => (r.getString(0), r.getString(1)))
+    val dist = algo.Louvain.runTwoLevel(spark, nodes, edges, rounds = 16,
+        coarseRounds = 8, localEdgeThreshold = 0L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val ref = algo.Louvain.localTwoLevel(nodeIds, pairs, 16, 8)
+    assert(dist.size === 3705)
+    assert(dist === ref)
+    // adaptive dispatch (local path on slice 1) agrees bit for bit
+    val adaptive = algo.Louvain.runTwoLevel(spark, nodes, edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(adaptive === dist)
+    // the coarse phase must never lose modularity vs the level-1
+    // partition (every coarse move is argmax-gain including "stay"),
+    // and must actually coarsen on this graph
+    val l1 = algo.Louvain.localReference(nodeIds, pairs, 16)
+    val q1 = algo.Louvain.modularityNum(nodeIds, pairs, l1)
+    val q2 = algo.Louvain.modularityNum(nodeIds, pairs, ref)
+    assert(q2 >= q1, s"coarse phase lost modularity: $q2 < $q1")
+    assert(ref.values.toSet.size < l1.values.toSet.size)
+  }
+
+  test("two-level louvain: bridged cliques stay separate; random graphs " +
+      "≡ twin across round budgets") {
+    import spark.implicits._
+    val cliqueA = (0 until 5).map(i => s"a$i")
+    val cliqueB = (0 until 5).map(i => s"b$i")
+    val intra = (for {
+      g <- Seq(cliqueA, cliqueB); i <- g.indices; j <- g.indices
+      if i < j
+    } yield (g(i), g(j)))
+    val pairs = (intra :+ ("a0" -> "b0")).toArray
+    val got = algo.Louvain.localTwoLevel(
+      (cliqueA ++ cliqueB).toArray, pairs, 16, 8)
+    // two dense cliques joined by one bridge: coarsening must NOT merge
+    // them (merging two equal-mass cliques loses modularity)
+    assert(cliqueA.map(got).toSet.size === 1)
+    assert(cliqueB.map(got).toSet.size === 1)
+    assert(got("a0") !== got("b0"))
+    for (seed <- Seq(17, 59)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 15 + rnd.nextInt(15)
+      val rndPairs = (for (_ <- 0 until 30 + rnd.nextInt(40)) yield
+        (s"v${rnd.nextInt(n)}", s"v${rnd.nextInt(n)}"))
+        .filter(e => e._1 != e._2).distinct
+      val nodesDf = (0 until n).map(i => s"v$i").toDF("node")
+      val edgesDf = rndPairs.toDF("src", "dst")
+      for ((r1, r2) <- Seq((4, 2), (16, 8))) {
+        val g2 = algo.Louvain.runTwoLevel(spark, nodesDf, edgesDf, r1, r2,
+            localEdgeThreshold = 0L)
+          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+        val refR = algo.Louvain.localTwoLevel(
+          (0 until n).map(i => s"v$i").toArray, rndPairs.toArray, r1, r2)
+        assert(g2 === refR, s"two-level seed=$seed rounds=($r1,$r2)")
+      }
+    }
+  }
+
   test("louvain: random graphs ≡ reference across rounds") {
     for (seed <- Seq(11, 43, 71)) {
       val rnd = new scala.util.Random(seed)
