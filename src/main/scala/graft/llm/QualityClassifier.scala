@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
@@ -56,6 +56,14 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   * corpus-sized reaches the driver at any scale. The adaptive local
   * twin (core.LocalBudget row/byte guard) runs the identical recurrence
   * sequentially for driver-sized corpora.
+  *
+  * SERVING: `trainModel` returns the fitted (weights, τ) so new
+  * documents can be scored WITHOUT the feature shuffle — `scoreCol`
+  * folds the token array against the weight table as one map-side
+  * codegen'd expression (Σ over tokens of w[bucket(tok)] ≡ Σ_f w[f]·x —
+  * commutative Long addition, bit-identical to the trained scores).
+  * That is the train-batch / score-at-ingest split the streaming
+  * surface uses.
   */
 object QualityClassifier {
 
@@ -74,14 +82,33 @@ object QualityClassifier {
     */
   val Epochs: Int = 8
 
+  /** The fitted model: per-bucket centroid-difference weights and the
+    * refined decision threshold. pred = [score > tau].
+    */
+  final case class RocchioModel(weights: Array[Long], tau: Long)
+
   /** Hash a token column to its feature bucket: first 4 md5 hex digits
     * as an integer, mod `buckets` — bit-identical in Spark and DuckDB
     * (the minhash-oracle hex-digit technique).
     */
-  def bucketOf(tok: org.apache.spark.sql.Column, buckets: Int)
-      : org.apache.spark.sql.Column =
+  def bucketOf(tok: Column, buckets: Int): Column =
     (conv(substring(md5(tok), 1, 4), 16, 10).cast("long") % buckets)
       .cast("int")
+
+  /** Map-side scoring expression: fold the document's tokens against
+    * the weight table — no explode, no shuffle, codegen'd builtins
+    * only. Exactly Σ_f w[f]·x[d,f] by commutativity of Long addition.
+    */
+  def scoreCol(model: RocchioModel, text: Column, buckets: Int = Buckets)
+      : Column = {
+    val w = typedLit(model.weights.toSeq)
+    coalesce(
+      aggregate(
+        filter(split(lower(trim(text)), "\\s+"), t => t =!= ""),
+        lit(0L),
+        (acc, t) => acc + element_at(w, bucketOf(t, buckets) + 1)),
+      lit(0L))
+  }
 
   /** Train on `docs` (columns: doc_id, label ∈ {0,1}, text) and return
     * every doc scored by the final model: (doc_id, label, score, pred)
@@ -92,7 +119,42 @@ object QualityClassifier {
     */
   def train(docs: DataFrame, buckets: Int = Buckets, epochs: Int = Epochs,
       localRowThreshold: Long = graft.core.LocalBudget.MaxLocalEdges)
-      : DataFrame = {
+      : DataFrame =
+    fit(docs, buckets, epochs, localRowThreshold) match {
+      case Left((spark, scored, tau, _)) =>
+        import spark.implicits._
+        scored.toSeq
+          .map { case (id, label, sc) =>
+            (id, label, sc, if (sc > tau) 1L else 0L) }
+          .toDF("doc_id", "label", "score", "pred")
+      case Right((scores, _, tau)) =>
+        scores.select(col("doc_id"), col("label"), col("score"),
+          when(col("score") > tau, 1L).otherwise(0L).as("pred"))
+    }
+
+  /** Train and return only the model (weights + τ) — the serving
+    * artifact for `scoreCol`. The scored-corpus checkpoint the fit
+    * built is released before returning.
+    */
+  def trainModel(docs: DataFrame, buckets: Int = Buckets,
+      epochs: Int = Epochs,
+      localRowThreshold: Long = graft.core.LocalBudget.MaxLocalEdges)
+      : RocchioModel =
+    fit(docs, buckets, epochs, localRowThreshold) match {
+      case Left((_, _, tau, w)) => RocchioModel(w, tau)
+      case Right((scores, w, tau)) =>
+        graft.core.Checkpoints.release(scores)
+        RocchioModel(w, tau)
+    }
+
+  // Left = local path (spark, scored rows, tau, weights);
+  // Right = distributed (checkpointed scores frame, weights, tau)
+  private type LocalFit =
+    (SparkSession, Array[(Long, Long, Long)], Long, Array[Long])
+  private type DistFit = (DataFrame, Array[Long], Long)
+
+  private def fit(docs: DataFrame, buckets: Int, epochs: Int,
+      localRowThreshold: Long): Either[LocalFit, DistFit] = {
     require(buckets >= 1 && epochs >= 0, "buckets >= 1 and epochs >= 0")
     val s = docs.sparkSession
     val d = docs.select(col("doc_id").cast("long").as("doc_id"),
@@ -121,7 +183,8 @@ object QualityClassifier {
       val dr = docsL.collect().map(r => (r.getLong(0), r.getLong(1)))
       graft.core.Checkpoints.release(feats)
       graft.core.Checkpoints.release(docsL)
-      return localTrain(s, dr, fr, buckets, epochs)
+      val (scored, tau, w) = localFit(dr, fr, buckets, epochs)
+      return Left((s, scored, tau, w))
     }
 
     // ---- centroid pass: O(buckets) rows to the driver ----------------
@@ -174,19 +237,16 @@ object QualityClassifier {
         else eRow.getLong(i))
       tau = errs.zip(cands).min._2 // argmin error, tie → smallest τ
     }
-
-    scores.select(col("doc_id"), col("label"), col("score"),
-      when(col("score") > tau, 1L).otherwise(0L).as("pred"))
+    Right((scores, w, tau))
   }
 
   /** Sequential twin of the distributed recurrence (adaptive path) —
     * identical hashing, centroid arithmetic, and threshold search,
-    * pinned bit-equal in LlmOpsSpec.
+    * pinned bit-equal in LlmOpsSpec. Returns (scored rows, τ, weights).
     */
-  private[graft] def localTrain(spark: SparkSession,
-      docRows: Array[(Long, Long)], featRows: Array[(Long, Long, Int, Long)],
-      buckets: Int, epochs: Int): DataFrame = {
-    import spark.implicits._
+  private def localFit(docRows: Array[(Long, Long)],
+      featRows: Array[(Long, Long, Int, Long)], buckets: Int, epochs: Int)
+      : (Array[(Long, Long, Long)], Long, Array[Long]) = {
     val n1 = docRows.count(_._2 == 1L).toLong
     val n0 = docRows.length - n1
     val w = Array.fill[Long](buckets)(0L)
@@ -214,9 +274,6 @@ object QualityClassifier {
       val cands = Seq(tau - step, tau, tau + step)
       tau = cands.map(t => (nErr(t), t)).min._2
     }
-    scored.toSeq
-      .map { case (id, label, sc) =>
-        (id, label, sc, if (sc > tau) 1L else 0L) }
-      .toDF("doc_id", "label", "score", "pred")
+    (scored, tau, w)
   }
 }

@@ -1810,7 +1810,7 @@ object Llm {
     * sum() returns HUGEINT in DuckDB, so every surfaced column is CAST
     * back to BIGINT to match Spark's long schema.
     */
-  private object ClassifierOracle {
+  private[queries] object ClassifierOracle {
     val NumBuckets = 64
     val NumEpochs = 4
 

@@ -328,6 +328,31 @@ object Streaming {
              |${Llm.KmOracle.assign("seeds", "st_asg0")},
              |${Llm.KmOracle.refine("st_asg0", "st_ref1")},
              |${Llm.KmOracle.assign("st_ref1", "st_asgF")}
-             |SELECT vec_id, centroid_id FROM st_asgF""".stripMargin))
+             |SELECT vec_id, centroid_id FROM st_asgF""".stripMargin)),
+
+    // Streaming model serving: the Rocchio quality filter is trained on
+    // the batch corpus (the llm_quality_classifier contract, weights +
+    // threshold frozen) and arriving documents are scored map-side by
+    // folding their tokens against the broadcast weight table — no
+    // explode, no shuffle, no state store. The oracle is the SAME
+    // chained-CTE replay as llm_quality_classifier: token fold ≡
+    // feature join by commutativity of Long addition, so one SQL pins
+    // training AND ingest-time scoring together.
+    GQ("stream_quality_score",
+      (s, dir) => {
+        import graft.llm.{QualityClassifier, TextAnalysis}
+        val labelExpr = when(
+          TextAnalysis.qualityScore(col("text")) >= 0.6, 1L).otherwise(0L)
+        val model = QualityClassifier.trainModel(
+          Tables(s, dir).documents.select(col("doc_id"),
+            labelExpr.as("label"), col("text")),
+          buckets = Llm.ClassifierOracle.NumBuckets,
+          epochs = Llm.ClassifierOracle.NumEpochs)
+        runToMemory(s, "graft_stream_qscore", "append")(
+          graft.streaming.ModelServing.scoreDocuments(
+            EventStreams.readDocuments(s, s"$dir/documents.parquet"),
+            model, labelExpr))
+      },
+      Some(Llm.ClassifierOracle.sql))
   )
 }

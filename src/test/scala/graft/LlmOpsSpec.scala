@@ -752,6 +752,22 @@ class LlmOpsSpec extends AnyFunSuite {
       s"correct=$correct majority=$majority n=$n")
   }
 
+  test("quality classifier: map-side scoreCol ≡ trained scores, both " +
+      "dispatch paths") {
+    for (thr <- Seq(Long.MaxValue, 0L)) {
+      val model = graft.llm.QualityClassifier.trainModel(qualityLabeled,
+        localRowThreshold = thr)
+      val served = qualityLabeled.select(col("doc_id"),
+          graft.llm.QualityClassifier.scoreCol(model, col("text"))
+            .as("score"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val trained = graft.llm.QualityClassifier.train(qualityLabeled,
+          localRowThreshold = thr)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(served === trained, s"thr=$thr")
+    }
+  }
+
   test("quality classifier separates planted vocabularies perfectly") {
     import spark.implicits._
     val planted = ((0 until 40).map(i =>

@@ -362,4 +362,30 @@ class StreamingSpec extends AnyFunSuite {
     // stateless contract: no state-store operator in the streamed plan
     if (lastProgress != null) assert(lastProgress.stateOperators.isEmpty)
   }
+
+  test("streaming quality scoring ≡ batch training output under the " +
+      "frozen model") {
+    import graft.llm.{QualityClassifier, TextAnalysis}
+    spark.sparkContext // init the lazy session before building columns
+    val labelExpr = when(
+      TextAnalysis.qualityScore(col("text")) >= 0.6, 1L).otherwise(0L)
+    val batchDocs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), labelExpr.as("label"), col("text")).cache()
+    val model = QualityClassifier.trainModel(batchDocs)
+    val q = graft.streaming.ModelServing.scoreDocuments(
+        EventStreams.readDocuments(spark, s"$sf/documents.parquet"),
+        model, labelExpr)
+      .writeStream.format("memory").queryName("t_qscore")
+      .outputMode("append").start()
+    val lastProgress = try {
+      q.processAllAvailable(); q.lastProgress
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val streamed = rows(spark.table("t_qscore"))
+    val batch = rows(QualityClassifier.train(batchDocs))
+    assert(streamed.nonEmpty && streamed === batch)
+    if (lastProgress != null) assert(lastProgress.stateOperators.isEmpty)
+  }
 }
