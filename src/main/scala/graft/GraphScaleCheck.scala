@@ -346,7 +346,26 @@ object GraphScaleCheck {
     println(f"[scale] louvain: $nRandNodes%,d nodes x 8 rounds -> " +
       f"$lvComm%,d communities in $tLv%.1f s, repartition-invariant")
 
-    println(f"""{"wcc_path_sec":$tPath%.1f,"wcc_rand_sec":$tDist%.1f,"pagerank_sec":$tPr%.1f,"triangles_sec":$tTri%.1f,"kcore_sec":$tKc%.1f,"scc_sec":$tScc%.1f,"labelprop_sec":$tLpa%.1f,"betweenness_sec":$tBc%.1f,"node2vec_sec":$tNv%.1f,"nodesim_sec":$tNs%.1f,"louvain_sec":$tLv%.1f,"n_path":$nPath,"n_rand_nodes":$nRandNodes,"n_rand_edges":$nRandEdges}""")
+    // ---- 12. two-level louvain: coarsening at scale --------------------
+    // contraction + 4 weighted rounds on top of 8 level-1 rounds; the
+    // coarse phase must never lose exact-integer modularity vs level 1
+    // and must be strictly cheaper than level 1 (|communities| < |V|)
+    val (lv2l, tLv2) = timed {
+      algo.Louvain.runTwoLevel(spark, triNodes, triEdges, rounds = 8,
+        coarseRounds = 4, localEdgeThreshold = 0L).cache()
+    }
+    val lv2lComm = lv2l.select("community").distinct().count()
+    require(lv2lComm <= lvComm,
+      s"two-level coarse phase INCREASED community count: " +
+        s"$lv2lComm > $lvComm")
+    val lv2lRows = lv2l.count()
+    require(lv2lRows == nRandNodes,
+      s"two-level louvain dropped nodes: $lv2lRows != $nRandNodes")
+    lv2l.unpersist()
+    println(f"[scale] louvain2l: $nRandNodes%,d nodes x (8+4) rounds -> " +
+      f"$lv2lComm%,d communities (level-1 $lvComm%,d) in $tLv2%.1f s")
+
+    println(f"""{"wcc_path_sec":$tPath%.1f,"wcc_rand_sec":$tDist%.1f,"pagerank_sec":$tPr%.1f,"triangles_sec":$tTri%.1f,"kcore_sec":$tKc%.1f,"scc_sec":$tScc%.1f,"labelprop_sec":$tLpa%.1f,"betweenness_sec":$tBc%.1f,"node2vec_sec":$tNv%.1f,"nodesim_sec":$tNs%.1f,"louvain_sec":$tLv%.1f,"louvain2l_sec":$tLv2%.1f,"n_path":$nPath,"n_rand_nodes":$nRandNodes,"n_rand_edges":$nRandEdges}""")
     spark.stop()
   }
 }
