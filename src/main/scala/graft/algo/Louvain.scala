@@ -98,6 +98,88 @@ object Louvain {
     out
   }
 
+  /** WEIGHTED Louvain (gds.louvain with relationshipWeightProperty):
+    * the same synchronous parity contract with edge weights in integer
+    * micro-units. `edges` is (src, dst, weightMicro: Long, positive);
+    * the undirected weight of an unordered pair is the MIN over every
+    * directed weight between its endpoints (parallel/asymmetric edges
+    * collapse to the strongest tie consistently in both engines), and
+    * the score uses weighted degrees and 2m = Σw. Overflow bound:
+    * |sc| ≤ 2·(Σw)·k_max — with micro-unit weights Σw ≈ 10³·Σcost, so
+    * the 64-bit bound trips earlier than the unweighted variant; keep
+    * Σw·k_max < 2⁶² (document per corpus).
+    */
+  def runWeighted(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
+      rounds: Int = 16,
+      localEdgeThreshold: Long = graft.core.LocalBudget.MaxLocalEdges)
+      : DataFrame = {
+    val e = edges.select(col(edges.columns(0)).cast("string").as("a"),
+      col(edges.columns(1)).cast("string").as("b"),
+      col(edges.columns(2)).cast("long").as("w"))
+    val (nEdges, estBytes) = graft.core.LocalBudget.measureEdges(
+      e.select("a", "b"))
+    if (graft.core.LocalBudget.fitsLocal(nEdges, estBytes,
+        localEdgeThreshold)) {
+      val triples = e.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val ids = nodes.select(col(nodes.columns(0)).cast("string"))
+        .collect().map(_.getString(0))
+      val idSet = ids.toSet
+      val known = triples.filter(t => idSet(t._1) && idSet(t._2))
+      val labels = localWeightedReference(ids, known, rounds)
+      import spark.implicits._
+      return ids.toSeq.map(n => (n, labels(n))).toDF("node", "community")
+    }
+    val ns = nodes.select(col(nodes.columns(0)).cast("string").as("node"))
+    // both orientations, min weight across every directed edge of the
+    // unordered pair; self-loops drop; endpoints restricted to known ids
+    val und = e.union(e.select(col("b").as("a"), col("a").as("b"),
+        col("w")))
+      .filter(col("a") =!= col("b"))
+      .join(ns.select(col("node").as("a")), Seq("a"), "left_semi")
+      .join(ns.select(col("node").as("b")), Seq("b"), "left_semi")
+      .groupBy("a", "b").agg(min(col("w")).as("w"))
+      .localCheckpoint(true)
+    val twoM = und.agg(coalesce(sum(col("w")), lit(0L))).head().getLong(0)
+    val degs = ns.join(und.withColumnRenamed("a", "node"), Seq("node"),
+        "left_outer")
+      .groupBy("node").agg(coalesce(sum(col("w")), lit(0L)).as("deg"))
+      .withColumn("odd", substring(md5(col("node")), 1, 1)
+        .isin("1", "3", "5", "7", "9", "b", "d", "f"))
+      .localCheckpoint(true)
+    val labels0 = degs.select(col("node"), col("node").as("lbl"))
+      .localCheckpoint(true)
+    val labels = moveLoop(und, degs, twoM, labels0, rounds)
+    graft.core.Checkpoints.release(und)
+    val out = labels.select(col("node"), col("lbl").as("community"))
+    graft.core.Checkpoints.release(degs)
+    out
+  }
+
+  /** In-memory twin of runWeighted — weighted symmetrized adjacency +
+    * the shared weighted move recurrence.
+    */
+  private[graft] def localWeightedReference(nodeIds: Array[String],
+      triples: Array[(String, String, Long)], rounds: Int)
+      : Map[String, String] = {
+    val wMap = scala.collection.mutable.HashMap
+      .empty[(String, String), Long]
+    triples.filter(t => t._1 != t._2)
+      .flatMap(t => Seq((t._1, t._2, t._3), (t._2, t._1, t._3)))
+      .foreach { case (a, b, w) =>
+        val k = (a, b)
+        wMap(k) = wMap.get(k).map(math.min(_, w)).getOrElse(w)
+      }
+    val wAdj: Map[String, Array[(String, Long)]] = wMap.toArray
+      .map { case ((a, b), w) => (a, (b, w)) }
+      .groupBy(_._1).map { case (k, es) => k -> es.map(_._2) }
+    val deg: Map[String, Long] = nodeIds.map(n =>
+      n -> wAdj.get(n).map(_.map(_._2).sum).getOrElse(0L)).toMap
+    val twoM = wMap.valuesIterator.sum
+    weightedMoveRounds(nodeIds, wAdj, deg, twoM, rounds,
+      nodeIds.map(n => n -> n).toMap)
+  }
+
   /** Two-level (hierarchical) Louvain: `rounds` level-1 moving rounds,
     * one deterministic contraction, `coarseRounds` weighted rounds on
     * the coarse graph, labels projected back to the original nodes —
@@ -241,6 +323,45 @@ object Louvain {
       labels = graft.core.Checkpoints.freshStats(next)
     }
     labelsCp
+  }
+
+  /** Per-community CONDUCTANCE over the symmetrized distinct-pair
+    * graph (the gds.conductance companion metric): for each community
+    * c, cut(c) = # crossing und rows with their a-side in c (= crossing
+    * unordered pairs adjacent to c, counted once per side), vol(c) =
+    * Σ_{i∈c} deg(i), and φ(c) = cut / min(vol, 2m − vol) (0 when the
+    * denominator is 0 — an isolated or all-graph community). cut and
+    * vol are exact integers; φ is one IEEE division of two exact
+    * integers, portable-rounded to 6 dp — hash-oracle-able end to end.
+    * Output: (community, n_nodes, cut, vol, conductance).
+    */
+  def conductance(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
+      labels: DataFrame): DataFrame = {
+    val e = edges.select(col(edges.columns(0)).cast("string").as("a"),
+      col(edges.columns(1)).cast("string").as("b"))
+    val (und, degs, twoM) = prepare(spark, nodes, e)
+    val l = labels.select(col(labels.columns(0)).cast("string").as("node"),
+      col(labels.columns(1)).cast("string").as("lbl"))
+    val cut = und
+      .join(l.select(col("node").as("a"), col("lbl").as("la")), Seq("a"))
+      .join(l.select(col("node").as("b"), col("lbl").as("lb")), Seq("b"))
+      .filter(col("la") =!= col("lb"))
+      .groupBy(col("la").as("community")).agg(count(lit(1)).as("cut"))
+    val vol = l.join(degs.select("node", "deg"), Seq("node"))
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("vol"))
+    val denom = least(col("vol"), lit(twoM) - col("vol"))
+    val out = vol.join(cut, Seq("community"), "left_outer")
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("cut"), lit(0L)).as("cut"), col("vol"),
+        graft.llm.TextAnalysis.portableRound(
+          when(denom === 0L, lit(0.0))
+            .otherwise(coalesce(col("cut"), lit(0L)).cast("double") / denom),
+          6).as("conductance"))
+      .localCheckpoint(true)
+    graft.core.Checkpoints.release(und)
+    graft.core.Checkpoints.release(degs)
+    out
   }
 
   /** Reference implementation of the same contract for audits: plain

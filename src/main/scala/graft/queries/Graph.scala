@@ -607,6 +607,71 @@ object Graph {
       (Seq(base) ++ steps).mkString(",\n")
     }
 
+    /** Weighted Louvain chain (gds.louvain with
+      * relationshipWeightProperty): the louvainChain recurrence with
+      * integer micro-unit edge weights — w = floor(cost·1000 + 0.5)
+      * per min-cost directed edge, undirected pair weight = min over
+      * both directions, weighted degrees, 2m = Σw. Same md5 parity,
+      * same min-label tie-break.
+      */
+    def louvainWeightedChain(rounds: Int): String = {
+      val oddSet = "('1','3','5','7','9','b','d','f')"
+      val base = s"""vwe AS MATERIALIZED (
+         |  SELECT src, dst, CAST(floor(cost * 1000 + 0.5) AS BIGINT) AS w
+         |  FROM edges),
+         |wund AS MATERIALIZED (
+         |  SELECT a, b, min(w) AS w FROM (
+         |    SELECT src AS a, dst AS b, w FROM vwe
+         |    UNION ALL SELECT dst AS a, src AS b, w FROM vwe)
+         |  WHERE a <> b GROUP BY 1, 2),
+         |wdeg AS MATERIALIZED (
+         |  SELECT i.START_NODE AS node,
+         |    CAST(coalesce(sum(u.w), 0) AS BIGINT) AS deg
+         |  FROM ids i LEFT JOIN wund u ON u.a = i.START_NODE
+         |  GROUP BY 1),
+         |wm AS MATERIALIZED (
+         |  SELECT CAST(coalesce(sum(w), 0) AS BIGINT) AS m2 FROM wund),
+         |w0 AS MATERIALIZED (
+         |  SELECT START_NODE AS node, START_NODE AS lbl FROM ids)""".stripMargin
+      val steps = (1 to rounds).map { i =>
+        val in = if (i % 2 == 1) "IN" else "NOT IN"
+        s"""wsg$i AS MATERIALIZED (
+           |  SELECT l.lbl AS cand, sum(d.deg) AS s
+           |  FROM w${i - 1} l JOIN wdeg d ON d.node = l.node GROUP BY 1),
+           |wkk$i AS MATERIALIZED (
+           |  SELECT u.a AS node, l.lbl AS cand,
+           |    CAST(sum(u.w) AS BIGINT) AS kic
+           |  FROM wund u JOIN w${i - 1} l ON l.node = u.b GROUP BY 1, 2),
+           |wcc$i AS MATERIALIZED (
+           |  SELECT node, own, deg, cand, max(kic) AS kic FROM (
+           |    SELECT p.node, p.lbl AS own, d.deg, k.cand, k.kic
+           |    FROM w${i - 1} p JOIN wdeg d ON d.node = p.node
+           |    JOIN wkk$i k ON k.node = p.node
+           |    UNION ALL
+           |    SELECT p.node, p.lbl AS own, d.deg, p.lbl AS cand,
+           |      CAST(0 AS BIGINT) AS kic
+           |    FROM w${i - 1} p JOIN wdeg d ON d.node = p.node)
+           |  GROUP BY 1, 2, 3, 4),
+           |wxx$i AS MATERIALIZED (
+           |  SELECT c.node, c.cand,
+           |    m.m2 * c.kic - c.deg * (s.s -
+           |      CASE WHEN c.cand = c.own THEN c.deg ELSE 0 END) AS sc
+           |  FROM wcc$i c JOIN wsg$i s ON s.cand = c.cand CROSS JOIN wm m),
+           |w$i AS MATERIALIZED (
+           |  SELECT p.node,
+           |    CASE WHEN substr(md5(p.node), 1, 1) $in $oddSet
+           |      THEN coalesce(min(CASE WHEN x.sc = mx.ms THEN x.cand END),
+           |                    p.lbl)
+           |      ELSE p.lbl END AS lbl
+           |  FROM w${i - 1} p
+           |  LEFT JOIN (SELECT node, max(sc) AS ms FROM wxx$i GROUP BY 1) mx
+           |    ON mx.node = p.node
+           |  LEFT JOIN wxx$i x ON x.node = p.node
+           |  GROUP BY p.node, p.lbl)""".stripMargin
+      }
+      (Seq(base) ++ steps).mkString(",\n")
+    }
+
     /** Betweenness chains over the multi-source relaxation fixpoint
       * s<hops> (chainMulti): the shortest-path DAG by exact double
       * equality, then σ (exact integer path counts) and δ (micro
@@ -1353,6 +1418,63 @@ object Graph {
       sliceOracle(s"""WITH ${Oracle.edgesCte},
               |${Oracle.louvainCoarseChain(16, 8)}
               |SELECT v.node AS node_id, y.lbl AS community
-              |FROM v16 v JOIN y8 y ON y.node = v.lbl""".stripMargin))
+              |FROM v16 v JOIN y8 y ON y.node = v.lbl""".stripMargin)),
+
+    // Weighted Louvain — relationshipWeightProperty: 'cost' (the same
+    // knob every weighted GDS call in the corpus sets,
+    // neo4j-code.txt:14) applied to community detection: edge weights
+    // in integer micro-units (floor(cost·1000 + 0.5)), undirected pair
+    // weight = min over both directions, weighted degrees, 2m = Σw —
+    // the identical synchronous parity contract through the shared
+    // weighted move loop.
+    GQ("g31_louvain_weighted",
+      (s, _) => {
+        val pg = g(s)
+        val we = pg.projection.select(col("src"), col("dst"),
+          floor(col("cost") * 1000 + 0.5).cast("long").as("w"))
+        graft.algo.Louvain.runWeighted(s, pg.nodes.select("nodeId"), we,
+            rounds = 16)
+          .select(col("node").as("node_id"), col("community"))
+      },
+      sliceOracle(s"""WITH ${Oracle.edgesCte},
+              |${Oracle.louvainWeightedChain(16)}
+              |SELECT node AS node_id, lbl AS community
+              |FROM w16""".stripMargin)),
+
+    // Per-community conductance over the g28 partition — the
+    // gds.conductance companion metric a platform user runs right
+    // after community detection: cut and volume as exact integers,
+    // φ = cut / min(vol, 2m − vol) as one IEEE division portable-
+    // rounded to 6 dp. The oracle replays the full 16-round louvain
+    // chain and the same cut/vol joins, so partition AND metric pin
+    // in one hash.
+    GQ("g32_conductance",
+      (s, _) => {
+        val pg = g(s)
+        val labels = graft.algo.Louvain.run(s, pg.nodes.select("nodeId"),
+          pg.projection.select("src", "dst"), rounds = 16)
+        graft.algo.Louvain.conductance(s, pg.nodes.select("nodeId"),
+          pg.projection.select("src", "dst"), labels)
+      },
+      sliceOracle(s"""WITH ${Oracle.edgesCte},
+              |${Oracle.louvainChain(16)},
+              |gcut AS MATERIALIZED (
+              |  SELECT la.lbl AS community, count(*) AS cut
+              |  FROM vund u JOIN v16 la ON la.node = u.src
+              |  JOIN v16 lb ON lb.node = u.dst
+              |  WHERE la.lbl <> lb.lbl GROUP BY 1),
+              |gvol AS MATERIALIZED (
+              |  SELECT l.lbl AS community, count(*) AS n_nodes,
+              |    CAST(coalesce(sum(d.deg), 0) AS BIGINT) AS vol
+              |  FROM v16 l JOIN vdeg d ON d.node = l.node GROUP BY 1)
+              |SELECT v.community, v.n_nodes,
+              |  CAST(coalesce(t.cut, 0) AS BIGINT) AS cut, v.vol,
+              |  ${graft.llm.TextAnalysis.portableRoundSql(
+                   """CASE WHEN least(v.vol, m.m2 - v.vol) = 0 THEN 0.0
+                      |  ELSE CAST(coalesce(t.cut, 0) AS DOUBLE)
+                      |    / least(v.vol, m.m2 - v.vol) END""".stripMargin,
+                   6)} AS conductance
+              |FROM gvol v LEFT JOIN gcut t ON t.community = v.community
+              |CROSS JOIN vm m""".stripMargin))
   )
 }

@@ -648,6 +648,76 @@ class GraphAlgoSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted louvain: weights steer the partition; distributed ≡ " +
+      "twin on both paths") {
+    import spark.implicits._
+    // chain a-b-c-g with heavy ends and a light middle: the weighted
+    // contract must cut the light edge. Node names are parity-mixed per
+    // heavy pair (md5 parity a=even b=odd, c=even g=odd) — the
+    // synchronous rule lets two EQUAL-parity mutual-argmax neighbors
+    // swap forever (they move in the same rounds), which is exactly
+    // the oscillation mode the parity coloring exists to damp
+    val triples = Seq(("a", "b", 100L), ("b", "c", 1L), ("c", "g", 100L))
+    val nodesDf = Seq("a", "b", "c", "g").toDF("node")
+    val edgesDf = triples.toDF("src", "dst", "w")
+    for (thr <- Seq(Long.MaxValue, 0L)) {
+      val got = algo.Louvain.runWeighted(spark, nodesDf, edgesDf,
+          rounds = 16, localEdgeThreshold = thr)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got("a") === got("b"), s"thr=$thr")
+      assert(got("c") === got("g"), s"thr=$thr")
+      assert(got("a") !== got("c"), s"thr=$thr")
+    }
+    // asymmetric directed weights collapse to the min in BOTH engines
+    val asym = Seq(("a", "b", 7L), ("b", "a", 3L)).toDF("src", "dst", "w")
+    val gotAsym = algo.Louvain.runWeighted(spark,
+        Seq("a", "b").toDF("node"), asym, rounds = 4,
+        localEdgeThreshold = 0L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val refAsym = algo.Louvain.localWeightedReference(
+      Array("a", "b"), Array(("a", "b", 7L), ("b", "a", 3L)), 4)
+    assert(gotAsym === refAsym)
+    // slice 1: forced-distributed ≡ in-memory weighted reference
+    import org.apache.spark.sql.functions.{col, floor}
+    val we = pg.projection.select(col("src"), col("dst"),
+      floor(col("cost") * 1000 + 0.5).cast("long").as("w"))
+    val dist = algo.Louvain.runWeighted(spark, pg.nodes.select("nodeId"),
+        we, rounds = 8, localEdgeThreshold = 0L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val ref = algo.Louvain.localWeightedReference(
+      pg.nodes.select("nodeId").collect().map(_.getString(0)),
+      we.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))),
+      8)
+    assert(dist === ref)
+  }
+
+  test("conductance: hand-computed fixture; zero-denominator totality") {
+    import spark.implicits._
+    // two triangles joined by one bridge; labels = the planted split.
+    // Community A = {a0,a1,a2}: vol = 2·3 + 1(bridge side) = 7,
+    // cut = 1, denom = min(7, 14−7) = 7 → φ = 1/7
+    val tri = Seq(("a0", "a1"), ("a1", "a2"), ("a0", "a2"),
+      ("b0", "b1"), ("b1", "b2"), ("b0", "b2"), ("a0", "b0"))
+    val nodesDf = Seq("a0", "a1", "a2", "b0", "b1", "b2").toDF("node")
+    val labelsDf = Seq("a0" -> "A", "a1" -> "A", "a2" -> "A",
+      "b0" -> "B", "b1" -> "B", "b2" -> "B").toDF("node", "lbl")
+    val rows = algo.Louvain.conductance(spark, nodesDf,
+        tri.toDF("src", "dst"), labelsDf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val phi = math.floor(1.0 / 7 * 1e6 + 0.5) / 1e6
+    assert(rows("A") === ((3L, 1L, 7L, phi)))
+    assert(rows("B") === ((3L, 1L, 7L, phi)))
+    // single-community partition: cut 0, denom 0 → φ = 0 (total)
+    import org.apache.spark.sql.functions.{col, lit}
+    val one = algo.Louvain.conductance(spark, nodesDf,
+        tri.toDF("src", "dst"),
+        nodesDf.select(col("node"), lit("X").as("lbl")))
+      .collect()
+    assert(one.length === 1 && one.head.getLong(2) === 0L &&
+      one.head.getDouble(4) === 0.0)
+  }
+
   test("louvain: random graphs ≡ reference across rounds") {
     for (seed <- Seq(11, 43, 71)) {
       val rnd = new scala.util.Random(seed)
