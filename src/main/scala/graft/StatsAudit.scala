@@ -51,6 +51,18 @@ object StatsAudit {
     audit("scc")(algo.StronglyConnected.scc(spark, nodes, edges,
       localEdgeThreshold = 0L))
     audit("sssp")(algo.DistributedSSSP.run(spark, weighted, Seq("2022")))
+    audit("louvainW")(algo.Louvain.runWeighted(spark, nodes,
+      weighted.select(org.apache.spark.sql.functions.col("src"),
+        org.apache.spark.sql.functions.col("dst"),
+        org.apache.spark.sql.functions.floor(
+          org.apache.spark.sql.functions.col("cost") * 1000 + 0.5)
+          .cast("long").as("w")),
+      rounds = 16, localEdgeThreshold = 0L))
+    audit("embed_train")(algo.EmbeddingTrain.train(nodes,
+      algo.RandomWalks.skipGramPairs(
+        algo.RandomWalks.walks(nodes, edges, numWalks = 2, length = 8,
+          localEdgeThreshold = 0L), window = 2),
+      localPairThreshold = 0L))
     spark.stop()
   }
 }
