@@ -67,4 +67,43 @@ object Landmarks {
       .agg(count(lit(1)).as("n_via"),
         round(min(col("du") + col("dv")), 4).as("est"))
   }
+
+  /** ALT (A*, Landmarks, Triangle inequality — Goldberg–Harrelson):
+    * the same landmark tables as LOWER bounds steering A*. For target t
+    * and landmark L, d(v,t) ≥ max(d(v,L) − d(t,L), d(L,t) − d(L,v));
+    * the heuristic is the max over landmarks, floored at 0 — admissible
+    * AND consistent, so A* under it returns the exact Dijkstra distance
+    * while expanding fewer nodes. ∞ conventions: a finite-minus-∞
+    * difference says nothing (skip); ∞-minus-finite proves v cannot
+    * reach t at all (if v→t and t→L then v→L), so h = ∞ and the search
+    * prunes v outright.
+    *
+    * Computes the |L| forward + |L| reverse tables with the sequential
+    * kernel on the shared dense index space (LocalGraph.reverse — no id
+    * remapping); driver cost O(|L|·(m + n log n)).
+    */
+  def altHeuristic(lg: LocalGraph, landmarkIds: Seq[Int], target: Int)
+      : Array[Double] = {
+    val rev = LocalGraph.reverse(lg)
+    val fwd = landmarkIds.map(l => LocalKernels.sssp(lg, l)._1).toArray
+    val toL = landmarkIds.map(l => LocalKernels.sssp(rev, l)._1).toArray
+    val h = new Array[Double](lg.n)
+    var v = 0
+    while (v < lg.n) {
+      var best = 0.0
+      var i = 0
+      while (i < fwd.length) {
+        // d(v,t) ≥ d(v,L) − d(t,L)   [reverse table: toL(i)(x) = d(x→L)]
+        val a = toL(i)(v) - toL(i)(target)
+        if (!a.isNaN && a > best) best = a
+        // d(v,t) ≥ d(L,t) − d(L,v)
+        val b = fwd(i)(target) - fwd(i)(v)
+        if (!b.isNaN && b > best) best = b
+        i += 1
+      }
+      h(v) = best
+      v += 1
+    }
+    h
+  }
 }

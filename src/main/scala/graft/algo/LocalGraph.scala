@@ -83,4 +83,33 @@ object LocalGraph {
     }
     new LocalGraph(idBuf.toArray, index, offsets, targets, costs, xs, ys)
   }
+
+  /** The reversed graph in the SAME dense index space (ids/index/coords
+    * shared) — reverse-direction distances d(v → L) are forward
+    * distances from L on this graph, with no id remapping anywhere.
+    */
+  def reverse(g: LocalGraph): LocalGraph = {
+    val n = g.n
+    val m = g.targets.length
+    val offsets = new Array[Int](n + 1)
+    var e = 0
+    while (e < m) { offsets(g.targets(e) + 1) += 1; e += 1 }
+    var i = 0
+    while (i < n) { offsets(i + 1) += offsets(i); i += 1 }
+    val pos = offsets.clone()
+    val targets = new Array[Int](m)
+    val costs = new Array[Double](m)
+    var u = 0
+    while (u < n) {
+      e = g.offsets(u)
+      while (e < g.offsets(u + 1)) {
+        val v = g.targets(e)
+        val p = pos(v)
+        targets(p) = u; costs(p) = g.costs(e)
+        pos(v) += 1; e += 1
+      }
+      u += 1
+    }
+    new LocalGraph(g.ids, g.index, offsets, targets, costs, g.xs, g.ys)
+  }
 }

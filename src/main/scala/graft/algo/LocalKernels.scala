@@ -71,6 +71,10 @@ object LocalKernels {
     val dist: Array[Double] = Array.fill(n)(Double.PositiveInfinity)
     val pred: Array[Int] = Array.fill(n)(-1)
     val settled: Array[Boolean] = new Array[Boolean](n)
+    /** Nodes settled by the last search — the expansion count ALT/A*
+      * pruning is measured by.
+      */
+    var nSettled: Int = 0
     private val touched = new Array[Int](n)
     private var nTouched = 0
     @inline def touch(v: Int): Unit = { touched(nTouched) = v; nTouched += 1 }
@@ -85,6 +89,7 @@ object LocalKernels {
         i += 1
       }
       nTouched = 0
+      nSettled = 0
     }
     /** Shared heap: one allocation per Workspace, cleared per search. */
     private[LocalKernels] val heap = new MinHeap(64)
@@ -127,7 +132,8 @@ object LocalKernels {
     * inadmissible and returned a suboptimal 54140.0; with an admissible
     * heuristic A* must agree with Dijkstra).
     */
-  def astar(g: LocalGraph, source: Int, target: Int): Option[PathResult] = {
+  def astar(g: LocalGraph, source: Int, target: Int,
+      ws: Workspace = null): Option[PathResult] = {
     val tx = g.xs(target); val ty = g.ys(target)
     val h: Int => Double =
       if (tx.isNaN || ty.isNaN) null
@@ -135,8 +141,22 @@ object LocalKernels {
         val dx = g.xs(v) - tx; val dy = g.ys(v) - ty
         if (dx.isNaN || dy.isNaN) 0.0 else math.sqrt(dx * dx + dy * dy)
       }
-    search(g, source, target, h, ws0 = null, useBans = false,
+    search(g, source, target, h, ws0 = ws, useBans = false,
       bound = Double.PositiveInfinity)
+  }
+
+  /** A* under a precomputed admissible per-node heuristic table (the
+    * ALT landmark bounds — see Landmarks.altHeuristic). Returns the
+    * result plus the number of settled (expanded) nodes, the pruning
+    * metric landmark quality is judged by. h(v) = ∞ marks v as provably
+    * unable to reach the target — the search never expands it.
+    */
+  def astarTable(g: LocalGraph, source: Int, target: Int,
+      h: Array[Double]): (Option[PathResult], Int) = {
+    val ws = new Workspace(g.n)
+    val res = search(g, source, target, v => h(v), ws, useBans = false,
+      bound = Double.PositiveInfinity)
+    (res, ws.nSettled)
   }
 
   /** Single-source all-targets distances (no early exit). dist(i) =
@@ -195,6 +215,7 @@ object LocalKernels {
       if (pq.lastPrio > bound) pruned = true
       else if (!settled(u)) {
         settled(u) = true
+        ws.nSettled += 1
         if (u == target) found = true
         else {
           var e = g.offsets(u)

@@ -83,6 +83,37 @@ object ShortestPaths {
       .agg(count(col("node_id")).as("path_node_number"),
         round(max(col("cost")), 4).as("total_cost"))
 
+  /** A* under ALT landmark lower bounds (Landmarks.altHeuristic) — the
+    * reference's own "reduce the search scope" improvement direction
+    * (IMPL.md:831-836) made concrete: same exact optimum as Dijkstra
+    * (admissible + consistent bounds), fewer expanded nodes, and unlike
+    * the Euclidean heuristic it needs no coordinates — pure topology.
+    * Above the local threshold the distributed frontier kernel subsumes
+    * the heuristic exactly as astarPath does.
+    */
+  def astarLandmarkSummary(spark: SparkSession, g: PropertyGraph,
+      src: String, dst: String, landmarks: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val resOpt: Option[(Seq[String], Seq[Double])] =
+      if (useLocal(g)) {
+        val lg = localGraph(g)
+        val present = landmarks.filter(l => lg.index.containsKey(l))
+          .map(lg.idOf)
+        LocalKernels.astarTable(lg, lg.idOf(src), lg.idOf(dst),
+            Landmarks.altHeuristic(lg, present, lg.idOf(dst)))._1
+          .map(p => (p.nodes.toSeq.map(lg.ids), p.costs.toSeq))
+      } else pathResult(spark, g, src, dst, astar = true)
+    val pathDf = resOpt match {
+      case None =>
+        Seq.empty[(Int, String, Double)].toDF("seq", "node_id", "cost")
+      case Some((nodes, costs)) =>
+        nodes.indices.map(i => (i, nodes(i), costs(i)))
+          .toDF("seq", "node_id", "cost")
+    }
+    pathDf.agg(count(col("node_id")).as("path_node_number"),
+      round(max(col("cost")), 4).as("total_cost"))
+  }
+
   private def pathResult(spark: SparkSession, g: PropertyGraph, src: String,
       dst: String, astar: Boolean): Option[(Seq[String], Seq[Double])] = {
     if (useLocal(g)) {

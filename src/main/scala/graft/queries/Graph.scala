@@ -1475,6 +1475,23 @@ object Graph {
                       |    / least(v.vol, m.m2 - v.vol) END""".stripMargin,
                    6)} AS conductance
               |FROM gvol v LEFT JOIN gcut t ON t.community = v.community
-              |CROSS JOIN vm m""".stripMargin))
+              |CROSS JOIN vm m""".stripMargin)),
+
+    // ALT: A* steered by the g29 landmark tables as triangle-inequality
+    // LOWER bounds (Goldberg–Harrelson) — the reference's own "reduce
+    // the search scope" improvement direction (IMPL.md:831-836) made
+    // concrete. Admissible + consistent, so the result is the exact
+    // Dijkstra optimum (same oracle as g3/g5) with fewer expanded
+    // nodes — the pruning is pinned by spec (expansion counts), the
+    // exactness by this hash.
+    GQ("g33_astar_landmark",
+      (s, _) => {
+        val landmarks = (0 until 40).map(i => (i * 17 + 1).toString)
+        ShortestPaths.astarLandmarkSummary(s, g(s), Src, Dst, landmarks)
+      },
+      sliceOracle(s"""${Oracle.singleSourcePrefix}
+              |SELECT (SELECT count(*) FROM w) AS path_node_number,
+              |       (SELECT round(dist, 4) FROM fin WHERE node = '$Dst')
+              |         AS total_cost""".stripMargin))
   )
 }

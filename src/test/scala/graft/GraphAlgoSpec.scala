@@ -1227,6 +1227,64 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(loc("o'brien") > 0L)
   }
 
+  test("ALT: exact Dijkstra optimum with strictly fewer expansions; " +
+      "coordinate-free on random digraphs") {
+    import graft.algo.{Landmarks, LocalGraph}
+    val landmarks = (0 until 40).map(i => (i * 17 + 1).toString)
+      .filter(l => lg.index.containsKey(l)).map(lg.idOf)
+    val s = lg.idOf("2022"); val t = lg.idOf("2802")
+    val h = Landmarks.altHeuristic(lg, landmarks, t)
+    val (altRes, altExp) = LocalKernels.astarTable(lg, s, t, h)
+    val wsD = new LocalKernels.Workspace(lg.n)
+    val dijRes = LocalKernels.dijkstra(lg, s, t, wsD)
+    val dijExp = wsD.nSettled
+    val wsA = new LocalKernels.Workspace(lg.n)
+    val eucRes = LocalKernels.astar(lg, s, t, wsA)
+    val eucExp = wsA.nSettled
+    // exactness: identical optimum and (unique-path slice) identical path
+    assert(altRes.get.totalCost === dijRes.get.totalCost)
+    assert(altRes.get.nodes.toSeq === dijRes.get.nodes.toSeq)
+    assert(eucRes.get.totalCost === dijRes.get.totalCost)
+    assert(eucExp <= dijExp)
+    // pruning: ALT must beat blind Dijkstra outright
+    info(s"expansions 2022->2802: ALT=$altExp euclid=$eucExp " +
+      s"dijkstra=$dijExp")
+    assert(altExp < dijExp, s"ALT $altExp !< dijkstra $dijExp")
+    // the heuristic is admissible everywhere: h(v) ≤ d(v, t) exactly
+    val (distToT, _) = LocalKernels.sssp(LocalGraph.reverse(lg), t)
+    var v = 0
+    while (v < lg.n) {
+      if (distToT(v).isFinite)
+        assert(h(v) <= distToT(v) + 1e-9, s"inadmissible h at $v")
+      v += 1
+    }
+    // coordinate-free: on random digraphs (no coords) ALT still returns
+    // the exact Dijkstra distance for random pairs
+    for (seed <- Seq(7, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40 + rnd.nextInt(30)
+      val pairs = (for (_ <- 0 until 200) yield
+        (s"v${rnd.nextInt(n)}", s"v${rnd.nextInt(n)}",
+          1.0 + rnd.nextInt(9))).filter(e => e._1 != e._2)
+      import spark.implicits._
+      val proj = pairs.toDF("src", "dst", "cost")
+        .groupBy("src", "dst")
+        .agg(org.apache.spark.sql.functions.min("cost").as("cost"))
+      val rg = LocalGraph.fromProjection(proj, None)
+      val lms = (0 until rg.n by 7).take(6)
+      for (_ <- 0 until 20) {
+        val a = rnd.nextInt(rg.n); val b = rnd.nextInt(rg.n)
+        if (a != b) {
+          val hr = Landmarks.altHeuristic(rg, lms, b)
+          val alt = LocalKernels.astarTable(rg, a, b, hr)._1
+          val dij = LocalKernels.dijkstra(rg, a, b)
+          assert(alt.map(_.totalCost) === dij.map(_.totalCost),
+            s"seed=$seed $a->$b")
+        }
+      }
+    }
+  }
+
   test("landmark estimates: upper bound on exact distance, tight when the " +
       "target is itself a landmark") {
     val landmarks = (0 until 40).map(i => (i * 17 + 1).toString)
