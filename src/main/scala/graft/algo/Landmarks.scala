@@ -46,6 +46,13 @@ object Landmarks {
     val present = g.nodes.select(col(g.nodes.columns(0)).cast("string"))
       .filter(col(g.nodes.columns(0)).isin(landmarks: _*))
       .collect().map(_.getString(0)).toSeq
+    if (present.isEmpty) {
+      // no landmark exists in the graph → no pair is estimable; an empty
+      // typed frame, not a crash (parallelize rejects 0 partitions)
+      import spark.implicits._
+      return Seq.empty[(String, String, Long, Double)]
+        .toDF("src_id", "dst_id", "n_via", "est")
+    }
     val fwd = ShortestPaths.apsp(spark, g, Some(present))
     // d(u → L) = d(L → u) on the reversed multigraph; apsp materializes
     // eagerly (local CSR collect or checkpointed supersteps), so the

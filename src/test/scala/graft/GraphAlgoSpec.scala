@@ -1285,6 +1285,14 @@ class GraphAlgoSpec extends AnyFunSuite {
     }
   }
 
+  test("landmark estimates: all-absent landmark set returns an empty " +
+      "typed frame") {
+    val out = graft.algo.Landmarks.estimates(spark, pg,
+      Seq("no-such-node", "also-missing"), Seq("2022"), Seq("2802"))
+    assert(out.columns.toSeq === Seq("src_id", "dst_id", "n_via", "est"))
+    assert(out.count() === 0L)
+  }
+
   test("landmark estimates: upper bound on exact distance, tight when the " +
       "target is itself a landmark") {
     val landmarks = (0 until 40).map(i => (i * 17 + 1).toString)
