@@ -484,7 +484,33 @@ object LlmScaleCheck {
     println(f"[scale] dup-ngrams: $nDocs%,d docs, viral gram x$expectViral " +
       f"found top-1 in $dngSec%.1f s (hot-key two-phase agg)")
 
-    println(f"""{"jaccard_docs":${nDocs + nPlant},"jaccard_pairs":$nPairs,"jaccard_sec":$jacSec%.1f,"knn_vecs":${nVecs + nQ},"knn_sec":$knnSec%.1f,"ivf_vecs":${2 * nIvf},"ivf_sec":$ivfSec%.1f,"pct_rows":$nRows,"pct_sec":$pSec%.1f,"bm25_sec":$bmSec%.1f,"bigram_sec":$lmSec%.1f,"invidx_sec":$invSec%.1f,"contam_bloom_sec":$cbSec%.1f,"assign1024_sec":$asgSec%.1f,"auto_ivf_sec":$autoSec%.1f,"cross_neardup_sec":$xSec%.1f,"paragraph_sec":$pdSec%.1f,"semantic_sec":$semSec%.1f,"quantize_sec":$qzSec%.1f,"shuffle_shards_sec":$shufSec%.1f,"domain_mixture_sec":$mixSec%.1f,"dup_ngrams_sec":$dngSec%.1f}""")
+    // ---- quality classifier: 200k docs, planted signal, DISTRIBUTED --
+    // the feature table (~7M (doc,f) rows) exceeds the LocalBudget, so
+    // this exercises the centroid/scoring/threshold passes as real
+    // shuffles; half the docs carry five extra marker tokens and the
+    // Rocchio model must recover the parity label almost perfectly
+    // (base words are id-hash-derived, independent of the label)
+    val qcDocs = base
+      .withColumn("label", pmod(col("doc_id"), lit(2L)))
+      .withColumn("text", when(col("label") === 1L,
+        concat(col("text"), lit(" qmark alpha beta gamma delta")))
+        .otherwise(col("text")))
+      .select(col("doc_id"), col("label"), col("text"))
+    t0 = System.nanoTime()
+    val qcOut = graft.llm.QualityClassifier.train(qcDocs).cache()
+    val qcN = qcOut.count()
+    val qcSec = (System.nanoTime() - t0) / 1e9
+    val qcErr = qcOut.filter(col("pred") =!= col("label")).count()
+    qcOut.unpersist()
+    // 64 hash buckets under 40 noise words per doc leave real collision
+    // noise on a 5-marker signal: measured 6.3% training error — far
+    // beyond the 50% majority baseline, gated at 10%
+    require(qcErr * 10 < qcN,
+      s"classifier failed to learn the planted signal: $qcErr/$qcN wrong")
+    println(f"[scale] quality-classifier: $qcN%,d docs distributed, " +
+      f"$qcErr wrong in $qcSec%.1f s")
+
+    println(f"""{"jaccard_docs":${nDocs + nPlant},"jaccard_pairs":$nPairs,"jaccard_sec":$jacSec%.1f,"knn_vecs":${nVecs + nQ},"knn_sec":$knnSec%.1f,"ivf_vecs":${2 * nIvf},"ivf_sec":$ivfSec%.1f,"pct_rows":$nRows,"pct_sec":$pSec%.1f,"bm25_sec":$bmSec%.1f,"bigram_sec":$lmSec%.1f,"invidx_sec":$invSec%.1f,"contam_bloom_sec":$cbSec%.1f,"assign1024_sec":$asgSec%.1f,"auto_ivf_sec":$autoSec%.1f,"cross_neardup_sec":$xSec%.1f,"paragraph_sec":$pdSec%.1f,"semantic_sec":$semSec%.1f,"quantize_sec":$qzSec%.1f,"shuffle_shards_sec":$shufSec%.1f,"domain_mixture_sec":$mixSec%.1f,"dup_ngrams_sec":$dngSec%.1f,"quality_classifier_sec":$qcSec%.1f}""")
     spark.stop()
   }
 }

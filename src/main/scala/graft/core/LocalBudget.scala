@@ -50,6 +50,17 @@ object LocalBudget {
     */
   val MaxSequentialWalkEdges: Long = 2_000_000L
 
+  /** Tighter default for the quality classifier's feature-table
+    * collect: the sequential fit is linear, but collecting millions of
+    * (doc, label, f, x) Rows single-threaded costs more than the
+    * distributed path's handful of aggregates (measured at the 10×
+    * corpus: local 12 s at ~3M feature rows vs distributed 6 s at ~7M).
+    * 1M rows keeps the local path in the sub-second band it exists for;
+    * both paths are pinned bit-equal, so dispatch is purely a cost
+    * choice.
+    */
+  val MaxLocalFeatureRows: Long = 1_000_000L
+
   /** (rowCount, estimatedCollectedBytes) of a string edge frame, from
     * ONE aggregation job over its first two columns — callers use this
     * in place of the plain count() they ran before dispatching.

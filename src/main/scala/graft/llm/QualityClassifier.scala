@@ -118,7 +118,7 @@ object QualityClassifier {
     * total.
     */
   def train(docs: DataFrame, buckets: Int = Buckets, epochs: Int = Epochs,
-      localRowThreshold: Long = graft.core.LocalBudget.MaxLocalEdges)
+      localRowThreshold: Long = graft.core.LocalBudget.MaxLocalFeatureRows)
       : DataFrame =
     fit(docs, buckets, epochs, localRowThreshold) match {
       case Left((spark, scored, tau, _)) =>
@@ -138,7 +138,7 @@ object QualityClassifier {
     */
   def trainModel(docs: DataFrame, buckets: Int = Buckets,
       epochs: Int = Epochs,
-      localRowThreshold: Long = graft.core.LocalBudget.MaxLocalEdges)
+      localRowThreshold: Long = graft.core.LocalBudget.MaxLocalFeatureRows)
       : RocchioModel =
     fit(docs, buckets, epochs, localRowThreshold) match {
       case Left((_, _, tau, w)) => RocchioModel(w, tau)
