@@ -30,6 +30,46 @@ object Relational {
 
   private def t(s: SparkSession, dir: String) = Tables(s, dir)
 
+  // ---- sink-contract helpers (q48a/q48b/q49–q52) ---------------------
+  // Integer cents from the price double via decimal(15,2): the source
+  // prices are exact 2-decimal values (verified over sf0.01/sf0.1), so
+  // the decimal cast recovers cents bit-exactly in BOTH engines — no
+  // float survives anywhere in the sink contracts. Every oracle sum
+  // carries an OUTER CAST(... AS BIGINT): a bare sum(BIGINT) is HUGEINT
+  // in DuckDB, which pandas surfaces as float64, and the driver then
+  // hashes "x.0" against Spark's integer — the exact one-cell divergence
+  // that kept q48_sink_roundtrip red in r9/r11 while rows/schema (and
+  // the float-tolerant local mimic) passed.
+  private val centsCol =
+    (col("o_totalprice").cast("decimal(15,2)") * 100).cast("long")
+  private val CentsSql =
+    "CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)"
+
+  /** Run `body` against a fresh scratch dir; best-effort recursive
+    * cleanup after. `body` must return an INERT frame (LocalRelation
+    * over collected rows) — nothing that could re-scan the scratch.
+    */
+  private def withScratch[A](prefix: String)(body: String => A): A = {
+    val base = java.nio.file.Files.createTempDirectory(prefix)
+    try body(base.toString)
+    finally {
+      try {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        Files.walk(base).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }
+  }
+
+  /** Inert LocalRelation result for side-effecting sink queries. */
+  private def localResult(s: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      rows: Seq[org.apache.spark.sql.Row]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(rows.asJava, schema)
+  }
+
   val queries: Seq[GQ] = Seq(
 
     // ---- A1/A2/A5 + P-filters: TPC-H Q1-style pricing summary --------
@@ -1010,83 +1050,227 @@ object Relational {
              |  LEFT JOIN fp p USING (user_id)""".stripMargin))
   ,
 
-    // Sink round trip (SURVEY §2.1 S2 + S7, promoted from suite-only to
-    // driver-oracled): partitioned size-bounded parquet write → read
-    // back (S2), then bulk delete as a filtered OVERWRITE of the same
-    // dataset → read back again (S7, the immutable-engine delete
-    // mapping). The oracle derives both states straight from the source
-    // table, so a hash match proves write→read fidelity AND overwrite
-    // semantics end to end. Prices quantize to integer cents per row
-    // before summing (the determinism contract for double aggregates).
-    GQ("q48_sink_roundtrip",
+    // ---- S2 driver contract, leg 1: write → read fidelity ------------
+    // (split from r9/r11's q48_sink_roundtrip per VERDICT r11 item 1.)
+    // Partitioned, size-bounded, sorted-within-partition parquet write,
+    // read back and re-aggregated. Self-diagnosing: n_src/cents_src are
+    // collected from the SOURCE frame before any write, so if the _back
+    // columns diverge while _src stays green the artifact localizes the
+    // break to the sink leg (and vice versa for an oracle-side break).
+    GQ("q48a_sink_write_read",
       (s, dir) => {
         import org.apache.spark.sql.Row
         import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
         val orders = t(s, dir).orders
-        val base = java.nio.file.Files.createTempDirectory("graft-sink-rt")
-        val path = base.toString + "/orders"
-        graft.sources.Sinks.parquet(orders, path,
-          partitionBy = Seq("o_orderstatus"), maxRecordsPerFile = 2000,
-          sortWithinPartitionsBy = Seq("o_orderkey"))
-        val back = s.read.parquet(path)
-        // EAGER before-state: collected now, so the overwrite below
-        // cannot perturb it and the returned plan holds no file scan.
-        val before = back.groupBy(col("o_orderstatus"))
-          .agg(count(lit(1)).as("n_before"),
-            sum(round(col("o_totalprice") * 100, 0).cast("long"))
-              .as("cents_before"))
+        val src = orders.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(centsCol).as("c"))
           .collect()
           .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-        // S7 delete-as-overwrite. Materialize the retained rows first (a
-        // path cannot be read and overwritten lazily), and pin STATIC
-        // partition-overwrite for the write: under dynamic mode a write
-        // containing no 'O' rows never touches the 'O' partition, so the
-        // "delete" would silently no-op for exactly the partition being
-        // deleted and n_after('O') would stay at n_before.
-        val retained = back.filter(col("o_orderstatus") =!= "O")
-          .localCheckpoint(true)
-        val modeKey = "spark.sql.sources.partitionOverwriteMode"
-        val prevMode = s.conf.getOption(modeKey)
-        s.conf.set(modeKey, "static")
-        try graft.sources.Sinks.parquet(retained, path,
-          partitionBy = Seq("o_orderstatus"), maxRecordsPerFile = 2000)
-        finally prevMode match {
-          case Some(m) => s.conf.set(modeKey, m)
-          case None    => s.conf.unset(modeKey)
+        withScratch("graft-sink-wr") { scratch =>
+          val path = scratch + "/orders"
+          graft.sources.Sinks.parquet(orders, path,
+            partitionBy = Seq("o_orderstatus"), maxRecordsPerFile = 2000,
+            sortWithinPartitionsBy = Seq("o_orderkey"))
+          val back = s.read.parquet(path).groupBy(col("o_orderstatus"))
+            .agg(count(lit(1)).as("n"), sum(centsCol).as("c"))
+            .collect()
+            .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+          val rows = src.toSeq.sortBy(_._1).map { case (st, (n, c)) =>
+            val (nb, cb) = back.getOrElse(st, (0L, 0L))
+            Row(st, n, c, nb, cb)
+          }
+          localResult(s, StructType(Seq(
+            StructField("o_orderstatus", StringType),
+            StructField("n_src", LongType),
+            StructField("cents_src", LongType),
+            StructField("n_back", LongType),
+            StructField("cents_back", LongType))), rows)
         }
-        val after = s.read.parquet(path).groupBy(col("o_orderstatus"))
-          .agg(count(lit(1)).as("n_after"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        graft.core.Checkpoints.release(retained)
-        // Inert result: a LocalRelation over the collected states —
-        // nothing in the returned plan can re-run IO, so the scratch dir
-        // can be removed before we return.
-        val rows = before.toSeq.sortBy(_._1).map { case (st, (n, cents)) =>
-          Row(st, n, cents, after.getOrElse(st, 0L))
-        }
-        import scala.jdk.CollectionConverters._
-        val out = s.createDataFrame(rows.asJava, StructType(Seq(
-          StructField("o_orderstatus", StringType),
-          StructField("n_before", LongType),
-          StructField("cents_before", LongType),
-          StructField("n_after", LongType))))
-        // best-effort recursive scratch cleanup (result no longer needs it)
-        try {
-          import java.nio.file.{Files, Path}
-          import java.util.Comparator
-          Files.walk(base).sorted(Comparator.reverseOrder[Path]())
-            .forEach(p => Files.deleteIfExists(p))
-        } catch { case _: Throwable => () }
-        out
       },
-      Some("""WITH b AS (
-             |  SELECT o_orderstatus, count(*) AS n_before,
-             |    sum(CAST(round(o_totalprice * 100) AS BIGINT))
-             |      AS cents_before
-             |  FROM orders GROUP BY 1)
-             |SELECT o_orderstatus, n_before, cents_before,
-             |  CASE WHEN o_orderstatus = 'O' THEN 0
-             |       ELSE n_before END AS n_after
-             |FROM b""".stripMargin))
+      Some(s"""SELECT o_orderstatus,
+             |  count(*) AS n_src,
+             |  CAST(sum($CentsSql) AS BIGINT) AS cents_src,
+             |  count(*) AS n_back,
+             |  CAST(sum($CentsSql) AS BIGINT) AS cents_back
+             |FROM orders GROUP BY 1""".stripMargin)),
+
+    // ---- S7 driver contract, leg 2: bulk delete as overwrite ---------
+    // Delete-as-overwrite of the partitioned dataset written above (the
+    // immutable-engine delete mapping, INSTALL.txt:122-126). Materialize
+    // the retained rows first (a path cannot be read and overwritten
+    // lazily) and pin STATIC partition-overwrite: under dynamic mode a
+    // write containing no 'O' rows never touches the 'O' partition, so
+    // the "delete" would silently no-op for exactly the partition being
+    // deleted. Self-diagnosing: n_retained counts the checkpointed
+    // delete INPUT, n_after the post-overwrite read-back — retained
+    // green + after red would localize the break to the overwrite
+    // itself; both red to the filter/checkpoint leg.
+    GQ("q48b_sink_delete",
+      (s, dir) => {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        val orders = t(s, dir).orders
+        val statuses = orders.select(col("o_orderstatus")).distinct()
+          .collect().map(_.getString(0)).sorted.toIndexedSeq
+        withScratch("graft-sink-del") { scratch =>
+          val path = scratch + "/orders"
+          graft.sources.Sinks.parquet(orders, path,
+            partitionBy = Seq("o_orderstatus"), maxRecordsPerFile = 2000)
+          val retained = s.read.parquet(path)
+            .filter(col("o_orderstatus") =!= "O")
+            .localCheckpoint(true)
+          val nRet = retained.groupBy(col("o_orderstatus"))
+            .agg(count(lit(1)).as("n"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          val modeKey = "spark.sql.sources.partitionOverwriteMode"
+          val prevMode = s.conf.getOption(modeKey)
+          s.conf.set(modeKey, "static")
+          try graft.sources.Sinks.parquet(retained, path,
+            partitionBy = Seq("o_orderstatus"), maxRecordsPerFile = 2000)
+          finally prevMode match {
+            case Some(m) => s.conf.set(modeKey, m)
+            case None    => s.conf.unset(modeKey)
+          }
+          val after = s.read.parquet(path).groupBy(col("o_orderstatus"))
+            .agg(count(lit(1)).as("n"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          graft.core.Checkpoints.release(retained)
+          val rows = statuses.map { st =>
+            Row(st, nRet.getOrElse(st, 0L), after.getOrElse(st, 0L))
+          }
+          localResult(s, StructType(Seq(
+            StructField("o_orderstatus", StringType),
+            StructField("n_retained", LongType),
+            StructField("n_after", LongType))), rows)
+        }
+      },
+      Some("""SELECT o_orderstatus,
+             |  CAST(CASE WHEN o_orderstatus = 'O' THEN 0
+             |       ELSE count(*) END AS BIGINT) AS n_retained,
+             |  CAST(CASE WHEN o_orderstatus = 'O' THEN 0
+             |       ELSE count(*) END AS BIGINT) AS n_after
+             |FROM orders GROUP BY 1""".stripMargin)),
+
+    // ---- S2 family: ORC sink round-trip (suite-only → driver-pinned) -
+    GQ("q49_sink_orc",
+      (s, dir) => {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        val orders = t(s, dir).orders
+        withScratch("graft-sink-orc") { scratch =>
+          val path = scratch + "/orders_orc"
+          graft.sources.Sinks.orc(orders, path,
+            partitionBy = Seq("o_orderstatus"), maxRecordsPerFile = 2000)
+          val rows = s.read.orc(path).groupBy(col("o_orderstatus"))
+            .agg(count(lit(1)).as("n"), sum(centsCol).as("c"))
+            .collect()
+            .map(r => Row(r.getString(0), r.getLong(1), r.getLong(2)))
+            .sortBy(_.getString(0)).toIndexedSeq
+          localResult(s, StructType(Seq(
+            StructField("o_orderstatus", StringType),
+            StructField("n_rows", LongType),
+            StructField("cents", LongType))), rows)
+        }
+      },
+      Some(s"""SELECT o_orderstatus, count(*) AS n_rows,
+             |  CAST(sum($CentsSql) AS BIGINT) AS cents
+             |FROM orders GROUP BY 1""".stripMargin)),
+
+    // ---- S2 family: JSON-lines sink round-trip -----------------------
+    // Longs and strings only through the JSON text layer (cents are
+    // computed BEFORE the write); read-back uses the explicit schema —
+    // inference is a correctness hazard, not a contract.
+    GQ("q50_sink_json",
+      (s, dir) => {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        val proj = t(s, dir).orders.select(
+          col("o_orderkey"), col("o_orderstatus"), centsCol.as("cents"))
+        withScratch("graft-sink-json") { scratch =>
+          val path = scratch + "/orders_json"
+          graft.sources.Sinks.json(proj, path)
+          val rows = s.read.schema(proj.schema).json(path)
+            .groupBy(col("o_orderstatus"))
+            .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"),
+              max(col("o_orderkey")).as("k"))
+            .collect()
+            .map(r => Row(r.getString(0), r.getLong(1), r.getLong(2),
+              r.getLong(3)))
+            .sortBy(_.getString(0)).toIndexedSeq
+          localResult(s, StructType(Seq(
+            StructField("o_orderstatus", StringType),
+            StructField("n_rows", LongType),
+            StructField("sum_cents", LongType),
+            StructField("max_key", LongType))), rows)
+        }
+      },
+      Some(s"""SELECT o_orderstatus, count(*) AS n_rows,
+             |  CAST(sum($CentsSql) AS BIGINT) AS sum_cents,
+             |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+             |FROM orders GROUP BY 1""".stripMargin)),
+
+    // ---- S2 family: raw-text sink round-trip (gzip'd line files) -----
+    // One delimited line per row through the compressed text layer, then
+    // parsed back — the corpus-pipeline interchange shape (export to
+    // line files, re-ingest elsewhere). Gzip keeps files file-level
+    // splittable; maxRecordsPerFile is the parallelism knob.
+    GQ("q51_sink_text",
+      (s, dir) => {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        val lines = t(s, dir).orders.select(
+          concat_ws("|", col("o_orderkey"), col("o_orderstatus")).as("value"))
+        withScratch("graft-sink-text") { scratch =>
+          val path = scratch + "/orders_txt"
+          graft.sources.Sinks.text(lines, path, compression = "gzip",
+            maxRecordsPerFile = 2000)
+          val parsed = s.read.text(path).select(
+            split(col("value"), "\\|").getItem(0).cast("long").as("key"),
+            split(col("value"), "\\|").getItem(1).as("st"))
+          val rows = parsed.groupBy(col("st"))
+            .agg(count(lit(1)).as("n"), sum(col("key")).as("k"))
+            .collect()
+            .map(r => Row(r.getString(0), r.getLong(1), r.getLong(2)))
+            .sortBy(_.getString(0)).toIndexedSeq
+          localResult(s, StructType(Seq(
+            StructField("o_orderstatus", StringType),
+            StructField("n_lines", LongType),
+            StructField("sum_key", LongType))), rows)
+        }
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_lines,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+             |FROM orders GROUP BY 1""".stripMargin)),
+
+    // ---- S2 family: CSV sink round-trip (header + bounded files) -----
+    GQ("q52_sink_csv",
+      (s, dir) => {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        val proj = t(s, dir).orders.select(
+          col("o_orderkey"), col("o_orderstatus"), centsCol.as("cents"))
+        withScratch("graft-sink-csv") { scratch =>
+          val path = scratch + "/orders_csv"
+          graft.sources.Sinks.csv(proj, path, maxRecordsPerFile = 2000)
+          val rows = s.read.option("header", "true").schema(proj.schema)
+            .csv(path)
+            .groupBy(col("o_orderstatus"))
+            .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"),
+              min(col("o_orderkey")).as("k"))
+            .collect()
+            .map(r => Row(r.getString(0), r.getLong(1), r.getLong(2),
+              r.getLong(3)))
+            .sortBy(_.getString(0)).toIndexedSeq
+          localResult(s, StructType(Seq(
+            StructField("o_orderstatus", StringType),
+            StructField("n_rows", LongType),
+            StructField("sum_cents", LongType),
+            StructField("min_key", LongType))), rows)
+        }
+      },
+      Some(s"""SELECT o_orderstatus, count(*) AS n_rows,
+             |  CAST(sum($CentsSql) AS BIGINT) AS sum_cents,
+             |  CAST(min(o_orderkey) AS BIGINT) AS min_key
+             |FROM orders GROUP BY 1""".stripMargin))
   )
 }

@@ -213,35 +213,53 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("q48 sink roundtrip returns an INERT plan (LocalRelation only)") {
+  test("q48a/q48b sink queries return INERT plans and source-true values") {
     // the r9 driver-gate failure was a returned plan that lazily
-    // re-read a scratch dir the query itself had overwritten; the r10
+    // re-read a scratch dir the query itself had overwritten; the
     // contract is that all IO happens during registry-function
     // evaluation and the returned frame is a pure local relation — any
     // file scan, exchange, or checkpoint scan reappearing here is the
     // regression this test exists to catch
-    val df = SparkEntry.queries("q48_sink_roundtrip")(spark, sf)
-    val analyzed = df.queryExecution.analyzed.toString
-    val p = plan(df)
-    assert(analyzed.contains("LocalRelation"), analyzed)
-    // single-node plan: the LocalRelation IS the whole tree (no file
-    // source, no join, no checkpoint scan above or below it)
-    assert(analyzed.linesIterator.count(_.trim.nonEmpty) === 1, analyzed)
-    assert(!p.contains("FileScan") && !p.contains("Scan parquet"), p)
-    assert(!p.contains("Exchange") && !p.contains("ExistingRDD"), p)
-    // and the values match a direct aggregation of the source table
-    val got = df.collect().map(r => (r.getString(0),
-      (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    def assertInert(df: org.apache.spark.sql.DataFrame): Unit = {
+      val analyzed = df.queryExecution.analyzed.toString
+      val p = plan(df)
+      assert(analyzed.contains("LocalRelation"), analyzed)
+      // single-node plan: the LocalRelation IS the whole tree (no file
+      // source, no join, no checkpoint scan above or below it)
+      assert(analyzed.linesIterator.count(_.trim.nonEmpty) === 1, analyzed)
+      assert(!p.contains("FileScan") && !p.contains("Scan parquet"), p)
+      assert(!p.contains("Exchange") && !p.contains("ExistingRDD"), p)
+    }
+    // source truth: per-status counts + decimal cents (the q48a/q49-q52
+    // contract quantization — decimal(15,2)*100, never float rounding)
     val src = core.Tables(spark, sf).orders
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),
-        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("c"))
+        sum((col("o_totalprice").cast("decimal(15,2)") * 100).cast("long"))
+          .as("c"))
       .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
       .toMap
-    assert(got.keySet === src.keySet)
-    got.foreach { case (st, (nb, cents, na)) =>
-      assert((nb, cents) === src(st), st)
-      assert(na === (if (st == "O") 0L else nb), st)
+
+    val a = SparkEntry.queries("q48a_sink_write_read")(spark, sf)
+    assertInert(a)
+    val gotA = a.collect().map(r => (r.getString(0),
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(gotA.keySet === src.keySet)
+    gotA.foreach { case (st, (nSrc, cSrc, nBack, cBack)) =>
+      assert((nSrc, cSrc) === src(st), st)
+      // write → read fidelity: read-back equals source exactly
+      assert((nBack, cBack) === src(st), st)
+    }
+
+    val b = SparkEntry.queries("q48b_sink_delete")(spark, sf)
+    assertInert(b)
+    val gotB = b.collect().map(r => (r.getString(0),
+      (r.getLong(1), r.getLong(2)))).toMap
+    assert(gotB.keySet === src.keySet)
+    gotB.foreach { case (st, (nRet, nAfter)) =>
+      val want = if (st == "O") 0L else src(st)._1
+      assert(nRet === want, st)   // delete input = filtered read-back
+      assert(nAfter === want, st) // post-overwrite state
     }
   }
 }
