@@ -118,7 +118,10 @@ object Louvain {
       col(edges.columns(2)).cast("long").as("w"))
     val (nEdges, estBytes) = graft.core.LocalBudget.measureEdges(
       e.select("a", "b"))
-    if (graft.core.LocalBudget.fitsLocal(nEdges, estBytes,
+    // measureEdges prices only the two id columns; the collect below
+    // also pulls the Long weight — charge it (8 B/row) against the
+    // budget so the local-path guard reflects actual driver bytes.
+    if (graft.core.LocalBudget.fitsLocal(nEdges, estBytes + 8L * nEdges,
         localEdgeThreshold)) {
       val triples = e.collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
@@ -272,8 +275,8 @@ object Louvain {
   /** The shared synchronous parity-alternating move loop over a
     * weighted adjacency `adj(a, b, w)` (a ≠ b rows only; level 1 uses
     * unit weights) and `degs(node, deg, odd)`. Returns the final
-    * (node, lbl) table (checkpoint-backed; `lbl2` alias column added
-    * for self-join-free projection).
+    * (node, lbl) table (checkpoint-backed; callers project under their
+    * own renames, e.g. runTwoLevel's `proj` frame).
     */
   private def moveLoop(adj: DataFrame, degs: DataFrame, twoM: Long,
       labels0: DataFrame, rounds: Int): DataFrame = {

@@ -98,9 +98,13 @@ object QualityClassifier {
   /** Map-side scoring expression: fold the document's tokens against
     * the weight table — no explode, no shuffle, codegen'd builtins
     * only. Exactly Σ_f w[f]·x[d,f] by commutativity of Long addition.
+    * The bucket count comes from the model itself: a caller-supplied
+    * count disagreeing with weights.length would make element_at
+    * return null out-of-range (non-ANSI), null the whole fold, and
+    * coalesce it into a silent score 0.
     */
-  def scoreCol(model: RocchioModel, text: Column, buckets: Int = Buckets)
-      : Column = {
+  def scoreCol(model: RocchioModel, text: Column): Column = {
+    val buckets = model.weights.length
     val w = typedLit(model.weights.toSeq)
     coalesce(
       aggregate(
@@ -217,6 +221,13 @@ object QualityClassifier {
     graft.core.Checkpoints.release(docsL)
 
     // ---- threshold init + shrinking-step refinement -------------------
+    // Overflow bound (cf. Louvain.runWeighted's Σw·k_max note): these
+    // class sums are plain 64-bit Spark sums, so the contract is
+    // Σ|score| < 2⁶³ per class. |score| ≤ Scale·tokens_per_doc, so with
+    // Scale = 10⁶ the bound trips around 9·10¹² total tokens per class —
+    // beyond that, shard the corpus or move the two init sums (only) to
+    // Decimal; the per-epoch error counts are row counts and never at
+    // risk.
     val mRow = scores.agg(
       sum(when(col("label") === 1L, col("score")).otherwise(0L)),
       sum(when(col("label") === 0L, col("score")).otherwise(0L))).head()

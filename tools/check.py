@@ -51,6 +51,20 @@ def main():
             n_fail += 1
             continue
         g, w = norm(got), norm(want)
+        # Driver-hash hazard detector (round 12): the driver hashes the
+        # stringified frames, so a column that is int64 on one side and
+        # float64 on the other ("123" vs "123.0") hash-fails at the
+        # driver even when every value compares equal here under the
+        # float tolerance. Classic cause: a bare sum(BIGINT) oracle —
+        # DuckDB types it HUGEINT, pandas surfaces float64. Wrap in an
+        # outer CAST(... AS BIGINT).
+        for c in set(g.columns) & set(w.columns):
+            gk = g[c].dtype.kind
+            wk = w[c].dtype.kind
+            if {gk, wk} == {"i", "f"}:
+                print(f"WARN {name}: col {c} dtype asymmetry "
+                      f"spark={g[c].dtype} oracle={w[c].dtype} — "
+                      f"driver hash WILL diverge; cast the integer side")
         if list(g.columns) != list(w.columns):
             print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
             n_fail += 1
