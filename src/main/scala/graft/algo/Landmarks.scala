@@ -31,27 +31,23 @@ import graft.graph.PropertyGraph
   */
 object Landmarks {
 
-  /** Triangle-inequality upper-bound estimates for every pair in
-    * `srcSet` × `dstSet` (u ≠ v) reachable through at least one
-    * landmark: (src_id, dst_id, n_via, est) where n_via counts the
-    * landmarks with both legs finite and est = min over them, rounded
-    * to 4 decimals (the g7 presentation contract).
+  /** The two landmark distance tables, computed once:
+    *   fwd(lm, node, dist) = d(lm → node)
+    *   rev(lm, node, dist) = d(node → lm)
+    * Rows exist only for finite distances. Landmarks absent from the
+    * graph are dropped up front (the kernels reject unknown sources);
+    * an all-absent set yields typed EMPTY tables, not a crash.
     */
-  def estimates(spark: SparkSession, g: PropertyGraph,
-      landmarks: Seq[String], srcSet: Seq[String], dstSet: Seq[String])
-      : DataFrame = {
-    // absent ids contribute nothing (they have no distance rows); the
-    // landmark set must also be restricted up front because the kernels
-    // reject unknown sources. Bounded by |landmarks| — driver-safe.
+  def tables(spark: SparkSession, g: PropertyGraph,
+      landmarks: Seq[String]): (DataFrame, DataFrame) = {
     val present = g.nodes.select(col(g.nodes.columns(0)).cast("string"))
       .filter(col(g.nodes.columns(0)).isin(landmarks: _*))
       .collect().map(_.getString(0)).toSeq
     if (present.isEmpty) {
-      // no landmark exists in the graph → no pair is estimable; an empty
-      // typed frame, not a crash (parallelize rejects 0 partitions)
       import spark.implicits._
-      return Seq.empty[(String, String, Long, Double)]
-        .toDF("src_id", "dst_id", "n_via", "est")
+      val empty = Seq.empty[(String, String, Double)]
+        .toDF("lm", "node", "dist")
+      return (empty, empty)
     }
     val fwd = ShortestPaths.apsp(spark, g, Some(present))
     // d(u → L) = d(L → u) on the reversed multigraph; apsp materializes
@@ -62,17 +58,87 @@ object Landmarks {
         col("roadId"), col("cost")))
     val rev = ShortestPaths.apsp(spark, revG, Some(present))
     revG.projection.unpersist()
-    val du = rev.filter(col("target_id").isin(srcSet: _*))
-      .select(col("source_id").as("lm"), col("target_id").as("src_id"),
-        col("distance").as("du"))
-    val dv = fwd.filter(col("target_id").isin(dstSet: _*))
-      .select(col("source_id").as("lm"), col("target_id").as("dst_id"),
-        col("distance").as("dv"))
+    def shape(t: DataFrame) = t.select(col("source_id").as("lm"),
+      col("target_id").as("node"), col("distance").as("dist"))
+    (shape(fwd), shape(rev))
+  }
+
+  /** est(u,v) = min_L rev[L,u] + fwd[L,v] over the given tables for
+    * every pair in `srcSet` × `dstSet` (u ≠ v) with both legs finite:
+    * (src_id, dst_id, n_via, est), est rounded to 4 decimals (the g7
+    * presentation contract). Pure table algebra — works identically on
+    * freshly-computed and storage-read tables.
+    */
+  def estimateFromTables(fwd: DataFrame, rev: DataFrame,
+      srcSet: Seq[String], dstSet: Seq[String]): DataFrame = {
+    val du = rev.filter(col("node").isin(srcSet: _*))
+      .select(col("lm"), col("node").as("src_id"), col("dist").as("du"))
+    val dv = fwd.filter(col("node").isin(dstSet: _*))
+      .select(col("lm"), col("node").as("dst_id"), col("dist").as("dv"))
     du.join(dv, Seq("lm"))
       .filter(col("src_id") =!= col("dst_id"))
       .groupBy("src_id", "dst_id")
       .agg(count(lit(1)).as("n_via"),
         round(min(col("du") + col("dv")), 4).as("est"))
+  }
+
+  /** Triangle-inequality upper-bound estimates computed end to end
+    * (tables built in-session; g29's shape). For the precompute-once /
+    * serve-many production shape, see `persistTables` + `serve` (g34).
+    */
+  def estimates(spark: SparkSession, g: PropertyGraph,
+      landmarks: Seq[String], srcSet: Seq[String], dstSet: Seq[String])
+      : DataFrame = {
+    val (fwd, rev) = tables(spark, g, landmarks)
+    estimateFromTables(fwd, rev, srcSet, dstSet)
+  }
+
+  /** On-disk layout of the persisted tables under `dir`:
+    * `dir`/fwd and `dir`/rev, parquet PARTITIONED BY the landmark id —
+    * a per-landmark directory prunes at read time, and rows sorted by
+    * `node` within files give row-group skipping for node-set filters.
+    * The explicit read schema pins `lm` to STRING (partition-column
+    * type inference would otherwise turn numeric ids into ints).
+    */
+  private val TableSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("lm",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("node",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("dist",
+      org.apache.spark.sql.types.DoubleType)))
+
+  /** Precompute and WRITE the landmark tables — the production shape of
+    * the reference's APSP call site (neo4j-code.txt:56-77): |L| forward
+    * + |L| reverse multi-source passes run once, results land in
+    * landmark-partitioned parquet, and every subsequent query batch is
+    * answered from storage with no traversal at all (`serve`). At 100 TB
+    * the tables are |L|·|V| rows — rebuild cost is |L| SSSP passes, so
+    * refresh on graph change is batched, not per-query.
+    */
+  def persistTables(spark: SparkSession, g: PropertyGraph,
+      landmarks: Seq[String], dir: String): Unit = {
+    val (fwd, rev) = tables(spark, g, landmarks)
+    graft.sources.Sinks.parquet(fwd, dir + "/fwd",
+      partitionBy = Seq("lm"), sortWithinPartitionsBy = Seq("node"))
+    graft.sources.Sinks.parquet(rev, dir + "/rev",
+      partitionBy = Seq("lm"), sortWithinPartitionsBy = Seq("node"))
+    // the written files are now the durable copy — free any kernel
+    // checkpoint state still backing the in-session frames
+    graft.core.Checkpoints.release(fwd)
+    graft.core.Checkpoints.release(rev)
+  }
+
+  /** Answer a (srcSet × dstSet) batch purely from tables persisted by
+    * `persistTables` — the plan under this frame is two pruned parquet
+    * scans + one landmark-keyed join; no SSSP kernel runs (PlanSpec
+    * pins that).
+    */
+  def serve(spark: SparkSession, dir: String,
+      srcSet: Seq[String], dstSet: Seq[String]): DataFrame = {
+    val fwd = spark.read.schema(TableSchema).parquet(dir + "/fwd")
+    val rev = spark.read.schema(TableSchema).parquet(dir + "/rev")
+    estimateFromTables(fwd, rev, srcSet, dstSet)
   }
 
   /** ALT (A*, Landmarks, Triangle inequality — Goldberg–Harrelson):

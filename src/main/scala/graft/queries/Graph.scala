@@ -1492,6 +1492,59 @@ object Graph {
       sliceOracle(s"""${Oracle.singleSourcePrefix}
               |SELECT (SELECT count(*) FROM w) AS path_node_number,
               |       (SELECT round(dist, 4) FROM fin WHERE node = '$Dst')
-              |         AS total_cost""".stripMargin))
+              |         AS total_cost""".stripMargin)),
+
+    // Landmark tables PERSISTED and SERVED — g29's precompute-then-
+    // lookup contract made durable (the production shape of the
+    // reference's APSP call site, neo4j-code.txt:56-77): the |L|·|V|
+    // forward/reverse tables are written ONCE to landmark-partitioned
+    // parquet, then a DIFFERENT (src, dst) batch than g29's is answered
+    // purely from the stored tables — two pruned scans + one landmark-
+    // keyed join, no SSSP re-run (PlanSpec pins the plan; the result is
+    // collected to an inert LocalRelation before the scratch dir is
+    // removed). The oracle re-derives the same estimates from the
+    // chained-relaxation CTEs, so storage round-trip AND serve algebra
+    // pin in one hash.
+    GQ("g34_landmark_serve",
+      (s, _) => {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+        val landmarks = (0 until 40).map(i => (i * 17 + 1).toString)
+        val srcSet = (0 until 40).map(i => (i * 29 + 5).toString)
+        val dstSet = (0 until 40).map(i => (i * 37 + 7).toString)
+        graft.core.Scratch.withScratch("graft-landmark-tables") { dir =>
+          graft.algo.Landmarks.persistTables(s, g(s), landmarks, dir)
+          val rows = graft.algo.Landmarks.serve(s, dir, srcSet, dstSet)
+            .collect()
+            .map(r => Row(r.getString(0), r.getString(1), r.getLong(2),
+              r.getDouble(3)))
+            .sortBy(r => (r.getString(0), r.getString(1))).toIndexedSeq
+          graft.core.Scratch.localResult(s, StructType(Seq(
+            StructField("src_id", StringType),
+            StructField("dst_id", StringType),
+            StructField("n_via", LongType),
+            StructField("est", DoubleType))), rows)
+        }
+      },
+      sliceOracle({
+        val lmVals = (0 until 40).map(i => s"('${i * 17 + 1}')").mkString(",")
+        val saVals = (0 until 40).map(i => s"('${i * 29 + 5}')").mkString(",")
+        val sbVals = (0 until 40).map(i => s"('${i * 37 + 7}')").mkString(",")
+        s"""WITH ${Oracle.edgesCte},
+           |srcs AS MATERIALIZED (SELECT id FROM (VALUES $lmVals) v(id)
+           |  WHERE id IN (SELECT * FROM ids)),
+           |qa AS MATERIALIZED (SELECT id FROM (VALUES $saVals) v(id)),
+           |qb AS MATERIALIZED (SELECT id FROM (VALUES $sbVals) v(id)),
+           |${Oracle.chainMulti(Oracle.HopsMulti)},
+           |${Oracle.chainMultiRev(Oracle.HopsMulti)}
+           |SELECT r.node AS src_id, f.node AS dst_id, count(*) AS n_via,
+           |  round(min(r.dist + f.dist), 4) AS est
+           |FROM r${Oracle.HopsMulti} r
+           |JOIN s${Oracle.HopsMulti} f ON f.source = r.source
+           |WHERE r.node IN (SELECT * FROM qa)
+           |  AND f.node IN (SELECT * FROM qb)
+           |  AND r.node <> f.node
+           |GROUP BY 1, 2""".stripMargin
+      }))
   )
 }

@@ -45,30 +45,12 @@ object Relational {
   private val CentsSql =
     "CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)"
 
-  /** Run `body` against a fresh scratch dir; best-effort recursive
-    * cleanup after. `body` must return an INERT frame (LocalRelation
-    * over collected rows) — nothing that could re-scan the scratch.
-    */
-  private def withScratch[A](prefix: String)(body: String => A): A = {
-    val base = java.nio.file.Files.createTempDirectory(prefix)
-    try body(base.toString)
-    finally {
-      try {
-        import java.nio.file.{Files, Path}
-        import java.util.Comparator
-        Files.walk(base).sorted(Comparator.reverseOrder[Path]())
-          .forEach(p => Files.deleteIfExists(p))
-      } catch { case _: Throwable => () }
-    }
-  }
-
-  /** Inert LocalRelation result for side-effecting sink queries. */
+  private def withScratch[A](prefix: String)(body: String => A): A =
+    graft.core.Scratch.withScratch(prefix)(body)
   private def localResult(s: SparkSession,
       schema: org.apache.spark.sql.types.StructType,
-      rows: Seq[org.apache.spark.sql.Row]): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    s.createDataFrame(rows.asJava, schema)
-  }
+      rows: Seq[org.apache.spark.sql.Row]): DataFrame =
+    graft.core.Scratch.localResult(s, schema, rows)
 
   val queries: Seq[GQ] = Seq(
 

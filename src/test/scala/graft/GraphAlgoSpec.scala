@@ -1322,4 +1322,38 @@ class GraphAlgoSpec extends AnyFunSuite {
         s"landmark target $u->$v est $e != exact $ex")
     }
   }
+
+  test("landmark tables persisted + served ≡ in-session estimates; the " +
+      "serve plan runs no SSSP kernel") {
+    val landmarks = (0 until 40).map(i => (i * 17 + 1).toString)
+    val srcSet = (0 until 40).map(i => (i * 29 + 5).toString)
+    val dstSet = (0 until 40).map(i => (i * 37 + 7).toString)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))
+    val direct = graft.algo.Landmarks
+      .estimates(spark, pg, landmarks, srcSet, dstSet)
+      .collect().map(key).toMap
+    graft.core.Scratch.withScratch("graft-landmark-spec") { dir =>
+      graft.algo.Landmarks.persistTables(spark, pg, landmarks, dir)
+      val served = graft.algo.Landmarks.serve(spark, dir, srcSet, dstSet)
+      // plan pin (g34's scale contract): serving reads ONLY the stored
+      // tables — parquet scans with the node filter pushed; no RDD scan
+      // (the kernels' checkpoint state) anywhere in the plan means no
+      // SSSP ran to answer the batch
+      val p = served.queryExecution.executedPlan.toString
+      assert(p.contains("Scan parquet") || p.contains("FileScan"), p)
+      assert(!p.contains("ExistingRDD"), p)
+      assert(p.contains("PushedFilters: [In(node"), p)
+      // bit-equal to the compute-in-session path: storage round-trips
+      // the doubles exactly and the serve algebra is the same
+      val got = served.collect().map(key).toMap
+      assert(got === direct)
+      // the persisted layout prunes by landmark: a single-landmark read
+      // touches one partition directory
+      val one = spark.read.parquet(dir + "/fwd")
+        .filter(org.apache.spark.sql.functions.col("lm") === landmarks.head)
+      val pruned = one.queryExecution.executedPlan.toString
+      assert(!pruned.contains("PartitionFilters: []"), pruned)
+    }
+  }
 }
