@@ -186,6 +186,111 @@ object LocalKernels {
     (dist, pred)
   }
 
+  /** Bidirectional Dijkstra — meet-in-the-middle over the forward CSR
+    * and a reversed CSR (LocalGraph.reverse), the remaining classic
+    * from the reference's own improvement list ("reduce the search
+    * scope", IMPL.md:831-836; ALT covers the landmark direction,
+    * g33). Two plain Dijkstra frontiers alternate by smaller heap-top;
+    * every scanned edge (u,v) with the other side's distance finite
+    * offers a meeting candidate μ = dF(u) + c + dB(v), and the search
+    * stops exactly when topF + topB ≥ μ — both frontiers settle in
+    * nondecreasing cost order, so no later meeting can beat μ. Exact
+    * (≡ Dijkstra), with ~2·(radius/2)-ball work instead of one
+    * radius-ball: the classic constant-factor scope cut that needs no
+    * coordinates and no precomputation.
+    *
+    * Returns the result plus total settled nodes across both frontiers
+    * (the expansion metric the g35 spec compares against blind
+    * Dijkstra and ALT).
+    */
+  def bidirectional(g: LocalGraph, rev: LocalGraph, source: Int,
+      target: Int): (Option[PathResult], Int) = {
+    if (source == target)
+      return (Some(PathResult(Array(source), Array(0.0), 0.0)), 0)
+    val n = g.n
+    val distF = Array.fill(n)(Double.PositiveInfinity)
+    val distB = Array.fill(n)(Double.PositiveInfinity)
+    val predF = Array.fill(n)(-1)
+    val predB = Array.fill(n)(-1)   // successor in g (pred in rev)
+    val setF = new Array[Boolean](n)
+    val setB = new Array[Boolean](n)
+    val pqF = new MinHeap(64)
+    val pqB = new MinHeap(64)
+    distF(source) = 0.0; pqF.add(0.0, source)
+    distB(target) = 0.0; pqB.add(0.0, target)
+    var mu = Double.PositiveInfinity
+    var meet = -1
+    var settled = 0
+    var topF = 0.0
+    var topB = 0.0
+    // expand one side: settle its heap-min, relax, update μ on contact
+    def step(gr: LocalGraph, pq: MinHeap, dist: Array[Double],
+        pred: Array[Int], set: Array[Boolean], other: Array[Double])
+        : Double = {
+      val u = pq.poll()
+      val d = pq.lastPrio
+      if (!set(u)) {
+        set(u) = true
+        settled += 1
+        var e = gr.offsets(u)
+        while (e < gr.offsets(u + 1)) {
+          val v = gr.targets(e)
+          val nd = d + gr.costs(e)
+          if (nd < dist(v)) { dist(v) = nd; pred(v) = u; pq.add(nd, v) }
+          if (other(v).isFinite && nd + other(v) < mu) {
+            mu = nd + other(v); meet = v
+          }
+          e += 1
+        }
+      }
+      d
+    }
+    var done = false
+    while (!done && !(pqF.isEmpty && pqB.isEmpty)) {
+      // alternate by smaller frontier top; an exhausted side stops
+      // contributing but the other may still improve μ until its top
+      // passes the bound
+      if (pqB.isEmpty || (!pqF.isEmpty && topF <= topB))
+        topF = step(g, pqF, distF, predF, setF, distB)
+      else
+        topB = step(rev, pqB, distB, predB, setB, distF)
+      if (topF + topB >= mu) done = true
+    }
+    if (meet < 0) (None, settled)
+    else {
+      // stitch: source → meet via predF, then meet → target via predB
+      // (which chains toward the target in g)
+      val front = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var cur = meet
+      while (cur != -1) { front += cur; cur = predF(cur) }
+      val nodes = scala.collection.mutable.ArrayBuffer.empty[Int]
+      nodes ++= front.reverseIterator
+      cur = predB(meet)
+      while (cur != -1) { nodes += cur; cur = predB(cur) }
+      val arr = nodes.toArray
+      // Re-accumulate the running costs FORWARD along the stitched
+      // sequence (min-cost parallel edge per hop — the edge every final
+      // pred chain rests on). distB summed tail-first, so μ carries a
+      // different IEEE association than a forward walk; re-walking
+      // makes the costs bit-equal to forward Dijkstra (and the chained-
+      // relaxation oracle) on the same node sequence.
+      val costs = new Array[Double](arr.length)
+      var i = 1
+      while (i < arr.length) {
+        val u = arr(i - 1); val v = arr(i)
+        var w = Double.PositiveInfinity
+        var e = g.offsets(u)
+        while (e < g.offsets(u + 1)) {
+          if (g.targets(e) == v && g.costs(e) < w) w = g.costs(e)
+          e += 1
+        }
+        costs(i) = costs(i - 1) + w
+        i += 1
+      }
+      (Some(PathResult(arr, costs, costs(arr.length - 1))), settled)
+    }
+  }
+
   /** Core search. `bound` is a STRICT admissible prune (Yen: remaining
     * budget cut − rootCost): Dijkstra settles in cost order, so once the
     * heap minimum exceeds the bound no completion can come in at ≤

@@ -83,6 +83,37 @@ object ShortestPaths {
       .agg(count(col("node_id")).as("path_node_number"),
         round(max(col("cost")), 4).as("total_cost"))
 
+  /** Bidirectional Dijkstra summary (meet-in-the-middle,
+    * LocalKernels.bidirectional) — exact ≡ Dijkstra, about half the
+    * search scope without coordinates or precomputation; the remaining
+    * classic from the reference's improvement list (IMPL.md:831-836).
+    * The reversed CSR comes from LocalGraph.reverse (same dense index
+    * space — no id remapping). Above the local threshold the
+    * distributed frontier kernel subsumes the scope cut exactly as
+    * astarPath's fallback does: at cluster scale frontier width, not
+    * settled count, is the cost driver.
+    */
+  def bidirectionalSummary(spark: SparkSession, g: PropertyGraph,
+      src: String, dst: String): DataFrame = {
+    import spark.implicits._
+    val resOpt: Option[(Seq[String], Seq[Double])] =
+      if (useLocal(g)) {
+        val lg = localGraph(g)
+        LocalKernels.bidirectional(lg, LocalGraph.reverse(lg),
+            lg.idOf(src), lg.idOf(dst))._1
+          .map(p => (p.nodes.toSeq.map(lg.ids), p.costs.toSeq))
+      } else pathResult(spark, g, src, dst, astar = false)
+    val pathDf = resOpt match {
+      case None =>
+        Seq.empty[(Int, String, Double)].toDF("seq", "node_id", "cost")
+      case Some((nodes, costs)) =>
+        nodes.indices.map(i => (i, nodes(i), costs(i)))
+          .toDF("seq", "node_id", "cost")
+    }
+    pathDf.agg(count(col("node_id")).as("path_node_number"),
+      round(max(col("cost")), 4).as("total_cost"))
+  }
+
   /** A* under ALT landmark lower bounds (Landmarks.altHeuristic) — the
     * reference's own "reduce the search scope" improvement direction
     * (IMPL.md:831-836) made concrete: same exact optimum as Dijkstra

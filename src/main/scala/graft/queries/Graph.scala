@@ -1494,6 +1494,20 @@ object Graph {
               |       (SELECT round(dist, 4) FROM fin WHERE node = '$Dst')
               |         AS total_cost""".stripMargin)),
 
+    // Bidirectional Dijkstra — the last "reduce the search scope"
+    // direction from the reference's improvement list (IMPL.md:831-836)
+    // not yet represented: forward + reversed-CSR frontiers meet in the
+    // middle, exact ≡ Dijkstra (same oracle as g3/g5), roughly half the
+    // settled nodes with no coordinates and no precomputation. The
+    // pruning is pinned by spec (expansion counts vs blind Dijkstra and
+    // ALT); exactness by this hash.
+    GQ("g35_bidirectional",
+      (s, _) => ShortestPaths.bidirectionalSummary(s, g(s), Src, Dst),
+      sliceOracle(s"""${Oracle.singleSourcePrefix}
+              |SELECT (SELECT count(*) FROM w) AS path_node_number,
+              |       (SELECT round(dist, 4) FROM fin WHERE node = '$Dst')
+              |         AS total_cost""".stripMargin)),
+
     // Landmark tables PERSISTED and SERVED — g29's precompute-then-
     // lookup contract made durable (the production shape of the
     // reference's APSP call site, neo4j-code.txt:56-77): the |L|·|V|

@@ -1285,6 +1285,64 @@ class GraphAlgoSpec extends AnyFunSuite {
     }
   }
 
+  test("bidirectional dijkstra: exact optimum and path on the canonical " +
+      "pair with fewer expansions; ≡ dijkstra on random digraphs") {
+    import graft.algo.LocalGraph
+    val rev = LocalGraph.reverse(lg)
+    val s = lg.idOf("2022"); val t = lg.idOf("2802")
+    val (bdRes, bdExp) = LocalKernels.bidirectional(lg, rev, s, t)
+    val wsD = new LocalKernels.Workspace(lg.n)
+    val dijRes = LocalKernels.dijkstra(lg, s, t, wsD)
+    val dijExp = wsD.nSettled
+    assert(bdRes.get.totalCost === dijRes.get.totalCost)
+    // unique-path slice: the stitched node sequence is THE shortest path
+    assert(bdRes.get.nodes.toSeq === dijRes.get.nodes.toSeq)
+    // running costs are consistent cumulative sums ending at the total
+    assert(bdRes.get.costs.head === 0.0)
+    assert(bdRes.get.costs.last === bdRes.get.totalCost)
+    assert(bdRes.get.costs.sliding(2).forall(p => p(0) <= p(1)))
+    info(s"expansions 2022->2802: bidirectional=$bdExp dijkstra=$dijExp")
+    assert(bdExp < dijExp, s"bidirectional $bdExp !< dijkstra $dijExp")
+    // degenerate + unreachable cases are total
+    assert(LocalKernels.bidirectional(lg, rev, s, s)._1.get.totalCost
+      === 0.0)
+    // ≡ dijkstra across random digraphs, including unreachable pairs
+    for (seed <- Seq(11, 31)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40 + rnd.nextInt(30)
+      val pairs = (for (_ <- 0 until 200) yield
+        (s"v${rnd.nextInt(n)}", s"v${rnd.nextInt(n)}",
+          1.0 + rnd.nextInt(9))).filter(e => e._1 != e._2)
+      import spark.implicits._
+      val proj = pairs.toDF("src", "dst", "cost")
+        .groupBy("src", "dst")
+        .agg(org.apache.spark.sql.functions.min("cost").as("cost"))
+      val rg = LocalGraph.fromProjection(proj, None)
+      val rrev = LocalGraph.reverse(rg)
+      for (_ <- 0 until 40) {
+        val a = rnd.nextInt(rg.n); val b = rnd.nextInt(rg.n)
+        val bd = LocalKernels.bidirectional(rg, rrev, a, b)._1
+        val dij = if (a == b)
+          Some(LocalKernels.PathResult(Array(a), Array(0.0), 0.0))
+        else LocalKernels.dijkstra(rg, a, b)
+        assert(bd.map(_.totalCost) === dij.map(_.totalCost),
+          s"seed=$seed $a->$b")
+        // the stitched sequence is a REAL path of exactly that cost
+        bd.foreach { p =>
+          p.nodes.toSeq.sliding(2).filter(_.size == 2).foreach { e =>
+            val Seq(u, v) = e
+            var k = rg.offsets(u); var ok = false
+            while (k < rg.offsets(u + 1) && !ok) {
+              if (rg.targets(k) == v) ok = true
+              k += 1
+            }
+            assert(ok, s"seed=$seed $a->$b: $u->$v not an edge")
+          }
+        }
+      }
+    }
+  }
+
   test("landmark estimates: all-absent landmark set returns an empty " +
       "typed frame") {
     val out = graft.algo.Landmarks.estimates(spark, pg,
