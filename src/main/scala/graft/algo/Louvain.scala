@@ -187,11 +187,47 @@ object Louvain {
     * one deterministic contraction, `coarseRounds` weighted rounds on
     * the coarse graph, labels projected back to the original nodes —
     * (node, community) where community is the final coarse label.
+    * Exactly runMultiLevel with the level budget fixed at 2 (the g30
+    * contract).
     */
   def runTwoLevel(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
       rounds: Int = 16, coarseRounds: Int = 8,
       localEdgeThreshold: Long = graft.core.LocalBudget.MaxLocalEdges)
+      : DataFrame =
+    runMultiLevel(spark, nodes, edges, rounds, coarseRounds,
+      maxLevels = 2, localEdgeThreshold)
+
+  /** FULL multi-level Louvain (gds.louvain's level iteration,
+    * `maxLevels` parity with its maxLevels knob): level 1 runs the
+    * unweighted move rounds, then contraction + weighted coarse rounds
+    * repeat until either a level moves NOTHING or the deterministic
+    * level cap is hit. Every level contracts against the composed
+    * (original node → current community) mapping, so level-j edge
+    * weights are original und-row counts between level-j communities —
+    * identical whether contraction iterates graph-by-graph or composes
+    * against the base graph (weights were row counts all along), which
+    * is what lets one fixed-depth oracle replay the whole hierarchy.
+    *
+    * DETERMINISM OF THE EARLY STOP: a level whose move loop returns
+    * the identity labeling contracts to the very same graph (labels
+    * ARE the node ids), so every later level recomputes the identical
+    * identity — the stop never changes the result vs running the full
+    * cap, it only skips provable no-ops. The driver oracle therefore
+    * replays exactly `maxLevels − 1` coarse levels unconditionally.
+    *
+    * Scale shape: each level is one keyed aggregation (contraction)
+    * plus `coarseRounds` move rounds on a graph of |communities|
+    * nodes — strictly shrinking per level; the composed mapping stays
+    * one row per ORIGINAL node and is the only state that does not
+    * shrink. Nothing collects on the distributed path; the no-move
+    * convergence test is a count().
+    */
+  def runMultiLevel(spark: SparkSession, nodes: DataFrame,
+      edges: DataFrame, rounds: Int = 16, coarseRounds: Int = 8,
+      maxLevels: Int = 4,
+      localEdgeThreshold: Long = graft.core.LocalBudget.MaxLocalEdges)
       : DataFrame = {
+    require(maxLevels >= 1, s"maxLevels must be >= 1, got $maxLevels")
     val e = edges.select(col(edges.columns(0)).cast("string").as("a"),
       col(edges.columns(1)).cast("string").as("b"))
     val (nEdges, estBytes) = graft.core.LocalBudget.measureEdges(e)
@@ -202,50 +238,69 @@ object Louvain {
         .collect().map(_.getString(0))
       val idSet = ids.toSet
       val known = pairs.filter(p => idSet(p._1) && idSet(p._2))
-      val labels = localTwoLevel(ids, known, rounds, coarseRounds)
+      val labels = localMultiLevel(ids, known, rounds, coarseRounds,
+        maxLevels)
       import spark.implicits._
       return ids.toSeq.map(n => (n, labels(n))).toDF("node", "community")
     }
     val (und, degs, twoM) = prepare(spark, nodes, e)
     val labels0 = degs.select(col("node"), col("node").as("lbl"))
       .localCheckpoint(true)
-    val l1 = moveLoop(und.withColumn("w", lit(1L)), degs, twoM,
+    // q = composed mapping original node → current community
+    var q = moveLoop(und.withColumn("w", lit(1L)), degs, twoM,
       labels0, rounds)
-    // ---- contraction: communities → weighted super-nodes -------------
-    // W(c1,c2) = # und rows between the communities (symmetric; c1=c2
-    // rows are the self-loop weight = 2 × internal undirected edges).
-    // k(c) = Σ_c2 W(c,c2) = Σ_{i∈c} deg(i), so Σk stays 2m.
-    val wFull = und
-      .join(l1.select(col("node").as("a"), col("lbl").as("c1")), Seq("a"))
-      .join(l1.select(col("node").as("b"), col("lbl").as("c2")), Seq("b"))
-      .groupBy("c1", "c2").agg(count(lit(1)).as("w"))
-      .localCheckpoint(true)
+    var level = 1
+    var converged = false
+    while (level < maxLevels && !converged) {
+      // ---- contraction: communities → weighted super-nodes -----------
+      // W(c1,c2) = # und rows between the communities (symmetric;
+      // c1=c2 rows are the self-loop weight = 2 × internal undirected
+      // edges). k(c) = Σ_c2 W(c,c2) = Σ_{i∈c} deg(i), so Σk stays 2m.
+      val wFull = und
+        .join(q.select(col("node").as("a"), col("lbl").as("c1")),
+          Seq("a"))
+        .join(q.select(col("node").as("b"), col("lbl").as("c2")),
+          Seq("b"))
+        .groupBy("c1", "c2").agg(count(lit(1)).as("w"))
+        .localCheckpoint(true)
+      // every community appears (isolated communities keep k = 0)
+      val coarseDegs = q.select(col("lbl").as("node")).distinct()
+        .join(wFull.groupBy(col("c1").as("node"))
+            .agg(sum(col("w")).as("deg")),
+          Seq("node"), "left_outer")
+        .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"))
+        .withColumn("odd", substring(md5(col("node")), 1, 1)
+          .isin("1", "3", "5", "7", "9", "b", "d", "f"))
+        .localCheckpoint(true)
+      val coarse0 = coarseDegs.select(col("node"), col("node").as("lbl"))
+        .localCheckpoint(true)
+      // self-loops feed k (via coarseDegs) but not w(i,c): the move
+      // score counts links to OTHER members only — textbook ΔQ
+      val lj = moveLoop(
+        wFull.filter(col("c1") =!= col("c2"))
+          .select(col("c1").as("a"), col("c2").as("b"), col("w")),
+        coarseDegs, twoM, coarse0, coarseRounds)
+      if (lj.filter(col("node") =!= col("lbl")).count() == 0L) {
+        // identity level — every further level is a provable no-op
+        converged = true
+        graft.core.Checkpoints.release(lj)
+      } else {
+        val proj = lj.select(col("node").as("c_from"),
+          col("lbl").as("c_to"))
+        val q2 = q.join(proj, q("lbl") === proj("c_from"))
+          .select(q("node"), col("c_to").as("lbl"))
+          .localCheckpoint(true)
+        graft.core.Checkpoints.release(q)
+        graft.core.Checkpoints.release(lj)
+        q = q2
+      }
+      graft.core.Checkpoints.release(wFull)
+      graft.core.Checkpoints.release(coarseDegs)
+      level += 1
+    }
     graft.core.Checkpoints.release(und)
-    // every level-1 community appears (isolated communities keep k = 0)
-    val coarseDegs = l1.select(col("lbl").as("node")).distinct()
-      .join(wFull.groupBy(col("c1").as("node"))
-          .agg(sum(col("w")).as("deg")),
-        Seq("node"), "left_outer")
-      .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"))
-      .withColumn("odd", substring(md5(col("node")), 1, 1)
-        .isin("1", "3", "5", "7", "9", "b", "d", "f"))
-      .localCheckpoint(true)
-    val coarse0 = coarseDegs.select(col("node"), col("node").as("lbl"))
-      .localCheckpoint(true)
-    // self-loops feed k (via coarseDegs) but not w(i,c): the move score
-    // counts links to OTHER members only — textbook ΔQ
-    val l2 = moveLoop(
-      wFull.filter(col("c1") =!= col("c2"))
-        .select(col("c1").as("a"), col("c2").as("b"), col("w")),
-      coarseDegs, twoM, coarse0, coarseRounds)
-    // project: node → level-1 community → its final coarse label
-    val proj = l2.select(col("node").as("c_from"), col("lbl").as("c_to"))
-    val out = l1.join(proj, l1("lbl") === proj("c_from"))
-      .select(l1("node"), col("c_to").as("community"))
-    graft.core.Checkpoints.release(wFull)
-    graft.core.Checkpoints.release(coarseDegs)
     graft.core.Checkpoints.release(degs)
-    out
+    q.select(col("node"), col("lbl").as("community"))
   }
 
   /** Symmetrized distinct neighbor pairs among known nodes, per-node
@@ -388,26 +443,45 @@ object Louvain {
 
   /** In-memory twin of runTwoLevel: level-1 rounds, contraction with
     * self-loop-aware weighted degrees, weighted coarse rounds,
-    * projection.
+    * projection — localMultiLevel at the fixed level budget 2.
     */
   private[graft] def localTwoLevel(nodeIds: Array[String],
       pairs: Array[(String, String)], rounds: Int, coarseRounds: Int)
-      : Map[String, String] = {
-    val l1 = localReference(nodeIds, pairs, rounds)
+      : Map[String, String] =
+    localMultiLevel(nodeIds, pairs, rounds, coarseRounds, maxLevels = 2)
+
+  /** In-memory twin of runMultiLevel: contraction is recomputed from
+    * the base und rows against the COMPOSED mapping each level (same
+    * equivalence as the distributed path), and an identity level stops
+    * the loop.
+    */
+  private[graft] def localMultiLevel(nodeIds: Array[String],
+      pairs: Array[(String, String)], rounds: Int, coarseRounds: Int,
+      maxLevels: Int): Map[String, String] = {
+    var q = localReference(nodeIds, pairs, rounds)
     val und = pairs.filter(p => p._1 != p._2)
       .flatMap(p => Seq(p, p.swap)).distinct
-    val wMap = scala.collection.mutable.HashMap
-      .empty[(String, String), Long].withDefaultValue(0L)
-    und.foreach { case (a, b) => wMap((l1(a), l1(b))) += 1L }
-    val coarseIds = l1.values.toArray.distinct.sorted
-    val k: Map[String, Long] = coarseIds.map(c =>
-      c -> wMap.iterator.filter(_._1._1 == c).map(_._2).sum).toMap
-    val wAdj: Map[String, Array[(String, Long)]] = wMap.toArray
-      .collect { case ((c1, c2), w) if c1 != c2 => (c1, (c2, w)) }
-      .groupBy(_._1).map { case (c, es) => c -> es.map(_._2) }
-    val l2 = weightedMoveRounds(coarseIds, wAdj, k, und.length.toLong,
-      coarseRounds, coarseIds.map(c => c -> c).toMap)
-    nodeIds.map(n => n -> l2(l1(n))).toMap
+    var level = 1
+    var converged = false
+    while (level < maxLevels && !converged) {
+      val wMap = scala.collection.mutable.HashMap
+        .empty[(String, String), Long].withDefaultValue(0L)
+      und.foreach { case (a, b) => wMap((q(a), q(b))) += 1L }
+      val coarseIds = q.values.toArray.distinct.sorted
+      val k = scala.collection.mutable.HashMap.empty[String, Long]
+        .withDefaultValue(0L)
+      wMap.foreach { case ((c1, _), w) => k(c1) += w }
+      val wAdj: Map[String, Array[(String, Long)]] = wMap.toArray
+        .collect { case ((c1, c2), w) if c1 != c2 => (c1, (c2, w)) }
+        .groupBy(_._1).map { case (c, es) => c -> es.map(_._2) }
+      val lj = weightedMoveRounds(coarseIds, wAdj,
+        coarseIds.map(c => c -> k(c)).toMap, und.length.toLong,
+        coarseRounds, coarseIds.map(c => c -> c).toMap)
+      if (lj.forall { case (n, l) => n == l }) converged = true
+      else q = q.map { case (n, c) => n -> lj(c) }
+      level += 1
+    }
+    q
   }
 
   /** The weighted synchronous move recurrence both in-memory paths

@@ -607,6 +607,81 @@ object Graph {
       (Seq(base) ++ steps).mkString(",\n")
     }
 
+    /** Full multi-level Louvain chain (gds.louvain level iteration):
+      * level 1 = louvainChain(rounds), then `levels − 1` coarse levels
+      * replayed UNCONDITIONALLY — the engine's early stop fires only on
+      * an identity level, which contracts to the same graph and makes
+      * every later level a provable no-op, so fixed-depth replay is
+      * bit-equal. Each level contracts the base vund rows against the
+      * COMPOSED mapping mq{j} (original node → level-j community):
+      * weights are original-row counts between communities, identical
+      * to iterated graph-by-graph contraction. Same md5 parity, same
+      * min-label tie-break, same m2 at every level.
+      */
+    def louvainMultiChain(rounds: Int, coarseRounds: Int, levels: Int)
+        : String = {
+      val oddSet = "('1','3','5','7','9','b','d','f')"
+      val base = s"""${louvainChain(rounds)},
+         |mq0 AS MATERIALIZED (SELECT node, lbl FROM v$rounds)""".stripMargin
+      val levelCtes = (1 to (levels - 1)).map { j =>
+        val contract = s"""mwf$j AS MATERIALIZED (
+           |  SELECT qa.lbl AS c1, qb.lbl AS c2, count(*) AS w
+           |  FROM vund u JOIN mq${j - 1} qa ON qa.node = u.src
+           |  JOIN mq${j - 1} qb ON qb.node = u.dst GROUP BY 1, 2),
+           |mk$j AS MATERIALIZED (
+           |  SELECT c.lbl AS node, CAST(coalesce(sum(w.w), 0) AS BIGINT)
+           |    AS deg
+           |  FROM (SELECT DISTINCT lbl FROM mq${j - 1}) c
+           |  LEFT JOIN mwf$j w ON w.c1 = c.lbl
+           |  GROUP BY 1),
+           |mz${j}_0 AS MATERIALIZED (SELECT node, node AS lbl FROM mk$j)""".stripMargin
+        val steps = (1 to coarseRounds).map { i =>
+          val in = if (i % 2 == 1) "IN" else "NOT IN"
+          s"""mzs${j}_$i AS MATERIALIZED (
+             |  SELECT l.lbl AS cand, sum(d.deg) AS s
+             |  FROM mz${j}_${i - 1} l JOIN mk$j d ON d.node = l.node
+             |  GROUP BY 1),
+             |mzk${j}_$i AS MATERIALIZED (
+             |  SELECT w.c1 AS node, l.lbl AS cand,
+             |    CAST(sum(w.w) AS BIGINT) AS kic
+             |  FROM mwf$j w JOIN mz${j}_${i - 1} l ON l.node = w.c2
+             |  WHERE w.c1 <> w.c2 GROUP BY 1, 2),
+             |mzc${j}_$i AS MATERIALIZED (
+             |  SELECT node, own, deg, cand, max(kic) AS kic FROM (
+             |    SELECT p.node, p.lbl AS own, d.deg, k.cand, k.kic
+             |    FROM mz${j}_${i - 1} p JOIN mk$j d ON d.node = p.node
+             |    JOIN mzk${j}_$i k ON k.node = p.node
+             |    UNION ALL
+             |    SELECT p.node, p.lbl AS own, d.deg, p.lbl AS cand,
+             |      CAST(0 AS BIGINT) AS kic
+             |    FROM mz${j}_${i - 1} p JOIN mk$j d ON d.node = p.node)
+             |  GROUP BY 1, 2, 3, 4),
+             |mzx${j}_$i AS MATERIALIZED (
+             |  SELECT c.node, c.cand,
+             |    m.m2 * c.kic - c.deg * (s.s -
+             |      CASE WHEN c.cand = c.own THEN c.deg ELSE 0 END) AS sc
+             |  FROM mzc${j}_$i c JOIN mzs${j}_$i s ON s.cand = c.cand
+             |  CROSS JOIN vm m),
+             |mz${j}_$i AS MATERIALIZED (
+             |  SELECT p.node,
+             |    CASE WHEN substr(md5(p.node), 1, 1) $in $oddSet
+             |      THEN coalesce(min(CASE WHEN x.sc = mx.ms THEN x.cand END),
+             |                    p.lbl)
+             |      ELSE p.lbl END AS lbl
+             |  FROM mz${j}_${i - 1} p
+             |  LEFT JOIN (SELECT node, max(sc) AS ms FROM mzx${j}_$i
+             |    GROUP BY 1) mx ON mx.node = p.node
+             |  LEFT JOIN mzx${j}_$i x ON x.node = p.node
+             |  GROUP BY p.node, p.lbl)""".stripMargin
+        }
+        val compose = s"""mq$j AS MATERIALIZED (
+           |  SELECT q.node, y.lbl FROM mq${j - 1} q
+           |  JOIN mz${j}_$coarseRounds y ON y.node = q.lbl)""".stripMargin
+        (Seq(contract) ++ steps ++ Seq(compose)).mkString(",\n")
+      }
+      (Seq(base) ++ levelCtes).mkString(",\n")
+    }
+
     /** Weighted Louvain chain (gds.louvain with
       * relationshipWeightProperty): the louvainChain recurrence with
       * integer micro-unit edge weights — w = floor(cost·1000 + 0.5)
@@ -1559,6 +1634,28 @@ object Graph {
            |  AND f.node IN (SELECT * FROM qb)
            |  AND r.node <> f.node
            |GROUP BY 1, 2""".stripMargin
-      }))
+      })),
+
+    // FULL multi-level Louvain — g30's two-level form extended to the
+    // level iteration gds.louvain actually runs: contraction + weighted
+    // coarse rounds repeat (cap 4 levels, deterministic) until a level
+    // moves nothing, which provably makes every later level a no-op —
+    // so the oracle replays the fixed 3 coarse levels unconditionally
+    // and stays bit-equal to the early-stopping engine. Each level
+    // contracts the base graph against the COMPOSED node→community
+    // mapping (≡ iterated contraction, since weights are original-row
+    // counts all along).
+    GQ("g36_louvain_full",
+      (s, _) => {
+        val pg = g(s)
+        graft.algo.Louvain.runMultiLevel(s, pg.nodes.select("nodeId"),
+            pg.projection.select("src", "dst"),
+            rounds = 16, coarseRounds = 8, maxLevels = 4)
+          .select(col("node").as("node_id"), col("community"))
+      },
+      sliceOracle(s"""WITH ${Oracle.edgesCte},
+              |${Oracle.louvainMultiChain(16, 8, 4)}
+              |SELECT node AS node_id, lbl AS community
+              |FROM mq3""".stripMargin))
   )
 }

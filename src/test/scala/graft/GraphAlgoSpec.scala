@@ -648,6 +648,39 @@ class GraphAlgoSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-level louvain: distributed ≡ twin; per-level modularity " +
+      "non-decrease; early stop ≡ deeper cap") {
+    val nodes = pg.nodes.select("nodeId")
+    val edges = pg.projection.select("src", "dst")
+    val nodeIds = nodes.collect().map(_.getString(0))
+    val pairs = edges.collect().map(r => (r.getString(0), r.getString(1)))
+    val dist = algo.Louvain.runMultiLevel(spark, nodes, edges,
+        rounds = 16, coarseRounds = 8, maxLevels = 4,
+        localEdgeThreshold = 0L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val ref = algo.Louvain.localMultiLevel(nodeIds, pairs, 16, 8, 4)
+    assert(dist.size === 3705)
+    assert(dist === ref)
+    // modularity never decreases level over level (each level's moves
+    // are argmax-gain including "stay"), and the hierarchy strictly
+    // coarsens past the two-level form on this graph before converging
+    val byLevel = (1 to 4).map(l =>
+      algo.Louvain.localMultiLevel(nodeIds, pairs, 16, 8, l))
+    val qs = byLevel.map(algo.Louvain.modularityNum(nodeIds, pairs, _))
+    qs.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a, s"modularity decreased across a level: $qs")
+    }
+    val sizes = byLevel.map(_.values.toSet.size)
+    assert(sizes(1) < sizes(0), s"no contraction at level 2: $sizes")
+    info(s"communities per level cap: $sizes, Q·(2m)²: $qs")
+    // the early stop is a provable no-op: a deeper cap returns the
+    // identical mapping once a level moves nothing
+    val deeper = algo.Louvain.localMultiLevel(nodeIds, pairs, 16, 8, 8)
+    assert(deeper === ref)
+    // maxLevels = 2 reproduces the two-level contract exactly
+    assert(byLevel(1) === algo.Louvain.localTwoLevel(nodeIds, pairs, 16, 8))
+  }
+
   test("weighted louvain: weights steer the partition; distributed ≡ " +
       "twin on both paths") {
     import spark.implicits._
