@@ -115,6 +115,18 @@ object Landmarks {
     * answered from storage with no traversal at all (`serve`). At 100 TB
     * the tables are |L|·|V| rows — rebuild cost is |L| SSSP passes, so
     * refresh on graph change is batched, not per-query.
+    *
+    * STALENESS CONTRACT under append-only growth (the g27/S3/S4
+    * maintenance surface — edges only added, costs never raised):
+    * distances only shrink, so estimates from stale tables stay valid
+    * UPPER bounds (est ≥ d_old ≥ d_new) — they degrade to looser
+    * bounds, never to wrong answers; nodes added after the write have
+    * no table rows, so they are fail-safe ABSENT from serve results
+    * rather than mis-served; and staleness is detectable by comparing
+    * the stored node universe against the live graph's node count.
+    * All three properties are pinned by GraphAlgoSpec's staleness test.
+    * A cost-mutating update (not in the append contract) invalidates
+    * the bound — rebuild the tables.
     */
   def persistTables(spark: SparkSession, g: PropertyGraph,
       landmarks: Seq[String], dir: String): Unit = {

@@ -1376,6 +1376,59 @@ class GraphAlgoSpec extends AnyFunSuite {
     }
   }
 
+  test("landmark staleness under append: stale tables remain UPPER " +
+      "bounds; uncovered growth is detectable; new nodes never served") {
+    import graft.algo.{Landmarks, LocalGraph}
+    val landmarks = (0 until 40).map(i => (i * 17 + 1).toString)
+    val srcSet = (0 until 40).map(i => (i * 31 + 2).toString)
+    val dstSet = (0 until 40).map(i => (i * 43 + 3).toString)
+    graft.core.Scratch.withScratch("graft-landmark-stale") { dir =>
+      // tables from the PRE-append graph
+      Landmarks.persistTables(spark, pg, landmarks, dir)
+      // grow the graph (append-only: the slices are cumulative, so no
+      // edge cost ever increases — distances can only shrink)
+      val g2 = EdgeListIngest.append(spark, pg,
+        "/root/reference/Shenzhen_Edgelist_2.csv")
+      val lg2 = LocalGraph.fromProjection(g2.projection, Some(g2.nodes))
+      // a slice-2-only node: present after append, unknown to the tables
+      val oldIds = pg.nodes.select("nodeId").collect()
+        .map(_.getString(0)).toSet
+      val newIds = g2.nodes.select("nodeId").collect()
+        .map(_.getString(0)).filterNot(oldIds).take(3)
+      assert(newIds.nonEmpty, "append added no nodes — fixture drifted")
+      val served = Landmarks.serve(spark, dir,
+        srcSet ++ newIds, dstSet ++ newIds).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3))
+        .toMap
+      assert(served.nonEmpty)
+      // 1) est from stale tables ≥ exact distance on the APPENDED
+      // graph: est ≥ d_old(u,v) ≥ d_new(u,v) under append-only growth —
+      // stale tables degrade to looser bounds, never to wrong answers
+      def r4(x: Double): Double =
+        BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val exact = served.keySet.map(_._1).map { u =>
+        u -> LocalKernels.sssp(lg2, lg2.idOf(u))._1
+      }.toMap
+      served.foreach { case ((u, v), e) =>
+        val d = exact(u)(lg2.idOf(v))
+        assert(d.isFinite, s"$u->$v served but unreachable after append")
+        assert(e >= r4(d) - 1e-9,
+          s"stale est $e < appended-graph distance $d for $u->$v")
+      }
+      // 2) staleness is DETECTABLE: the stored node universe no longer
+      // covers the appended graph's nodes
+      val covered = spark.read.parquet(dir + "/fwd")
+        .select("node").distinct().count()
+      assert(covered < g2.nodes.count(),
+        "appended graph fully covered — staleness check has no signal")
+      // 3) fail-safe absence: nodes unknown to the tables never appear
+      // in served rows (no row beats a fabricated distance)
+      val servedNodes = served.keySet.flatMap(p => Set(p._1, p._2))
+      assert(newIds.forall(n => !servedNodes(n)),
+        s"slice-2-only node served from stale tables: $servedNodes")
+    }
+  }
+
   test("landmark estimates: all-absent landmark set returns an empty " +
       "typed frame") {
     val out = graft.algo.Landmarks.estimates(spark, pg,
