@@ -557,7 +557,21 @@ object Similarity {
     // rescore per beam round — and a checkpoint is released by the
     // harness's Checkpoints.release walk over the returned plan, where
     // a cache() would leak across queries
-    val vecs = emb.filter(col("embedding").isNotNull)
+    val allVecs = emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    // Clone-cluster collapse (the r9 simhash lesson in vector space):
+    // exact-duplicate embeddings — the dominant shape of real corpora
+    // (boilerplate, mirrored documents) — all land in the same buckets,
+    // so the |b|²-bounded adjacency build and every beam round pay
+    // QUADRATICALLY in clone count (measured ~50× cost at the 10×-clone
+    // sf1 sweep, round 12). Distinct vectors carry all the geometry:
+    // build and search over one representative per distinct embedding
+    // (min vec_id — pure equality grouping, no float hashing), expand
+    // the final beam back to member ids; cosine depends only on the
+    // vector, so members inherit the rep's score EXACTLY.
+    val vecs = allVecs.groupBy(col("embedding"))
+      .agg(min(col("vec_id")).as("vec_id"))
       .select(col("vec_id"), col("embedding"))
       .localCheckpoint(true)
     val nCent =
@@ -568,7 +582,7 @@ object Similarity {
     val cents = refined.collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
     refined.unpersist()
-    // ---- build: bucketed m-NN adjacency -----------------------------
+    // ---- build: bucketed m-NN adjacency (over distinct vectors) -----
     val probed = vecs.select(col("vec_id"), col("embedding"),
       explode(nearestCentroids(col("embedding"), cents, graphProbes))
         .as("cid"))
@@ -624,7 +638,18 @@ object Similarity {
         .filter(col("rn") <= efSearch)
         .select(col("q_id"), col("vec_id"))
     }
-    rescore(beam.filter(col("vec_id") =!= col("q_id")))
+    // ---- expand: rep beam → every member id sharing the embedding ---
+    // (members inherit the rep's exact cosine; the self-exclusion moves
+    // to the member id so a query's exact TWINS remain legitimate
+    // cosine-1.0 results while the query row itself never self-matches)
+    val members = allVecs
+      .join(vecs.select(col("vec_id").as("rep_id"), col("embedding")),
+        Seq("embedding"))
+      .select(col("rep_id"), col("vec_id").as("member_id"))
+    rescore(beam)
+      .join(members, col("vec_id") === col("rep_id"))
+      .select(col("q_id"), col("member_id").as("vec_id"), col("sim"))
+      .filter(col("vec_id") =!= col("q_id"))
       .withColumn("rn", row_number().over(Window.partitionBy("q_id")
         .orderBy(col("sim").desc, col("vec_id").asc)))
       .filter(col("rn") <= k)

@@ -884,21 +884,27 @@ object Llm {
              |      row_number() OVER (PARTITION BY c.q_id
              |        ORDER BY ${KmOracle.cos("e.embedding", "q.qv")} DESC,
              |          c.vec_id ASC) AS rn
-             |    FROM gc$t c JOIN embeddings e ON e.vec_id = c.vec_id
+             |    FROM gc$t c JOIN gdv e ON e.vec_id = c.vec_id
              |      JOIN gq q ON q.q_id = c.q_id) WHERE rn <= 24)""".stripMargin
         }
+        // gdv = one representative (min vec_id) per DISTINCT embedding:
+        // the engine's clone-cluster collapse, replayed as pure
+        // equality grouping (no float hashing); the final select
+        // expands rep beams back to member ids by embedding equality
         s"""WITH gq AS (SELECT vec_id AS q_id, embedding AS qv
            |  FROM embeddings WHERE vec_id < 8),
-           |${KmOracle.seeds(16)},
-           |${KmOracle.assign("seeds", "ga0")},
+           |gdv AS (SELECT min(vec_id) AS vec_id, embedding
+           |  FROM embeddings GROUP BY embedding),
+           |${KmOracle.seeds(16, "gdv")},
+           |${KmOracle.assign("seeds", "ga0", "gdv")},
            |${KmOracle.refine("ga0", "gr1")},
-           |${KmOracle.assign("gr1", "ga1")},
+           |${KmOracle.assign("gr1", "ga1", "gdv")},
            |gp AS (SELECT vec_id, embedding, c_id FROM (
            |    SELECT e.vec_id, e.embedding, s.c_id,
            |      row_number() OVER (PARTITION BY e.vec_id
            |        ORDER BY ${KmOracle.cos("e.embedding", "s.c_vec")} DESC,
            |          s.c_id DESC) AS rn
-           |    FROM embeddings e CROSS JOIN gr1 s) WHERE rn <= 2),
+           |    FROM gdv e CROSS JOIN gr1 s) WHERE rn <= 2),
            |gcand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
            |  FROM gp a JOIN gp b ON a.c_id = b.c_id
            |    AND a.vec_id <> b.vec_id),
@@ -927,16 +933,18 @@ object Llm {
            |  JOIN gent g ON g.centroid_id = p.c_id),
            |${beamRound(1)},
            |${beamRound(2)},
-           |${beamRound(3)}
+           |${beamRound(3)},
+           |grep_top AS (SELECT c.q_id, e.embedding,
+           |    ${KmOracle.cos("e.embedding", "q.qv")} AS sim
+           |  FROM gb3 c JOIN gdv e ON e.vec_id = c.vec_id
+           |    JOIN gq q ON q.q_id = c.q_id)
            |SELECT q_id, vec_id, round(sim, 6) AS cosine FROM (
-           |  SELECT c.q_id, c.vec_id,
-           |    ${KmOracle.cos("e.embedding", "q.qv")} AS sim,
-           |    row_number() OVER (PARTITION BY c.q_id
-           |      ORDER BY ${KmOracle.cos("e.embedding", "q.qv")} DESC,
-           |        c.vec_id ASC) AS rn
-           |  FROM gb3 c JOIN embeddings e ON e.vec_id = c.vec_id
-           |    JOIN gq q ON q.q_id = c.q_id
-           |  WHERE c.vec_id <> c.q_id) WHERE rn <= 10""".stripMargin
+           |  SELECT t.q_id, mem.vec_id, t.sim,
+           |    row_number() OVER (PARTITION BY t.q_id
+           |      ORDER BY t.sim DESC, mem.vec_id ASC) AS rn
+           |  FROM grep_top t JOIN embeddings mem
+           |    ON mem.embedding = t.embedding
+           |  WHERE mem.vec_id <> t.q_id) WHERE rn <= 10""".stripMargin
       }),
 
     // ---- k-means document clustering over embeddings ------------------

@@ -359,6 +359,38 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recallWide >= recall)
   }
 
+  test("graph ANN clone collapse: exact twins come back as cosine-1.0 " +
+      "members, never crowd the rep beam") {
+    import spark.implicits._
+    // base corpus + 4 id-shifted exact copies: every vector has 4 twins
+    // (the sf1 clone-cluster shape that cost ~50× before the collapse)
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val clones = (1 to 4).foldLeft(base) { (acc, i) =>
+      acc.union(base.select(col("vec_id") + lit(i * 100000L),
+        col("embedding")))
+    }
+    val qdf = base.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val got = Similarity.graphAnn(spark, clones, qdf, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    got.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.length === 10, s"query $q returned ${rs.length} rows")
+      // the query's own 4 twins are the top hits at exactly 1.0,
+      // smallest ids first; the query row itself never self-matches
+      val twins = rs.filter(_._3 === 1.0).map(_._2)
+      assert(twins.toSeq === (1 to 4).map(i => q + i * 100000L),
+        s"query $q twins: ${twins.toSeq}")
+      assert(!rs.exists(_._2 === q))
+      // beyond the twins, results match the clone-free search expanded:
+      // every non-twin hit's BASE id must appear in the base-corpus run
+      val baseRun = Similarity.graphAnn(spark, base, qdf, k = 10)
+        .collect().filter(_.getLong(0) == q).map(_.getLong(1)).toSet
+      rs.filter(_._3 < 1.0).foreach { case (_, v, _) =>
+        assert(baseRun(v % 100000L), s"query $q hit $v not in base run")
+      }
+    }
+  }
+
   test("IVF top-k recall vs brute force is reasonable on probed buckets") {
     val q = emb.filter(col("vec_id") === 7).select("embedding")
       .head().getSeq[Float](0).toIndexedSeq
