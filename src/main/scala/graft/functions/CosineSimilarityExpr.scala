@@ -222,14 +222,42 @@ object GraftFunctions {
   }
 
   private[graft] def buildNearestCentroids(
-      exprs: Seq[Expression]): Expression = {
+      exprs: Seq[Expression]): Expression =
+    NearestCentroidsExpr(exprs(0),
+      broadcastCentroidTable(new CentroidTable(
+        litLongSeq(exprs(1), "graft_nearest_centroids", "ids").toArray,
+        litFloatMatrix(exprs(2), "graft_nearest_centroids", "vecs")
+          .map(_.toArray).toArray)),
+      litPosInt(exprs(3), "graft_nearest_centroids", "n"))
+
+  /** graft_pq_encode(embedding, vecs, kCodes): the codebook is a literal
+    * array<array<float>> of M·kCodes rows (layout mIdx·kCodes + c), all
+    * the same width; it shares the centroid broadcast dedup/LRU cache,
+    * so re-analysis of the same codebook is free and training-loop
+    * iterations evict eagerly.
+    */
+  private[graft] def buildPqEncode(exprs: Seq[Expression]): Expression = {
+    val rows = litFloatMatrix(exprs(1), "graft_pq_encode", "vecs")
+    val kCodes = litPosInt(exprs(2), "graft_pq_encode", "kCodes")
+    require(rows.nonEmpty && rows.length % kCodes == 0,
+      s"graft_pq_encode: vecs rows (${rows.length}) must be a non-empty " +
+        s"multiple of kCodes ($kCodes)")
+    require(rows.forall(_.length == rows.head.length),
+      "graft_pq_encode: all codebook rows must have the same width")
     val table = new CentroidTable(
-      litLongSeq(exprs(1), "graft_nearest_centroids", "ids").toArray,
-      litFloatMatrix(exprs(2), "graft_nearest_centroids", "vecs")
-        .map(_.toArray).toArray)
+      Array.tabulate(rows.length)(_.toLong),
+      rows.map(_.toArray).toArray)
+    PqEncodeExpr(exprs(0), broadcastCentroidTable(table), kCodes)
+  }
+
+  /** Dedup + LRU-cached broadcast of a centroid/codebook table (see the
+    * lifecycle note above buildNearestCentroids' former inline body).
+    */
+  private[graft] def broadcastCentroidTable(table: CentroidTable)
+      : org.apache.spark.broadcast.Broadcast[CentroidTable] = {
     val sc = SparkSession.active.sparkContext
     val key = (sc.applicationId, digestOf(table))
-    val bc = centroidBroadcasts.synchronized {
+    centroidBroadcasts.synchronized {
       val it = centroidBroadcasts.entrySet().iterator()
       while (it.hasNext) {
         if (it.next().getKey._1 != sc.applicationId) it.remove()
@@ -250,8 +278,6 @@ object GraftFunctions {
         fresh
       }
     }
-    NearestCentroidsExpr(exprs(0), bc,
-      litPosInt(exprs(3), "graft_nearest_centroids", "n"))
   }
 
   // per-session registration guard: column builders call register() on
@@ -300,6 +326,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_nearest_centroids",
       buildNearestCentroids,
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pq_encode",
+      buildPqEncode,
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bloom_contains",

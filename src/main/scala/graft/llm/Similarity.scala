@@ -655,4 +655,149 @@ object Similarity {
       .filter(col("rn") <= k)
       .select(col("q_id"), col("vec_id"), round(col("sim"), 6).as("cosine"))
   }
+
+  // ---- product quantization (PQ + ADC; Jégou et al. 2011) -------------
+
+  /** Trained PQ codebook: `m` contiguous subspaces of `subDim` dims,
+    * `kCodes` codes per subspace; `books(mIdx * kCodes + c)` is the code
+    * vector. Driver-held by construction: m·kCodes rows of subDim floats
+    * (8·16·8 floats = 4 KB at the defaults) regardless of corpus size.
+    */
+  final case class PqModel(m: Int, kCodes: Int, subDim: Int,
+      books: IndexedSeq[Seq[Float]]) {
+    require(books.length == m * kCodes,
+      s"PqModel: expected ${m * kCodes} codebook rows, got ${books.length}")
+  }
+
+  private def pqEncodeCol(emb: Column, books: Seq[Seq[Float]],
+      kCodes: Int): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    graft.functions.GraftFunctions.register(spark)
+    call_function("graft_pq_encode", emb, typedLit(books), lit(kCodes))
+  }
+
+  /** Train a product quantizer: seed each subspace's codebook with the
+    * subvectors of the `kCodes` lowest-vec_id embeddings (the same
+    * deterministic seeding contract as seedCentroids), then run
+    * `refineIters` Lloyd iterations per subspace — encode (map-side
+    * argmin, broadcast codebook, NO shuffle) and replace each code with
+    * the element-wise mean of its assigned subvectors (CentroidMean,
+    * map-side combinable; a code with no members keeps its previous
+    * vector so the codebook never loses rows and indices never shift).
+    *
+    * Scale: each iteration is one corpus scan + one (m·corpus)-row
+    * aggregation keyed by (subspace, code) — m·kCodes groups, so the
+    * reduce side is trivially small; nothing corpus-sized is collected
+    * (the codebook itself is m·kCodes·subDim floats on the driver).
+    */
+  def pqTrain(spark: SparkSession, emb: DataFrame, kCodes: Int = 16,
+      subDim: Int = 8, refineIters: Int = 1): PqModel = {
+    require(kCodes >= 1 && subDim >= 1 && refineIters >= 0)
+    val seedRows = emb.orderBy(col("vec_id").asc).limit(kCodes)
+      .select("embedding").collect().map(_.getSeq[Float](0))
+    require(seedRows.nonEmpty, "pqTrain: empty corpus")
+    val dim = seedRows.head.length
+    require(dim % subDim == 0,
+      s"pqTrain: dim $dim not divisible by subDim $subDim")
+    val m = dim / subDim
+    val kEff = math.min(kCodes, seedRows.length)
+    var books: IndexedSeq[Seq[Float]] =
+      for (mi <- 0 until m; c <- 0 until kEff)
+        yield seedRows(c).slice(mi * subDim, (mi + 1) * subDim)
+    var it = 0
+    while (it < refineIters) {
+      val enc = emb.select(col("embedding"),
+        pqEncodeCol(col("embedding"), books, kEff).as("codes"))
+      val means = enc
+        .select(col("embedding"), posexplode(col("codes")).as(Seq("mi", "code")))
+        .select(col("mi"), col("code"),
+          slice(col("embedding"), col("mi") * subDim + 1, lit(subDim)).as("sub"))
+        .groupBy("mi", "code")
+        .agg(udaf(new graft.functions.CentroidMean(subDim),
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+          .apply(col("sub")).as("bv"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2)).toMap
+      books = for (mi <- 0 until m; c <- 0 until kEff)
+        yield means.getOrElse((mi, c), books(mi * kEff + c))
+      it += 1
+    }
+    PqModel(m, kEff, subDim, books)
+  }
+
+  /** Encode the corpus: (vec_id, codes array<int> of length m). One
+    * map-side scan with the broadcast codebook — the 100 TB contract:
+    * the encoded table is m small ints per vector (m bytes once stored),
+    * a 32× size reduction at 64-dim/8-subspace defaults, and it is what
+    * every ADC query scans INSTEAD of the float corpus.
+    */
+  def pqEncode(emb: DataFrame, model: PqModel): DataFrame =
+    emb.select(col("vec_id"),
+      pqEncodeCol(col("embedding"), model.books, model.kCodes).as("codes"))
+
+  /** Per-subspace ADC lookup tables for one query: micro-unit integer
+    * L2 distances from the query's subvector to every code vector
+    * (round(1e6·Σ(x−y)²) — integer so the per-row sum over subspaces is
+    * association-order-independent, the Scoring determinism contract).
+    */
+  def pqAdcTables(model: PqModel, query: Seq[Float]): Seq[Seq[Long]] =
+    for (mi <- 0 until model.m) yield
+      for (c <- 0 until model.kCodes) yield {
+        val bv = model.books(mi * model.kCodes + c)
+        var d = 0.0
+        var j = 0
+        while (j < model.subDim) {
+          val qj = if (mi * model.subDim + j < query.length)
+            query(mi * model.subDim + j).toDouble else 0.0
+          val diff = qj - bv(j).toDouble
+          d += diff * diff
+          j += 1
+        }
+        math.round(d * 1e6)
+      }
+
+  /** Asymmetric-distance top-k over the ENCODED corpus: per row, sum the
+    * per-subspace table entries selected by the codes (zip_with +
+    * integer fold — whole-stage-codegen'd builtins, no UDF) and take the
+    * k smallest. TakeOrderedAndProject: only k rows per partition reach
+    * the driver merge; the scan reads m ints per vector, never the
+    * embeddings. Approximate by construction (quantization error);
+    * recall is floor-pinned in the spec against exact brute force.
+    */
+  def pqAdcTopK(encoded: DataFrame, model: PqModel, query: Seq[Float],
+      k: Int): DataFrame = {
+    val tables = pqAdcTables(model, query)
+    encoded.select(col("vec_id"),
+        aggregate(
+          zip_with(col("codes"), typedLit(tables),
+            (c, t) => element_at(t, c + lit(1))),
+          lit(0L), (acc, x) => acc + x).as("adc_micro"))
+      .orderBy(col("adc_micro").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** ADC shortlist → exact re-rank, the production PQ serving shape:
+    * the corpus-sized scan touches ONLY the encoded table (m ints per
+    * vector); the float embeddings are read for just the `shortlist`
+    * surviving ids via a broadcast semi-join (shortlist is k-bounded —
+    * rows on the driver ≤ shortlist, never corpus-sized). The exact
+    * distance quantizes per-dimension to integer micro-units
+    * (round(diff²·1e6), the Scoring determinism idiom) so the 64-term
+    * sum is association-order-independent and DuckDB-replayable.
+    */
+  def pqAdcRerank(emb: DataFrame, encoded: DataFrame, model: PqModel,
+      query: Seq[Float], k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"pqAdcRerank: shortlist $shortlist < k $k")
+    val cand = pqAdcTopK(encoded, model, query, shortlist).select("vec_id")
+    emb.join(broadcast(cand), "vec_id")
+      .select(col("vec_id"),
+        aggregate(
+          zip_with(col("embedding"), typedLit(query), (x, y) => {
+            val d = x.cast("double") - y.cast("double")
+            round(d * d * lit(1e6), 0).cast("long")
+          }),
+          lit(0L), (acc, x) => acc + x).as("l2_micro"))
+      .orderBy(col("l2_micro").asc, col("vec_id").asc)
+      .limit(k)
+  }
 }

@@ -199,6 +199,65 @@ object Llm {
         |  FROM sbit GROUP BY 1)""".stripMargin
   }
 
+  /** DuckDB CTE chain replaying pqTrain(kCodes=16, subDim=8,
+    * refineIters=1) + pqEncode + the vec_id-0 ADC tables: seed subvector
+    * codebooks from the 16 lowest-vec_id embeddings, one Lloyd pass
+    * (first-min argmin, ties to the smaller code; empty codes keep the
+    * seed row), re-encode, and build per-(subspace, code) micro-unit
+    * query distances. Ends with `pqa1` (vec_id, mi, code), `pqt`
+    * (mi, code, dmicro), `pqq` (qv). Shared by llm_pq_topk and
+    * llm_pq_rerank so the two oracles cannot drift.
+    */
+  private object PqOracle {
+    // per-subspace L2: left-to-right double accumulation, the same
+    // association order as PqUtil.encode / pqAdcTables
+    private def l2(vecSlice: String, bv: String): String =
+      s"""list_sum(list_transform(list_zip($vecSlice, $bv),
+         |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+         |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))""".stripMargin
+    // encode every embedding against codebook `book`: first-min argmin
+    // per (vec, subspace) ≡ the kernel's d < bestD scan
+    private def encode(book: String, out: String): String =
+      s"""d_$out AS (SELECT e.vec_id, b.mi, b.code,
+         |    ${l2(s"list_slice(e.embedding, b.mi * 8 + 1, b.mi * 8 + 8)",
+                   "b.bv")} AS dist
+         |  FROM embeddings e CROSS JOIN $book b),
+         |$out AS (SELECT vec_id, mi, code FROM (
+         |    SELECT vec_id, mi, code, row_number() OVER (
+         |      PARTITION BY vec_id, mi ORDER BY dist ASC, code ASC) AS rn
+         |    FROM d_$out) WHERE rn = 1)""".stripMargin
+    val ctes: String =
+      s"""pqm AS (SELECT CAST(range AS INT) AS mi FROM range(0, 8)),
+         |pqseed AS (SELECT vec_id, embedding,
+         |    CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS INT) AS code
+         |  FROM (SELECT vec_id, embedding FROM embeddings
+         |        ORDER BY vec_id ASC LIMIT 16)),
+         |pqb0 AS (SELECT m.mi, s.code,
+         |    list_slice(s.embedding, m.mi * 8 + 1, m.mi * 8 + 8) AS bv
+         |  FROM pqseed s CROSS JOIN pqm m),
+         |${encode("pqb0", "pqa0")},
+         |pqr1 AS (SELECT mi, code, list(CAST(v AS FLOAT) ORDER BY pos) AS bv
+         |  FROM (
+         |    SELECT mi, code, pos, avg(CAST(val AS DOUBLE)) AS v FROM (
+         |      SELECT a.mi, a.code,
+         |        unnest(list_slice(e.embedding, a.mi * 8 + 1, a.mi * 8 + 8))
+         |          AS val,
+         |        generate_subscripts(
+         |          list_slice(e.embedding, a.mi * 8 + 1, a.mi * 8 + 8), 1)
+         |          AS pos
+         |      FROM pqa0 a JOIN embeddings e USING (vec_id))
+         |    GROUP BY 1, 2, 3) GROUP BY 1, 2),
+         |pqb1 AS (SELECT b.mi, b.code, coalesce(r.bv, b.bv) AS bv
+         |  FROM pqb0 b LEFT JOIN pqr1 r ON r.mi = b.mi AND r.code = b.code),
+         |${encode("pqb1", "pqa1")},
+         |pqq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |pqt AS (SELECT b.mi, b.code,
+         |    CAST(round(${l2(
+              s"list_slice((SELECT qv FROM pqq), b.mi * 8 + 1, b.mi * 8 + 8)",
+              "b.bv")} * 1e6, 0) AS BIGINT) AS dmicro
+         |  FROM pqb1 b)""".stripMargin
+  }
+
   /** DuckDB CTE chain recomputing the MinHash-LSH near-dup pipeline over
     * source table `src` (w=3, k=32, bands=8): md5-half double-hash
     * signatures (MinHashUtil.pairFromDigest), value-keyed band buckets,
@@ -945,6 +1004,59 @@ object Llm {
            |  FROM grep_top t JOIN embeddings mem
            |    ON mem.embedding = t.embedding
            |  WHERE mem.vec_id <> t.q_id) WHERE rn <= 10""".stripMargin
+      }),
+
+    // ---- product quantization + asymmetric-distance top-k -------------
+    // Train (seed subvector codebooks from the 16 lowest-vec_id
+    // embeddings, one Lloyd iteration per subspace), encode the corpus
+    // to m=8 int codes, then answer the vec_id-0 query by ADC over the
+    // ENCODED table only. Deterministic end to end: seed order, strict
+    // first-min argmin (ties → smaller code), empty codes keep their
+    // seed vector, and the ADC sum is micro-unit integers — so even the
+    // APPROXIMATE result is DuckDB-expressible and hash-verified.
+    GQ("llm_pq_topk",
+      (s, dir) => {
+        val emb = t(s, dir).embeddings
+        val model = Similarity.pqTrain(s, emb,
+          kCodes = 16, subDim = 8, refineIters = 1)
+        Similarity.pqAdcTopK(Similarity.pqEncode(emb, model), model,
+          queryVec(s, dir), k = 20)
+      },
+      Some {
+        s"""WITH ${PqOracle.ctes}
+           |SELECT a.vec_id, CAST(sum(t.dmicro) AS BIGINT) AS adc_micro
+           |FROM pqa1 a JOIN pqt t ON t.mi = a.mi AND t.code = a.code
+           |GROUP BY 1 ORDER BY adc_micro ASC, vec_id ASC LIMIT 20""".stripMargin
+      }),
+
+    // ADC shortlist (top-100 over the ENCODED table) → exact re-rank of
+    // only those 100 rows against the float embeddings — the production
+    // PQ serving shape: corpus scan touches m ints per vector, floats
+    // are read for the shortlist alone. Exact distances quantize
+    // per-dimension to micro-units so the 64-term sum is
+    // association-order-free on both engines.
+    GQ("llm_pq_rerank",
+      (s, dir) => {
+        val emb = t(s, dir).embeddings
+        val model = Similarity.pqTrain(s, emb,
+          kCodes = 16, subDim = 8, refineIters = 1)
+        Similarity.pqAdcRerank(emb, Similarity.pqEncode(emb, model), model,
+          queryVec(s, dir), k = 10, shortlist = 100)
+      },
+      Some {
+        s"""WITH ${PqOracle.ctes},
+           |pqsl AS (SELECT a.vec_id,
+           |    CAST(sum(t.dmicro) AS BIGINT) AS adc_micro
+           |  FROM pqa1 a JOIN pqt t ON t.mi = a.mi AND t.code = a.code
+           |  GROUP BY 1 ORDER BY adc_micro ASC, vec_id ASC LIMIT 100)
+           |SELECT e.vec_id, CAST(list_sum(list_transform(
+           |    list_zip(e.embedding, (SELECT qv FROM pqq)),
+           |    x -> CAST(round(
+           |        (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+           |      * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * 1e6, 0)
+           |      AS BIGINT))) AS BIGINT) AS l2_micro
+           |FROM pqsl s JOIN embeddings e USING (vec_id)
+           |ORDER BY l2_micro ASC, vec_id ASC LIMIT 10""".stripMargin
       }),
 
     // ---- k-means document clustering over embeddings ------------------

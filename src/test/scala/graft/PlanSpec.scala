@@ -106,6 +106,27 @@ class PlanSpec extends AnyFunSuite {
     assert(countShuffles(p) === 0, p)
   }
 
+  test("PQ: encode is map-side (zero shuffles), ADC top-k short-circuits, " +
+      "rerank broadcasts the shortlist") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val model = Similarity.pqTrain(spark, emb, kCodes = 16, subDim = 8)
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toIndexedSeq
+    val encoded = Similarity.pqEncode(emb, model)
+    // encode: broadcast codebook, pure projection over the scan
+    assert(countShuffles(plan(encoded)) === 0, plan(encoded))
+    // ADC top-k over the encoded ints: k rows per partition, no global sort
+    val pAdc = plan(Similarity.pqAdcTopK(encoded, model, q, 20))
+    assert(pAdc.contains("TakeOrderedAndProject"), pAdc)
+    assert(!pAdc.contains("Exchange rangepartitioning"), pAdc)
+    // rerank: the k-bounded shortlist joins back via broadcast, never a
+    // corpus-wide sort-merge
+    val pRer = plan(Similarity.pqAdcRerank(emb, encoded, model, q,
+      k = 10, shortlist = 100))
+    assert(pRer.contains("BroadcastHashJoin"), pRer)
+    assert(!pRer.contains("SortMergeJoin"), pRer)
+  }
+
   test("IVF probe over a centroid-partitioned index is a pruned scan") {
     // the 100 TB path end to end: write the assignment partitioned by
     // centroid_id, probe it — the nProbe isin filter must land in
