@@ -785,6 +785,53 @@ object Similarity {
     * (round(diff²·1e6), the Scoring determinism idiom) so the 64-term
     * sum is association-order-independent and DuckDB-replayable.
     */
+  /** IVF+PQ index build (FAISS IVFPQ with `by_residual=false` — one
+    * GLOBAL codebook instead of per-bucket residual encoding; the
+    * residual variant buys recall at the cost of per-centroid ADC
+    * tables, and the no-residual form is the documented FAISS option
+    * this engine pins because it keeps query tables bucket-independent
+    * and the whole pipeline DuckDB-replayable). One map-side projection
+    * computes BOTH the coarse assignment (inlined centroid argmax) and
+    * the PQ codes (broadcast codebook) — zero shuffles, one corpus scan.
+    * The index row is (vec_id, centroid_id, m small ints): written
+    * partitioned by centroid_id it is the 100 TB layout — a probe is a
+    * partition-pruned scan of m ints per vector, floats never read.
+    */
+  def ivfPqIndex(emb: DataFrame, cents: Seq[(Long, Seq[Float])],
+      model: PqModel): DataFrame =
+    emb.select(col("vec_id"),
+      element_at(nearestCentroids(col("embedding"), cents, 1), 1)
+        .as("centroid_id"),
+      pqEncodeCol(col("embedding"), model.books, model.kCodes).as("codes"))
+
+  /** IVF+PQ query: rank centroids for the query (cosine, the coarse
+    * quantizer's own metric — k_c rows, driver-side like ivfTopK), prune
+    * the index scan to the `nProbe` probed buckets, and ADC-rank the
+    * survivors by micro-unit integer L2. Candidate volume is
+    * Σ probed-bucket sizes ≈ n·nProbe/k_c (the IVF contract) and each
+    * candidate costs m table lookups over the encoded ints — the float
+    * corpus is never touched at query time. Approximate on two axes
+    * (bucket miss + quantization error), both deterministic, so the
+    * result hash-verifies against the composed KmOracle+PqOracle replay.
+    */
+  def ivfPqTopK(index: DataFrame, centroids: DataFrame, model: PqModel,
+      query: Seq[Float], k: Int, nProbe: Int = 4): DataFrame = {
+    val probeIds = centroids
+      .select(col("c_id"), cosine(col("c_vec"), litVec(query)).as("sim"))
+      .orderBy(col("sim").desc, col("c_id").asc)
+      .limit(nProbe)
+      .collect().map(_.getLong(0))
+    val tables = pqAdcTables(model, query)
+    index.filter(col("centroid_id").isin(probeIds: _*))
+      .select(col("vec_id"),
+        aggregate(
+          zip_with(col("codes"), typedLit(tables),
+            (c, t) => element_at(t, c + lit(1))),
+          lit(0L), (acc, x) => acc + x).as("adc_micro"))
+      .orderBy(col("adc_micro").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
   def pqAdcRerank(emb: DataFrame, encoded: DataFrame, model: PqModel,
       query: Seq[Float], k: Int, shortlist: Int): DataFrame = {
     require(shortlist >= k, s"pqAdcRerank: shortlist $shortlist < k $k")

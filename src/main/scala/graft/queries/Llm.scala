@@ -1059,6 +1059,48 @@ object Llm {
            |ORDER BY l2_micro ASC, vec_id ASC LIMIT 10""".stripMargin
       }),
 
+    // IVF+PQ composite (FAISS IVFPQ, by_residual=false): the coarse
+    // cosine quantizer (same seeds16 → refine → assign pipeline as
+    // llm_ann_ivf) prunes the scan to 4 probed buckets; PQ ADC ranks
+    // inside them over the encoded ints. Index build is ONE map-side
+    // projection (assignment argmax + codes); at scale the index is
+    // written partitioned by centroid_id so a probe is a partition-
+    // pruned scan of m ints per vector — floats never read at query
+    // time. Oracle = KmOracle coarse chain + PqOracle code chain,
+    // composed; both deterministic, so the doubly-approximate result
+    // hash-verifies.
+    GQ("llm_pq_ivf",
+      (s, dir) => {
+        val emb = t(s, dir).embeddings
+        val seeds = Similarity.seedCentroids(emb, 16)
+        val refined = Similarity.kmeansRefine(s,
+          Similarity.assignToCentroids(emb, seeds)).cache()
+        val cents = refined.collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+        val model = Similarity.pqTrain(s, emb,
+          kCodes = 16, subDim = 8, refineIters = 1)
+        Similarity.ivfPqTopK(Similarity.ivfPqIndex(emb, cents, model),
+          refined, model, queryVec(s, dir), k = 20, nProbe = 4)
+      },
+      Some {
+        s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+           |${KmOracle.seeds(16)},
+           |${KmOracle.assign("seeds", "asg0")},
+           |${KmOracle.refine("asg0", "ref1")},
+           |${KmOracle.assign("ref1", "asg1")},
+           |probes AS (SELECT c_id FROM (
+           |    SELECT r.c_id,
+           |      ${KmOracle.cos("r.c_vec", "(SELECT qv FROM q)")} AS sim
+           |    FROM ref1 r)
+           |  ORDER BY sim DESC, c_id ASC LIMIT 4),
+           |${PqOracle.ctes}
+           |SELECT a.vec_id, CAST(sum(t.dmicro) AS BIGINT) AS adc_micro
+           |FROM pqa1 a JOIN pqt t ON t.mi = a.mi AND t.code = a.code
+           |JOIN asg1 g ON g.vec_id = a.vec_id
+           |WHERE g.centroid_id IN (SELECT c_id FROM probes)
+           |GROUP BY 1 ORDER BY adc_micro ASC, a.vec_id ASC LIMIT 20""".stripMargin
+      }),
+
     // ---- k-means document clustering over embeddings ------------------
     GQ("llm_kmeans_clusters",
       (s, dir) => Similarity.kmeans(s, t(s, dir).embeddings, k = 8, iters = 3)

@@ -925,4 +925,48 @@ class LlmOpsSpec extends AnyFunSuite {
         k = 20, shortlist = 501).collect().map(_.getLong(0)).toSet
     assert(full === exact)
   }
+
+  test("IVF+PQ: probing every bucket ≡ full-corpus ADC; pruned probes " +
+      "agree with ADC restricted to the probed buckets; twin found") {
+    import spark.implicits._
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0)
+    val twin = Seq((888888L, q)).toDF("vec_id", "embedding")
+    val all = emb.select(col("vec_id"), col("embedding")).union(twin)
+    val refined = Similarity.kmeansRefine(spark,
+      Similarity.assignToCentroids(all, Similarity.seedCentroids(all, 16)))
+      .cache()
+    val cents = refined.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val model = Similarity.pqTrain(spark, all, kCodes = 16, subDim = 8,
+      refineIters = 1)
+    val index = Similarity.ivfPqIndex(all, cents, model).cache()
+    // nProbe = all buckets: bucket pruning drops nothing → ≡ pqAdcTopK
+    val everyBucket = Similarity.ivfPqTopK(index, refined, model, q,
+        k = 20, nProbe = 16).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val fullAdc = Similarity.pqAdcTopK(Similarity.pqEncode(all, model),
+        model, q, 20).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(everyBucket.toSeq === fullAdc.toSeq)
+    // nProbe = 4: result ≡ ADC over exactly the probed-bucket members
+    val probeIds = refined
+      .select(col("c_id"), Similarity.cosine(col("c_vec"),
+        typedLit(q.toSeq).cast("array<float>")).as("sim"))
+      .orderBy(col("sim").desc, col("c_id").asc).limit(4)
+      .collect().map(_.getLong(0))
+    val pruned = Similarity.ivfPqTopK(index, refined, model, q,
+        k = 20, nProbe = 4).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val members = index.filter(col("centroid_id").isin(probeIds: _*))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(pruned.forall(p => members.contains(p._1)))
+    val restricted = Similarity.pqAdcTopK(
+        Similarity.pqEncode(all, model).filter(col("vec_id")
+          .isin(members.toSeq: _*)), model, q, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pruned.toSeq === restricted.toSeq)
+    // the query's own vector and its exact twin share codes AND bucket,
+    // and the query's bucket is always the top-1 probe → both found
+    val ids = pruned.map(_._1).toSet
+    assert(ids.contains(0L) && ids.contains(888888L))
+    assert(pruned.toMap.apply(0L) === pruned.toMap.apply(888888L))
+  }
 }

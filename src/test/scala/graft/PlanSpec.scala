@@ -171,6 +171,42 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF+PQ probe over a partitioned index: pruned scan that never " +
+      "reads the float embeddings") {
+    // the composed 100 TB serving layout: (vec_id, centroid_id, codes)
+    // partitioned by centroid_id — a query must (a) prune to the probed
+    // partitions and (b) read only the m-int codes column, never a
+    // float vector
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val model = Similarity.pqTrain(spark, emb, kCodes = 16, subDim = 8)
+    val cents = Similarity.seedCentroids(emb, 16)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val centsDf = Similarity.seedCentroids(emb, 16)
+    val index = Similarity.ivfPqIndex(emb, cents, model)
+    assert(countShuffles(plan(index)) === 0, plan(index))  // one-scan build
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_index").toString
+    try {
+      sources.Sinks.parquet(index, dir, partitionBy = Seq("centroid_id"))
+      val onDisk = spark.read.parquet(dir)
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toIndexedSeq
+      val probed = Similarity.ivfPqTopK(onDisk, centsDf, model, q,
+        k = 5, nProbe = 2)
+      val p = plan(probed)
+      val scanLine = p.linesIterator
+        .find(_.contains("PartitionFilters")).getOrElse("")
+      assert(scanLine.contains("centroid_id"), p)
+      assert(!scanLine.matches(".*PartitionFilters: \\[\\].*"), p)
+      val readSchema = p.linesIterator
+        .find(_.contains("ReadSchema")).getOrElse("")
+      assert(!readSchema.contains("embedding"), p)
+      assert(readSchema.contains("codes"), p)
+      assert(probed.collect().nonEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("domainMixture: rates broadcast back, corpus never shuffled") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val p = plan(graft.llm.Curation.domainMixture(docs, "lang", 0.5))
