@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.GQ
@@ -1253,6 +1253,175 @@ object Relational {
       Some(s"""SELECT o_orderstatus, count(*) AS n_rows,
              |  CAST(sum($CentsSql) AS BIGINT) AS sum_cents,
              |  CAST(min(o_orderkey) AS BIGINT) AS min_key
-             |FROM orders GROUP BY 1""".stripMargin))
+             |FROM orders GROUP BY 1""".stripMargin)),
+
+    // ---- §2.4 sketch family: count-min heavy hitters (driver-pinned) --
+    // A DETERMINISTIC count-min sketch built as plain DataFrame algebra,
+    // so the whole sketch (not just its error bound, AccuracySpec) hash-
+    // oracles in DuckDB: depth 4 md5-derived hash rows over the document
+    // token stream, width 1024 (3 md5 hex digits = 0..4095, mod 1024 —
+    // exactly uniform). The sketch is 4×1024 integer cells produced by
+    // ONE map-side-combined groupBy (state per task is ≤ 4096 rows
+    // whatever the corpus size — the reason CMS exists at 100 TB); the
+    // estimate leg probes 20×4 cells through a broadcast join. Returned
+    // per heavy hitter: exact count and min-over-rows CMS estimate
+    // (est ≥ exact always; both engines replay the identical cells, so
+    // the approximate value itself hash-verifies, like llm_pq_topk).
+    GQ("q53_heavy_hitters",
+      (s, dir) => {
+        val depth = 4
+        val width = 1024
+        def bucket(j: Column, tok: Column): Column =
+          conv(substring(md5(concat(j.cast("string"), lit(":"), tok)),
+            1, 3), 16, 10).cast("long") % width
+        val toks = t(s, dir).documents
+          .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+          .filter(col("tok") =!= "")
+        val rows = explode(array((0 until depth).map(lit): _*)).as("j")
+        val sketch = toks.select(col("tok"), rows)
+          .select(col("j"), bucket(col("j"), col("tok")).as("bucket"))
+          .groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
+        val top = toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+          .orderBy(col("n_exact").desc, col("tok").asc).limit(20)
+        top.select(col("tok"), col("n_exact"), rows)
+          .withColumn("bucket", bucket(col("j"), col("tok")))
+          .join(broadcast(sketch), Seq("j", "bucket"))
+          .groupBy("tok", "n_exact").agg(min(col("cnt")).as("n_est"))
+          .select("tok", "n_exact", "n_est")
+      },
+      Some("""WITH hx(i, p) AS (SELECT * FROM (VALUES (1, 256), (2, 16),
+             |    (3, 1)) v(i, p)),
+             |hd(j) AS (SELECT * FROM (VALUES (0), (1), (2), (3)) v(j)),
+             |ht AS MATERIALIZED (
+             |  SELECT tok FROM (SELECT unnest(regexp_split_to_array(
+             |      lower(trim(text)), '\s+')) AS tok FROM documents)
+             |  WHERE tok <> ''),
+             |hsk AS MATERIALIZED (
+             |  SELECT j, bucket, count(*) AS cnt FROM (
+             |    SELECT d.j,
+             |      CAST((SELECT sum((strpos('0123456789abcdef',
+             |          substr(md5(CAST(d.j AS VARCHAR) || ':' || t.tok),
+             |            x.i, 1)) - 1) * x.p) FROM hx x) % 1024 AS INT)
+             |        AS bucket
+             |    FROM ht t CROSS JOIN hd d)
+             |  GROUP BY 1, 2),
+             |htop AS MATERIALIZED (
+             |  SELECT tok, count(*) AS n_exact FROM ht GROUP BY 1
+             |  ORDER BY n_exact DESC, tok ASC LIMIT 20),
+             |hprobe AS (
+             |  SELECT t.tok, t.n_exact, d.j,
+             |    CAST((SELECT sum((strpos('0123456789abcdef',
+             |        substr(md5(CAST(d.j AS VARCHAR) || ':' || t.tok),
+             |          x.i, 1)) - 1) * x.p) FROM hx x) % 1024 AS INT)
+             |      AS bucket
+             |  FROM htop t CROSS JOIN hd d)
+             |SELECT p.tok, CAST(p.n_exact AS BIGINT) AS n_exact,
+             |  CAST(min(s.cnt) AS BIGINT) AS n_est
+             |FROM hprobe p
+             |JOIN hsk s ON s.j = p.j AND s.bucket = p.bucket
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // ---- bucketed co-located join, driver-pinned (BucketingSpec's
+    // plan contract promoted to a ★ row). Both fact tables are written
+    // bucketed+sorted on the join key; the join AND the per-orderkey
+    // aggregate then run with ZERO shuffle (outputPartitioning of the
+    // bucketed scans already satisfies both) — the layout that turns a
+    // repeated 100 TB orders⋈lineitem from a full-network shuffle per
+    // query into a local merge per bucket. The query SELF-VERIFIES the
+    // plan (throws → red row if an Exchange sneaks under the per-key
+    // agg) and returns integer-cents aggregates collected to an inert
+    // LocalRelation before the scratch tables are dropped.
+    GQ("q54_bucketed_join",
+      (s, dir) => {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        val orders = t(s, dir).orders
+        val lineitem = t(s, dir).lineitem
+        val ot = "graft_q54_orders"
+        val lt = "graft_q54_lineitem"
+        withScratch("graft-bucketed") { scratch =>
+          try {
+            orders.select(col("o_orderkey"), col("o_orderstatus"))
+              .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+              .option("path", s"$scratch/b_orders").mode("overwrite")
+              .saveAsTable(ot)
+            lineitem.select(col("l_orderkey"),
+                (col("l_quantity").cast("decimal(15,2)") * 100)
+                  .cast("long").as("qty_cents"))
+              .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+              .option("path", s"$scratch/b_lineitem").mode("overwrite")
+              .saveAsTable(lt)
+            val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            val rows = try {
+              s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+              val perKey = s.table(ot)
+                .join(s.table(lt), col("o_orderkey") === col("l_orderkey"))
+                .groupBy(col("o_orderkey"), col("o_orderstatus"))
+                .agg(count(lit(1)).as("n"), sum(col("qty_cents")).as("q"))
+              val plan = perKey.queryExecution.executedPlan.toString
+              require(!plan.contains("Exchange hashpartitioning"),
+                s"bucketed join+agg must be shuffle-free:\n$plan")
+              perKey.groupBy(col("o_orderstatus"))
+                .agg(count(lit(1)).as("n_orders"), sum(col("n")).as("n_lines"),
+                  sum(col("q")).as("qty_cents"))
+                .collect()
+                .map(r => Row(r.getString(0), r.getLong(1), r.getLong(2),
+                  r.getLong(3)))
+                .sortBy(_.getString(0)).toIndexedSeq
+            } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            localResult(s, StructType(Seq(
+              StructField("o_orderstatus", StringType),
+              StructField("n_orders", LongType),
+              StructField("n_lines", LongType),
+              StructField("qty_cents", LongType))), rows)
+          } finally {
+            s.sql(s"DROP TABLE IF EXISTS $ot")
+            s.sql(s"DROP TABLE IF EXISTS $lt")
+          }
+        }
+      },
+      Some("""WITH pk AS (
+             |  SELECT o.o_orderkey, o.o_orderstatus, count(*) AS n,
+             |    sum(CAST(CAST(l.l_quantity AS DECIMAL(15,2)) * 100
+             |      AS BIGINT)) AS q
+             |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+             |  GROUP BY 1, 2)
+             |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+             |  CAST(sum(n) AS BIGINT) AS n_lines,
+             |  CAST(sum(q) AS BIGINT) AS qty_cents
+             |FROM pk GROUP BY 1""".stripMargin)),
+
+    // ---- explicit skew mitigation, driver-pinned (SkewSpec's
+    // equivalence promoted to a ★ row): saltedJoin spreads each part
+    // key's lineitem rows over 8 (key, salt) partitions with the small
+    // side replicated 8×, then twoPhaseAgg rolls up to the 150-value
+    // p_type key via a salted partial — the two tools for the hot key
+    // AQE's runtime splitting can't fix (a single key exceeding one
+    // executor even after split). Semantics are pinned ≡ the plain
+    // join+group by the oracle, which knows nothing of salts.
+    GQ("q55_skew_salted",
+      (s, dir) => {
+        val li = t(s, dir).lineitem.select(col("l_orderkey"),
+          col("l_linenumber"), col("l_partkey"),
+          (col("l_extendedprice").cast("decimal(15,2)") * 100)
+            .cast("long").as("price_cents"))
+        val dim = t(s, dir).part
+          .select(col("p_partkey").as("l_partkey"), col("p_type"))
+        val joined = graft.core.Skew.saltedJoin(li, dim,
+          keys = Seq("l_partkey"), leftUniqueCol = "l_orderkey",
+          saltFactor = 8)
+        graft.core.Skew.twoPhaseAgg(joined, keys = Seq("p_type"),
+          uniqueCol = "l_linenumber",
+          partial = Seq(count(lit(1)).as("pn"),
+            sum(col("price_cents")).as("pc")),
+          fin = Seq(sum(col("pn")).as("n_lines"),
+            sum(col("pc")).as("price_cents")),
+          saltFactor = 16)
+      },
+      Some("""SELECT p.p_type, CAST(count(*) AS BIGINT) AS n_lines,
+             |  CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(15,2)) * 100
+             |    AS BIGINT)) AS BIGINT) AS price_cents
+             |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+             |GROUP BY 1""".stripMargin))
   )
 }

@@ -60,6 +60,31 @@ class AccuracySpec extends AnyFunSuite {
     }
   }
 
+  test("q53 deterministic CMS: overestimate-only, ε-bounded, repartition-stable") {
+    // The driver-pinned DataFrame-native sketch (depth 4, width 1024):
+    // min-over-rows estimates can only collide UP (est ≥ exact, the CMS
+    // guarantee), and each row's collision mass is bounded by the
+    // stream size over the width (assert 3× slack — the Markov bound
+    // holds per row, the min tightens it).
+    val rows = SparkEntry.queries("q53_heavy_hitters")(spark, sf).collect()
+    assert(rows.length === 20)
+    val n = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "").count()
+    rows.foreach { r =>
+      val exact = r.getLong(1); val est = r.getLong(2)
+      assert(est >= exact, s"${r.getString(0)}: est=$est < exact=$exact")
+      assert(est <= exact + 3L * n / 1024 + 1,
+        s"${r.getString(0)}: est=$est exact=$exact n=$n")
+    }
+    // determinism: the sketch and the top-20 set must not depend on the
+    // physical partitioning of the token stream
+    val again = SparkEntry.queries("q53_heavy_hitters")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again === rows.map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2))).toSet)
+  }
+
   test("k-means refinement preserves centroid count and improves spread") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val seeds = Similarity.seedCentroids(emb, 8)

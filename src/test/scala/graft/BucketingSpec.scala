@@ -53,4 +53,28 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("q54 driver query equals the shuffled formulation (and self-pins its plan)") {
+    // q54 throws if an Exchange appears under its join+per-key agg, so
+    // invoking it at all exercises the plan pin; here pin the VALUES
+    // against the plain shuffled join the oracle uses
+    val got = SparkEntry.queries("q54_bucketed_join")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val l = spark.read.parquet(s"$sf/lineitem.parquet")
+    val plain = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey", "o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum((col("l_quantity").cast("decimal(15,2)") * 100).cast("long"))
+          .as("q"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), sum("n").as("n_lines"),
+        sum("q").as("qty_cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === plain)
+  }
 }

@@ -38,4 +38,20 @@ class SkewSpec extends AnyFunSuite {
       .toSet
     assert(direct === two)
   }
+
+  test("q55 salted join + two-phase agg equals the plain join + group-by") {
+    // the driver query composes both tools; pin it against the unsalted
+    // formulation the oracle uses
+    val got = SparkEntry.queries("q55_skew_salted")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val p = spark.read.parquet(s"$sf/part.parquet")
+    val plain = li.join(p, col("p_partkey") === col("l_partkey"))
+      .groupBy("p_type")
+      .agg(count(lit(1)).as("n"),
+        sum((col("l_extendedprice").cast("decimal(15,2)") * 100)
+          .cast("long")).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === plain)
+  }
 }
