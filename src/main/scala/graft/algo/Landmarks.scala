@@ -167,6 +167,61 @@ object Landmarks {
     * kernel on the shared dense index space (LocalGraph.reverse — no id
     * remapping); driver cost O(|L|·(m + n log n)).
     */
+  /** Averaged landmark potentials for BIDIRECTIONAL ALT
+    * (LocalKernels.bidirectionalAlt — Goldberg–Harrelson's full form;
+    * the unidirectional altHeuristic is its pb = 0 special case).
+    *
+    * From the same |L| forward + |L| reverse SSSP tables, two families
+    * of lower bounds:
+    *   ht(v) ≤ d(v → t): max_L (d(v,L) − d(t,L),  d(L,t) − d(L,v), 0)
+    *   hs(v) ≤ d(s → v): max_L (d(L,v) − d(L,s),  d(s,L) − d(v,L), 0)
+    * Each family is a max of FEASIBLE potentials (every term satisfies
+    * π(u) ≤ w + π(v) along forward edges via the triangle inequality,
+    * and max preserves it), so the averaged potential
+    *   pf(v) = (ht(v) − hs(v)) / 2,  pb = −pf
+    * leaves BOTH directions' reduced edge costs nonnegative:
+    *   w − pf(u) + pf(v) = ½[(w − ht(u) + ht(v)) + (w + hs(u) − hs(v))]
+    * with each bracket ≥ 0 — the reason pf and pb must be averaged
+    * rather than used raw (raw ht forward + raw hs backward are
+    * individually admissible but mutually inconsistent, and the
+    * meet-in-the-middle stop rule would be unsound).
+    *
+    * ∞ handling: ht(v) = ∞ means a landmark PROVES v cannot reach t;
+    * hs(v) = ∞ proves s cannot reach v. Either way v is off every s→t
+    * path, so it lands in the returned prune mask instead of the
+    * potential (NaN terms — ∞ − ∞ — say nothing and are skipped,
+    * exactly as in altHeuristic).
+    */
+  def bidiAltPotentials(lg: LocalGraph, landmarkIds: Seq[Int],
+      source: Int, target: Int): (Array[Double], Array[Boolean]) = {
+    val rev = LocalGraph.reverse(lg)
+    val fwd = landmarkIds.map(l => LocalKernels.sssp(lg, l)._1).toArray
+    val toL = landmarkIds.map(l => LocalKernels.sssp(rev, l)._1).toArray
+    val pf = new Array[Double](lg.n)
+    val prune = new Array[Boolean](lg.n)
+    var v = 0
+    while (v < lg.n) {
+      var ht = 0.0
+      var hs = 0.0
+      var i = 0
+      while (i < fwd.length) {
+        val a = toL(i)(v) - toL(i)(target)    // d(v,t) ≥ d(v,L) − d(t,L)
+        if (!a.isNaN && a > ht) ht = a
+        val b = fwd(i)(target) - fwd(i)(v)    // d(v,t) ≥ d(L,t) − d(L,v)
+        if (!b.isNaN && b > ht) ht = b
+        val c = fwd(i)(v) - fwd(i)(source)    // d(s,v) ≥ d(L,v) − d(L,s)
+        if (!c.isNaN && c > hs) hs = c
+        val d = toL(i)(source) - toL(i)(v)    // d(s,v) ≥ d(s,L) − d(v,L)
+        if (!d.isNaN && d > hs) hs = d
+        i += 1
+      }
+      if (ht.isInfinite || hs.isInfinite) prune(v) = true
+      else pf(v) = (ht - hs) / 2
+      v += 1
+    }
+    (pf, prune)
+  }
+
   def altHeuristic(lg: LocalGraph, landmarkIds: Seq[Int], target: Int)
       : Array[Double] = {
     val rev = LocalGraph.reverse(lg)

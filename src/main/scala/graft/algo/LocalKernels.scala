@@ -204,7 +204,39 @@ object LocalKernels {
     * Dijkstra and ALT).
     */
   def bidirectional(g: LocalGraph, rev: LocalGraph, source: Int,
-      target: Int): (Option[PathResult], Int) = {
+      target: Int): (Option[PathResult], Int) =
+    bidiCore(g, rev, source, target, pf = null, prune = null)
+
+  /** Bidirectional ALT (Goldberg–Harrelson's full form): meet-in-the-
+    * middle search steered by an AVERAGED landmark potential. `pf` is
+    * the forward potential (Landmarks.bidiAltPotentials): the forward
+    * frontier orders by dF(v) + pf(v), the backward one by dB(v) − pf(v)
+    * (pb = −pf — the symmetric choice that makes BOTH reduced edge-cost
+    * systems nonnegative, so each frontier is a plain Dijkstra in its
+    * reduced space). The potentials cancel node-wise
+    * (kF(x) + kB(x) = dF(x) + dB(x)), so the plain stop rule
+    * topF + topB ≥ μ carries over to the REAL candidate cost μ — the
+    * reduced-space rule shifted by the constant pf(t) − pf(s) on both
+    * sides. `prune` marks nodes a landmark PROVES off every s→t path
+    * (cannot reach t, or unreachable from s); neither frontier relaxes
+    * into them. Exact ≡ Dijkstra; combines ALT's directed pruning with
+    * the meet-in-the-middle scope cut.
+    */
+  def bidirectionalAlt(g: LocalGraph, rev: LocalGraph, source: Int,
+      target: Int, pf: Array[Double], prune: Array[Boolean])
+      : (Option[PathResult], Int) = {
+    if (prune(source) || prune(target))
+      return (
+        if (source == target)
+          Some(PathResult(Array(source), Array(0.0), 0.0))
+        else None,
+        0)
+    bidiCore(g, rev, source, target, pf, prune)
+  }
+
+  private def bidiCore(g: LocalGraph, rev: LocalGraph, source: Int,
+      target: Int, pf: Array[Double], prune: Array[Boolean])
+      : (Option[PathResult], Int) = {
     if (source == target)
       return (Some(PathResult(Array(source), Array(0.0), 0.0)), 0)
     val n = g.n
@@ -216,34 +248,45 @@ object LocalKernels {
     val setB = new Array[Boolean](n)
     val pqF = new MinHeap(64)
     val pqB = new MinHeap(64)
-    distF(source) = 0.0; pqF.add(0.0, source)
-    distB(target) = 0.0; pqB.add(0.0, target)
+    // heap keys: dist + sign·pf (sign = +1 forward, −1 backward); with
+    // pf = null both searches run on plain distances. The node-wise
+    // cancellation kF(x) + kB(x) = dF(x) + dB(x) keeps the stop rule in
+    // REAL μ space either way (see bidirectionalAlt's doc).
+    @inline def keyOf(d: Double, v: Int, sign: Int): Double =
+      if (pf == null) d else d + sign * pf(v)
+    distF(source) = 0.0; pqF.add(keyOf(0.0, source, 1), source)
+    distB(target) = 0.0; pqB.add(keyOf(0.0, target, -1), target)
     var mu = Double.PositiveInfinity
     var meet = -1
     var settled = 0
-    var topF = 0.0
-    var topB = 0.0
+    var topF = keyOf(0.0, source, 1)
+    var topB = keyOf(0.0, target, -1)
     // expand one side: settle its heap-min, relax, update μ on contact
     def step(gr: LocalGraph, pq: MinHeap, dist: Array[Double],
-        pred: Array[Int], set: Array[Boolean], other: Array[Double])
-        : Double = {
+        pred: Array[Int], set: Array[Boolean], other: Array[Double],
+        sign: Int): Double = {
       val u = pq.poll()
-      val d = pq.lastPrio
+      val k = pq.lastPrio
       if (!set(u)) {
         set(u) = true
         settled += 1
+        val d = dist(u)
         var e = gr.offsets(u)
         while (e < gr.offsets(u + 1)) {
           val v = gr.targets(e)
-          val nd = d + gr.costs(e)
-          if (nd < dist(v)) { dist(v) = nd; pred(v) = u; pq.add(nd, v) }
-          if (other(v).isFinite && nd + other(v) < mu) {
-            mu = nd + other(v); meet = v
+          if (prune == null || !prune(v)) {
+            val nd = d + gr.costs(e)
+            if (nd < dist(v)) {
+              dist(v) = nd; pred(v) = u; pq.add(keyOf(nd, v, sign), v)
+            }
+            if (other(v).isFinite && nd + other(v) < mu) {
+              mu = nd + other(v); meet = v
+            }
           }
           e += 1
         }
       }
-      d
+      k
     }
     var done = false
     while (!done && !(pqF.isEmpty && pqB.isEmpty)) {
@@ -251,9 +294,9 @@ object LocalKernels {
       // contributing but the other may still improve μ until its top
       // passes the bound
       if (pqB.isEmpty || (!pqF.isEmpty && topF <= topB))
-        topF = step(g, pqF, distF, predF, setF, distB)
+        topF = step(g, pqF, distF, predF, setF, distB, 1)
       else
-        topB = step(rev, pqB, distB, predB, setB, distF)
+        topB = step(rev, pqB, distB, predB, setB, distF, -1)
       if (topF + topB >= mu) done = true
     }
     if (meet < 0) (None, settled)

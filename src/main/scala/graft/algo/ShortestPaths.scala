@@ -145,6 +145,40 @@ object ShortestPaths {
       round(max(col("cost")), 4).as("total_cost"))
   }
 
+  /** Bidirectional ALT (Goldberg–Harrelson's full form): the g33
+    * landmark bounds and the g35 meet-in-the-middle scope cut COMBINED —
+    * averaged potentials steer both frontiers toward each other
+    * (Landmarks.bidiAltPotentials) while landmark-proved dead nodes are
+    * pruned outright. Exact ≡ Dijkstra; the expansion count lands below
+    * both parents on the canonical pair (GraphAlgoSpec pins the
+    * ordering). Above the local threshold the distributed frontier
+    * kernel subsumes the scope cut as in the other summaries.
+    */
+  def bidiAltSummary(spark: SparkSession, g: PropertyGraph,
+      src: String, dst: String, landmarks: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val resOpt: Option[(Seq[String], Seq[Double])] =
+      if (useLocal(g)) {
+        val lg = localGraph(g)
+        val present = landmarks.filter(l => lg.index.containsKey(l))
+          .map(lg.idOf)
+        val (pf, prune) = Landmarks.bidiAltPotentials(lg, present,
+          lg.idOf(src), lg.idOf(dst))
+        LocalKernels.bidirectionalAlt(lg, LocalGraph.reverse(lg),
+            lg.idOf(src), lg.idOf(dst), pf, prune)._1
+          .map(p => (p.nodes.toSeq.map(lg.ids), p.costs.toSeq))
+      } else pathResult(spark, g, src, dst, astar = false)
+    val pathDf = resOpt match {
+      case None =>
+        Seq.empty[(Int, String, Double)].toDF("seq", "node_id", "cost")
+      case Some((nodes, costs)) =>
+        nodes.indices.map(i => (i, nodes(i), costs(i)))
+          .toDF("seq", "node_id", "cost")
+    }
+    pathDf.agg(count(col("node_id")).as("path_node_number"),
+      round(max(col("cost")), 4).as("total_cost"))
+  }
+
   private def pathResult(spark: SparkSession, g: PropertyGraph, src: String,
       dst: String, astar: Boolean): Option[(Seq[String], Seq[Double])] = {
     if (useLocal(g)) {

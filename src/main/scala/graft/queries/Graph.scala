@@ -1583,6 +1583,23 @@ object Graph {
               |       (SELECT round(dist, 4) FROM fin WHERE node = '$Dst')
               |         AS total_cost""".stripMargin)),
 
+    // Bidirectional ALT — g33's landmark steering and g35's meet-in-the-
+    // middle scope cut COMBINED (Goldberg–Harrelson's full form):
+    // averaged potentials pf = (ht − hs)/2 keep both frontiers' reduced
+    // costs nonnegative, so the plain stop rule stays sound while both
+    // searches are pulled toward each other AND landmark-proved dead
+    // nodes are pruned outright. Exact ≡ Dijkstra (same oracle as
+    // g3/g5/g33/g35); expansions below BOTH parents pinned by spec.
+    GQ("g37_bidi_alt",
+      (s, _) => {
+        val landmarks = (0 until 40).map(i => (i * 17 + 1).toString)
+        ShortestPaths.bidiAltSummary(s, g(s), Src, Dst, landmarks)
+      },
+      sliceOracle(s"""${Oracle.singleSourcePrefix}
+              |SELECT (SELECT count(*) FROM w) AS path_node_number,
+              |       (SELECT round(dist, 4) FROM fin WHERE node = '$Dst')
+              |         AS total_cost""".stripMargin)),
+
     // Landmark tables PERSISTED and SERVED — g29's precompute-then-
     // lookup contract made durable (the production shape of the
     // reference's APSP call site, neo4j-code.txt:56-77): the |L|·|V|

@@ -1376,6 +1376,88 @@ class GraphAlgoSpec extends AnyFunSuite {
     }
   }
 
+  test("bidirectional ALT: exact optimum with fewer expansions than " +
+      "either parent; feasible averaged potential; ≡ dijkstra on random " +
+      "digraphs") {
+    import graft.algo.{Landmarks, LocalGraph}
+    val rev = LocalGraph.reverse(lg)
+    val s = lg.idOf("2022"); val t = lg.idOf("2802")
+    val lms = (0 until 40).map(i => (i * 17 + 1).toString)
+      .filter(l => lg.index.containsKey(l)).map(lg.idOf)
+    val (pf, prune) = Landmarks.bidiAltPotentials(lg, lms, s, t)
+    // feasibility audit: BOTH directions' reduced edge costs must be
+    // nonnegative (up to IEEE slack) — the soundness condition for the
+    // meet-in-the-middle stop rule under a potential
+    var u = 0
+    while (u < lg.n) {
+      var e = lg.offsets(u)
+      while (e < lg.offsets(u + 1)) {
+        val v = lg.targets(e)
+        if (!prune(u) && !prune(v)) {
+          val red = lg.costs(e) - pf(u) + pf(v)
+          assert(red >= -1e-7, s"edge $u->$v reduced cost $red")
+        }
+        e += 1
+      }
+      u += 1
+    }
+    val (res, exp) = LocalKernels.bidirectionalAlt(lg, rev, s, t, pf, prune)
+    val wsD = new LocalKernels.Workspace(lg.n)
+    val dij = LocalKernels.dijkstra(lg, s, t, wsD)
+    assert(res.get.totalCost === dij.get.totalCost)
+    assert(res.get.nodes.toSeq === dij.get.nodes.toSeq)
+    // scope: below blind bidirectional AND below unidirectional ALT on
+    // the canonical pair (the combination beats both parents)
+    val bdExp = LocalKernels.bidirectional(lg, rev, s, t)._2
+    val altExp = LocalKernels.astarTable(lg, s, t,
+      Landmarks.altHeuristic(lg, lms, t))._2
+    info(s"expansions 2022->2802: bidiALT=$exp bidirectional=$bdExp " +
+      s"ALT=$altExp dijkstra=${wsD.nSettled}")
+    assert(exp < bdExp, s"bidiALT $exp !< bidirectional $bdExp")
+    assert(exp < altExp, s"bidiALT $exp !< ALT $altExp")
+    // degenerate: identical endpoints
+    assert(LocalKernels.bidirectionalAlt(lg, rev, s, s, pf, prune)
+      ._1.get.totalCost === 0.0)
+    // ≡ dijkstra on random digraphs incl. unreachable pairs (landmark
+    // sets chosen with no reachability guarantees — the prune/∞ logic
+    // must stay fail-safe, and stitched hops must be real edges)
+    for (seed <- Seq(17, 47)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40 + rnd.nextInt(30)
+      val pairs = (for (_ <- 0 until 200) yield
+        (s"v${rnd.nextInt(n)}", s"v${rnd.nextInt(n)}",
+          1.0 + rnd.nextInt(9))).filter(e => e._1 != e._2)
+      import spark.implicits._
+      val proj = pairs.toDF("src", "dst", "cost")
+        .groupBy("src", "dst")
+        .agg(org.apache.spark.sql.functions.min("cost").as("cost"))
+      val rg = LocalGraph.fromProjection(proj, None)
+      val rrev = LocalGraph.reverse(rg)
+      val rlms = (0 until rg.n by 7).take(6)
+      for (_ <- 0 until 40) {
+        val a = rnd.nextInt(rg.n); val b = rnd.nextInt(rg.n)
+        val (rpf, rprune) = Landmarks.bidiAltPotentials(rg, rlms, a, b)
+        val got = LocalKernels.bidirectionalAlt(rg, rrev, a, b, rpf, rprune)._1
+        val want = if (a == b)
+          Some(LocalKernels.PathResult(Array(a), Array(0.0), 0.0))
+        else LocalKernels.dijkstra(rg, a, b)
+        assert(got.map(_.totalCost) === want.map(_.totalCost),
+          s"seed=$seed $a->$b")
+        got.foreach { p =>
+          p.nodes.toSeq.sliding(2).filter(_.size == 2).foreach { hop =>
+            val Seq(x, y) = hop
+            var k = rg.offsets(x); var ok = false
+            while (k < rg.offsets(x + 1) && !ok) {
+              if (rg.targets(k) == y) ok = true
+              k += 1
+            }
+            assert(ok, s"seed=$seed $a->$b: $x->$y not an edge")
+          }
+        }
+      }
+    }
+  }
+
   test("landmark staleness under append: stale tables remain UPPER " +
       "bounds; uncovered growth is detectable; new nodes never served") {
     import graft.algo.{Landmarks, LocalGraph}
