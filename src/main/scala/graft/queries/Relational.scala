@@ -30,6 +30,49 @@ object Relational {
 
   private def t(s: SparkSession, dir: String) = Tables(s, dir)
 
+  /** DuckDB replay of operators.CountMin over the documents table —
+    * hash rows via positional md5 hex-digit parsing (the SimOracle /
+    * ClassifierOracle idiom), sketch cells as exact integer counts,
+    * estimates as min over the probed cells. Shared verbatim by
+    * q53_heavy_hitters (batch) and stream_heavy_hitters (the streamed
+    * sketch) — one oracle pins batch ≡ streamed ≡ SQL, so the two
+    * driver rows cannot drift.
+    */
+  private[queries] object CmsOracle {
+    val sql: String =
+      """WITH hx(i, p) AS (SELECT * FROM (VALUES (1, 256), (2, 16),
+        |    (3, 1)) v(i, p)),
+        |hd(j) AS (SELECT * FROM (VALUES (0), (1), (2), (3)) v(j)),
+        |ht AS MATERIALIZED (
+        |  SELECT tok FROM (SELECT unnest(regexp_split_to_array(
+        |      lower(trim(text)), '\s+')) AS tok FROM documents)
+        |  WHERE tok <> ''),
+        |hsk AS MATERIALIZED (
+        |  SELECT j, bucket, count(*) AS cnt FROM (
+        |    SELECT d.j,
+        |      CAST((SELECT sum((strpos('0123456789abcdef',
+        |          substr(md5(CAST(d.j AS VARCHAR) || ':' || t.tok),
+        |            x.i, 1)) - 1) * x.p) FROM hx x) % 1024 AS INT)
+        |        AS bucket
+        |    FROM ht t CROSS JOIN hd d)
+        |  GROUP BY 1, 2),
+        |htop AS MATERIALIZED (
+        |  SELECT tok, count(*) AS n_exact FROM ht GROUP BY 1
+        |  ORDER BY n_exact DESC, tok ASC LIMIT 20),
+        |hprobe AS (
+        |  SELECT t.tok, t.n_exact, d.j,
+        |    CAST((SELECT sum((strpos('0123456789abcdef',
+        |        substr(md5(CAST(d.j AS VARCHAR) || ':' || t.tok),
+        |          x.i, 1)) - 1) * x.p) FROM hx x) % 1024 AS INT)
+        |      AS bucket
+        |  FROM htop t CROSS JOIN hd d)
+        |SELECT p.tok, CAST(p.n_exact AS BIGINT) AS n_exact,
+        |  CAST(min(s.cnt) AS BIGINT) AS n_est
+        |FROM hprobe p
+        |JOIN hsk s ON s.j = p.j AND s.bucket = p.bucket
+        |GROUP BY 1, 2""".stripMargin
+  }
+
   // ---- sink-contract helpers (q48a/q48b/q49–q52) ---------------------
   // Integer cents from the price double via decimal(15,2): the source
   // prices are exact 2-decimal values (verified over sf0.01/sf0.1), so
@@ -1269,57 +1312,13 @@ object Relational {
     // the approximate value itself hash-verifies, like llm_pq_topk).
     GQ("q53_heavy_hitters",
       (s, dir) => {
-        val depth = 4
-        val width = 1024
-        def bucket(j: Column, tok: Column): Column =
-          conv(substring(md5(concat(j.cast("string"), lit(":"), tok)),
-            1, 3), 16, 10).cast("long") % width
-        val toks = t(s, dir).documents
-          .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
-          .filter(col("tok") =!= "")
-        val rows = explode(array((0 until depth).map(lit): _*)).as("j")
-        val sketch = toks.select(col("tok"), rows)
-          .select(col("j"), bucket(col("j"), col("tok")).as("bucket"))
-          .groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
+        import graft.operators.CountMin
+        val toks = CountMin.tokens(t(s, dir).documents)
         val top = toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
           .orderBy(col("n_exact").desc, col("tok").asc).limit(20)
-        top.select(col("tok"), col("n_exact"), rows)
-          .withColumn("bucket", bucket(col("j"), col("tok")))
-          .join(broadcast(sketch), Seq("j", "bucket"))
-          .groupBy("tok", "n_exact").agg(min(col("cnt")).as("n_est"))
-          .select("tok", "n_exact", "n_est")
+        CountMin.estimates(top, CountMin.sketch(toks))
       },
-      Some("""WITH hx(i, p) AS (SELECT * FROM (VALUES (1, 256), (2, 16),
-             |    (3, 1)) v(i, p)),
-             |hd(j) AS (SELECT * FROM (VALUES (0), (1), (2), (3)) v(j)),
-             |ht AS MATERIALIZED (
-             |  SELECT tok FROM (SELECT unnest(regexp_split_to_array(
-             |      lower(trim(text)), '\s+')) AS tok FROM documents)
-             |  WHERE tok <> ''),
-             |hsk AS MATERIALIZED (
-             |  SELECT j, bucket, count(*) AS cnt FROM (
-             |    SELECT d.j,
-             |      CAST((SELECT sum((strpos('0123456789abcdef',
-             |          substr(md5(CAST(d.j AS VARCHAR) || ':' || t.tok),
-             |            x.i, 1)) - 1) * x.p) FROM hx x) % 1024 AS INT)
-             |        AS bucket
-             |    FROM ht t CROSS JOIN hd d)
-             |  GROUP BY 1, 2),
-             |htop AS MATERIALIZED (
-             |  SELECT tok, count(*) AS n_exact FROM ht GROUP BY 1
-             |  ORDER BY n_exact DESC, tok ASC LIMIT 20),
-             |hprobe AS (
-             |  SELECT t.tok, t.n_exact, d.j,
-             |    CAST((SELECT sum((strpos('0123456789abcdef',
-             |        substr(md5(CAST(d.j AS VARCHAR) || ':' || t.tok),
-             |          x.i, 1)) - 1) * x.p) FROM hx x) % 1024 AS INT)
-             |      AS bucket
-             |  FROM htop t CROSS JOIN hd d)
-             |SELECT p.tok, CAST(p.n_exact AS BIGINT) AS n_exact,
-             |  CAST(min(s.cnt) AS BIGINT) AS n_est
-             |FROM hprobe p
-             |JOIN hsk s ON s.j = p.j AND s.bucket = p.bucket
-             |GROUP BY 1, 2""".stripMargin)),
+      Some(CmsOracle.sql)),
 
     // ---- bucketed co-located join, driver-pinned (BucketingSpec's
     // plan contract promoted to a ★ row). Both fact tables are written

@@ -148,6 +148,28 @@ object Streaming {
              |    AS n_high_quality
              |FROM scann GROUP BY 1""".stripMargin)),
 
+    // REAL streaming count-min sketch: the q53 sketch built
+    // INCREMENTALLY over the document file stream — a complete-mode
+    // aggregation whose state is bounded BY CONSTRUCTION at
+    // depth×width = 4096 integer cells whatever the corpus size (the
+    // sketch cells are plain sums, so micro-batch increments merge
+    // into exactly the batch sketch — CMS's mergeability is the whole
+    // reason it exists at ingest). The probe leg then reads the
+    // STREAMED sketch; the oracle is q53's verbatim, so streamed ≡
+    // batch ≡ SQL pins in one hash.
+    GQ("stream_heavy_hitters",
+      (s, dir) => {
+        import graft.operators.CountMin
+        val sk = runToMemory(s, "graft_stream_cms", "complete")(
+          CountMin.sketch(CountMin.tokens(
+            EventStreams.readDocuments(s, s"$dir/documents.parquet"))))
+        val top = CountMin.tokens(Tables(s, dir).documents)
+          .groupBy("tok").agg(count(lit(1)).as("n_exact"))
+          .orderBy(col("n_exact").desc, col("tok").asc).limit(20)
+        CountMin.estimates(top, sk)
+      },
+      Some(Relational.CmsOracle.sql)),
+
     // REAL durable streaming sink: file source → stateful dedup →
     // PARQUET sink with a checkpoint (exactly-once via the sink's commit
     // log + source offset tracking — the shape every production pipeline

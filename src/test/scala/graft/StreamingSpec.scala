@@ -104,6 +104,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("count-min sketch built across REAL micro-batch boundaries equals " +
+      "the batch sketch cell-by-cell") {
+    // mergeability is the point of the streamed sketch: per-batch
+    // increments must sum to exactly the one-pass batch cells. Feed the
+    // corpus in three separate micro-batches via MemoryStream.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.CountMin
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val mem = MemoryStream[String]
+    val sk = CountMin.sketch(CountMin.tokens(mem.toDF().toDF("text")))
+    val q = sk.writeStream.format("memory").queryName("t_cms")
+      .outputMode("complete").start()
+    try {
+      val chunk = math.max(1, texts.length / 3)
+      texts.grouped(chunk).foreach { batch =>
+        mem.addData(batch.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("t_cms").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val batchCells = CountMin.sketch(CountMin.tokens(
+        spark.read.parquet(s"$sf/documents.parquet")))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batchCells)
+    assert(streamed.size <= CountMin.Depth * CountMin.Width)
+  }
+
   test("custom-state sessionizer runs as a real stream and matches batch") {
     val ev = EventStreams.readEvents(spark, s"$sf/events.parquet")
       .select(col("ts"), col("user_id"), col("value"))
