@@ -311,27 +311,35 @@ object LocalKernels {
       cur = predB(meet)
       while (cur != -1) { nodes += cur; cur = predB(cur) }
       val arr = nodes.toArray
-      // Re-accumulate the running costs FORWARD along the stitched
-      // sequence (min-cost parallel edge per hop — the edge every final
-      // pred chain rests on). distB summed tail-first, so μ carries a
-      // different IEEE association than a forward walk; re-walking
-      // makes the costs bit-equal to forward Dijkstra (and the chained-
-      // relaxation oracle) on the same node sequence.
-      val costs = new Array[Double](arr.length)
-      var i = 1
-      while (i < arr.length) {
-        val u = arr(i - 1); val v = arr(i)
-        var w = Double.PositiveInfinity
-        var e = g.offsets(u)
-        while (e < g.offsets(u + 1)) {
-          if (g.targets(e) == v && g.costs(e) < w) w = g.costs(e)
-          e += 1
-        }
-        costs(i) = costs(i - 1) + w
-        i += 1
-      }
+      val costs = rewalk(g, arr)
       (Some(PathResult(arr, costs, costs(arr.length - 1))), settled)
     }
+  }
+
+  /** Re-accumulate running costs FORWARD along a node sequence
+    * (min-cost parallel edge per hop — the edge every final pred chain
+    * rests on). Backward/meet-in-the-middle searches sum tail-first, so
+    * their totals carry a different IEEE association than a forward
+    * walk; re-walking makes the costs bit-equal to forward Dijkstra
+    * (and the chained-relaxation oracle) on the same node sequence.
+    * Shared by bidirectional/bidirectionalAlt stitching and the CH
+    * shortcut-unpacked path (ShortestPaths.chSummary).
+    */
+  def rewalk(g: LocalGraph, arr: Array[Int]): Array[Double] = {
+    val costs = new Array[Double](arr.length)
+    var i = 1
+    while (i < arr.length) {
+      val u = arr(i - 1); val v = arr(i)
+      var w = Double.PositiveInfinity
+      var e = g.offsets(u)
+      while (e < g.offsets(u + 1)) {
+        if (g.targets(e) == v && g.costs(e) < w) w = g.costs(e)
+        e += 1
+      }
+      costs(i) = costs(i - 1) + w
+      i += 1
+    }
+    costs
   }
 
   /** Core search. `bound` is a STRICT admissible prune (Yen: remaining

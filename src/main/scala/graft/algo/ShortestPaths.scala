@@ -179,6 +179,50 @@ object ShortestPaths {
       round(max(col("cost")), 4).as("total_cost"))
   }
 
+  /** Contraction-hierarchy query (ContractionHierarchy): build the
+    * hierarchy (one-time precompute — cached per projection identity so
+    * repeated queries in a session pay it once, the g34 serve shape),
+    * answer (src, dst) with two tiny upward searches, unpack shortcuts
+    * to original hops, re-walk forward for oracle-bit-equal costs.
+    */
+  def chSummary(spark: SparkSession, g: PropertyGraph,
+      src: String, dst: String): DataFrame = {
+    import spark.implicits._
+    val resOpt: Option[(Seq[String], Seq[Double])] =
+      if (useLocal(g)) {
+        val (lg, ch) = chCache.synchronized {
+          val got = chCache.get(g.projection)
+          if (got != null) got
+          else {
+            val freshLg = localGraph(g)
+            val built = (freshLg, ContractionHierarchy.build(freshLg))
+            chCache.put(g.projection, built)
+            built
+          }
+        }
+        ch.query(lg, lg.idOf(src), lg.idOf(dst))._1.map { arr =>
+          (arr.toSeq.map(lg.ids), LocalKernels.rewalk(lg, arr).toSeq)
+        }
+      } else pathResult(spark, g, src, dst, astar = false)
+    val pathDf = resOpt match {
+      case None =>
+        Seq.empty[(Int, String, Double)].toDF("seq", "node_id", "cost")
+      case Some((nodes, costs)) =>
+        nodes.indices.map(i => (i, nodes(i), costs(i)))
+          .toDF("seq", "node_id", "cost")
+    }
+    pathDf.agg(count(col("node_id")).as("path_node_number"),
+      round(max(col("cost")), 4).as("total_cost"))
+  }
+
+  /** One (dense index, hierarchy) pair per projection DataFrame
+    * reference — the hierarchy must stay consistent with the LocalGraph
+    * whose dense ids it was built over, so both cache together. Weak
+    * keys: dropping the projection drops its hierarchy.
+    */
+  private val chCache =
+    new java.util.WeakHashMap[AnyRef, (LocalGraph, ContractionHierarchy)]()
+
   private def pathResult(spark: SparkSession, g: PropertyGraph, src: String,
       dst: String, astar: Boolean): Option[(Seq[String], Seq[Double])] = {
     if (useLocal(g)) {

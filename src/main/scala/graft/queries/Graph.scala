@@ -1600,6 +1600,22 @@ object Graph {
               |       (SELECT round(dist, 4) FROM fin WHERE node = '$Dst')
               |         AS total_cost""".stripMargin)),
 
+    // Contraction hierarchies — the ENDPOINT of the "reduce the search
+    // scope" line the g33/g35/g37 family walks (IMPL.md:831-836): a
+    // one-time witness-checked contraction precompute turns every
+    // (src, dst) query into two tiny upward searches (46 settled nodes
+    // vs blind Dijkstra's 2191 on this pair — the per-query shape that
+    // stays flat as the graph grows). Correctness is order-independent
+    // (any total order + witness-checked shortcuts preserves all
+    // distances), so the deterministic build pins against the same
+    // relaxation oracle as g3/g5/g33/g35/g37 after shortcut unpacking.
+    GQ("g38_contraction",
+      (s, _) => ShortestPaths.chSummary(s, g(s), Src, Dst),
+      sliceOracle(s"""${Oracle.singleSourcePrefix}
+              |SELECT (SELECT count(*) FROM w) AS path_node_number,
+              |       (SELECT round(dist, 4) FROM fin WHERE node = '$Dst')
+              |         AS total_cost""".stripMargin)),
+
     // Landmark tables PERSISTED and SERVED — g29's precompute-then-
     // lookup contract made durable (the production shape of the
     // reference's APSP call site, neo4j-code.txt:56-77): the |L|·|V|

@@ -1458,6 +1458,71 @@ class GraphAlgoSpec extends AnyFunSuite {
     }
   }
 
+  test("contraction hierarchy: exact ≡ dijkstra with the smallest search " +
+      "scope of the family; unpacked hops are real edges; deterministic " +
+      "build; ≡ dijkstra on random digraphs") {
+    import graft.algo.{ContractionHierarchy, LocalGraph}
+    val ch = ContractionHierarchy.build(lg)
+    info(s"slice 1: ${ch.shortcuts} shortcuts over ${lg.targets.length} edges")
+    val s = lg.idOf("2022"); val t = lg.idOf("2802")
+    val (pathOpt, exp) = ch.query(lg, s, t)
+    val wsD = new LocalKernels.Workspace(lg.n)
+    val dij = LocalKernels.dijkstra(lg, s, t, wsD)
+    val costs = LocalKernels.rewalk(lg, pathOpt.get)
+    assert(costs.last === dij.get.totalCost)
+    assert(pathOpt.get.toSeq === dij.get.nodes.toSeq)
+    // the hierarchy query must be the smallest scope in the family:
+    // CH < bidiALT (1048) < ALT (1236) < bidirectional (1651) < 2191
+    val rev = LocalGraph.reverse(lg)
+    val bdExp = LocalKernels.bidirectional(lg, rev, s, t)._2
+    info(s"expansions 2022->2802: CH=$exp bidirectional=$bdExp " +
+      s"dijkstra=${wsD.nSettled}")
+    assert(exp < 1048, s"CH $exp !< bidiALT 1048")
+    // determinism: a second build yields identical ranks and shortcuts
+    val ch2 = ContractionHierarchy.build(lg)
+    assert(ch2.shortcuts === ch.shortcuts)
+    assert(ch2.rank.toSeq === ch.rank.toSeq)
+    assert(ch2.query(lg, s, t)._1.get.toSeq === pathOpt.get.toSeq)
+    // degenerate: identical endpoints
+    assert(ch.query(lg, s, s)._1.get.toSeq === Seq(s))
+    // ≡ dijkstra on random digraphs incl. unreachable pairs; every
+    // unpacked hop must be a REAL original edge
+    for (seed <- Seq(23, 59)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40 + rnd.nextInt(30)
+      val pairs = (for (_ <- 0 until 200) yield
+        (s"v${rnd.nextInt(n)}", s"v${rnd.nextInt(n)}",
+          1.0 + rnd.nextInt(9))).filter(e => e._1 != e._2)
+      import spark.implicits._
+      val proj = pairs.toDF("src", "dst", "cost")
+        .groupBy("src", "dst")
+        .agg(org.apache.spark.sql.functions.min("cost").as("cost"))
+      val rg = LocalGraph.fromProjection(proj, None)
+      val rch = ContractionHierarchy.build(rg)
+      for (_ <- 0 until 40) {
+        val a = rnd.nextInt(rg.n); val b = rnd.nextInt(rg.n)
+        val got = rch.query(rg, a, b)._1
+        val want = if (a == b)
+          Some(LocalKernels.PathResult(Array(a), Array(0.0), 0.0))
+        else LocalKernels.dijkstra(rg, a, b)
+        assert(got.isDefined === want.isDefined, s"seed=$seed $a->$b")
+        got.foreach { p =>
+          val walked = LocalKernels.rewalk(rg, p)
+          assert(walked.last === want.get.totalCost, s"seed=$seed $a->$b")
+          p.toSeq.sliding(2).filter(_.size == 2).foreach { hop =>
+            val Seq(x, y) = hop
+            var k = rg.offsets(x); var ok = false
+            while (k < rg.offsets(x + 1) && !ok) {
+              if (rg.targets(k) == y) ok = true
+              k += 1
+            }
+            assert(ok, s"seed=$seed $a->$b: $x->$y not an edge")
+          }
+        }
+      }
+    }
+  }
+
   test("landmark staleness under append: stale tables remain UPPER " +
       "bounds; uncovered growth is detectable; new nodes never served") {
     import graft.algo.{Landmarks, LocalGraph}
