@@ -1421,6 +1421,80 @@ object Relational {
              |  CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(15,2)) * 100
              |    AS BIGINT)) AS BIGINT) AS price_cents
              |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-             |GROUP BY 1""".stripMargin))
+             |GROUP BY 1""".stripMargin)),
+
+    // ---- MERGE / upsert as a batch op (CDC-apply) --------------------
+    // The relational analogue of the graph MERGE the reference is built
+    // on (S3/S4): apply a change set (updates / deletes / inserts,
+    // derived deterministically from the base so both engines see the
+    // same changes) to a keyed table in ONE full-outer join pass — the
+    // immutable-engine upsert, keyed shuffle on both sides, no
+    // row-at-a-time path. The merged table round-trips through the
+    // partitioned sink (S2) before aggregation, so merge semantics AND
+    // storage land in one hash. The oracle states the SEMANTICS
+    // (updated ∪ untouched-surviving ∪ inserted) with no outer-join
+    // mechanics — a wrong null-handling branch in the merge cannot
+    // slip through.
+    GQ("q56_merge_upsert",
+      (s, dir) => {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        val base = t(s, dir).orders.select(col("o_orderkey").as("k"),
+          col("o_orderstatus").as("st"), centsCol.as("c"))
+        // change set: +10% price on keys ≡3 (mod 10), delete keys ≡7
+        // (mod 10), re-insert clones of keys ≡0 (mod 97) shifted past
+        // the key space — disjoint actions by construction
+        val upd = base.filter(pmod(col("k"), lit(10)) === 3)
+          .select(col("k"), lit("U").as("action"),
+            col("st").as("cst"), (col("c") + expr("c div 10")).as("nc"))
+        val del = base.filter(pmod(col("k"), lit(10)) === 7)
+          .select(col("k"), lit("D").as("action"),
+            col("st").as("cst"), lit(0L).as("nc"))
+        val ins = base.filter(pmod(col("k"), lit(97)) === 0)
+          .select((col("k") + 10000000L).as("k"), lit("I").as("action"),
+            col("st").as("cst"), col("c").as("nc"))
+        val changes = upd.unionByName(del).unionByName(ins)
+        val merged = base.join(changes, Seq("k"), "full_outer")
+          .filter(coalesce(col("action"), lit("")) =!= "D")
+          .select(col("k"),
+            coalesce(col("cst"), col("st")).as("o_orderstatus"),
+            when(col("action").isin("U", "I"), col("nc"))
+              .otherwise(col("c")).as("cents"))
+        withScratch("graft-merge") { scratch =>
+          val path = scratch + "/merged"
+          graft.sources.Sinks.parquet(merged, path,
+            partitionBy = Seq("o_orderstatus"), maxRecordsPerFile = 5000,
+            sortWithinPartitionsBy = Seq("k"))
+          val rows = s.read.parquet(path).groupBy(col("o_orderstatus"))
+            .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"),
+              // >= : key 0 exists in the synthetic orders, so its
+              // inserted clone lands exactly ON the shift boundary
+              sum(when(col("k") >= 10000000L, 1L).otherwise(0L)).as("ni"))
+            .collect()
+            .map(r => Row(r.getString(0), r.getLong(1), r.getLong(2),
+              r.getLong(3)))
+            .sortBy(_.getString(0)).toIndexedSeq
+          localResult(s, StructType(Seq(
+            StructField("o_orderstatus", StringType),
+            StructField("n_rows", LongType),
+            StructField("cents", LongType),
+            StructField("n_inserted", LongType))), rows)
+        }
+      },
+      Some(s"""WITH mb AS (
+             |  SELECT o_orderkey AS k, o_orderstatus AS st,
+             |    $CentsSql AS c
+             |  FROM orders),
+             |mm AS (
+             |  SELECT k, st, c + c // 10 AS c FROM mb WHERE k % 10 = 3
+             |  UNION ALL
+             |  SELECT k, st, c FROM mb WHERE k % 10 NOT IN (3, 7)
+             |  UNION ALL
+             |  SELECT k + 10000000 AS k, st, c FROM mb WHERE k % 97 = 0)
+             |SELECT st AS o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(c) AS BIGINT) AS cents,
+             |  CAST(sum(CASE WHEN k >= 10000000 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_inserted
+             |FROM mm GROUP BY 1""".stripMargin))
   )
 }

@@ -231,6 +231,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(leaked.isEmpty, s"leaked RDDs: $leaked")
   }
 
+  test("q56 merge upsert: row accounting = base − deletes + inserts, " +
+      "update delta exact") {
+    val sf = "/root/testdata/sf0.001"
+    val base = spark.read.parquet(s"$sf/orders.parquet")
+    val nBase = base.count()
+    val nDel = base.filter(pmod(col("o_orderkey"), lit(10)) === 7).count()
+    val nIns = base.filter(pmod(col("o_orderkey"), lit(97)) === 0).count()
+    val rows = SparkEntry.queries("q56_merge_upsert")(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum === nBase - nDel + nIns)
+    assert(rows.map(_.getLong(3)).sum === nIns)
+    // the cents delta vs the surviving base must equal exactly the sum
+    // of the +10% (integer div) updates plus the inserted clones
+    val cents = (col("o_totalprice").cast("decimal(15,2)") * 100)
+      .cast("long")
+    val survivorCents = base.filter(pmod(col("o_orderkey"), lit(10)) =!= 7)
+      .select(sum(cents)).head().getLong(0)
+    val updSum = base.filter(pmod(col("o_orderkey"), lit(10)) === 3)
+      .select(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) div 10")))
+      .head().getLong(0)
+    val insSum = base.filter(pmod(col("o_orderkey"), lit(97)) === 0)
+      .select(sum(cents)).head().getLong(0)
+    assert(rows.map(_.getLong(2)).sum === survivorCents + updSum + insSum)
+  }
+
   test("portableRound rounds the binary double, unlike Spark's round()") {
     // 0.65774999999999994582 is strictly BELOW the 4-dp half boundary,
     // but its shortest decimal repr is "0.65775": Spark's round() (via
