@@ -1495,6 +1495,81 @@ object Relational {
              |  CAST(sum(c) AS BIGINT) AS cents,
              |  CAST(sum(CASE WHEN k >= 10000000 THEN 1 ELSE 0 END) AS BIGINT)
              |    AS n_inserted
-             |FROM mm GROUP BY 1""".stripMargin))
+             |FROM mm GROUP BY 1""".stripMargin)),
+
+    // ---- §2.4 sketch family: HyperLogLog distinct count (q53's
+    // cardinality twin, driver-pinned). A DETERMINISTIC HLL whose
+    // ESTIMATE hash-oracles in DuckDB: 256 registers from 2 exact md5
+    // hex digits, rank ρ by string algebra (never libm log2), harmonic
+    // sum exact-by-dyadics, one correctly-rounded division at the end
+    // (operators.HyperLogLog doc). Three key columns, all in the raw
+    // estimator's ≥2.5m-distinct regime; each sketch is ONE
+    // map-side-combined groupBy with per-task state ≤ 256 rows —
+    // estimating a 100 TB key's cardinality for the cost of a scan,
+    // where COUNT(DISTINCT) shuffles the whole key space.
+    GQ("q57_hll_distinct",
+      (s, dir) => {
+        import graft.operators.HyperLogLog
+        val tt = t(s, dir)
+        val legs = Seq(
+          ("l_orderkey", tt.lineitem, col("l_orderkey")),
+          ("l_partkey", tt.lineitem, col("l_partkey")),
+          ("o_custkey", tt.orders, col("o_custkey")))
+        legs.map { case (nm, df, k) =>
+          val est = HyperLogLog.estimate(
+            HyperLogLog.sketch(df.select(k.cast("string").as("k")), col("k")))
+          df.agg(countDistinct(k).as("n_exact")).crossJoin(est)
+            .select(lit(nm).as("key_name"), col("n_exact"), col("n_est"))
+        }.reduce(_ unionByName _)
+      },
+      Some(HllOracle.sql(Seq(
+        ("l_orderkey", "lineitem", "l_orderkey"),
+        ("l_partkey", "lineitem", "l_partkey"),
+        ("o_custkey", "orders", "o_custkey")))))
   )
+
+  /** DuckDB replay of operators.HyperLogLog — register index from 2
+    * positional md5 hex digits, rank ρ via regexp leading-zero count +
+    * nibble CASE (string algebra only: floor(log2()) is libm-dependent
+    * at exact powers of two), harmonic sum of dyadics (exact in double,
+    * order-independent), estimate = one division by the α·m² literal
+    * both engines parse to the identical IEEE double. Shared by
+    * q57_hll_distinct and stream_hll_distinct — one oracle pins
+    * batch ≡ streamed ≡ SQL.
+    */
+  private[queries] object HllOracle {
+    /** One (key_name, n_exact, n_est) leg over `table`.`keyCol`. */
+    def leg(name: String, table: String, keyCol: String): String =
+      s"""SELECT '$name' AS key_name,
+         |  (SELECT CAST(count(DISTINCT $keyCol) AS BIGINT) FROM $table)
+         |    AS n_exact,
+         |  (SELECT CAST(floor(CAST(${graft.operators.HyperLogLog.AlphaM2}
+         |        AS DOUBLE) /
+         |      (sum(CAST(1.0 AS DOUBLE) / (CAST(1 AS BIGINT) << r))
+         |        + (${graft.operators.HyperLogLog.M} - count(*))))
+         |      AS BIGINT)
+         |   FROM (
+         |     SELECT bucket, max(rho) AS r FROM (
+         |       SELECT
+         |         CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+         |           + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)
+         |           AS INT) AS bucket,
+         |         CASE WHEN z = 8 THEN 33 ELSE z * 4 +
+         |           CASE WHEN c = '1' THEN 3
+         |                WHEN c IN ('2', '3') THEN 2
+         |                WHEN c IN ('4', '5', '6', '7') THEN 1
+         |                ELSE 0 END + 1 END AS rho
+         |       FROM (
+         |         SELECT h, z, substr(h8, z + 1, 1) AS c FROM (
+         |           SELECT h, h8,
+         |             length(regexp_extract(h8, '^(0*)', 1)) AS z
+         |           FROM (
+         |             SELECT h, substr(h, 3, 8) AS h8 FROM (
+         |               SELECT md5(CAST($keyCol AS VARCHAR)) AS h
+         |               FROM $table)))))
+         |     GROUP BY 1)) AS n_est""".stripMargin
+
+    def sql(keys: Seq[(String, String, String)]): String =
+      keys.map { case (n, t, c) => leg(n, t, c) }.mkString("\nUNION ALL\n")
+  }
 }

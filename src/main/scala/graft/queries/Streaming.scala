@@ -170,6 +170,30 @@ object Streaming {
       },
       Some(Relational.CmsOracle.sql)),
 
+    // REAL streaming HyperLogLog: q57's 256-register distinct sketch
+    // built INCREMENTALLY over the event file stream — a complete-mode
+    // max aggregation whose state is bounded BY CONSTRUCTION at 256
+    // rows whatever the stream length (register maxima are MERGEABLE,
+    // so micro-batch increments converge on exactly the batch sketch —
+    // cardinality monitoring at ingest for the cost of 256 longs).
+    // The estimate leg reads the STREAMED registers; the oracle is
+    // q57's single-leg replay, so streamed ≡ batch ≡ SQL pins in one
+    // hash — including the approximate estimate itself.
+    GQ("stream_hll_distinct",
+      (s, dir) => {
+        import graft.operators.HyperLogLog
+        val regs = runToMemory(s, "graft_stream_hll", "complete")(
+          HyperLogLog.sketch(
+            EventStreams.readEvents(s, s"$dir/events.parquet")
+              .select(col("event_id").cast("string").as("k")),
+            col("k")))
+        Tables(s, dir).events.agg(countDistinct(col("event_id")).as("n_exact"))
+          .crossJoin(HyperLogLog.estimate(regs))
+          .select(lit("event_id").as("key_name"), col("n_exact"),
+            col("n_est"))
+      },
+      Some(Relational.HllOracle.leg("event_id", "events", "event_id"))),
+
     // REAL durable streaming sink: file source → stateful dedup →
     // PARQUET sink with a checkpoint (exactly-once via the sink's commit
     // log + source offset tracking — the shape every production pipeline

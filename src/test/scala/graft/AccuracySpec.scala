@@ -85,6 +85,38 @@ class AccuracySpec extends AnyFunSuite {
       r.getLong(2))).toSet)
   }
 
+  test("q57 deterministic HLL: error-bounded, mergeable, repartition-stable") {
+    import graft.operators.HyperLogLog
+    // error bound on a real cardinality (10k sequential keys → raw
+    // regime): σ = 1.04/√256 ≈ 6.5%; assert 3σ
+    val keys = spark.range(10000).select(col("id").cast("string").as("k"))
+    val sk = HyperLogLog.sketch(keys, col("k"))
+    val est = HyperLogLog.estimate(sk).head().getLong(0)
+    assert(math.abs(est - 10000.0) / 10000.0 < 0.195, s"est=$est")
+    // register maxima are mergeable: sketch(A ∪ B) = max-merge of the
+    // two half sketches — the property that makes partition/day/
+    // micro-batch sketches compose at 100 TB
+    val a = HyperLogLog.sketch(
+      spark.range(5000).select(col("id").cast("string").as("k")), col("k"))
+    val b = HyperLogLog.sketch(
+      spark.range(5000, 10000).select(col("id").cast("string").as("k")),
+      col("k"))
+    val merged = a.unionByName(b).groupBy("bucket").agg(max(col("r")).as("r"))
+    val whole = sk.collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(merged.collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      === whole)
+    // physical partitioning must not change a max-reduce
+    val re = HyperLogLog.sketch(keys.repartition(13), col("k"))
+    assert(re.collect().map(r => (r.getInt(0), r.getInt(1))).toSet === whole)
+    // small-range correction (Scala-side, out of the hash contract):
+    // 100 distinct ≪ 2.5m — linear counting must be much tighter than
+    // the raw estimator down here
+    val tiny = spark.range(100).select(col("id").cast("string").as("k"))
+    val lc = HyperLogLog.smallRangeEstimate(
+      HyperLogLog.sketch(tiny, col("k"))).head().getLong(0)
+    assert(math.abs(lc - 100.0) / 100.0 < 0.15, s"linear-counting est=$lc")
+  }
+
   test("k-means refinement preserves centroid count and improves spread") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val seeds = Similarity.seedCentroids(emb, 8)
