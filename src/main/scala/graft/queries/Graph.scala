@@ -809,6 +809,71 @@ object Graph {
       }
       (Seq(deg, nct, p0) ++ steps).mkString(",\n")
     }
+
+    /** Fixed-round Borůvka chain bc0..bc<rounds> (algo.Boruvka's
+      * distributed recurrence): per round every component's minimum
+      * out-edge in the strict total order (cost, a, b) — under which
+      * the spanning forest is UNIQUE, so Spark's Kruskal/Borůvka paths
+      * and this SQL replay agree by mathematics, not lockstep. The
+      * chosen-edge pointer map's only cycles are mutual-choice 2-cycles
+      * (severed at the smaller label); pointer-doubling closes the
+      * severed forest (components at least halve per round, so round r
+      * needs ≤ max(13−r, 2) doublings from slice 1's 3 705 start);
+      * contraction re-mins parallel component pairs. Rounds past
+      * convergence are empty no-ops.
+      */
+    def mstChain(rounds: Int): String = {
+      val bc0 = """bc0 AS MATERIALIZED (
+        |  SELECT a AS pa, b AS pb, cost, a, b FROM (
+        |    SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+        |      min(cost) AS cost
+        |    FROM edges WHERE src <> dst GROUP BY 1, 2))""".stripMargin
+      val steps = (1 to rounds).map { r =>
+        val dbl = math.max(13 - r, 2)
+        val jumps = (1 to dbl).map { k =>
+          s"""bf${r}_$k AS MATERIALIZED (
+             |  SELECT x.c, coalesce(y.t, x.t) AS t
+             |  FROM bf${r}_${k - 1} x
+             |  LEFT JOIN bf${r}_${k - 1} y ON y.c = x.t)""".stripMargin
+        }
+        (Seq(
+          s"""bo$r AS MATERIALIZED (
+             |  SELECT pa AS c, pb AS o, cost, a, b FROM bc${r - 1}
+             |  UNION ALL
+             |  SELECT pb AS c, pa AS o, cost, a, b FROM bc${r - 1})""".stripMargin,
+          s"""bm$r AS MATERIALIZED (
+             |  SELECT c, o, cost, a, b FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY c
+             |      ORDER BY cost, a, b) AS rn
+             |    FROM bo$r) WHERE rn = 1)""".stripMargin,
+          s"""bf${r}_0 AS MATERIALIZED (
+             |  SELECT m.c, CASE WHEN m2.o = m.c AND m.c < m.o THEN m.c
+             |    ELSE m.o END AS t
+             |  FROM bm$r m LEFT JOIN bm$r m2 ON m2.c = m.o)""".stripMargin) ++
+          jumps ++ Seq(
+          s"""bc$r AS MATERIALIZED (
+             |  SELECT pa, pb, cost, a, b FROM (
+             |    SELECT pa, pb, cost, a, b,
+             |      row_number() OVER (PARTITION BY pa, pb
+             |        ORDER BY cost, a, b) AS rn
+             |    FROM (
+             |      SELECT least(coalesce(ja.t, e.pa), coalesce(jb.t, e.pb))
+             |          AS pa,
+             |        greatest(coalesce(ja.t, e.pa), coalesce(jb.t, e.pb))
+             |          AS pb,
+             |        e.cost, e.a, e.b
+             |      FROM bc${r - 1} e
+             |      LEFT JOIN bf${r}_$dbl ja ON ja.c = e.pa
+             |      LEFT JOIN bf${r}_$dbl jb ON jb.c = e.pb)
+             |    WHERE pa <> pb) WHERE rn = 1)""".stripMargin))
+          .mkString(",\n")
+      }
+      val all = (1 to rounds)
+        .map(r => s"SELECT a, b, cost FROM bm$r")
+        .mkString("\n  UNION ALL\n  ")
+      (Seq(bc0) ++ steps).mkString(",\n") +
+        s",\nbmst AS (SELECT DISTINCT a, b, cost FROM (\n  $all))"
+    }
   }
 
   val queries: Seq[GQ] = Seq(
@@ -1689,6 +1754,27 @@ object Graph {
       sliceOracle(s"""WITH ${Oracle.edgesCte},
               |${Oracle.louvainMultiChain(16, 8, 4)}
               |SELECT node AS node_id, lbl AS community
-              |FROM mq3""".stripMargin))
+              |FROM mq3""".stripMargin)),
+
+    // Minimum spanning forest (the reference platform's
+    // gds.spanningTree) — Borůvka distributed, Kruskal on the local
+    // fast path, a fixed-round Borůvka CTE chain in the oracle. The
+    // contract that makes an MST hash-comparable across three
+    // implementations: under the strict total order (cost, a, b) the
+    // forest is UNIQUE (algo.Boruvka doc), so the engines agree by
+    // mathematics, not lockstep replay. 100 TB shape: O(log n) rounds
+    // of component-keyed joins over a monotonically CONTRACTING edge
+    // list; nothing node-scale collects on the distributed path.
+    GQ("g39_mst",
+      (s, _) => {
+        val pg = g(s)
+        graft.algo.Boruvka.mst(s, pg.projection.select("src", "dst", "cost"))
+          .select(col("src").as("src_id"), col("dst").as("dst_id"),
+            col("cost"))
+      },
+      sliceOracle(s"""WITH ${Oracle.edgesCte},
+              |${Oracle.mstChain(12)}
+              |SELECT a AS src_id, b AS dst_id, cost
+              |FROM bmst""".stripMargin))
   )
 }

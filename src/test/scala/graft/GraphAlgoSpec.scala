@@ -1171,6 +1171,89 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(dist === local)
   }
 
+  test("mst: forced-distributed ≡ local kruskal on slice 1; random " +
+      "multigraphs ≡ brute prim; spanning, acyclic, optimal") {
+    // slice 1: the distributed Borůvka rounds and the local Kruskal
+    // must produce the IDENTICAL edge set — the uniqueness-under-total-
+    // order contract the DuckDB oracle also rests on
+    val localMst = algo.Boruvka.mst(spark,
+        pg.projection.select("src", "dst", "cost"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    val distMst = algo.Boruvka.mst(spark,
+        pg.projection.select("src", "dst", "cost"), localEdgeThreshold = 0L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    assert(distMst === localMst)
+    // spanning: the forest connects exactly what the graph connects
+    // (same WCC labeling), and |forest| = n − #components (acyclicity
+    // + maximality in one count)
+    val fullWcc = algo.GraphComponents.wcc(spark,
+        pg.nodes.select("nodeId"), pg.projection.select("src", "dst"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val mstEdgesDf = localMst.toSeq.map(e => (e._1, e._2))
+      .toDF("src", "dst")
+    val mstWcc = algo.GraphComponents.wcc(spark,
+        pg.nodes.select("nodeId"), mstEdgesDf)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(mstWcc === fullWcc)
+    val nComponents = fullWcc.values.toSet.size
+    assert(localMst.size === fullWcc.size - nComponents)
+    // random weighted multigraphs (parallel edges, ties): distributed
+    // Borůvka ≡ an independent in-test Prim — optimality cross-check
+    // from a different algorithm family
+    for (seed <- Seq(7, 23, 71)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 12 + rnd.nextInt(10)
+      val raw = for (_ <- 0 until 50 + rnd.nextInt(40)) yield
+        (s"v${rnd.nextInt(n)}", s"v${rnd.nextInt(n)}",
+          (1 + rnd.nextInt(9)).toDouble) // small int costs force ties
+      val edgesDf = raw.toDF("src", "dst", "cost")
+      val got = algo.Boruvka.mst(spark, edgesDf, localEdgeThreshold = 0L)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+        .toSet
+      // brute Prim per component over the canonical min-cost simple graph,
+      // frontier ordered by the same (cost, a, b) total order
+      val canon = raw.filter(e => e._1 != e._2)
+        .map(e => (Seq(e._1, e._2).min, Seq(e._1, e._2).max, e._3))
+        .groupBy(e => (e._1, e._2))
+        .map { case (_, es) => es.minBy(_._3) }.toSeq
+      val adj = scala.collection.mutable.HashMap
+        .empty[String, List[(Double, String, String, String)]]
+        .withDefaultValue(Nil)
+      canon.foreach { case (a, b, c) =>
+        adj(a) = (c, a, b, b) :: adj(a)
+        adj(b) = (c, a, b, a) :: adj(b)
+      }
+      val nodes = raw.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val inTree = scala.collection.mutable.Set.empty[String]
+      val exp = scala.collection.mutable.Set.empty[(String, String, Double)]
+      nodes.foreach { start =>
+        if (!inTree.contains(start)) {
+          inTree += start
+          val pq = scala.collection.mutable.SortedSet
+            .empty[(Double, String, String, String)]
+          adj(start).foreach(pq += _)
+          while (pq.nonEmpty) {
+            val e @ (c, a, b, to) = pq.head
+            pq -= e
+            if (!inTree.contains(to)) {
+              inTree += to
+              exp += ((a, b, c))
+              adj(to).foreach(pq += _)
+            }
+          }
+        }
+      }
+      assert(got === exp.toSet, s"mst seed=$seed")
+      // total weight agrees even where tie-broken edge identities could
+      // legally differ between algorithms (they don't, but weight is the
+      // semantics-level invariant)
+      assert(math.abs(got.toSeq.map(_._3).sum - exp.toSeq.map(_._3).sum)
+        < 1e-9, s"mst weight seed=$seed")
+    }
+  }
+
   test("node similarity: fixture Jaccard counts; threshold excludes weak pairs") {
     // N(a)={x,y,z}, N(b)={x,y,w}, N(c)={x}, N(d)={q}
     val edges = Seq(
