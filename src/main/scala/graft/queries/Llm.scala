@@ -1956,7 +1956,52 @@ object Llm {
           col("text")),
         buckets = ClassifierOracle.NumBuckets,
         epochs = ClassifierOracle.NumEpochs),
-      Some(ClassifierOracle.sql))
+      Some(ClassifierOracle.sql)),
+
+    // Threshold-free evaluation of the same classifier: ROC-AUC by the
+    // Mann–Whitney rank statistic — AUC = (Σ_pos 2·r̄ − n₁(n₁+1)) /
+    // (2·n₁·n₀) with r̄ the tie-averaged rank, kept integral by carrying
+    // 2·r̄ = 2·min_rank + ties − 1 (whole numbers end to end; the one
+    // division is truncating integer division, identical in Java and
+    // DuckDB //). The rank structure is computed at the DISTINCT-SCORE
+    // level — groupBy(score) tie counts, then PrefixSum's two-level
+    // scan for the exclusive running tie total that IS min_rank − 1 —
+    // so no global single-partition window ever forms (the naive
+    // rank() OVER (ORDER BY score) collapses 100 TB onto one task; the
+    // oracle may use it, an engine may not). Scores come from the
+    // integer Rocchio contract llm_quality_classifier already pins, so
+    // the AUC of the full training trajectory hash-verifies.
+    GQ("llm_classifier_auc",
+      (s, dir) => {
+        val scored = QualityClassifier.train(
+          t(s, dir).documents.select(col("doc_id"),
+            when(TextAnalysis.qualityScore(col("text")) >= 0.6, 1L)
+              .otherwise(0L).as("label"),
+            col("text")),
+          buckets = ClassifierOracle.NumBuckets,
+          epochs = ClassifierOracle.NumEpochs)
+        val perScore = scored.groupBy(col("score"))
+          .agg(sum(col("label")).as("n1s"), count(lit(1)).as("ts"))
+        val withRun = graft.operators.PrefixSum.running(
+          perScore, keyCol = "score", weightCol = "ts")
+        // min_rank(score) = 1 + exclusive running ties; each positive at
+        // this score contributes r2 = 2·min_rank + ts − 1. (The range-
+        // partition checkpoint inside PrefixSum is released by the
+        // caller's post-execution Checkpoints.release, like every
+        // PrefixSum consumer.)
+        withRun.agg(
+            sum(col("n1s")).as("n_pos"),
+            (sum(col("ts")) - sum(col("n1s"))).as("n_neg"),
+            sum(col("n1s") *
+              (lit(2) * (col("running_total") - col("ts") + 1)
+                + col("ts") - 1)).as("rsum"))
+          .select(col("n_pos"), col("n_neg"),
+            (col("rsum") - col("n_pos") * (col("n_pos") + 1)).as("u2"))
+          .select(col("n_pos"), col("n_neg"), col("u2"),
+            expr("(1000000 * u2) div (2 * n_pos * n_neg)")
+              .as("auc_micro"))
+      },
+      Some(ClassifierOracle.aucSql))
   )
 
   /** Chained-CTE replay of QualityClassifier.train's Rocchio-centroid
@@ -1976,8 +2021,11 @@ object Llm {
     val NumBuckets = 64
     val NumEpochs = 4
 
-    def sql: String = {
-      val base = s"""qcx(i, p) AS (SELECT * FROM (VALUES (1, 4096),
+    /** The feature/weight/score CTE chain shared by the training-
+      * trajectory oracle (`sql`) and the AUC oracle (`aucSql`).
+      */
+    private def baseCtes: String =
+      s"""qcx(i, p) AS (SELECT * FROM (VALUES (1, 4096),
         |  (2, 256), (3, 16), (4, 1)) v(i, p)),
         |qcd AS MATERIALIZED (
         |  SELECT doc_id, CASE WHEN ${TextOracle.qualityExpr("text")} >= 0.6
@@ -2023,6 +2071,9 @@ object Llm {
         |      coalesce(sum(CASE WHEN label = 0 THEN score ELSE 0 END), 0)
         |        // (SELECT n0 FROM qn) AS s0
         |    FROM qs))""".stripMargin
+
+    def sql: String = {
+      val base = baseCtes
       val steps = (1 to NumEpochs).map { e =>
         s"""qt$e AS MATERIALIZED (
            |  SELECT CAST(CASE WHEN e0 <= e1 AND e0 <= e2 THEN c0
@@ -2047,5 +2098,27 @@ object Llm {
          |    THEN 1 ELSE 0 END AS BIGINT) AS pred
          |FROM qs""".stripMargin
     }
+
+    /** Rank-statistic AUC over the same scored frame: 2·r̄ carried as an
+      * integer (2·min_rank + ties − 1), so the whole statistic is exact
+      * and the one division is the shared truncating integer `//`.
+      */
+    def aucSql: String =
+      s"""WITH $baseCtes,
+         |qrk AS MATERIALIZED (
+         |  SELECT label,
+         |    2 * rank() OVER (ORDER BY score)
+         |      + count(*) OVER (PARTITION BY score) - 1 AS r2
+         |  FROM qs),
+         |qagg AS (
+         |  SELECT CAST(sum(label) AS BIGINT) AS n_pos,
+         |    CAST(count(*) - sum(label) AS BIGINT) AS n_neg,
+         |    CAST(sum(CASE WHEN label = 1 THEN r2 ELSE 0 END)
+         |      - sum(label) * (sum(label) + 1) AS BIGINT) AS u2
+         |  FROM qrk)
+         |SELECT n_pos, n_neg, u2,
+         |  CAST((1000000 * u2) // (2 * n_pos * n_neg) AS BIGINT)
+         |    AS auc_micro
+         |FROM qagg""".stripMargin
   }
 }

@@ -784,6 +784,51 @@ class LlmOpsSpec extends AnyFunSuite {
       s"correct=$correct majority=$majority n=$n")
   }
 
+  test("classifier AUC: rank statistic ≡ brute pairwise probability, " +
+      "ties at half credit; perfect and random extremes exact") {
+    def aucMicro(scored: Seq[(Long, Long)]): Long = {
+      import spark.implicits._
+      val df = scored.toDF("label", "score")
+      val perScore = df.groupBy(col("score"))
+        .agg(sum(col("label")).as("n1s"), count(lit(1)).as("ts"))
+      val withRun = graft.operators.PrefixSum.running(
+        perScore, keyCol = "score", weightCol = "ts")
+      val r = withRun.agg(
+          sum(col("n1s")).as("n_pos"),
+          (sum(col("ts")) - sum(col("n1s"))).as("n_neg"),
+          sum(col("n1s") * (lit(2) * (col("running_total") - col("ts") + 1)
+            + col("ts") - 1)).as("rsum"))
+        .select(expr("(1000000 * (rsum - n_pos * (n_pos + 1))) div " +
+          "(2 * n_pos * n_neg)").as("auc_micro"))
+        .head().getLong(0)
+      graft.core.Checkpoints.release(withRun)
+      r
+    }
+    // brute: P(score_pos > score_neg) + ½·P(tie), the AUC definition
+    def brute(scored: Seq[(Long, Long)]): Long = {
+      val pos = scored.filter(_._1 == 1L).map(_._2)
+      val neg = scored.filter(_._1 == 0L).map(_._2)
+      val num2 = (for (p <- pos; q <- neg) yield
+        if (p > q) 2L else if (p == q) 1L else 0L).sum
+      1000000L * num2 / (2L * pos.size * neg.size)
+    }
+    val rnd = new scala.util.Random(42)
+    val mixed = (0 until 200).map(_ =>
+      (rnd.nextInt(2).toLong, rnd.nextInt(20).toLong)) // heavy ties
+    assert(aucMicro(mixed) === brute(mixed))
+    val skewed = (0 until 150).map { i =>
+      val lbl = if (i % 3 == 0) 1L else 0L
+      (lbl, lbl * 10 + rnd.nextInt(15).toLong)
+    }
+    assert(aucMicro(skewed) === brute(skewed))
+    // perfect separation → exactly 1.0; all-tied scores → exactly 0.5
+    val perfect = (0 until 50).map(i =>
+      (if (i < 20) 1L else 0L, if (i < 20) 100L else 1L))
+    assert(aucMicro(perfect) === 1000000L)
+    val allTied = (0 until 50).map(i => ((i % 2).toLong, 7L))
+    assert(aucMicro(allTied) === 500000L)
+  }
+
   test("quality classifier: map-side scoreCol ≡ trained scores, both " +
       "dispatch paths") {
     for (thr <- Seq(Long.MaxValue, 0L)) {
