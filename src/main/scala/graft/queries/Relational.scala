@@ -1525,7 +1525,83 @@ object Relational {
       Some(HllOracle.sql(Seq(
         ("l_orderkey", "lineitem", "l_orderkey"),
         ("l_partkey", "lineitem", "l_partkey"),
-        ("o_custkey", "orders", "o_custkey")))))
+        ("o_custkey", "orders", "o_custkey"))))),
+
+    // ---- z-order (Morton) data layout + box-query pruning, driver-
+    // pinned. The lakehouse "OPTIMIZE ZORDER BY" move: lay lineitem out
+    // partitioned by the top bits of interleave(quantity, ship-day) and
+    // a rectangular predicate on the TWO natural columns prunes
+    // partitions through ONE derived z-range filter — correct because z
+    // is coordinate-monotone, so the box maps into [z(lo,lo), z(hi,hi)]
+    // (operators.ZOrder doc). The query SELF-VERIFIES that the read-back
+    // plan carries the zbucket PartitionFilters (throws → red row), and
+    // the oracle — which knows nothing of the layout — re-derives the
+    // same aggregate AND the same z extrema from the raw table via the
+    // SQL twin of the bit algebra, so the interleaving itself
+    // hash-verifies. At 100 TB the same two lines turn a full scan into
+    // a ≤¼-of-buckets read for any reasonable box.
+    GQ("q58_zorder_layout",
+      (s, dir) => {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types.{LongType, StructField, StructType}
+        import graft.operators.ZOrder
+        val epoch = java.time.LocalDate.of(1992, 1, 1).toEpochDay
+        def day(d: String) = java.time.LocalDate.parse(d).toEpochDay - epoch
+        val (d1, d2) = (day("1996-03-01"), day("1996-09-01"))
+        val (q1, q2) = (10L, 25L)
+        val laid = t(s, dir).lineitem.select(
+            col("l_quantity").cast("long").as("qx"),
+            datediff(col("l_shipdate"), lit("1992-01-01")).cast("long")
+              .as("dy"),
+            (col("l_extendedprice").cast("decimal(15,2)") * 100)
+              .cast("long").as("cents"))
+          .withColumn("z", ZOrder.interleave(col("qx"), col("dy")))
+          .withColumn("zbucket", shiftright(col("z"), ZOrder.BucketShift))
+        withScratch("graft-zorder") { scratch =>
+          val path = s"$scratch/z_lineitem"
+          graft.sources.Sinks.parquet(laid, path,
+            partitionBy = Seq("zbucket"), sortWithinPartitionsBy = Seq("z"))
+          val (zlo, zhi) = (ZOrder.interleaveLong(q1, d1),
+            ZOrder.interleaveLong(q2, d2))
+          val read = s.read.parquet(path)
+            .filter(col("zbucket").between(zlo >> ZOrder.BucketShift,
+                zhi >> ZOrder.BucketShift)
+              && col("qx").between(q1, q2) && col("dy").between(d1, d2))
+          val plan = read.queryExecution.executedPlan.toString
+          require(plan.contains("PartitionFilters: [") &&
+            plan.contains("zbucket"),
+            s"z-order read must prune on the zbucket partition column:\n$plan")
+          val r = read.agg(count(lit(1)).as("n_rows"),
+              sum(col("cents")).as("cents"), min(col("z")).as("z_min"),
+              max(col("z")).as("z_max")).head()
+          localResult(s, StructType(Seq(
+            StructField("n_rows", LongType), StructField("cents", LongType),
+            StructField("z_min", LongType), StructField("z_max", LongType))),
+            Seq(Row(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))))
+        }
+      },
+      Some {
+        val epoch = java.time.LocalDate.of(1992, 1, 1).toEpochDay
+        def day(d: String) = java.time.LocalDate.parse(d).toEpochDay - epoch
+        s"""WITH zl AS (
+           |  SELECT CAST(l_quantity AS BIGINT) AS qx,
+           |    CAST(datediff('day', DATE '1992-01-01',
+           |      CAST(l_shipdate AS DATE)) AS BIGINT) AS dy,
+           |    CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * 100 AS BIGINT)
+           |      AS cents
+           |  FROM lineitem),
+           |zf AS (
+           |  SELECT cents,
+           |    ${graft.operators.ZOrder.interleaveSql("qx", "dy")} AS z
+           |  FROM zl
+           |  WHERE qx BETWEEN 10 AND 25
+           |    AND dy BETWEEN ${day("1996-03-01")} AND ${day("1996-09-01")})
+           |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(cents) AS BIGINT) AS cents,
+           |  CAST(min(z) AS BIGINT) AS z_min,
+           |  CAST(max(z) AS BIGINT) AS z_max
+           |FROM zf""".stripMargin
+      })
   )
 
   /** DuckDB replay of operators.HyperLogLog — register index from 2

@@ -102,6 +102,64 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === Set(0L, 50L, 100L))   // inclusive bounds, no dups
   }
 
+  test("z-order: column ≡ long twin on random coords; every box point " +
+      "lands inside the corner z-range; layout prune reads fewer dirs") {
+    import graft.operators.ZOrder
+    val rnd = new scala.util.Random(7)
+    val coords = (0 until 500).map(_ =>
+      (rnd.nextInt(1 << ZOrder.Bits).toLong,
+        rnd.nextInt(1 << ZOrder.Bits).toLong))
+    val df = coords.toDF("x", "y")
+      .withColumn("z", ZOrder.interleave(col("x"), col("y")))
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    coords.foreach { case (x, y) =>
+      assert(got((x, y)) === ZOrder.interleaveLong(x, y), s"($x,$y)")
+    }
+    // interleave is a bijection on the bit budget: distinct coords →
+    // distinct z (catches any overlapping shift positions)
+    assert(got.values.toSet.size === coords.distinct.size)
+    // box containment: for random boxes, EVERY member's z lies within
+    // [z(lo,lo), z(hi,hi)] — the property partition pruning rests on
+    for (seed <- Seq(11, 42, 99)) {
+      val r2 = new scala.util.Random(seed)
+      val (x1, y1) = (r2.nextInt(3000).toLong, r2.nextInt(3000).toLong)
+      val (x2, y2) = (x1 + 1 + r2.nextInt(800), y1 + 1 + r2.nextInt(800))
+      val (zlo, zhi) = (ZOrder.interleaveLong(x1, y1),
+        ZOrder.interleaveLong(x2, y2))
+      coords.filter(c => c._1 >= x1 && c._1 <= x2 &&
+          c._2 >= y1 && c._2 <= y2)
+        .foreach { case (x, y) =>
+          val z = ZOrder.interleaveLong(x, y)
+          assert(z >= zlo && z <= zhi, s"seed=$seed ($x,$y) z=$z")
+        }
+    }
+    // layout: writing partitioned by zbucket and filtering on the box's
+    // bucket range must touch strictly fewer directories than exist
+    core.Scratch.withScratch("graft-zorder-spec") { dir =>
+      val path = s"$dir/zt"
+      graft.sources.Sinks.parquet(
+        df.withColumn("zbucket", shiftright(col("z"), ZOrder.BucketShift)),
+        path, partitionBy = Seq("zbucket"))
+      val all = new java.io.File(path).listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("zbucket="))
+      val (zlo, zhi) = (ZOrder.interleaveLong(100, 100),
+        ZOrder.interleaveLong(900, 900))
+      val (blo, bhi) = (zlo >> ZOrder.BucketShift, zhi >> ZOrder.BucketShift)
+      val pruned = spark.read.parquet(path)
+        .filter(col("zbucket").between(blo, bhi)
+          && col("x").between(100, 900) && col("y").between(100, 900))
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [") && plan.contains("zbucket"))
+      assert(bhi - blo + 1 < all,
+        s"bucket range ${bhi - blo + 1} must undercut $all dirs")
+      // and the pruned read is still CORRECT (superset range + residual)
+      val brute = coords.count(c => c._1 >= 100 && c._1 <= 900 &&
+        c._2 >= 100 && c._2 <= 900)
+      assert(pruned.count() === brute.toLong)
+    }
+  }
+
   test("OrderedFold EWMA ≡ buffered collect_list fold, bit for bit") {
     // deterministic pseudo-random corpus: skewed keys (key 0 holds ~30%
     // of rows), duplicate (o1, o2) pairs planted so the value tiebreak
