@@ -1601,7 +1601,145 @@ object Relational {
            |  CAST(min(z) AS BIGINT) AS z_min,
            |  CAST(max(z) AS BIGINT) AS z_max
            |FROM zf""".stripMargin
-      })
+      }),
+
+    // ---- SCD Type-2 dimension history build — the warehouse move that
+    // turns a mutable attribute stream into validity intervals. Change
+    // detection (keep a row only when the tracked attribute differs
+    // from the previous version) and interval assignment are two
+    // customer-partitioned window passes over the (date, orderkey)
+    // total order; no global window forms, and the shuffle key is the
+    // dimension key — the natural 100 TB partitioning. The open
+    // interval coalesces to a 9999-12-31 sentinel IN BOTH ENGINES (a
+    // NULL valid_to would hash NaT ≠ NaT, the q34 lesson).
+    GQ("q59_scd2",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val byKey = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("d"), col("o_orderkey"))
+        val hist = t(s, dir).orders.select(col("o_custkey"),
+            col("o_orderpriority"), to_date(col("o_orderdate")).as("d"),
+            col("o_orderkey"))
+          .withColumn("prev", lag(col("o_orderpriority"), 1).over(byKey))
+          .filter(col("prev").isNull ||
+            col("prev") =!= col("o_orderpriority"))
+        val byVer = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("d"), col("o_orderkey"))
+        hist.select(col("o_custkey"),
+            row_number().over(byVer).as("version"),
+            col("o_orderpriority"),
+            date_format(col("d"), "yyyy-MM-dd").as("valid_from"),
+            date_format(coalesce(lead(col("d"), 1).over(byVer),
+              lit("9999-12-31").cast("date")), "yyyy-MM-dd")
+              .as("valid_to"),
+            when(lead(col("d"), 1).over(byVer).isNull, 1L).otherwise(0L)
+              .as("is_current"))
+      },
+      Some("""WITH sh AS (
+             |  SELECT o_custkey, o_orderpriority,
+             |    CAST(o_orderdate AS DATE) AS d, o_orderkey,
+             |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+             |      ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev
+             |  FROM orders),
+             |sc AS (
+             |  SELECT * FROM sh
+             |  WHERE prev IS NULL OR prev <> o_orderpriority)
+             |SELECT o_custkey,
+             |  CAST(row_number() OVER w AS INT) AS version,
+             |  o_orderpriority,
+             |  CAST(d AS VARCHAR) AS valid_from,
+             |  CAST(coalesce(lead(d) OVER w, DATE '9999-12-31') AS VARCHAR)
+             |    AS valid_to,
+             |  CAST(CASE WHEN lead(d) OVER w IS NULL THEN 1 ELSE 0 END
+             |    AS BIGINT) AS is_current
+             |FROM sc
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY d, o_orderkey)"""
+        .stripMargin)),
+
+    // ---- co-occurrence mining (frequent pairs + lift) — the market-
+    // basket primitive behind "items bought together" and token-
+    // association audits. Pair generation is a per-basket self-join, so
+    // candidate volume is Σ (basket distinct brands)² — bounded by the
+    // small per-order line count whatever the corpus size, NOT all-pairs
+    // over the catalog; the only corpus-scale shuffle is the final
+    // (a, b)-keyed count. Lift stays in exact integer micro-units:
+    // lift = support·n_baskets / (cnt_a·cnt_b), one truncating division
+    // shared by both engines.
+    GQ("q60_frequent_pairs",
+      (s, dir) => {
+        val tt = t(s, dir)
+        val bb = tt.lineitem.select(col("l_orderkey"), col("l_partkey"))
+          .join(broadcast(tt.part.select(col("p_partkey").as("l_partkey"),
+            col("p_brand"))), Seq("l_partkey"))
+          .select(col("l_orderkey"), col("p_brand")).distinct()
+        val nb = bb.select(col("l_orderkey")).distinct()
+          .agg(count(lit(1)).as("n_baskets"))
+        val cnt = bb.groupBy(col("p_brand")).agg(count(lit(1)).as("c"))
+        val pairs = bb.as("x")
+          .join(bb.as("y"), col("x.l_orderkey") === col("y.l_orderkey")
+            && col("x.p_brand") < col("y.p_brand"))
+          .groupBy(col("x.p_brand").as("brand_a"),
+            col("y.p_brand").as("brand_b"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 100)
+        pairs
+          .join(broadcast(cnt.select(col("p_brand").as("brand_a"),
+            col("c").as("ca"))), Seq("brand_a"))
+          .join(broadcast(cnt.select(col("p_brand").as("brand_b"),
+            col("c").as("cb"))), Seq("brand_b"))
+          .crossJoin(broadcast(nb))
+          .select(col("brand_a"), col("brand_b"), col("support"),
+            expr("(1000000 * support * n_baskets) div (ca * cb)")
+              .as("lift_micro"))
+      },
+      Some("""WITH cb AS (
+             |  SELECT DISTINCT l.l_orderkey, p.p_brand
+             |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+             |cn AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+             |  AS n_baskets FROM cb),
+             |cc AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS c
+             |  FROM cb GROUP BY 1),
+             |cp AS (
+             |  SELECT x.p_brand AS brand_a, y.p_brand AS brand_b,
+             |    CAST(count(*) AS BIGINT) AS support
+             |  FROM cb x JOIN cb y ON x.l_orderkey = y.l_orderkey
+             |    AND x.p_brand < y.p_brand
+             |  GROUP BY 1, 2 HAVING count(*) >= 100)
+             |SELECT p.brand_a, p.brand_b, p.support,
+             |  CAST((1000000 * p.support * (SELECT n_baskets FROM cn))
+             |    // (a.c * b.c) AS BIGINT) AS lift_micro
+             |FROM cp p
+             |JOIN cc a ON a.p_brand = p.brand_a
+             |JOIN cc b ON b.p_brand = p.brand_b""".stripMargin)),
+
+    // ---- cohort retention matrix — first-seen-day cohorts × activity-
+    // day offsets with a distinct-user count per cell, the product-
+    // analytics staple. Two shuffles total (per-user first day, then the
+    // (cohort, offset) cell count); the distinct-user count inside each
+    // cell is exact. Day granularity because the synthetic event stream
+    // spans one month.
+    GQ("q61_cohort_retention",
+      (s, dir) => {
+        val ev = t(s, dir).events
+          .select(col("user_id"), to_date(col("ts")).as("d"))
+        val cohort = ev.groupBy(col("user_id"))
+          .agg(min(col("d")).as("cohort_day"))
+        ev.join(cohort, Seq("user_id"))
+          .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd")
+              .as("cohort_day"),
+            datediff(col("d"), col("cohort_day")).as("day_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+      },
+      Some("""WITH ce AS (
+             |  SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+             |cf AS (
+             |  SELECT user_id, min(d) AS cohort_day FROM ce GROUP BY 1)
+             |SELECT CAST(cf.cohort_day AS VARCHAR) AS cohort_day,
+             |  CAST(datediff('day', cf.cohort_day, ce.d) AS INT)
+             |    AS day_offset,
+             |  CAST(count(DISTINCT ce.user_id) AS BIGINT) AS n_users
+             |FROM ce JOIN cf USING (user_id)
+             |GROUP BY 1, 2""".stripMargin))
   )
 
   /** DuckDB replay of operators.HyperLogLog — register index from 2

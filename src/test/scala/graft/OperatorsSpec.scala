@@ -160,6 +160,35 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("scd2 history: per-key intervals chain exactly, one current " +
+      "version, consecutive attributes differ") {
+    // independent row-accounting over the q59 output (the invariant
+    // class that caught q56's shift-boundary bug): for every customer
+    // the version intervals must chain valid_from → valid_to with no
+    // gaps/overlaps, close with the single sentinel-dated current row,
+    // and never repeat an attribute across adjacent versions
+    val rows = SparkEntry.queries("q59_scd2")(spark,
+        "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (cust, vs) =>
+      val sorted = vs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1 to sorted.length).toSeq,
+        s"cust=$cust versions not dense")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5 === b._4, s"cust=$cust interval gap ${a._5} ${b._4}")
+          assert(a._3 !== b._3, s"cust=$cust adjacent versions share attr")
+          assert(a._6 === 0L, s"cust=$cust non-last version marked current")
+        case _ =>
+      }
+      assert(sorted.last._6 === 1L && sorted.last._5 === "9999-12-31",
+        s"cust=$cust last version must be the open sentinel interval")
+    }
+  }
+
   test("OrderedFold EWMA ≡ buffered collect_list fold, bit for bit") {
     // deterministic pseudo-random corpus: skewed keys (key 0 holds ~30%
     // of rows), duplicate (o1, o2) pairs planted so the value tiebreak
