@@ -87,6 +87,26 @@ object HyperLogLog {
         (lit(M) - count(lit(1))) * 1.0).as("s"))
       .select(floor(lit(AlphaM2) / col("s")).cast("long").as("n_est"))
 
+  /** Grouped sketch: (groupCols*, bucket, r) — one m-row register set
+    * per group, still one map-side-combined groupBy.
+    */
+  def sketchBy(keys: DataFrame, key: Column, groupCols: Seq[String])
+      : DataFrame = {
+    val (bucket, rho) = bucketAndRho(key)
+    keys.select(groupCols.map(col) :+ bucket.as("bucket") :+
+        rho.as("rho"): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("rho")).as("r"))
+  }
+
+  /** Per-group raw estimate from a grouped register frame. */
+  def estimateBy(registers: DataFrame, groupCols: Seq[String]): DataFrame =
+    registers.groupBy(groupCols.map(col): _*)
+      .agg((sum(lit(1.0) / expr("shiftleft(cast(1 as bigint), r)")) +
+        (lit(M) - count(lit(1))) * 1.0).as("s"))
+      .select(groupCols.map(col) :+
+        floor(lit(AlphaM2) / col("s")).cast("long").as("n_est"): _*)
+
   /** Linear-counting small-range correction (E ≤ 2.5m with empty
     * registers → m·ln(m/V)). Scala-side only: ln() keeps this out of
     * the cross-engine hash contract (see class doc).

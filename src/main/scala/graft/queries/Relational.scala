@@ -1739,7 +1739,73 @@ object Relational {
              |    AS day_offset,
              |  CAST(count(DISTINCT ce.user_id) AS BIGINT) AS n_users
              |FROM ce JOIN cf USING (user_id)
-             |GROUP BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // ---- incremental aggregate maintenance with DURABLE merged state —
+    // the incremental-ETL contract: yesterday's aggregate state is
+    // persisted to parquet, today's delta is aggregated alone, and the
+    // two MERGE without touching yesterday's rows. Every statistic is
+    // carried as its mergeable state form: count/sum add, min/min,
+    // max/max — and the distinct-customer count rides as 256 HLL
+    // registers whose per-bucket max is associative, so the merged
+    // estimate equals the from-scratch estimate EXACTLY (the theorem
+    // this row pins: the oracle knows nothing of the split and
+    // resketches the full table). At 100 TB this is the difference
+    // between rescanning the corpus per day and scanning the day.
+    GQ("q62_incremental_agg",
+      (s, dir) => {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        import graft.operators.HyperLogLog
+        val ords = t(s, dir).orders.select(col("o_orderkey").as("k"),
+          col("o_orderstatus").as("st"), centsCol.as("cents"),
+          col("o_custkey").cast("string").as("ck"))
+        val base = ords.filter(pmod(col("k"), lit(10)) =!= 7)
+        val delta = ords.filter(pmod(col("k"), lit(10)) === 7)
+        def scalarState(df: DataFrame) = df.groupBy(col("st"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"),
+            min(col("k")).as("mn"), max(col("k")).as("mx"))
+        def hllState(df: DataFrame) = HyperLogLog.sketchBy(
+          df.select(col("st"), col("ck")), col("ck"), Seq("st"))
+        withScratch("graft-incr") { scratch =>
+          graft.sources.Sinks.parquet(scalarState(base),
+            s"$scratch/state_scalar")
+          graft.sources.Sinks.parquet(hllState(base), s"$scratch/state_hll")
+          val mergedScalar = s.read.parquet(s"$scratch/state_scalar")
+            .union(scalarState(delta))
+            .groupBy(col("st"))
+            .agg(sum(col("n")).as("n_rows"), sum(col("sc")).as("sum_cents"),
+              min(col("mn")).as("min_key"), max(col("mx")).as("max_key"))
+          val mergedHll = s.read.parquet(s"$scratch/state_hll")
+            .union(hllState(delta))
+            .groupBy(col("st"), col("bucket")).agg(max(col("r")).as("r"))
+          val rows = mergedScalar
+            .join(HyperLogLog.estimateBy(mergedHll, Seq("st")), Seq("st"))
+            .collect()
+            .map(r => Row(r.getString(0), r.getLong(1), r.getLong(2),
+              r.getLong(3), r.getLong(4), r.getLong(5)))
+            .sortBy(_.getString(0)).toIndexedSeq
+          localResult(s, StructType(Seq(
+            StructField("o_orderstatus", StringType),
+            StructField("n_rows", LongType),
+            StructField("sum_cents", LongType),
+            StructField("min_key", LongType),
+            StructField("max_key", LongType),
+            StructField("custkeys_est", LongType))), rows)
+        }
+      },
+      Some(s"""WITH iscalar AS (
+             |  SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+             |    CAST(sum($CentsSql) AS BIGINT) AS sum_cents,
+             |    CAST(min(o_orderkey) AS BIGINT) AS min_key,
+             |    CAST(max(o_orderkey) AS BIGINT) AS max_key
+             |  FROM orders GROUP BY 1),
+             |${HllOracle.groupedCtes("orders", "o_custkey",
+                 "o_orderstatus")}
+             |SELECT s.o_orderstatus, s.n_rows, s.sum_cents, s.min_key,
+             |  s.max_key, e.n_est AS custkeys_est
+             |FROM iscalar s JOIN ihest e ON e.g = s.o_orderstatus"""
+        .stripMargin))
   )
 
   /** DuckDB replay of operators.HyperLogLog — register index from 2
@@ -1785,5 +1851,42 @@ object Relational {
 
     def sql(keys: Seq[(String, String, String)]): String =
       keys.map { case (n, t, c) => leg(n, t, c) }.mkString("\nUNION ALL\n")
+
+    /** Grouped-register CTE pair `ihreg`/`ihest`: one m-register set and
+      * one raw estimate per value of `groupCol` (q62's incremental-
+      * maintenance oracle replays the FULL-table sketch; the engine
+      * merges persisted + delta registers — equal because register max
+      * is associative).
+      */
+    def groupedCtes(table: String, keyCol: String, groupCol: String)
+        : String =
+      s"""ihreg AS MATERIALIZED (
+         |  SELECT g, bucket, max(rho) AS r FROM (
+         |    SELECT g,
+         |      CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+         |        + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)
+         |        AS INT) AS bucket,
+         |      CASE WHEN z = 8 THEN 33 ELSE z * 4 +
+         |        CASE WHEN c = '1' THEN 3
+         |             WHEN c IN ('2', '3') THEN 2
+         |             WHEN c IN ('4', '5', '6', '7') THEN 1
+         |             ELSE 0 END + 1 END AS rho
+         |    FROM (
+         |      SELECT g, h, z, substr(h8, z + 1, 1) AS c FROM (
+         |        SELECT g, h, h8,
+         |          length(regexp_extract(h8, '^(0*)', 1)) AS z
+         |        FROM (
+         |          SELECT g, h, substr(h, 3, 8) AS h8 FROM (
+         |            SELECT $groupCol AS g,
+         |              md5(CAST($keyCol AS VARCHAR)) AS h
+         |            FROM $table)))))
+         |  GROUP BY 1, 2),
+         |ihest AS (
+         |  SELECT g, CAST(floor(CAST(${graft.operators.HyperLogLog.AlphaM2}
+         |      AS DOUBLE) /
+         |    (sum(CAST(1.0 AS DOUBLE) / (CAST(1 AS BIGINT) << r))
+         |      + (${graft.operators.HyperLogLog.M} - count(*))))
+         |    AS BIGINT) AS n_est
+         |  FROM ihreg GROUP BY 1)""".stripMargin
   }
 }
