@@ -874,6 +874,50 @@ object Graph {
       (Seq(bc0) ++ steps).mkString(",\n") +
         s",\nbmst AS (SELECT DISTINCT a, b, cost FROM (\n  $all))"
     }
+
+    /** Fixed-round Luby chain (algo.IndependentSet's recurrence):
+      * round-r priorities md5(r:node) — re-randomized per round but
+      * engine-shared, so the whole symmetry-breaking run replays; a
+      * node wins when its (priority, id) pair beats every undecided
+      * neighbor's; winners + their neighborhoods leave the undecided
+      * subgraph. Slice 1 finishes in 3 rounds; extra rounds are no-ops.
+      */
+    def misChain(rounds: Int): String = {
+      val pre = Seq(
+        """mue0 AS MATERIALIZED (
+          |  SELECT src AS a, dst AS b FROM edges WHERE src <> dst
+          |  UNION
+          |  SELECT dst AS a, src AS b FROM edges WHERE src <> dst)"""
+          .stripMargin,
+        "mund0 AS MATERIALIZED (SELECT START_NODE AS node FROM ids)")
+      val steps = (1 to rounds).map { r =>
+        s"""mp$r AS MATERIALIZED (
+           |  SELECT node, md5('$r:' || node) AS p FROM mund${r - 1}),
+           |mlose$r AS MATERIALIZED (
+           |  SELECT DISTINCT e.a AS node
+           |  FROM mue${r - 1} e
+           |  JOIN mp$r pa ON pa.node = e.a
+           |  JOIN mp$r pb ON pb.node = e.b
+           |  WHERE (pb.p, e.b) > (pa.p, e.a)),
+           |mcand$r AS MATERIALIZED (
+           |  SELECT node FROM mund${r - 1}
+           |  WHERE node NOT IN (SELECT node FROM mlose$r)),
+           |mexcl$r AS MATERIALIZED (
+           |  SELECT DISTINCT e.a AS node FROM mue${r - 1} e
+           |  WHERE e.b IN (SELECT node FROM mcand$r)),
+           |mund$r AS MATERIALIZED (
+           |  SELECT node FROM mund${r - 1}
+           |  WHERE node NOT IN (SELECT node FROM mcand$r)
+           |    AND node NOT IN (SELECT node FROM mexcl$r)),
+           |mue$r AS MATERIALIZED (
+           |  SELECT a, b FROM mue${r - 1}
+           |  WHERE a IN (SELECT node FROM mund$r)
+           |    AND b IN (SELECT node FROM mund$r))""".stripMargin
+      }
+      val all = (1 to rounds).map(r => s"SELECT node FROM mcand$r")
+        .mkString("\n  UNION ALL\n  ")
+      (pre ++ steps).mkString(",\n") + s",\nmmis AS (\n  $all)"
+    }
   }
 
   val queries: Seq[GQ] = Seq(
@@ -1775,6 +1819,27 @@ object Graph {
       sliceOracle(s"""WITH ${Oracle.edgesCte},
               |${Oracle.mstChain(12)}
               |SELECT a AS src_id, b AS dst_id, cost
-              |FROM bmst""".stripMargin))
+              |FROM bmst""".stripMargin)),
+
+    // Maximal independent set (Luby) — the symmetry-breaking primitive
+    // behind conflict-free scheduling and parallel coloring. Round-r
+    // priorities are md5(r:node), re-randomized per round as Luby
+    // requires but engine-shared, so the whole Las-Vegas loop becomes
+    // a deterministic fixed-round replay and the RESULT hash-verifies.
+    // 100 TB shape: per round two node-keyed joins over the SHRINKING
+    // undecided edge list — O(log n) rounds, nothing collects.
+    GQ("g40_mis",
+      (s, _) => {
+        val pg = g(s)
+        graft.algo.IndependentSet.luby(s, pg.nodes.select("nodeId"),
+            pg.projection.select("src", "dst"))
+          .select(col("node").as("node_id"), col("in_mis"))
+      },
+      sliceOracle(s"""WITH ${Oracle.edgesCte},
+              |${Oracle.misChain(8)}
+              |SELECT n.START_NODE AS node_id,
+              |  CAST(CASE WHEN n.START_NODE IN (SELECT node FROM mmis)
+              |    THEN 1 ELSE 0 END AS BIGINT) AS in_mis
+              |FROM ids n""".stripMargin))
   )
 }

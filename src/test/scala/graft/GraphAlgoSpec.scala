@@ -1254,6 +1254,47 @@ class GraphAlgoSpec extends AnyFunSuite {
     }
   }
 
+  test("mis: independent and maximal on slice 1 and random digraphs; " +
+      "deterministic across reruns") {
+    def check(nodesDf: org.apache.spark.sql.DataFrame,
+        edgesDf: org.apache.spark.sql.DataFrame, tag: String)
+        : Map[String, Long] = {
+      val got = algo.IndependentSet.luby(spark, nodesDf, edgesDf)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val pairs = edgesDf.collect()
+        .map(r => (r.getString(0), r.getString(1))).filter(e => e._1 != e._2)
+      // independence: no edge has both endpoints in the set
+      pairs.foreach { case (a, b) =>
+        assert(!(got(a) == 1L && got(b) == 1L), s"$tag: edge $a-$b in MIS")
+      }
+      // maximality: every excluded node has an MIS neighbor
+      val adj = pairs.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+        .map { case (k, es) => k -> es.map(_._2).toSet }
+      got.filter(_._2 == 0L).keys.foreach { v =>
+        assert(adj.getOrElse(v, Set.empty).exists(got(_) == 1L),
+          s"$tag: $v excluded without an MIS neighbor")
+      }
+      got
+    }
+    val first = check(pg.nodes.select("nodeId"),
+      pg.projection.select("src", "dst"), "slice1")
+    assert(first.values.count(_ == 1L) > 1000) // road networks are sparse
+    // hash priorities ⇒ bit-identical reruns
+    val again = algo.IndependentSet.luby(spark, pg.nodes.select("nodeId"),
+        pg.projection.select("src", "dst"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === first)
+    for (seed <- Seq(5, 31, 77)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 25 + rnd.nextInt(25)
+      val pairs = (for (_ <- 0 until 100 + rnd.nextInt(80)) yield
+        (s"v${rnd.nextInt(n)}", s"v${rnd.nextInt(n)}"))
+        .filter(e => e._1 != e._2).distinct
+      check((0 until n).map(i => s"v$i").toDF("node"),
+        pairs.toDF("src", "dst"), s"seed=$seed")
+    }
+  }
+
   test("node similarity: fixture Jaccard counts; threshold excludes weak pairs") {
     // N(a)={x,y,z}, N(b)={x,y,w}, N(c)={x}, N(d)={q}
     val edges = Seq(
