@@ -194,6 +194,57 @@ object Streaming {
       },
       Some(Relational.HllOracle.leg("event_id", "events", "event_id"))),
 
+    // REAL streaming quantile sketch: a fixed-grid histogram (512 unit
+    // bins over the value domain) maintained as a complete-mode count
+    // aggregation — state bounded BY CONSTRUCTION at 512 integer cells,
+    // and bin counts are plain sums, so micro-batch increments merge
+    // into exactly the batch histogram. Quantiles then read off the
+    // cumulative bin counts with a pure-integer threshold
+    // ceil(pct·n/100) — the window below runs over ≤512 register rows
+    // (bounded by construction, never the stream), so no corpus-scale
+    // single-partition window forms. The oracle recomputes the same
+    // bins from the raw table: streamed ≡ batch ≡ SQL in one hash —
+    // p50/p90/p99 monitoring at ingest for the cost of 512 longs.
+    GQ("stream_quantile_sketch",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val regs = runToMemory(s, "graft_stream_qsk", "complete")(
+          EventStreams.readEvents(s, s"$dir/events.parquet")
+            .select(least(greatest(floor(col("value")), lit(0)), lit(511))
+              .cast("int").as("bin"))
+            .groupBy("bin").agg(count(lit(1)).as("cnt")))
+        val cum = regs.withColumn("cum",
+          sum(col("cnt")).over(Window.orderBy(col("bin"))))
+        val n = regs.agg(sum(col("cnt")).as("n_total"))
+        val qs = s.range(0).sparkSession.createDataFrame(
+          java.util.Arrays.asList(
+            org.apache.spark.sql.Row(50), org.apache.spark.sql.Row(90),
+            org.apache.spark.sql.Row(99)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("pct",
+              org.apache.spark.sql.types.IntegerType))))
+        qs.crossJoin(broadcast(n))
+          .join(cum, col("cum") >= expr("(pct * n_total + 99) div 100"))
+          .groupBy(col("pct"), col("n_total"))
+          .agg(min(col("bin")).as("bin_est"))
+          .select(col("pct"), col("n_total"), col("bin_est"))
+      },
+      Some("""WITH qb AS (
+             |  SELECT CAST(least(greatest(floor(value), 0), 511) AS INT)
+             |    AS bin
+             |  FROM events),
+             |qr AS (SELECT bin, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM qb GROUP BY 1),
+             |qc AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum
+             |  FROM qr),
+             |qn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qb),
+             |qq(pct) AS (SELECT * FROM (VALUES (50), (90), (99)) v(pct))
+             |SELECT CAST(q.pct AS INT) AS pct, qn.n AS n_total,
+             |  CAST(min(c.bin) AS INT) AS bin_est
+             |FROM qq q CROSS JOIN qn
+             |JOIN qc c ON c.cum >= (q.pct * qn.n + 99) // 100
+             |GROUP BY 1, 2""".stripMargin)),
+
     // REAL durable streaming sink: file source → stateful dedup →
     // PARQUET sink with a checkpoint (exactly-once via the sink's commit
     // log + source offset tracking — the shape every production pipeline

@@ -117,6 +117,44 @@ class AccuracySpec extends AnyFunSuite {
     assert(math.abs(lc - 100.0) / 100.0 < 0.15, s"linear-counting est=$lc")
   }
 
+  test("quantile sketch bins: estimate = floor of the exact disc " +
+      "percentile; mergeable across splits") {
+    // the stream_quantile_sketch recurrence in batch form: with unit
+    // bins = floor(value) and threshold ceil(pct·n/100), the selected
+    // bin is exactly floor(percentile_disc(pct)) — zero slack, because
+    // the bin of the k-th order statistic is the first bin whose
+    // cumulative count reaches k
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("value"))
+    val binned = ev.select(least(greatest(floor(col("value")), lit(0)),
+      lit(511)).cast("int").as("bin"))
+    val regs = binned.groupBy("bin").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = regs.values.sum
+    val exact = ev.collect().map(_.getDouble(0)).sorted
+    for (pct <- Seq(50, 90, 99)) {
+      val t = (pct * n + 99) / 100
+      val est = regs.keys.toSeq.sorted
+        .scanLeft((0, 0L)) { case ((_, c), b) => (b, c + regs(b)) }
+        .drop(1).find(_._2 >= t).get._1
+      val disc = exact((t - 1).toInt)
+      assert(est === math.min(math.max(disc.floor.toInt, 0), 511),
+        s"pct=$pct est=$est disc=$disc")
+    }
+    // mergeability: bin counts are plain sums — sketches of any
+    // deterministic row split add up to the whole-corpus sketch
+    def sketchOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(least(greatest(floor(col("value")), lit(0)), lit(511))
+          .cast("int").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val a = sketchOf(ev.filter(col("value") < 50))
+    val b = sketchOf(ev.filter(col("value") >= 50))
+    val merged = (a.keySet ++ b.keySet).map(k =>
+      k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    assert(merged === regs)
+  }
+
   test("k-means refinement preserves centroid count and improves spread") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val seeds = Similarity.seedCentroids(emb, 8)
