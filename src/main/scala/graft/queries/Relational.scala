@@ -1805,7 +1805,90 @@ object Relational {
              |SELECT s.o_orderstatus, s.n_rows, s.sum_cents, s.min_key,
              |  s.max_key, e.n_est AS custkeys_est
              |FROM iscalar s JOIN ihest e ON e.g = s.o_orderstatus"""
-        .stripMargin))
+        .stripMargin)),
+
+    // ---- HLL set algebra — the reason cardinality sketches beat plain
+    // approx-distinct at 100 TB: the UNION of two key sets costs one
+    // register max-merge (exact at the sketch level — no rescan of
+    // either side), and the INTERSECTION estimates by inclusion–
+    // exclusion over three register reads. Customers-with-F-orders vs
+    // customers-with-O-orders; exact counterparts ride along, and the
+    // oracle replays register construction, merge, and both estimates,
+    // so the whole algebra hash-verifies.
+    GQ("q63_hll_setops",
+      (s, dir) => {
+        import graft.operators.HyperLogLog
+        val ords = t(s, dir).orders
+          .filter(col("o_orderstatus").isin("F", "O"))
+          .select(col("o_orderstatus").as("g"),
+            col("o_custkey").cast("string").as("ck"))
+        val regs = HyperLogLog.sketchBy(ords, col("ck"), Seq("g"))
+          .cache()
+        def est(r: DataFrame, nm: String) =
+          HyperLogLog.estimate(r).select(col("n_est").as(nm))
+        val estA = est(regs.filter(col("g") === "F")
+          .select("bucket", "r"), "n_a_est")
+        val estB = est(regs.filter(col("g") === "O")
+          .select("bucket", "r"), "n_b_est")
+        val estU = est(regs.groupBy("bucket").agg(max(col("r")).as("r")),
+          "n_union_est")
+        val exact = t(s, dir).orders.agg(
+          countDistinct(when(col("o_orderstatus") === "F",
+            col("o_custkey"))).as("n_a_exact"),
+          countDistinct(when(col("o_orderstatus") === "O",
+            col("o_custkey"))).as("n_b_exact"),
+          countDistinct(when(col("o_orderstatus").isin("F", "O"),
+            col("o_custkey"))).as("n_union_exact"))
+        val inter = t(s, dir).orders.groupBy(col("o_custkey"))
+          .agg(max(when(col("o_orderstatus") === "F", 1).otherwise(0))
+            .as("hf"),
+            max(when(col("o_orderstatus") === "O", 1).otherwise(0))
+              .as("ho"))
+          .filter(col("hf") === 1 && col("ho") === 1)
+          .agg(count(lit(1)).as("n_inter_exact"))
+        exact.crossJoin(inter).crossJoin(estA).crossJoin(estB)
+          .crossJoin(estU)
+          .select(col("n_a_exact"), col("n_a_est"), col("n_b_exact"),
+            col("n_b_est"), col("n_union_exact"), col("n_union_est"),
+            col("n_inter_exact"),
+            greatest(col("n_a_est") + col("n_b_est") - col("n_union_est"),
+              lit(0L)).as("n_inter_est"))
+      },
+      Some {
+        val m = graft.operators.HyperLogLog.M
+        val est = (src: String) =>
+          s"""(SELECT CAST(floor(CAST(${graft.operators.HyperLogLog.AlphaM2}
+             |    AS DOUBLE) /
+             |  (sum(CAST(1.0 AS DOUBLE) / (CAST(1 AS BIGINT) << r))
+             |    + ($m - count(*)))) AS BIGINT) FROM $src)""".stripMargin
+        s"""WITH horders AS (
+           |  SELECT o_orderstatus AS g, o_custkey
+           |  FROM orders WHERE o_orderstatus IN ('F', 'O')),
+           |${HllOracle.groupedCtes("horders", "o_custkey", "g")},
+           |hru AS (SELECT bucket, max(r) AS r FROM ihreg GROUP BY 1),
+           |hx AS (
+           |  SELECT
+           |    (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT)
+           |     FROM orders WHERE o_orderstatus = 'F') AS n_a_exact,
+           |    ${est("ihreg WHERE g = 'F'")} AS n_a_est,
+           |    (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT)
+           |     FROM orders WHERE o_orderstatus = 'O') AS n_b_exact,
+           |    ${est("ihreg WHERE g = 'O'")} AS n_b_est,
+           |    (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT)
+           |     FROM orders WHERE o_orderstatus IN ('F', 'O'))
+           |      AS n_union_exact,
+           |    ${est("hru")} AS n_union_est,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM (
+           |       SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+           |       INTERSECT
+           |       SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'))
+           |      AS n_inter_exact)
+           |SELECT n_a_exact, n_a_est, n_b_exact, n_b_est, n_union_exact,
+           |  n_union_est, n_inter_exact,
+           |  CAST(greatest(n_a_est + n_b_est - n_union_est, 0) AS BIGINT)
+           |    AS n_inter_est
+           |FROM hx""".stripMargin
+      })
   )
 
   /** DuckDB replay of operators.HyperLogLog — register index from 2
