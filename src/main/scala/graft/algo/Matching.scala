@@ -1,0 +1,99 @@
+package graft.algo
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Maximal matching by locally-maximal edges (the Israeli–Itai /
+  * Luby-on-the-line-graph family) — MIS's edge-side twin and the
+  * symmetry-breaking primitive behind parallel pairing workloads
+  * (entity-resolution pair assignment, two-sided dedup arbitration,
+  * round-based load pairing).
+  *
+  * Same determinism contract as [[IndependentSet]]: round-r edge
+  * priorities are md5(r ++ ":" ++ a ++ ":" ++ b) — re-randomized per
+  * round, engine-shared — and an edge enters the matching when its
+  * (priority, a, b) triple is the maximum among ALL undecided edges at
+  * BOTH endpoints, computed as two per-endpoint max-reductions (never an
+  * edge×edge adjacency join: the incidence max is one groupBy over the
+  * shrinking edge list). Matched endpoints leave; incident edges drop;
+  * a constant fraction of edges dies per round in expectation →
+  * O(log m) rounds. The whole Las-Vegas run replays as a fixed-round
+  * SQL chain, so the matched edge set hash-verifies.
+  */
+object Matching {
+
+  /** Matched edges (src, dst) with src < dst over the undirected view of
+    * `edges`; no two rows share an endpoint (spec-pinned), and every
+    * dropped edge has a matched endpoint (maximality).
+    */
+  def maximal(spark: SparkSession, edges: DataFrame,
+      rounds: Int = 8): DataFrame = {
+    val e0 = edges.select(col(edges.columns(0)).as("s"),
+        col(edges.columns(1)).as("d"))
+      .filter(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"),
+        greatest(col("s"), col("d")).as("b"))
+      .distinct()
+    var ueCp = e0.localCheckpoint(true)
+    var ue = ueCp
+    var matchedAcc: Option[DataFrame] = None
+    for (r <- 1 to rounds) {
+      val pe = ue.select(col("a"), col("b"),
+        md5(concat(lit(s"$r:"), col("a"), lit(":"), col("b"))).as("p"))
+      // per-endpoint winner: the max (p, a, b) among incident edges
+      val inc = pe.select(col("a").as("node"),
+          struct(col("p"), col("a"), col("b")).as("k"))
+        .union(pe.select(col("b").as("node"),
+          struct(col("p"), col("a"), col("b")).as("k")))
+      val winners = inc.groupBy("node").agg(max(col("k")).as("w"))
+      // matched = edges that are the winner at BOTH endpoints
+      val matchedCp = pe
+        .join(winners.select(col("node").as("a"), col("w").as("wa")),
+          Seq("a"))
+        .join(winners.select(col("node").as("b"), col("w").as("wb")),
+          Seq("b"))
+        .filter(struct(col("p"), col("a"), col("b")) === col("wa") &&
+          struct(col("p"), col("a"), col("b")) === col("wb"))
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+      val matched = graft.core.Checkpoints.freshStats(matchedCp)
+      // drop every edge incident to a matched endpoint
+      val gone = matched.select(col("a").as("node"))
+        .union(matched.select(col("b").as("node"))).distinct()
+      val newUeCp = ue
+        .join(gone.select(col("node").as("a")), Seq("a"), "left_anti")
+        .join(gone.select(col("node").as("b")), Seq("b"), "left_anti")
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+      graft.core.Checkpoints.release(ueCp)
+      ueCp = newUeCp
+      ue = graft.core.Checkpoints.freshStats(newUeCp)
+      matchedAcc = Some(matchedAcc match {
+        case None => matchedCp
+        case Some(acc) =>
+          val nxt = acc.union(matched).localCheckpoint(true)
+          graft.core.Checkpoints.release(acc)
+          graft.core.Checkpoints.release(matchedCp)
+          nxt
+      })
+      if (sys.env.contains("GRAFT_MATCH_DEBUG"))
+        System.err.println(s"[matching] round $r")
+    }
+    val leftover = ueCp.count()
+    if (leftover > 0) {
+      graft.core.Checkpoints.release(ueCp)
+      matchedAcc.foreach(graft.core.Checkpoints.release)
+      throw new IllegalStateException(
+        s"matching left $leftover undecided edges after $rounds rounds; " +
+          "raise the budget (a constant edge fraction dies per round in " +
+          "expectation, so this signals a pathological input)")
+    }
+    graft.core.Checkpoints.release(ueCp)
+    matchedAcc match {
+      case Some(m) => m.select(col("a").as("src"), col("b").as("dst"))
+      case None =>
+        import spark.implicits._
+        Seq.empty[(String, String)].toDF("src", "dst")
+    }
+  }
+}

@@ -918,6 +918,46 @@ object Graph {
         .mkString("\n  UNION ALL\n  ")
       (pre ++ steps).mkString(",\n") + s",\nmmis AS (\n  $all)"
     }
+
+    /** Fixed-round locally-maximal-matching chain (algo.Matching's
+      * recurrence, MIS's edge-side twin): round-r edge priorities
+      * md5(r:a:b); an edge matches when it is the (p, a, b)-maximum
+      * incident edge at BOTH endpoints; matched endpoints' edges drop.
+      * Slice 1 finishes in 4 rounds; extra rounds are no-ops.
+      */
+    def matchChain(rounds: Int): String = {
+      val pre =
+        """xue0 AS MATERIALIZED (
+          |  SELECT least(src, dst) AS a, greatest(src, dst) AS b
+          |  FROM edges WHERE src <> dst GROUP BY 1, 2)""".stripMargin
+      val steps = (1 to rounds).map { r =>
+        s"""xp$r AS MATERIALIZED (
+           |  SELECT a, b, md5('$r:' || a || ':' || b) AS p
+           |  FROM xue${r - 1}),
+           |xin$r AS MATERIALIZED (
+           |  SELECT a AS node, p, a AS ea, b AS eb FROM xp$r
+           |  UNION ALL
+           |  SELECT b AS node, p, a AS ea, b AS eb FROM xp$r),
+           |xw$r AS MATERIALIZED (
+           |  SELECT node, ea, eb FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY node
+           |      ORDER BY p DESC, ea DESC, eb DESC) AS rn
+           |    FROM xin$r) WHERE rn = 1),
+           |xm$r AS MATERIALIZED (
+           |  SELECT e.a, e.b FROM xp$r e
+           |  JOIN xw$r wa ON wa.node = e.a AND wa.ea = e.a AND wa.eb = e.b
+           |  JOIN xw$r wb ON wb.node = e.b AND wb.ea = e.a AND wb.eb = e.b),
+           |xg$r AS MATERIALIZED (
+           |  SELECT a AS node FROM xm$r UNION SELECT b AS node FROM xm$r),
+           |xue$r AS MATERIALIZED (
+           |  SELECT a, b FROM xue${r - 1}
+           |  WHERE a NOT IN (SELECT node FROM xg$r)
+           |    AND b NOT IN (SELECT node FROM xg$r))""".stripMargin
+      }
+      val all = (1 to rounds).map(r => s"SELECT a, b FROM xm$r")
+        .mkString("\n  UNION ALL\n  ")
+      (Seq(pre) ++ steps).mkString(",\n") + s",\nxmatch AS (\n  $all)"
+    }
   }
 
   val queries: Seq[GQ] = Seq(
@@ -1840,6 +1880,23 @@ object Graph {
               |SELECT n.START_NODE AS node_id,
               |  CAST(CASE WHEN n.START_NODE IN (SELECT node FROM mmis)
               |    THEN 1 ELSE 0 END AS BIGINT) AS in_mis
-              |FROM ids n""".stripMargin))
+              |FROM ids n""".stripMargin)),
+
+    // Maximal matching by locally-maximal edges — MIS's edge-side twin
+    // (parallel pairing: entity-resolution assignment, two-sided dedup
+    // arbitration). An edge matches when its hash priority is the
+    // maximum incident edge at BOTH endpoints — two per-endpoint max
+    // reductions over the shrinking undecided edge list, never an
+    // edge×edge adjacency join. Same replay contract as g40.
+    GQ("g41_matching",
+      (s, _) => {
+        val pg = g(s)
+        graft.algo.Matching.maximal(s, pg.projection.select("src", "dst"))
+          .select(col("src").as("src_id"), col("dst").as("dst_id"))
+      },
+      sliceOracle(s"""WITH ${Oracle.edgesCte},
+              |${Oracle.matchChain(8)}
+              |SELECT a AS src_id, b AS dst_id
+              |FROM xmatch""".stripMargin))
   )
 }

@@ -1295,6 +1295,41 @@ class GraphAlgoSpec extends AnyFunSuite {
     }
   }
 
+  test("matching: valid and maximal on slice 1 and random digraphs; " +
+      "deterministic across reruns") {
+    def check(edgesDf: org.apache.spark.sql.DataFrame, tag: String)
+        : Set[(String, String)] = {
+      val got = algo.Matching.maximal(spark, edgesDf)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      // validity: no two matched edges share an endpoint
+      val ends = got.toSeq.flatMap(e => Seq(e._1, e._2))
+      assert(ends.distinct.size === ends.size, s"$tag: shared endpoint")
+      // maximality: every original undirected edge touches a matched node
+      val matchedNodes = ends.toSet
+      edgesDf.collect().map(r => (r.getString(0), r.getString(1)))
+        .filter(e => e._1 != e._2)
+        .foreach { case (a, b) =>
+          assert(matchedNodes.contains(a) || matchedNodes.contains(b),
+            s"$tag: edge $a-$b unmatched on both sides")
+        }
+      got
+    }
+    val first = check(pg.projection.select("src", "dst"), "slice1")
+    assert(first.size > 1000)
+    val again = algo.Matching.maximal(spark, pg.projection
+        .select("src", "dst"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(again === first)
+    for (seed <- Seq(13, 47, 83)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 20 + rnd.nextInt(25)
+      val pairs = (for (_ <- 0 until 90 + rnd.nextInt(70)) yield
+        (s"v${rnd.nextInt(n)}", s"v${rnd.nextInt(n)}"))
+        .filter(e => e._1 != e._2).distinct
+      check(pairs.toDF("src", "dst"), s"seed=$seed")
+    }
+  }
+
   test("node similarity: fixture Jaccard counts; threshold excludes weak pairs") {
     // N(a)={x,y,z}, N(b)={x,y,w}, N(c)={x}, N(d)={q}
     val edges = Seq(
