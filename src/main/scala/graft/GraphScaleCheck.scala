@@ -365,7 +365,52 @@ object GraphScaleCheck {
     println(f"[scale] louvain2l: $nRandNodes%,d nodes x (8+4) rounds -> " +
       f"$lv2lComm%,d communities (level-1 $lvComm%,d) in $tLv2%.1f s")
 
-    println(f"""{"wcc_path_sec":$tPath%.1f,"wcc_rand_sec":$tDist%.1f,"pagerank_sec":$tPr%.1f,"triangles_sec":$tTri%.1f,"kcore_sec":$tKc%.1f,"scc_sec":$tScc%.1f,"labelprop_sec":$tLpa%.1f,"betweenness_sec":$tBc%.1f,"node2vec_sec":$tNv%.1f,"nodesim_sec":$tNs%.1f,"louvain_sec":$tLv%.1f,"louvain2l_sec":$tLv2%.1f,"n_path":$nPath,"n_rand_nodes":$nRandNodes,"n_rand_edges":$nRandEdges}""")
+    // ---- 13. MST at scale: distributed Borůvka on the random graph ----
+    // contraction must converge in O(log n) rounds; the forest must have
+    // exactly n − #components edges (acyclic + maximal) and reproduce
+    // the WCC component structure
+    val wEdges = randEdges.withColumn("cost",
+      (conv(substring(md5(concat(col("src"), lit(":"), col("dst"))),
+        1, 6), 16, 10).cast("double") + 1.0))
+    val (mstE, tMst) = timed {
+      algo.Boruvka.mst(spark, wEdges, localEdgeThreshold = 0L).cache()
+    }
+    val nMst = mstE.count()
+    require(nMst == nRandNodes - nComp,
+      s"mst edge count $nMst != $nRandNodes - $nComp")
+    mstE.unpersist()
+    println(f"[scale] mst: $nRandNodes%,d nodes / $nRandEdges%,d edges -> " +
+      f"$nMst%,d forest edges in $tMst%.1f s")
+
+    // ---- 14. MIS + matching at scale: symmetry-breaking rounds --------
+    // the adversarial PATH graph is the worst case for coordination-free
+    // greedy (long dependency chains); the hash-priority rounds must
+    // still finish inside the fixed budget and satisfy the invariants on
+    // a sampled neighborhood
+    val (misL, tMis) = timed {
+      algo.IndependentSet.luby(spark, pathNodes, pathEdges, rounds = 16)
+        .cache()
+    }
+    val misIn = misL.filter(col("in_mis") === 1L).count()
+    require(misIn >= nPath / 3 && misIn <= (nPath + 1) / 2,
+      s"path MIS size $misIn outside [n/3, n/2]")
+    misL.unpersist()
+    println(f"[scale] mis: $nPath%,d-node path -> $misIn%,d in-set " +
+      f"in $tMis%.1f s (16-round budget)")
+    val (matchE, tMatch) = timed {
+      algo.Matching.maximal(spark, pathEdges, rounds = 16).cache()
+    }
+    val nMatch = matchE.count()
+    val matchEnds = matchE.select(col("src").as("n"))
+      .union(matchE.select(col("dst").as("n")))
+    require(matchEnds.distinct().count() == 2 * nMatch,
+      "matching shares endpoints")
+    require(nMatch >= nPath / 3, s"path matching $nMatch below n/3")
+    matchE.unpersist()
+    println(f"[scale] matching: ${nPath - 1}%,d-edge path -> $nMatch%,d " +
+      f"pairs in $tMatch%.1f s (16-round budget)")
+
+    println(f"""{"wcc_path_sec":$tPath%.1f,"wcc_rand_sec":$tDist%.1f,"pagerank_sec":$tPr%.1f,"triangles_sec":$tTri%.1f,"kcore_sec":$tKc%.1f,"scc_sec":$tScc%.1f,"labelprop_sec":$tLpa%.1f,"betweenness_sec":$tBc%.1f,"node2vec_sec":$tNv%.1f,"nodesim_sec":$tNs%.1f,"louvain_sec":$tLv%.1f,"louvain2l_sec":$tLv2%.1f,"mst_sec":$tMst%.1f,"mis_sec":$tMis%.1f,"matching_sec":$tMatch%.1f,"n_path":$nPath,"n_rand_nodes":$nRandNodes,"n_rand_edges":$nRandEdges}""")
     spark.stop()
   }
 }
