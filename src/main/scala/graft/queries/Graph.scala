@@ -958,6 +958,68 @@ object Graph {
         .mkString("\n  UNION ALL\n  ")
       (Seq(pre) ++ steps).mkString(",\n") + s",\nxmatch AS (\n  $all)"
     }
+
+    /** Fixed-layer greedy-coloring chain (algo.Coloring's recurrence):
+      * layer L = the misChain recurrence over the residual graph, with
+      * per-layer CTE prefixes. Slice 1 needs 7 layers (max degree 7) and
+      * ≤ 3 inner rounds per layer; budgets pad to 8 / 5 — exhausted
+      * layers are no-ops.
+      */
+    def colorChain(layers: Int, inner: Int): String = {
+      val base = Seq(
+        "cl1n AS MATERIALIZED (SELECT START_NODE AS node FROM ids)",
+        """cl1e AS MATERIALIZED (
+          |  SELECT src AS a, dst AS b FROM edges WHERE src <> dst
+          |  UNION
+          |  SELECT dst AS a, src AS b FROM edges WHERE src <> dst)"""
+          .stripMargin)
+      val layerCtes = (1 to layers).flatMap { l =>
+        val rounds = (1 to inner).map { r =>
+          val (u0, v0) =
+            if (r == 1) (s"cl${l}n", s"cl${l}e")
+            else (s"cl${l}u${r - 1}", s"cl${l}v${r - 1}")
+          s"""cl${l}p$r AS MATERIALIZED (
+             |  SELECT node, md5('$r:' || node) AS p FROM $u0),
+             |cl${l}l$r AS MATERIALIZED (
+             |  SELECT DISTINCT e.a AS node
+             |  FROM $v0 e
+             |  JOIN cl${l}p$r pa ON pa.node = e.a
+             |  JOIN cl${l}p$r pb ON pb.node = e.b
+             |  WHERE (pb.p, e.b) > (pa.p, e.a)),
+             |cl${l}c$r AS MATERIALIZED (
+             |  SELECT node FROM $u0
+             |  WHERE node NOT IN (SELECT node FROM cl${l}l$r)),
+             |cl${l}x$r AS MATERIALIZED (
+             |  SELECT DISTINCT e.a AS node FROM $v0 e
+             |  WHERE e.b IN (SELECT node FROM cl${l}c$r)),
+             |cl${l}u$r AS MATERIALIZED (
+             |  SELECT node FROM $u0
+             |  WHERE node NOT IN (SELECT node FROM cl${l}c$r)
+             |    AND node NOT IN (SELECT node FROM cl${l}x$r)),
+             |cl${l}v$r AS MATERIALIZED (
+             |  SELECT a, b FROM $v0
+             |  WHERE a IN (SELECT node FROM cl${l}u$r)
+             |    AND b IN (SELECT node FROM cl${l}u$r))""".stripMargin
+        }
+        val mis = (1 to inner).map(r => s"SELECT node FROM cl${l}c$r")
+          .mkString("\n  UNION ALL\n  ")
+        val nxt =
+          if (l == layers) Nil
+          else Seq(
+            s"""cl${l + 1}n AS MATERIALIZED (
+               |  SELECT node FROM cl${l}n
+               |  WHERE node NOT IN (SELECT node FROM cl${l}m))""".stripMargin,
+            s"""cl${l + 1}e AS MATERIALIZED (
+               |  SELECT a, b FROM cl${l}e
+               |  WHERE a IN (SELECT node FROM cl${l + 1}n)
+               |    AND b IN (SELECT node FROM cl${l + 1}n))""".stripMargin)
+        rounds ++ Seq(s"cl${l}m AS MATERIALIZED (\n  $mis)") ++ nxt
+      }
+      val colors = (1 to layers)
+        .map(l => s"SELECT node, $l AS color FROM cl${l}m")
+        .mkString("\n  UNION ALL\n  ")
+      (base ++ layerCtes).mkString(",\n") + s",\nccolors AS (\n  $colors)"
+    }
   }
 
   val queries: Seq[GQ] = Seq(
@@ -1897,6 +1959,24 @@ object Graph {
       sliceOracle(s"""WITH ${Oracle.edgesCte},
               |${Oracle.matchChain(8)}
               |SELECT a AS src_id, b AS dst_id
-              |FROM xmatch""".stripMargin))
+              |FROM xmatch""".stripMargin)),
+
+    // Greedy coloring by iterated MIS (Jones–Plassmann) — each color
+    // class is one MIS layer of the residual graph, so rows sharing a
+    // color never share an edge: the conflict-free parallel-update
+    // schedule, in ≤ Δ+1 layers (slice 1: 7 layers at max degree 7).
+    // Layer equality with the oracle follows from g40's replay contract
+    // applied per residual graph; extra budget layers/rounds are no-ops.
+    GQ("g42_coloring",
+      (s, _) => {
+        val pg = g(s)
+        graft.algo.Coloring.greedy(s, pg.nodes.select("nodeId"),
+            pg.projection.select("src", "dst"))
+          .select(col("node").as("node_id"), col("color"))
+      },
+      sliceOracle(s"""WITH ${Oracle.edgesCte},
+              |${Oracle.colorChain(8, 5)}
+              |SELECT node AS node_id, CAST(color AS INT) AS color
+              |FROM ccolors""".stripMargin))
   )
 }

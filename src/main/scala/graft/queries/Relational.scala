@@ -1888,7 +1888,121 @@ object Relational {
            |  CAST(greatest(n_a_est + n_b_est - n_union_est, 0) AS BIGINT)
            |    AS n_inter_est
            |FROM hx""".stripMargin
-      })
+      }),
+
+    // ---- snapshot diff (change-data-feed derivation) — q56's inverse:
+    // given two PERSISTED table versions, derive the change set. One
+    // full-outer join on the key classifies every row I/U/D/N; the
+    // oracle states only the expected class populations (it derives
+    // them from the change rules directly and never sees the join), so
+    // the diff mechanics are pinned by their semantics. At 100 TB this
+    // is the audit tool for "what did yesterday's load actually
+    // change" — one co-partitioned join, no history replay.
+    GQ("q64_snapshot_diff",
+      (s, dir) => {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        val v0 = t(s, dir).orders.select(col("o_orderkey").as("k"),
+          col("o_orderstatus").as("st"), centsCol.as("c"))
+        // v1 = the q56 change semantics applied (update/delete/insert)
+        val v1 = v0.filter(pmod(col("k"), lit(10)) === 3)
+          .select(col("k"), col("st"), (col("c") + expr("c div 10")).as("c"))
+          .unionByName(v0.filter(pmod(col("k"), lit(10)) =!= 3 &&
+            pmod(col("k"), lit(10)) =!= 7))
+          .unionByName(v0.filter(pmod(col("k"), lit(97)) === 0)
+            .select((col("k") + 10000000L).as("k"), col("st"), col("c")))
+        withScratch("graft-snapdiff") { scratch =>
+          graft.sources.Sinks.parquet(v0, s"$scratch/v0")
+          graft.sources.Sinks.parquet(v1, s"$scratch/v1")
+          val a = s.read.parquet(s"$scratch/v0").as("a")
+          val b = s.read.parquet(s"$scratch/v1").as("b")
+          val diff = a.join(b, col("a.k") === col("b.k"), "full_outer")
+            .select(
+              when(col("a.k").isNull, "I")
+                .when(col("b.k").isNull, "D")
+                .when(col("a.c") =!= col("b.c") ||
+                  col("a.st") =!= col("b.st"), "U")
+                .otherwise("N").as("change_type"),
+              (coalesce(col("b.c"), lit(0L)) - coalesce(col("a.c"), lit(0L)))
+                .as("delta"))
+          val rows = diff.groupBy(col("change_type"))
+            .agg(count(lit(1)).as("n_rows"), sum(col("delta"))
+              .as("cents_delta"))
+            .collect()
+            .map(r => Row(r.getString(0), r.getLong(1), r.getLong(2)))
+            .sortBy(_.getString(0)).toIndexedSeq
+          localResult(s, StructType(Seq(
+            StructField("change_type", StringType),
+            StructField("n_rows", LongType),
+            StructField("cents_delta", LongType))), rows)
+        }
+      },
+      Some(s"""WITH sd AS (
+             |  SELECT o_orderkey AS k, $CentsSql AS c FROM orders)
+             |SELECT 'D' AS change_type, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(-sum(c) AS BIGINT) AS cents_delta
+             |FROM sd WHERE k % 10 = 7
+             |UNION ALL
+             |SELECT 'I', CAST(count(*) AS BIGINT),
+             |  CAST(sum(c) AS BIGINT) FROM sd WHERE k % 97 = 0
+             |UNION ALL
+             |SELECT 'N', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT)
+             |FROM sd WHERE k % 10 NOT IN (3, 7)
+             |UNION ALL
+             |SELECT 'U', CAST(count(*) AS BIGINT),
+             |  CAST(sum(c // 10) AS BIGINT) FROM sd WHERE k % 10 = 3"""
+        .stripMargin)),
+
+    // ---- bloom-filter semi-join reduction (an explicit runtime
+    // filter): build a compact bloom over the dimension's join keys,
+    // prefilter the fact scan BEFORE the shuffle, and let the real join
+    // remove the false positives — semantics provably unchanged (the
+    // oracle is the plain join and has never heard of the filter). At
+    // 100 TB this ships megabytes of filter bits instead of shuffling
+    // fact rows that cannot match; the surviving-row bound is pinned in
+    // OperatorsSpec (the bloom's own fp rate), not in the hash contract
+    // (filter bits are engine-local).
+    GQ("q65_bloom_prune",
+      (s, dir) => {
+        import s.implicits._
+        val urgent = t(s, dir).orders
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"))
+        val keyBytes = urgent
+          .select(col("o_orderkey").cast("string").cast("binary")
+            .as[Array[Byte]])
+        val nKeys = urgent.count()
+        val targetBits = math.min(1L << 26, math.max(1L << 14, nKeys * 16))
+        val numBits =
+          if (java.lang.Long.bitCount(targetBits) == 1) targetBits
+          else java.lang.Long.highestOneBit(targetBits) << 1
+        val words = keyBytes.select(
+          new graft.functions.BloomBuild((numBits / 64).toInt, 7).toColumn)
+          .head()
+        val bloom = new graft.functions.BloomBits(words, 7)
+        def hit(c: Column): Column =
+          org.apache.spark.sql.graftbridge.ColumnBridge.column(
+            graft.functions.BloomContainsExpr(
+              org.apache.spark.sql.graftbridge.ColumnBridge.expression(c),
+              bloom))
+        val li = t(s, dir).lineitem.select(col("l_orderkey"),
+          (col("l_extendedprice").cast("decimal(15,2)") * 100)
+            .cast("long").as("price_cents"))
+        val pruned = li.filter(hit(col("l_orderkey").cast("string")))
+        pruned.join(urgent, col("l_orderkey") === col("o_orderkey"))
+          .agg(countDistinct(col("o_orderkey")).as("n_urgent_orders"),
+            count(lit(1)).as("n_lines"),
+            sum(col("price_cents")).as("price_cents"))
+      },
+      Some("""SELECT
+             |  CAST(count(DISTINCT o.o_orderkey) AS BIGINT)
+             |    AS n_urgent_orders,
+             |  CAST(count(*) AS BIGINT) AS n_lines,
+             |  CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(15,2)) * 100
+             |    AS BIGINT)) AS BIGINT) AS price_cents
+             |FROM lineitem l
+             |JOIN orders o ON o.o_orderkey = l.l_orderkey
+             |WHERE o.o_orderpriority = '1-URGENT'""".stripMargin))
   )
 
   /** DuckDB replay of operators.HyperLogLog — register index from 2

@@ -1330,6 +1330,44 @@ class GraphAlgoSpec extends AnyFunSuite {
     }
   }
 
+  test("coloring: proper on slice 1 and random digraphs; layer count " +
+      "within max degree + 1; colors = iterated MIS layers") {
+    def check(nodesDf: org.apache.spark.sql.DataFrame,
+        edgesDf: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val got = algo.Coloring.greedy(spark, nodesDf, edgesDf)
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      val pairs = edgesDf.collect()
+        .map(r => (r.getString(0), r.getString(1))).filter(e => e._1 != e._2)
+      // proper: no edge joins two same-colored nodes
+      pairs.foreach { case (a, b) =>
+        assert(got(a) !== got(b), s"$tag: edge $a-$b same color ${got(a)}")
+      }
+      // totality + Δ+1 bound
+      assert(got.size === nodesDf.count())
+      val deg = pairs.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+        .map(_._2.length)
+      val maxDeg = if (deg.isEmpty) 0 else deg.max
+      assert(got.values.max <= maxDeg + 1,
+        s"$tag: ${got.values.max} colors > Δ+1 = ${maxDeg + 1}")
+      // color 1 must be exactly the first MIS of the full graph
+      val mis1 = algo.IndependentSet.luby(spark, nodesDf, edgesDf)
+        .filter(org.apache.spark.sql.functions.col("in_mis") === 1L)
+        .collect().map(_.getString(0)).toSet
+      assert(got.filter(_._2 == 1).keySet === mis1, s"$tag: layer-1 drift")
+    }
+    check(pg.nodes.select("nodeId"), pg.projection.select("src", "dst"),
+      "slice1")
+    for (seed <- Seq(9, 41)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 18 + rnd.nextInt(18)
+      val pairs = (for (_ <- 0 until 70 + rnd.nextInt(60)) yield
+        (s"v${rnd.nextInt(n)}", s"v${rnd.nextInt(n)}"))
+        .filter(e => e._1 != e._2).distinct
+      check((0 until n).map(i => s"v$i").toDF("node"),
+        pairs.toDF("src", "dst"), s"seed=$seed")
+    }
+  }
+
   test("node similarity: fixture Jaccard counts; threshold excludes weak pairs") {
     // N(a)={x,y,z}, N(b)={x,y,w}, N(c)={x}, N(d)={q}
     val edges = Seq(

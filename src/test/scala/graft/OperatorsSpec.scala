@@ -189,6 +189,42 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom semi-join reduction: zero false negatives, prefilter " +
+      "survivors bounded by matches plus fp slack") {
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val urgent = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val keys = urgent.collect().map(_.getLong(0)).toSet
+    val words = urgent
+      .select(col("o_orderkey").cast("string").cast("binary")
+        .as[Array[Byte]])
+      .select(new graft.functions.BloomBuild(1024, 7).toColumn).head()
+    val bloom = new graft.functions.BloomBits(words, 7)
+    def hit(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.BloomContainsExpr(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(c),
+          bloom))
+    val survivors = lineitem
+      .filter(hit(col("l_orderkey").cast("string")))
+      .select(col("l_orderkey")).collect().map(_.getLong(0))
+    // no false negatives: every true match survives the prefilter
+    val trueMatches = lineitem.select(col("l_orderkey")).collect()
+      .map(_.getLong(0)).filter(keys.contains)
+    assert(trueMatches.forall(k => survivors.contains(k)))
+    assert(survivors.count(keys.contains) === trueMatches.length)
+    // pruning bite: false-positive survivors stay a small fraction of
+    // the non-matching stream (64 Kibit / 7 hashes over ~300 keys →
+    // fp ≪ 1%; assert a loose 5%)
+    val nonMatch = lineitem.count() - trueMatches.length
+    val fps = survivors.length - trueMatches.length
+    assert(fps <= math.max(1L, nonMatch / 20),
+      s"fps=$fps of nonMatch=$nonMatch")
+  }
+
   test("OrderedFold EWMA ≡ buffered collect_list fold, bit for bit") {
     // deterministic pseudo-random corpus: skewed keys (key 0 holds ~30%
     // of rows), duplicate (o1, o2) pairs planted so the value tiebreak
