@@ -2002,7 +2002,60 @@ object Relational {
              |    AS BIGINT)) AS BIGINT) AS price_cents
              |FROM lineitem l
              |JOIN orders o ON o.o_orderkey = l.l_orderkey
-             |WHERE o.o_orderpriority = '1-URGENT'""".stripMargin))
+             |WHERE o.o_orderpriority = '1-URGENT'""".stripMargin)),
+
+    // ---- time-series gap filling (resample + LOCF) — the missing-
+    // reading repair every metrics/training-feature pipeline needs:
+    // materialize each user's full hourly timeline between first and
+    // last observation, then carry the last observation forward across
+    // the gaps. The per-hour representative is the max-event_id row
+    // (deterministic, NO float arithmetic — the carried value is a raw
+    // stored double, so it hashes exactly). Shuffle keys are
+    // (user, hour): series stay co-partitioned, the LOCF window is
+    // per-user — never global. Timeline expansion is sequence()+explode,
+    // generate_series in the oracle.
+    GQ("q66_gapfill",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = t(s, dir).events.select(col("user_id"),
+          date_trunc("hour", col("ts")).as("h"), col("event_id"),
+          col("value"))
+        val perHour = ev.groupBy(col("user_id"), col("h"))
+          .agg(count(lit(1)).as("n_obs"),
+            max(struct(col("event_id"), col("value"))).as("m"))
+          .select(col("user_id"), col("h"), col("n_obs"),
+            col("m.value").as("v"))
+        val timeline = ev.groupBy(col("user_id"))
+          .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+          .select(col("user_id"),
+            explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        timeline.join(perHour, Seq("user_id", "h"), "left_outer")
+          .select(col("user_id"),
+            date_format(col("h"), "yyyy-MM-dd HH:00").as("hour"),
+            coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+            last(col("v"), ignoreNulls = true).over(w).as("value"))
+      },
+      Some("""WITH ge AS (
+             |  SELECT user_id, date_trunc('hour', ts) AS h, event_id, value
+             |  FROM events),
+             |gh AS (
+             |  SELECT user_id, h, CAST(count(*) AS BIGINT) AS n_obs,
+             |    max(ROW(event_id, value))[2] AS v
+             |  FROM ge GROUP BY 1, 2),
+             |gt AS (
+             |  SELECT user_id, unnest(generate_series(min(h), max(h),
+             |    INTERVAL 1 HOUR)) AS h
+             |  FROM ge GROUP BY user_id)
+             |SELECT t.user_id, strftime(t.h, '%Y-%m-%d %H:00') AS hour,
+             |  CAST(coalesce(o.n_obs, 0) AS BIGINT) AS n_obs,
+             |  last_value(o.v IGNORE NULLS) OVER (
+             |    PARTITION BY t.user_id ORDER BY t.h
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+             |FROM gt t
+             |LEFT JOIN gh o ON o.user_id = t.user_id AND o.h = t.h"""
+        .stripMargin))
   )
 
   /** DuckDB replay of operators.HyperLogLog — register index from 2
