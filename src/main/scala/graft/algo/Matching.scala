@@ -22,6 +22,84 @@ import org.apache.spark.sql.functions._
   */
 object Matching {
 
+  /** Greedy WEIGHTED matching by locally-dominant edges (Preis 1999 /
+    * Hoepman 2004): an edge matches when it is the heaviest undecided
+    * edge at BOTH endpoints under the strict total order
+    * (cost, a, b) — under which the sequential heaviest-first greedy
+    * matching is UNIQUE, so the parallel rounds, a sequential twin, and
+    * the SQL replay agree by mathematics (the g39 argument applied to
+    * matchings). Guarantees ≥ ½ the maximum-weight matching. Parallel
+    * edges collapse to their MAX cost (only the heaviest can ever
+    * dominate). Returns (src, dst, cost), src < dst.
+    */
+  def heaviest(spark: SparkSession, edges: DataFrame,
+      rounds: Int = 10): DataFrame = {
+    val cols = edges.columns
+    val e0 = edges.select(col(cols(0)).as("s"), col(cols(1)).as("d"),
+        col(cols(2)).cast("double").as("cost"))
+      .filter(col("s") =!= col("d"))
+      .groupBy(least(col("s"), col("d")).as("a"),
+        greatest(col("s"), col("d")).as("b"))
+      .agg(max(col("cost")).as("cost"))
+    var ueCp = e0.localCheckpoint(true)
+    var ue = ueCp
+    var matchedAcc: Option[DataFrame] = None
+    var remaining = ueCp.count()
+    var r = 0
+    while (remaining > 0 && r < rounds) {
+      r += 1
+      val inc = ue.select(col("a").as("node"),
+          struct(col("cost"), col("a"), col("b")).as("k"))
+        .union(ue.select(col("b").as("node"),
+          struct(col("cost"), col("a"), col("b")).as("k")))
+      val winners = inc.groupBy("node").agg(max(col("k")).as("w"))
+      val matchedCp = ue
+        .join(winners.select(col("node").as("a"), col("w").as("wa")),
+          Seq("a"))
+        .join(winners.select(col("node").as("b"), col("w").as("wb")),
+          Seq("b"))
+        .filter(struct(col("cost"), col("a"), col("b")) === col("wa") &&
+          struct(col("cost"), col("a"), col("b")) === col("wb"))
+        .select(col("a"), col("b"), col("cost"))
+        .localCheckpoint(true)
+      val matched = graft.core.Checkpoints.freshStats(matchedCp)
+      val gone = matched.select(col("a").as("node"))
+        .union(matched.select(col("b").as("node"))).distinct()
+      val newUeCp = ue
+        .join(gone.select(col("node").as("a")), Seq("a"), "left_anti")
+        .join(gone.select(col("node").as("b")), Seq("b"), "left_anti")
+        .select(col("a"), col("b"), col("cost"))
+        .localCheckpoint(true)
+      graft.core.Checkpoints.release(ueCp)
+      ueCp = newUeCp
+      ue = graft.core.Checkpoints.freshStats(newUeCp)
+      matchedAcc = Some(matchedAcc match {
+        case None => matchedCp
+        case Some(acc) =>
+          val nxt = acc.union(matched).localCheckpoint(true)
+          graft.core.Checkpoints.release(acc)
+          graft.core.Checkpoints.release(matchedCp)
+          nxt
+      })
+      remaining = ueCp.count()
+    }
+    graft.core.Checkpoints.release(ueCp)
+    if (remaining > 0) {
+      matchedAcc.foreach(graft.core.Checkpoints.release)
+      throw new IllegalStateException(
+        s"weighted matching left $remaining undecided edges after " +
+          s"$rounds rounds — the globally heaviest edge matches every " +
+          "round, so this signals a pathological input")
+    }
+    matchedAcc match {
+      case Some(m) => m.select(col("a").as("src"), col("b").as("dst"),
+        col("cost"))
+      case None =>
+        import spark.implicits._
+        Seq.empty[(String, String, Double)].toDF("src", "dst", "cost")
+    }
+  }
+
   /** Matched edges (src, dst) with src < dst over the undirected view of
     * `edges`; no two rows share an endpoint (spec-pinned), and every
     * dropped edge has a matched endpoint (maximality).

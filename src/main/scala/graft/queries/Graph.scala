@@ -959,6 +959,44 @@ object Graph {
       (Seq(pre) ++ steps).mkString(",\n") + s",\nxmatch AS (\n  $all)"
     }
 
+    /** Fixed-round locally-DOMINANT weighted-matching chain
+      * (algo.Matching.heaviest): priorities are the edge weights
+      * themselves under the strict (cost, a, b) order, so the chain
+      * computes THE unique greedy heaviest-first matching. Slice 1
+      * finishes in 4 rounds.
+      */
+    def weightedMatchChain(rounds: Int): String = {
+      val pre =
+        """wue0 AS MATERIALIZED (
+          |  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+          |    max(cost) AS cost
+          |  FROM edges WHERE src <> dst GROUP BY 1, 2)""".stripMargin
+      val steps = (1 to rounds).map { r =>
+        s"""wic$r AS MATERIALIZED (
+           |  SELECT a AS node, cost, a AS ea, b AS eb FROM wue${r - 1}
+           |  UNION ALL
+           |  SELECT b AS node, cost, a AS ea, b AS eb FROM wue${r - 1}),
+           |wwn$r AS MATERIALIZED (
+           |  SELECT node, ea, eb FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY node
+           |      ORDER BY cost DESC, ea DESC, eb DESC) AS rn
+           |    FROM wic$r) WHERE rn = 1),
+           |wxm$r AS MATERIALIZED (
+           |  SELECT e.a, e.b, e.cost FROM wue${r - 1} e
+           |  JOIN wwn$r wa ON wa.node = e.a AND wa.ea = e.a AND wa.eb = e.b
+           |  JOIN wwn$r wb ON wb.node = e.b AND wb.ea = e.a AND wb.eb = e.b),
+           |wxg$r AS MATERIALIZED (
+           |  SELECT a AS node FROM wxm$r UNION SELECT b AS node FROM wxm$r),
+           |wue$r AS MATERIALIZED (
+           |  SELECT a, b, cost FROM wue${r - 1}
+           |  WHERE a NOT IN (SELECT node FROM wxg$r)
+           |    AND b NOT IN (SELECT node FROM wxg$r))""".stripMargin
+      }
+      val all = (1 to rounds).map(r => s"SELECT a, b, cost FROM wxm$r")
+        .mkString("\n  UNION ALL\n  ")
+      (Seq(pre) ++ steps).mkString(",\n") + s",\nwmatch AS (\n  $all)"
+    }
+
     /** Fixed-layer greedy-coloring chain (algo.Coloring's recurrence):
       * layer L = the misChain recurrence over the residual graph, with
       * per-layer CTE prefixes. Slice 1 needs 7 layers (max degree 7) and
@@ -1977,6 +2015,24 @@ object Graph {
       sliceOracle(s"""WITH ${Oracle.edgesCte},
               |${Oracle.colorChain(8, 5)}
               |SELECT node AS node_id, CAST(color AS INT) AS color
-              |FROM ccolors""".stripMargin))
+              |FROM ccolors""".stripMargin)),
+
+    // Greedy WEIGHTED matching (Preis/Hoepman locally-dominant edges,
+    // ≥ ½ of the maximum-weight matching): the unique heaviest-first
+    // greedy matching under the strict (cost, a, b) order, so parallel
+    // rounds, the sequential twin, and the SQL chain agree by
+    // mathematics — the g39 uniqueness argument applied to matchings.
+    GQ("g43_weighted_matching",
+      (s, _) => {
+        val pg = g(s)
+        graft.algo.Matching.heaviest(s,
+            pg.projection.select("src", "dst", "cost"))
+          .select(col("src").as("src_id"), col("dst").as("dst_id"),
+            col("cost"))
+      },
+      sliceOracle(s"""WITH ${Oracle.edgesCte},
+              |${Oracle.weightedMatchChain(10)}
+              |SELECT a AS src_id, b AS dst_id, cost
+              |FROM wmatch""".stripMargin))
   )
 }

@@ -1368,6 +1368,66 @@ class GraphAlgoSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted matching: ≡ sequential heaviest-first greedy; ≥ ½ of " +
+      "the brute-force optimum on small graphs") {
+    // sequential twin: sort edges by (cost, a, b) DESC, take if both
+    // endpoints free — the unique greedy matching the parallel
+    // locally-dominant rounds must reproduce exactly
+    def greedySeq(canon: Seq[(String, String, Double)])
+        : Set[(String, String, Double)] = {
+      val used = scala.collection.mutable.Set.empty[String]
+      val out = scala.collection.mutable.Set.empty[(String, String, Double)]
+      canon
+        .sortWith { case ((a1, b1, c1), (a2, b2, c2)) =>
+          if (c1 != c2) c1 > c2
+          else if (a1 != a2) a1 > a2 else b1 > b2 }
+        .foreach { case e @ (a, b, _) =>
+          if (!used.contains(a) && !used.contains(b)) {
+            used += a; used += b; out += e
+          }
+        }
+      out.toSet
+    }
+    def canonOf(raw: Seq[(String, String, Double)]) = raw
+      .filter(e => e._1 != e._2)
+      .map(e => (Seq(e._1, e._2).min, Seq(e._1, e._2).max, e._3))
+      .groupBy(e => (e._1, e._2))
+      .map { case (_, es) => es.maxBy(_._3) }.toSeq
+    // slice 1: distributed rounds ≡ sequential greedy
+    val sliceRaw = pg.projection.select("src", "dst", "cost").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+    val gotSlice = algo.Matching.heaviest(spark,
+        pg.projection.select("src", "dst", "cost"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    assert(gotSlice === greedySeq(canonOf(sliceRaw)))
+    // small random graphs: ≡ greedy twin AND ≥ ½ of the brute optimum
+    def bruteOpt(canon: List[(String, String, Double)]): Double =
+      canon match {
+        case Nil => 0.0
+        case e :: rest =>
+          val without = bruteOpt(rest)
+          val withE = e._3 + bruteOpt(rest.filter(o =>
+            o._1 != e._1 && o._1 != e._2 && o._2 != e._1 && o._2 != e._2))
+          math.max(without, withE)
+      }
+    for (seed <- Seq(19, 61)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 10
+      val raw = (for (_ <- 0 until 18) yield
+        (s"v${rnd.nextInt(n)}", s"v${rnd.nextInt(n)}",
+          (1 + rnd.nextInt(50)).toDouble)).toSeq
+      val canon = canonOf(raw)
+      val got = algo.Matching.heaviest(spark, raw.toDF("src", "dst", "cost"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+        .toSet
+      assert(got === greedySeq(canon), s"seed=$seed")
+      val gotW = got.toSeq.map(_._3).sum
+      val optW = bruteOpt(canon.toList)
+      assert(gotW * 2 >= optW - 1e-9, s"seed=$seed got=$gotW opt=$optW")
+    }
+  }
+
   test("node similarity: fixture Jaccard counts; threshold excludes weak pairs") {
     // N(a)={x,y,z}, N(b)={x,y,w}, N(c)={x}, N(d)={q}
     val edges = Seq(
