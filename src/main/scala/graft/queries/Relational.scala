@@ -2055,6 +2055,51 @@ object Relational {
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
              |FROM gt t
              |LEFT JOIN gh o ON o.user_id = t.user_id AND o.h = t.h"""
+        .stripMargin)),
+
+    // ---- remaining window-function coverage: cume_dist, nth_value,
+    // first/last over explicit frames — the q33 family's tail. All
+    // per-customer partitions (never global); cume_dist emerges in
+    // integer micro via its definition count(≤)/count(*) — both engines
+    // agree exactly because the inputs are integers.
+    GQ("q67_window_extras",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderkey"))
+        val wf = w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        t(s, dir).orders.select(col("o_custkey"), col("o_orderkey"),
+            centsCol.as("c"))
+          // single-order customers would make nth_value(2) NULL — and a
+          // nullable BIGINT upcasts asymmetrically in the compare
+          // harness, so the contract keeps to ≥2-row partitions
+          .withColumn("n_in_part", count(lit(1)).over(
+            Window.partitionBy(col("o_custkey"))))
+          .filter(col("n_in_part") >= 2)
+          .select(col("o_custkey"), col("o_orderkey"),
+            floor(cume_dist().over(w) * 1000000).cast("long")
+              .as("cume_micro"),
+            nth_value(col("c"), 2).over(wf).as("second_cents"),
+            first(col("c")).over(wf).as("first_cents"),
+            last(col("c")).over(wf).as("last_cents"))
+      },
+      Some("""WITH wo AS (
+             |  SELECT o_custkey, o_orderkey,
+             |    CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)
+             |      AS c,
+             |    count(*) OVER (PARTITION BY o_custkey) AS n_in_part
+             |  FROM orders)
+             |SELECT o_custkey, o_orderkey,
+             |  CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT)
+             |    AS cume_micro,
+             |  nth_value(c, 2) OVER wf AS second_cents,
+             |  first_value(c) OVER wf AS first_cents,
+             |  last_value(c) OVER wf AS last_cents
+             |FROM wo WHERE n_in_part >= 2
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+             |  wf AS (PARTITION BY o_custkey ORDER BY o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""
         .stripMargin))
   )
 
