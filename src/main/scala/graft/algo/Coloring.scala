@@ -22,10 +22,48 @@ object Coloring {
     * inside each MIS call.
     */
   def greedy(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
-      maxColors: Int = 12, lubyRounds: Int = 8): DataFrame = {
+      maxColors: Int = 12, lubyRounds: Int = 8,
+      localEdgeThreshold: Long = IndependentSet.LocalEdgeThreshold)
+      : DataFrame = {
     val allNodes = nodes.select(col(nodes.columns(0)).as("node"))
     val e = edges.select(col(edges.columns(0)).as("src"),
-      col(edges.columns(1)).as("dst"))
+      col(edges.columns(1)).as("dst")).cache()
+    val (nEdges, estBytes) = graft.core.LocalBudget.measureEdges(e)
+    if (graft.core.LocalBudget.fitsLocal(nEdges, estBytes,
+        localEdgeThreshold)) {
+      // ---- local: ONE collect, all MIS layers on driver adjacency ----
+      val pairs = e.collect().map(r => (r.getString(0), r.getString(1)))
+      e.unpersist()
+      val nodeIds = allNodes.collect().map(_.getString(0))
+      val adj = collection.mutable.HashMap
+        .empty[String, collection.mutable.Set[String]]
+      pairs.foreach { case (a, b) =>
+        if (a != b) {
+          adj.getOrElseUpdate(a, collection.mutable.Set.empty) += b
+          adj.getOrElseUpdate(b, collection.mutable.Set.empty) += a
+        }
+      }
+      val color = collection.mutable.HashMap.empty[String, Int]
+      var uncolored = nodeIds.toBuffer
+      var c = 0
+      while (uncolored.nonEmpty && c < maxColors) {
+        c += 1
+        val unSet = uncolored.toSet
+        val layerAdj = adj.map { case (k, vs) =>
+          k -> (vs.filter(unSet.contains): collection.Set[String])
+        }
+        val mis = IndependentSet.lubyLocal(uncolored.toArray, layerAdj,
+          lubyRounds)
+        mis.foreach(v => color(v) = c)
+        uncolored = uncolored.filterNot(mis.contains)
+      }
+      if (uncolored.nonEmpty)
+        throw new IllegalStateException(
+          s"coloring (local) left ${uncolored.size} nodes after " +
+            s"$maxColors layers")
+      import spark.implicits._
+      return nodeIds.map(v => (v, color(v))).toSeq.toDF("node", "color")
+    }
     var residCp = allNodes.localCheckpoint(true)
     var resid = residCp
     var acc: Option[DataFrame] = None
@@ -60,6 +98,7 @@ object Coloring {
         System.err.println(s"[coloring] layer $c remaining=$remaining")
     }
     graft.core.Checkpoints.release(residCp)
+    e.unpersist()
     if (remaining > 0) {
       acc.foreach(graft.core.Checkpoints.release)
       throw new IllegalStateException(

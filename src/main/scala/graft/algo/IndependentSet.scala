@@ -25,23 +25,99 @@ import org.apache.spark.sql.functions._
   */
 object IndependentSet {
 
+  val LocalEdgeThreshold: Long = graft.core.LocalBudget.MaxLocalEdges
+
+  /** Spark md5() of a UTF-8 string as the lowercase hex the SQL oracles
+    * compare — local twin of the distributed priority column.
+    */
+  private[algo] def md5hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new java.lang.StringBuilder(32)
+    d.foreach(b => sb.append(f"$b%02x"))
+    sb.toString
+  }
+
+  /** The luby recurrence on driver-local adjacency — bit-equal to the
+    * distributed rounds by construction (same priorities, same winner
+    * rule). Shared by the local fast path and [[Coloring]]'s layered
+    * local path.
+    */
+  private[algo] def lubyLocal(nodeIds: Array[String],
+      adj: collection.Map[String, collection.Set[String]],
+      rounds: Int): collection.mutable.Set[String] = {
+    val und = collection.mutable.Set[String](nodeIds: _*)
+    val mis = collection.mutable.Set.empty[String]
+    var r = 0
+    while (r < rounds && und.nonEmpty) {
+      r += 1
+      val pr = und.iterator.map(v => v -> md5hex(s"$r:$v")).toMap
+      val cand = und.filter { v =>
+        adj.getOrElse(v, Set.empty).forall { u =>
+          !und.contains(u) || {
+            val pv = pr(v); val pu = pr(u)
+            pv > pu || (pv == pu && v > u)
+          }
+        }
+      }.toSet
+      mis ++= cand
+      val excl = cand.flatMap(v => adj.getOrElse(v, Set.empty))
+      und --= cand
+      und --= excl
+    }
+    if (und.nonEmpty)
+      throw new IllegalStateException(
+        s"luby (local) did not decide ${und.size} nodes within $rounds " +
+          "rounds")
+    mis
+  }
+
   /** (node, in_mis 1|0) for every node in `nodes`; `edges` is directed
     * (src, dst), symmetrized internally, self-loops dropped. Isolated
     * nodes enter the MIS in round 1 (no undecided neighbor beats them).
+    * Same adaptive dispatch as GraphComponents.wcc: under the driver
+    * budget the identical recurrence runs on local adjacency.
     */
   def luby(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
-      rounds: Int = 8): DataFrame = {
+      rounds: Int = 8,
+      localEdgeThreshold: Long = LocalEdgeThreshold): DataFrame = {
     val allNodes = nodes.select(col(nodes.columns(0)).as("node"))
+    val e0 = edges.select(col(edges.columns(0)).as("a"),
+        col(edges.columns(1)).as("b")).cache()
+    val (nEdges, estBytes) = graft.core.LocalBudget.measureEdges(e0)
+    if (graft.core.LocalBudget.fitsLocal(nEdges, estBytes,
+        localEdgeThreshold)) {
+      val pairs = e0.collect().map(r => (r.getString(0), r.getString(1)))
+      e0.unpersist()
+      val nodeIds = allNodes.collect().map(_.getString(0))
+      val adj = collection.mutable.HashMap
+        .empty[String, collection.mutable.Set[String]]
+      pairs.foreach { case (a, b) =>
+        if (a != b) {
+          adj.getOrElseUpdate(a, collection.mutable.Set.empty) += b
+          adj.getOrElseUpdate(b, collection.mutable.Set.empty) += a
+        }
+      }
+      val mis = lubyLocal(nodeIds, adj, rounds)
+      import spark.implicits._
+      return nodeIds.map(v => (v, if (mis.contains(v)) 1L else 0L)).toSeq
+        .toDF("node", "in_mis")
+    }
     var undCp = allNodes.localCheckpoint(true)
     var und = undCp
-    val e0 = edges.select(col(edges.columns(0)).as("a"),
-        col(edges.columns(1)).as("b"))
     var ueCp = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
       .filter(col("a") =!= col("b")).distinct()
       .localCheckpoint(true)
     var ue = ueCp
+    e0.unpersist()
     var misAcc: Option[DataFrame] = None
-    for (r <- 1 to rounds) {
+    // early exit once nothing is undecided: later rounds are provably
+    // no-ops (empty cand/excl), so the result is identical to running
+    // the full budget — the SQL replay keeps its fixed rounds
+    var remaining = undCp.count()
+    var r = 0
+    while (r < rounds && remaining > 0) {
+      r += 1
       val pr = und.select(col("node"),
         md5(concat(lit(s"$r:"), col("node"))).as("p"))
       // a node loses when ANY undecided neighbor's (priority, id) pair
@@ -78,10 +154,11 @@ object IndependentSet {
           graft.core.Checkpoints.release(candCp)
           nxt
       })
+      remaining = undCp.count()
       if (sys.env.contains("GRAFT_MIS_DEBUG"))
-        System.err.println(s"[mis] round $r")
+        System.err.println(s"[mis] round $r remaining=$remaining")
     }
-    val leftover = undCp.count()
+    val leftover = remaining
     graft.core.Checkpoints.release(ueCp)
     if (leftover > 0) {
       graft.core.Checkpoints.release(undCp)

@@ -22,6 +22,8 @@ import org.apache.spark.sql.functions._
   */
 object Matching {
 
+  val LocalEdgeThreshold: Long = graft.core.LocalBudget.MaxLocalEdges
+
   /** Greedy WEIGHTED matching by locally-dominant edges (Preis 1999 /
     * Hoepman 2004): an edge matches when it is the heaviest undecided
     * edge at BOTH endpoints under the strict total order
@@ -33,7 +35,8 @@ object Matching {
     * dominate). Returns (src, dst, cost), src < dst.
     */
   def heaviest(spark: SparkSession, edges: DataFrame,
-      rounds: Int = 10): DataFrame = {
+      rounds: Int = 10,
+      localEdgeThreshold: Long = LocalEdgeThreshold): DataFrame = {
     val cols = edges.columns
     val e0 = edges.select(col(cols(0)).as("s"), col(cols(1)).as("d"),
         col(cols(2)).cast("double").as("cost"))
@@ -41,7 +44,31 @@ object Matching {
       .groupBy(least(col("s"), col("d")).as("a"),
         greatest(col("s"), col("d")).as("b"))
       .agg(max(col("cost")).as("cost"))
+      .cache()
+    val (nEdges, estBytes) = graft.core.LocalBudget.measureEdges(
+      e0.select("a", "b"))
+    if (graft.core.LocalBudget.fitsLocal(nEdges, estBytes + 8 * nEdges,
+        localEdgeThreshold)) {
+      // ---- local: THE unique greedy heaviest-first matching ----------
+      val canon = e0.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      e0.unpersist()
+      val ordered = canon.sortWith { case ((a1, b1, c1), (a2, b2, c2)) =>
+        if (c1 != c2) c1 > c2 else if (a1 != a2) a1 > a2 else b1 > b2
+      }
+      val used = collection.mutable.Set.empty[String]
+      val out = collection.mutable.ArrayBuffer
+        .empty[(String, String, Double)]
+      ordered.foreach { case e @ (a, b, _) =>
+        if (!used.contains(a) && !used.contains(b)) {
+          used += a; used += b; out += e
+        }
+      }
+      import spark.implicits._
+      return out.toSeq.toDF("src", "dst", "cost")
+    }
     var ueCp = e0.localCheckpoint(true)
+    e0.unpersist()
     var ue = ueCp
     var matchedAcc: Option[DataFrame] = None
     var remaining = ueCp.count()
@@ -105,17 +132,63 @@ object Matching {
     * dropped edge has a matched endpoint (maximality).
     */
   def maximal(spark: SparkSession, edges: DataFrame,
-      rounds: Int = 8): DataFrame = {
+      rounds: Int = 8,
+      localEdgeThreshold: Long = LocalEdgeThreshold): DataFrame = {
     val e0 = edges.select(col(edges.columns(0)).as("s"),
         col(edges.columns(1)).as("d"))
       .filter(col("s") =!= col("d"))
       .select(least(col("s"), col("d")).as("a"),
         greatest(col("s"), col("d")).as("b"))
       .distinct()
+      .cache()
+    val (nEdges, estBytes) = graft.core.LocalBudget.measureEdges(e0)
+    if (graft.core.LocalBudget.fitsLocal(nEdges, estBytes,
+        localEdgeThreshold)) {
+      // ---- local replay of the per-round dominance recurrence --------
+      var ue = e0.collect().map(r => (r.getString(0), r.getString(1)))
+        .toSet
+      e0.unpersist()
+      val out = collection.mutable.ArrayBuffer.empty[(String, String)]
+      var r = 0
+      while (r < rounds && ue.nonEmpty) {
+        r += 1
+        val pe = ue.iterator
+          .map(e => e -> IndependentSet.md5hex(s"$r:${e._1}:${e._2}"))
+          .toMap
+        val win = collection.mutable.HashMap
+          .empty[String, (String, String, String)]
+        ue.foreach { case e @ (a, b) =>
+          val k = (pe(e), a, b)
+          Seq(a, b).foreach { n =>
+            if (!win.contains(n) ||
+              Ordering[(String, String, String)].gt(k, win(n))) win(n) = k
+          }
+        }
+        val m = ue.filter { case e @ (a, b) =>
+          val k = (pe(e), a, b)
+          win(a) == k && win(b) == k
+        }
+        out ++= m
+        val gone = m.flatMap(e => Seq(e._1, e._2))
+        ue = ue.filter(e => !gone.contains(e._1) && !gone.contains(e._2))
+      }
+      if (ue.nonEmpty)
+        throw new IllegalStateException(
+          s"matching (local) left ${ue.size} undecided edges after " +
+            s"$rounds rounds")
+      import spark.implicits._
+      return out.toSeq.toDF("src", "dst")
+    }
     var ueCp = e0.localCheckpoint(true)
+    e0.unpersist()
     var ue = ueCp
     var matchedAcc: Option[DataFrame] = None
-    for (r <- 1 to rounds) {
+    // early exit on an empty undecided edge list: later rounds are
+    // provably no-ops, identical result to the full budget
+    var remainingEdges = ueCp.count()
+    var r = 0
+    while (r < rounds && remainingEdges > 0) {
+      r += 1
       val pe = ue.select(col("a"), col("b"),
         md5(concat(lit(s"$r:"), col("a"), lit(":"), col("b"))).as("p"))
       // per-endpoint winner: the max (p, a, b) among incident edges
@@ -154,10 +227,11 @@ object Matching {
           graft.core.Checkpoints.release(matchedCp)
           nxt
       })
+      remainingEdges = ueCp.count()
       if (sys.env.contains("GRAFT_MATCH_DEBUG"))
-        System.err.println(s"[matching] round $r")
+        System.err.println(s"[matching] round $r remaining=$remainingEdges")
     }
-    val leftover = ueCp.count()
+    val leftover = remainingEdges
     if (leftover > 0) {
       graft.core.Checkpoints.release(ueCp)
       matchedAcc.foreach(graft.core.Checkpoints.release)

@@ -1279,11 +1279,16 @@ class GraphAlgoSpec extends AnyFunSuite {
     val first = check(pg.nodes.select("nodeId"),
       pg.projection.select("src", "dst"), "slice1")
     assert(first.values.count(_ == 1L) > 1000) // road networks are sparse
-    // hash priorities ⇒ bit-identical reruns
+    // hash priorities ⇒ bit-identical reruns, and the forced-distributed
+    // rounds must equal the local replay exactly (same recurrence)
     val again = algo.IndependentSet.luby(spark, pg.nodes.select("nodeId"),
         pg.projection.select("src", "dst"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(again === first)
+    val dist = algo.IndependentSet.luby(spark, pg.nodes.select("nodeId"),
+        pg.projection.select("src", "dst"), localEdgeThreshold = 0L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dist === first)
     for (seed <- Seq(5, 31, 77)) {
       val rnd = new scala.util.Random(seed)
       val n = 25 + rnd.nextInt(25)
@@ -1320,6 +1325,11 @@ class GraphAlgoSpec extends AnyFunSuite {
         .select("src", "dst"))
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(again === first)
+    // forced-distributed rounds ≡ the local replay
+    val dist = algo.Matching.maximal(spark,
+        pg.projection.select("src", "dst"), localEdgeThreshold = 0L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(dist === first)
     for (seed <- Seq(13, 47, 83)) {
       val rnd = new scala.util.Random(seed)
       val n = 20 + rnd.nextInt(25)
@@ -1357,6 +1367,14 @@ class GraphAlgoSpec extends AnyFunSuite {
     }
     check(pg.nodes.select("nodeId"), pg.projection.select("src", "dst"),
       "slice1")
+    // forced-distributed layers ≡ the local layered replay
+    val localC = algo.Coloring.greedy(spark, pg.nodes.select("nodeId"),
+        pg.projection.select("src", "dst"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val distC = algo.Coloring.greedy(spark, pg.nodes.select("nodeId"),
+        pg.projection.select("src", "dst"), localEdgeThreshold = 0L)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(distC === localC)
     for (seed <- Seq(9, 41)) {
       val rnd = new scala.util.Random(seed)
       val n = 18 + rnd.nextInt(18)
@@ -1401,6 +1419,13 @@ class GraphAlgoSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
       .toSet
     assert(gotSlice === greedySeq(canonOf(sliceRaw)))
+    // forced-distributed dominance rounds ≡ the sequential greedy too
+    val distSlice = algo.Matching.heaviest(spark,
+        pg.projection.select("src", "dst", "cost"),
+        localEdgeThreshold = 0L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    assert(distSlice === gotSlice)
     // small random graphs: ≡ greedy twin AND ≥ ½ of the brute optimum
     def bruteOpt(canon: List[(String, String, Double)]): Double =
       canon match {
