@@ -63,6 +63,16 @@ object StatsAudit {
         algo.RandomWalks.walks(nodes, edges, numWalks = 2, length = 8,
           localEdgeThreshold = 0L), window = 2),
       localPairThreshold = 0L))
+    audit("mst")(algo.Boruvka.mst(spark, weighted,
+      localEdgeThreshold = 0L))
+    audit("mis")(algo.IndependentSet.luby(spark, nodes, edges,
+      localEdgeThreshold = 0L))
+    audit("matching")(algo.Matching.maximal(spark, edges,
+      localEdgeThreshold = 0L))
+    audit("matchingW")(algo.Matching.heaviest(spark, weighted,
+      localEdgeThreshold = 0L))
+    audit("coloring")(algo.Coloring.greedy(spark, nodes, edges,
+      localEdgeThreshold = 0L))
     spark.stop()
   }
 }
