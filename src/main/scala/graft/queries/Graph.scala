@@ -1058,6 +1058,53 @@ object Graph {
         .mkString("\n  UNION ALL\n  ")
       (base ++ layerCtes).mkString(",\n") + s",\nccolors AS (\n  $colors)"
     }
+
+    /** Fixed-round k-truss peel chain (algo.Truss): per round, the g12
+      * degree-oriented triangle enumeration over the SURVIVING edges,
+      * support distributed to the 3 member edges, under-supported edges
+      * dropped. The fixpoint is unique and order-independent (dropping
+      * only lowers support), so extra rounds are no-ops. Slice 1 at
+      * k = 3 peels to its fixpoint in 2 of the 4 budget rounds.
+      */
+    def trussChain(k: Int, rounds: Int): String = {
+      val minSup = k - 2
+      val te0 = """te0 AS MATERIALIZED (
+        |  SELECT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM edges WHERE src <> dst GROUP BY 1, 2)""".stripMargin
+      val steps = (1 to rounds).map { r =>
+        s"""td$r AS MATERIALIZED (
+           |  SELECT n, count(*) AS deg FROM (
+           |    SELECT a AS n FROM te${r - 1}
+           |    UNION ALL SELECT b AS n FROM te${r - 1}) GROUP BY 1),
+           |tg$r AS MATERIALIZED (
+           |  SELECT CASE WHEN da.deg < db.deg
+           |        OR (da.deg = db.deg AND e.a < e.b)
+           |      THEN e.a ELSE e.b END AS u,
+           |    CASE WHEN da.deg < db.deg
+           |        OR (da.deg = db.deg AND e.a < e.b)
+           |      THEN e.b ELSE e.a END AS v
+           |  FROM te${r - 1} e
+           |  JOIN td$r da ON da.n = e.a JOIN td$r db ON db.n = e.b),
+           |tx$r AS MATERIALIZED (
+           |  SELECT o1.u AS x, o1.v AS y, o2.v AS z
+           |  FROM tg$r o1 JOIN tg$r o2 ON o1.u = o2.u AND o1.v < o2.v
+           |  JOIN te${r - 1} e ON e.a = least(o1.v, o2.v)
+           |    AND e.b = greatest(o1.v, o2.v)),
+           |ts$r AS MATERIALIZED (
+           |  SELECT a, b, count(*) AS sup FROM (
+           |    SELECT least(x, y) AS a, greatest(x, y) AS b FROM tx$r
+           |    UNION ALL
+           |    SELECT least(x, z) AS a, greatest(x, z) AS b FROM tx$r
+           |    UNION ALL
+           |    SELECT least(y, z) AS a, greatest(y, z) AS b FROM tx$r)
+           |  GROUP BY 1, 2),
+           |te$r AS MATERIALIZED (
+           |  SELECT e.a, e.b FROM te${r - 1} e
+           |  JOIN ts$r s ON s.a = e.a AND s.b = e.b AND s.sup >= $minSup)"""
+          .stripMargin
+      }
+      (Seq(te0) ++ steps).mkString(",\n")
+    }
   }
 
   val queries: Seq[GQ] = Seq(
@@ -2033,6 +2080,23 @@ object Graph {
       sliceOracle(s"""WITH ${Oracle.edgesCte},
               |${Oracle.weightedMatchChain(10)}
               |SELECT a AS src_id, b AS dst_id, cost
-              |FROM wmatch""".stripMargin))
+              |FROM wmatch""".stripMargin)),
+
+    // k-truss (k = 3): the cohesive-subgraph refinement of k-core —
+    // every surviving edge sits in ≥ 1 triangle after iterative peel.
+    // The peel fixpoint is unique and order-independent, so the engines
+    // agree however they schedule the rounds; per round the work is the
+    // g12 degree-oriented triangle join over a monotonically shrinking
+    // edge list.
+    GQ("g44_ktruss",
+      (s, _) => {
+        val pg = g(s)
+        graft.algo.Truss.truss(s, pg.projection.select("src", "dst"), k = 3)
+          .select(col("src").as("src_id"), col("dst").as("dst_id"))
+      },
+      sliceOracle(s"""WITH ${Oracle.edgesCte},
+              |${Oracle.trussChain(3, 4)}
+              |SELECT a AS src_id, b AS dst_id
+              |FROM te4""".stripMargin))
   )
 }

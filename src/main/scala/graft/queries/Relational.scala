@@ -2100,6 +2100,47 @@ object Relational {
              |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey),
              |  wf AS (PARTITION BY o_custkey ORDER BY o_orderkey
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""
+        .stripMargin)),
+
+    // ---- event-transition matrix (first-order Markov estimate) — the
+    // path-analysis primitive behind "what do users do next": per-user
+    // event streams in (ts, event_id) total order → (from, to) bigram
+    // counts → row-normalized probabilities in exact integer micro.
+    // One user-keyed window pass + one (from, to) count: both shuffles
+    // are key-partitioned, nothing global.
+    GQ("q68_transitions",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val bigrams = t(s, dir).events
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"),
+            col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val totals = bigrams.groupBy(col("from_type"))
+          .agg(sum(col("n")).as("row_n"))
+        bigrams.join(totals, Seq("from_type"))
+          .select(col("from_type"), col("to_type"), col("n"),
+            expr("(1000000 * n) div row_n").as("p_micro"))
+      },
+      Some("""WITH tb AS (
+             |  SELECT event_type AS from_type,
+             |    lead(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS to_type
+             |  FROM events),
+             |tc AS (
+             |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+             |  FROM tb WHERE to_type IS NOT NULL GROUP BY 1, 2),
+             |tt AS (
+             |  SELECT from_type, CAST(sum(n) AS BIGINT) AS row_n
+             |  FROM tc GROUP BY 1)
+             |SELECT c.from_type, c.to_type, c.n,
+             |  CAST((1000000 * c.n) // t.row_n AS BIGINT) AS p_micro
+             |FROM tc c JOIN tt t ON t.from_type = c.from_type"""
         .stripMargin))
   )
 

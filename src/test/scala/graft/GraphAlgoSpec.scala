@@ -1453,6 +1453,54 @@ class GraphAlgoSpec extends AnyFunSuite {
     }
   }
 
+  test("k-truss: fixpoint invariants on slice 1; forced-distributed ≡ " +
+      "local; random digraphs ≡ brute peel") {
+    def brute(pairs: Seq[(String, String)], k: Int)
+        : Set[(String, String)] = {
+      var es = pairs.filter(e => e._1 != e._2)
+        .map(e => (Seq(e._1, e._2).min, Seq(e._1, e._2).max)).toSet
+      var changed = true
+      while (changed) {
+        val adj = es.toSeq.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+          .map { case (n, vs) => n -> vs.map(_._2).toSet }
+        val keep = es.filter { case (a, b) =>
+          (adj(a) & adj(b)).size >= k - 2 }
+        changed = keep.size != es.size
+        es = keep
+      }
+      es
+    }
+    val local = algo.Truss.truss(spark,
+        pg.projection.select("src", "dst"), k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // fixpoint invariant: every surviving edge has ≥ k−2 common
+    // neighbors INSIDE the truss (not just in the full graph)
+    val adj = local.toSeq.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+      .map { case (n, vs) => n -> vs.map(_._2).toSet }
+    local.foreach { case (a, b) =>
+      assert((adj(a) & adj(b)).nonEmpty, s"unsupported truss edge $a-$b")
+    }
+    assert(local === brute(pg.projection.select("src", "dst").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq, 3))
+    val dist = algo.Truss.truss(spark, pg.projection.select("src", "dst"),
+        k = 3, localEdgeThreshold = 0L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(dist === local)
+    for (seed <- Seq(29, 67)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 14 + rnd.nextInt(12)
+      val pairs = (for (_ <- 0 until 70 + rnd.nextInt(50)) yield
+        (s"v${rnd.nextInt(n)}", s"v${rnd.nextInt(n)}"))
+        .filter(e => e._1 != e._2).distinct
+      for (k <- Seq(3, 4)) {
+        val got = algo.Truss.truss(spark, pairs.toDF("src", "dst"), k,
+            localEdgeThreshold = 0L)
+          .collect().map(r => (r.getString(0), r.getString(1))).toSet
+        assert(got === brute(pairs, k), s"seed=$seed k=$k")
+      }
+    }
+  }
+
   test("node similarity: fixture Jaccard counts; threshold excludes weak pairs") {
     // N(a)={x,y,z}, N(b)={x,y,w}, N(c)={x}, N(d)={q}
     val edges = Seq(
