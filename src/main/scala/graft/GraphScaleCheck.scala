@@ -388,7 +388,8 @@ object GraphScaleCheck {
     // still finish inside the fixed budget and satisfy the invariants on
     // a sampled neighborhood
     val (misL, tMis) = timed {
-      algo.IndependentSet.luby(spark, pathNodes, pathEdges, rounds = 16)
+      algo.IndependentSet.luby(spark, pathNodes, pathEdges, rounds = 16,
+        localEdgeThreshold = 0L)
         .cache()
     }
     val misIn = misL.filter(col("in_mis") === 1L).count()
@@ -398,7 +399,8 @@ object GraphScaleCheck {
     println(f"[scale] mis: $nPath%,d-node path -> $misIn%,d in-set " +
       f"in $tMis%.1f s (16-round budget)")
     val (matchE, tMatch) = timed {
-      algo.Matching.maximal(spark, pathEdges, rounds = 16).cache()
+      algo.Matching.maximal(spark, pathEdges, rounds = 16,
+        localEdgeThreshold = 0L).cache()
     }
     val nMatch = matchE.count()
     val matchEnds = matchE.select(col("src").as("n"))

@@ -59,9 +59,15 @@ object Boruvka {
     if (graft.core.LocalBudget.fitsLocal(nEdges, estBytes + 8 * nEdges,
         localEdgeThreshold)) {
       // ---- local: Kruskal over the sorted edge array ------------------
+      val ord = graft.algo.IndependentSet.Utf8Order
       val rows = cand.collect()
         .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
-        .sortBy { case (a, b, c) => (c, a, b) }
+        .sortWith { case ((a1, b1, c1), (a2, b2, c2)) =>
+          // ascending (cost, a, b) in the engines' UTF-8 binary order
+          if (c1 != c2) c1 < c2
+          else if (a1 != a2) ord.lt(a1, a2)
+          else ord.lt(b1, b2)
+        }
       cand.unpersist()
       val parent = scala.collection.mutable.HashMap.empty[String, String]
       def find(x: String): String = {
@@ -186,12 +192,18 @@ object Boruvka {
       if (sys.env.contains("GRAFT_MST_DEBUG"))
         System.err.println(s"[mst] round $round merged=$merged")
     }
+    // converged iff the last round merged nothing OR contracted the edge
+    // list to empty (the final merging round may be the budget's last —
+    // an empty cross-component edge list IS the fixpoint)
+    val done = merged == 0 || cedgesCp.count() == 0
     graft.core.Checkpoints.release(cedgesCp)
-    if (merged > 0)
+    if (!done) {
+      chosenAll.foreach(graft.core.Checkpoints.release)
       throw new IllegalStateException(
         s"boruvka did not converge within $maxRounds rounds — components " +
           "at least halve per round, so this indicates a pathological " +
           "input, not a tuning matter")
+    }
     chosenAll match {
       case Some(acc) =>
         acc.select(col("a").as("src"), col("b").as("dst"), col("cost"))

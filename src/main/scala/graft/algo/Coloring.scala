@@ -75,7 +75,8 @@ object Coloring {
         .join(resid.select(col("node").as("src")), Seq("src"), "left_semi")
         .join(resid.select(col("node").as("dst")), Seq("dst"), "left_semi")
         .select("src", "dst")
-      val mis = IndependentSet.luby(spark, resid, subEdges, lubyRounds)
+      val mis = IndependentSet.luby(spark, resid, subEdges, lubyRounds,
+        localEdgeThreshold)
       val coloredCp = mis.filter(col("in_mis") === 1L)
         .select(col("node"), lit(c).as("color"))
         .localCheckpoint(true)

@@ -28,14 +28,50 @@ object IndependentSet {
   val LocalEdgeThreshold: Long = graft.core.LocalBudget.MaxLocalEdges
 
   /** Spark md5() of a UTF-8 string as the lowercase hex the SQL oracles
-    * compare — local twin of the distributed priority column.
+    * compare — local twin of the distributed priority column. One
+    * thread-local digest (MessageDigest is stateful, and the local
+    * twins call this per node per round).
     */
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val HexChars = "0123456789abcdef".toCharArray
+
   private[algo] def md5hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val sb = new java.lang.StringBuilder(32)
-    d.foreach(b => sb.append(f"$b%02x"))
-    sb.toString
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** UTF-8 binary string order — what Spark's UTF8String comparison and
+    * DuckDB both use. Java String.compareTo is UTF-16 code-unit order,
+    * which DIVERGES for supplementary-plane characters, so every local
+    * twin tie-break goes through this ordering to keep the
+    * local ≡ distributed ≡ SQL contract total (benign for ASCII ids,
+    * load-bearing the day ids stop being ASCII).
+    */
+  private[algo] val Utf8Order: Ordering[String] = new Ordering[String] {
+    def compare(x: String, y: String): Int = {
+      val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val c = (a(i) & 0xff) - (b(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      a.length - b.length
+    }
   }
 
   /** The luby recurrence on driver-local adjacency — bit-equal to the
@@ -56,7 +92,9 @@ object IndependentSet {
         adj.getOrElse(v, Set.empty).forall { u =>
           !und.contains(u) || {
             val pv = pr(v); val pu = pr(u)
-            pv > pu || (pv == pu && v > u)
+            // priorities are ASCII hex (orderings agree); ids go through
+            // the UTF-8 order to match the engines' binary comparison
+            pv > pu || (pv == pu && Utf8Order.gt(v, u))
           }
         }
       }.toSet

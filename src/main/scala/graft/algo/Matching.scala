@@ -53,8 +53,12 @@ object Matching {
       val canon = e0.collect()
         .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
       e0.unpersist()
+      val ord = IndependentSet.Utf8Order
       val ordered = canon.sortWith { case ((a1, b1, c1), (a2, b2, c2)) =>
-        if (c1 != c2) c1 > c2 else if (a1 != a2) a1 > a2 else b1 > b2
+        // descending (cost, a, b) in the engines' UTF-8 binary order
+        if (c1 != c2) c1 > c2
+        else if (a1 != a2) ord.gt(a1, a2)
+        else ord.gt(b1, b2)
       }
       val used = collection.mutable.Set.empty[String]
       val out = collection.mutable.ArrayBuffer
@@ -155,13 +159,14 @@ object Matching {
         val pe = ue.iterator
           .map(e => e -> IndependentSet.md5hex(s"$r:${e._1}:${e._2}"))
           .toMap
+        val tupleOrd = Ordering.Tuple3(IndependentSet.Utf8Order,
+          IndependentSet.Utf8Order, IndependentSet.Utf8Order)
         val win = collection.mutable.HashMap
           .empty[String, (String, String, String)]
         ue.foreach { case e @ (a, b) =>
           val k = (pe(e), a, b)
           Seq(a, b).foreach { n =>
-            if (!win.contains(n) ||
-              Ordering[(String, String, String)].gt(k, win(n))) win(n) = k
+            if (!win.contains(n) || tupleOrd.gt(k, win(n))) win(n) = k
           }
         }
         val m = ue.filter { case e @ (a, b) =>

@@ -63,7 +63,9 @@ object Truss {
         dropped = keep.size != es.size
         es = keep
       }
-      if (dropped)
+      // an empty edge set is trivially the fixpoint even if the budget
+      // ended on a dropping round
+      if (dropped && es.nonEmpty)
         throw new IllegalStateException(
           s"k-truss (local) did not reach a fixpoint in $maxRounds rounds")
       import spark.implicits._
@@ -122,7 +124,7 @@ object Truss {
       if (sys.env.contains("GRAFT_TRUSS_DEBUG"))
         System.err.println(s"[truss] round $r dropped=$droppedN")
     }
-    if (droppedN > 0) {
+    if (droppedN > 0 && ueCp.count() > 0) {
       graft.core.Checkpoints.release(ueCp)
       throw new IllegalStateException(
         s"k-truss did not reach a fixpoint in $maxRounds rounds")

@@ -78,13 +78,20 @@ object HyperLogLog {
       .groupBy("bucket").agg(max(col("rho")).as("r"))
   }
 
-  /** Raw HLL estimate from a register frame: one row, `n_est` BIGINT.
-    * Absent registers contribute 2⁰ = 1 to the harmonic sum.
+  /** THE harmonic sum — the one expression the whole cross-engine hash
+    * contract rests on, defined once and shared by every estimate
+    * (estimate / estimateBy / smallRangeEstimate; HllOracle mirrors it
+    * in SQL via `HllOracle.estSql`). Absent registers contribute
+    * 2⁰ = 1; the coalesce makes an EMPTY register frame (no keys seen
+    * yet) the all-absent sum S = m rather than NULL.
     */
+  private def harmonicSum: Column =
+    (coalesce(sum(lit(1.0) / expr("shiftleft(cast(1 as bigint), r)")),
+      lit(0.0)) + (lit(M) - count(lit(1))) * 1.0)
+
+  /** Raw HLL estimate from a register frame: one row, `n_est` BIGINT. */
   def estimate(registers: DataFrame): DataFrame =
-    registers.agg(
-      (sum(lit(1.0) / expr("shiftleft(cast(1 as bigint), r)")) +
-        (lit(M) - count(lit(1))) * 1.0).as("s"))
+    registers.agg(harmonicSum.as("s"))
       .select(floor(lit(AlphaM2) / col("s")).cast("long").as("n_est"))
 
   /** Grouped sketch: (groupCols*, bucket, r) — one m-row register set
@@ -102,8 +109,7 @@ object HyperLogLog {
   /** Per-group raw estimate from a grouped register frame. */
   def estimateBy(registers: DataFrame, groupCols: Seq[String]): DataFrame =
     registers.groupBy(groupCols.map(col): _*)
-      .agg((sum(lit(1.0) / expr("shiftleft(cast(1 as bigint), r)")) +
-        (lit(M) - count(lit(1))) * 1.0).as("s"))
+      .agg(harmonicSum.as("s"))
       .select(groupCols.map(col) :+
         floor(lit(AlphaM2) / col("s")).cast("long").as("n_est"): _*)
 
@@ -112,9 +118,7 @@ object HyperLogLog {
     * the cross-engine hash contract (see class doc).
     */
   def smallRangeEstimate(registers: DataFrame): DataFrame = {
-    val est = registers.agg(
-        (sum(lit(1.0) / expr("shiftleft(cast(1 as bigint), r)")) +
-          (lit(M) - count(lit(1))) * 1.0).as("s"),
+    val est = registers.agg(harmonicSum.as("s"),
         (lit(M) - count(lit(1))).cast("double").as("v"))
       .select((lit(AlphaM2) / col("s")).as("e"), col("v"))
     est.select(

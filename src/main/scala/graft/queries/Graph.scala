@@ -1103,7 +1103,10 @@ object Graph {
            |  JOIN ts$r s ON s.a = e.a AND s.b = e.b AND s.sup >= $minSup)"""
           .stripMargin
       }
-      (Seq(te0) ++ steps).mkString(",\n")
+      // final alias so callers cannot select a mid-peel state when the
+      // round budget changes
+      (Seq(te0) ++ steps).mkString(",\n") +
+        s",\nttruss AS (SELECT a, b FROM te$rounds)"
     }
   }
 
@@ -2097,6 +2100,6 @@ object Graph {
       sliceOracle(s"""WITH ${Oracle.edgesCte},
               |${Oracle.trussChain(3, 4)}
               |SELECT a AS src_id, b AS dst_id
-              |FROM te4""".stripMargin))
+              |FROM ttruss""".stripMargin))
   )
 }

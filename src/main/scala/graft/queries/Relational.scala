@@ -1668,10 +1668,13 @@ object Relational {
     GQ("q60_frequent_pairs",
       (s, dir) => {
         val tt = t(s, dir)
+        // cached: five consumers (basket count, two count legs, both
+        // sides of the self-join) would otherwise re-run the join+distinct
         val bb = tt.lineitem.select(col("l_orderkey"), col("l_partkey"))
           .join(broadcast(tt.part.select(col("p_partkey").as("l_partkey"),
             col("p_brand"))), Seq("l_partkey"))
           .select(col("l_orderkey"), col("p_brand")).distinct()
+          .cache()
         val nb = bb.select(col("l_orderkey")).distinct()
           .agg(count(lit(1)).as("n_baskets"))
         val cnt = bb.groupBy(col("p_brand")).agg(count(lit(1)).as("c"))
@@ -1855,12 +1858,8 @@ object Relational {
               lit(0L)).as("n_inter_est"))
       },
       Some {
-        val m = graft.operators.HyperLogLog.M
         val est = (src: String) =>
-          s"""(SELECT CAST(floor(CAST(${graft.operators.HyperLogLog.AlphaM2}
-             |    AS DOUBLE) /
-             |  (sum(CAST(1.0 AS DOUBLE) / (CAST(1 AS BIGINT) << r))
-             |    + ($m - count(*)))) AS BIGINT) FROM $src)""".stripMargin
+          s"(SELECT ${HllOracle.estExprSql} FROM $src)"
         s"""WITH horders AS (
            |  SELECT o_orderstatus AS g, o_custkey
            |  FROM orders WHERE o_orderstatus IN ('F', 'O')),
@@ -2154,16 +2153,26 @@ object Relational {
     * batch ≡ streamed ≡ SQL.
     */
   private[queries] object HllOracle {
+    /** THE estimate fragment (an aggregate select-list expression over
+      * register rows (bucket, r)) — single SQL source of truth
+      * mirroring operators.HyperLogLog.harmonicSum, incl. the coalesce
+      * that makes an empty register set the all-absent sum S = m.
+      * Used by `leg`, `groupedCtes`, and q63's merged-register reads.
+      */
+    def estExprSql: String =
+      s"""CAST(floor(CAST(${graft.operators.HyperLogLog.AlphaM2}
+         |        AS DOUBLE) /
+         |      (coalesce(sum(CAST(1.0 AS DOUBLE)
+         |          / (CAST(1 AS BIGINT) << r)), CAST(0.0 AS DOUBLE))
+         |        + (${graft.operators.HyperLogLog.M} - count(*))))
+         |      AS BIGINT)""".stripMargin
+
     /** One (key_name, n_exact, n_est) leg over `table`.`keyCol`. */
     def leg(name: String, table: String, keyCol: String): String =
       s"""SELECT '$name' AS key_name,
          |  (SELECT CAST(count(DISTINCT $keyCol) AS BIGINT) FROM $table)
          |    AS n_exact,
-         |  (SELECT CAST(floor(CAST(${graft.operators.HyperLogLog.AlphaM2}
-         |        AS DOUBLE) /
-         |      (sum(CAST(1.0 AS DOUBLE) / (CAST(1 AS BIGINT) << r))
-         |        + (${graft.operators.HyperLogLog.M} - count(*))))
-         |      AS BIGINT)
+         |  (SELECT $estExprSql
          |   FROM (
          |     SELECT bucket, max(rho) AS r FROM (
          |       SELECT
@@ -2218,11 +2227,7 @@ object Relational {
          |            FROM $table)))))
          |  GROUP BY 1, 2),
          |ihest AS (
-         |  SELECT g, CAST(floor(CAST(${graft.operators.HyperLogLog.AlphaM2}
-         |      AS DOUBLE) /
-         |    (sum(CAST(1.0 AS DOUBLE) / (CAST(1 AS BIGINT) << r))
-         |      + (${graft.operators.HyperLogLog.M} - count(*))))
-         |    AS BIGINT) AS n_est
+         |  SELECT g, $estExprSql AS n_est
          |  FROM ihreg GROUP BY 1)""".stripMargin
   }
 }
