@@ -63,8 +63,14 @@ object Boruvka {
       val rows = cand.collect()
         .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
         .sortWith { case ((a1, b1, c1), (a2, b2, c2)) =>
-          // ascending (cost, a, b) in the engines' UTF-8 binary order
-          if (c1 != c2) c1 < c2
+          // ascending (cost, a, b) in the engines' UTF-8 binary order.
+          // Costs compare via Double.compare: `c1 != c2` is NOT a strict
+          // weak order when a cost is NaN (NaN != NaN but also !(NaN<x)),
+          // and TimSort throws on contract violations; Double.compare
+          // totals the order with NaN largest — the same rank Spark's
+          // nan-safe ordering gives it on the distributed path.
+          val cc = java.lang.Double.compare(c1, c2)
+          if (cc != 0) cc < 0
           else if (a1 != a2) ord.lt(a1, a2)
           else ord.lt(b1, b2)
         }

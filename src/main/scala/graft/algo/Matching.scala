@@ -55,8 +55,13 @@ object Matching {
       e0.unpersist()
       val ord = IndependentSet.Utf8Order
       val ordered = canon.sortWith { case ((a1, b1, c1), (a2, b2, c2)) =>
-        // descending (cost, a, b) in the engines' UTF-8 binary order
-        if (c1 != c2) c1 > c2
+        // descending (cost, a, b) in the engines' UTF-8 binary order.
+        // Double.compare, not !=/>: NaN costs would break sortWith's
+        // strict-weak-order contract (TimSort IllegalArgumentException)
+        // and diverge from Spark's nan-safe order on the distributed
+        // path; Double.compare ranks NaN largest, matching Spark.
+        val cc = java.lang.Double.compare(c1, c2)
+        if (cc != 0) cc > 0
         else if (a1 != a2) ord.gt(a1, a2)
         else ord.gt(b1, b2)
       }

@@ -20,6 +20,28 @@ import org.apache.spark.sql.DataFrame
   */
 object Checkpoints {
 
+  /** Internal cache()s a query result depends on, keyed by the result
+    * Dataset's identity. A query builder that caches a shared
+    * intermediate (q60's basket table feeds five consumers) cannot
+    * unpersist it before returning — the plan hasn't executed yet — so
+    * it registers the cache here via [[owns]] and the harness's
+    * post-execution release(result) frees it. Weak keys: if a caller
+    * drops the result without releasing, the entry (not the blocks —
+    * those fall to the ContextCleaner, the pre-registry status quo)
+    * vanishes with it.
+    */
+  private val owned = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[DataFrame, Seq[DataFrame]]())
+
+  /** Register cached/checkpointed frames that back `result` so that
+    * `release(result)` frees them once the result is materialized.
+    * Returns `result` for expression-position use.
+    */
+  def owns(result: DataFrame, cached: DataFrame*): DataFrame = {
+    owned.merge(result, cached.toSeq, (a, b) => a ++ b)
+    result
+  }
+
   /** Free the storage behind `df` now. Safe to call more than once.
     *
     * Walks the analyzed plan and unpersists EVERY checkpoint-scan leaf,
@@ -27,8 +49,10 @@ object Checkpoints {
     * distributed sssp/apsp results are projections over the kernel's
     * final state) — callers that are done with such a result can release
     * it. Only call when no other live frame shares the checkpoint.
+    * Also frees any intermediates registered against `df` via [[owns]].
     */
   def release(df: DataFrame): Unit = {
+    Option(owned.remove(df)).foreach(_.foreach(release))
     val leaves = df.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr
     }

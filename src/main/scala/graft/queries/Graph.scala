@@ -810,6 +810,16 @@ object Graph {
       (Seq(deg, nct, p0) ++ steps).mkString(",\n")
     }
 
+    /** 1-row convergence gate for the fixed-budget chains: raises a
+      * DuckDB error() when `bad` holds, so an under-budgeted oracle
+      * fails with a clear message instead of hash-mismatching on a
+      * partial fixpoint (the engine side already fails loudly via
+      * require — this is its oracle twin). The chain's final alias
+      * CROSS JOINs the gate to force evaluation.
+      */
+    def convergedCte(name: String, bad: String, msg: String): String =
+      s"$name AS (SELECT CASE WHEN $bad THEN error('$msg') ELSE 1 END AS ok)"
+
     /** Fixed-round Borůvka chain bc0..bc<rounds> (algo.Boruvka's
       * distributed recurrence): per round every component's minimum
       * out-edge in the strict total order (cost, a, b) — under which
@@ -871,8 +881,22 @@ object Graph {
       val all = (1 to rounds)
         .map(r => s"SELECT a, b, cost FROM bm$r")
         .mkString("\n  UNION ALL\n  ")
+      // loud-fail gates: every round's pointer map must have reached its
+      // doubling fixpoint (no pointer still targets a non-root), and the
+      // final round must hold no inter-component edge
+      val jumpBad = (1 to rounds).map { r =>
+        val dbl = math.max(13 - r, 2)
+        s"""EXISTS (SELECT 1 FROM bf${r}_$dbl x
+           |      JOIN bf${r}_$dbl y ON y.c = x.t WHERE y.t <> x.t)"""
+          .stripMargin
+      }
+      val bad = (jumpBad :+ s"EXISTS (SELECT 1 FROM bc$rounds)")
+        .mkString("\n    OR ")
       (Seq(bc0) ++ steps).mkString(",\n") +
-        s",\nbmst AS (SELECT DISTINCT a, b, cost FROM (\n  $all))"
+        s",\n${convergedCte("bchk", bad,
+          "mstChain budget exhausted: pointer chain or inter-component edges remain")}" +
+        s",\nbmst AS (SELECT DISTINCT a, b, cost FROM (\n  $all)" +
+        " CROSS JOIN bchk WHERE bchk.ok = 1)"
     }
 
     /** Fixed-round Luby chain (algo.IndependentSet's recurrence):
@@ -916,7 +940,11 @@ object Graph {
       }
       val all = (1 to rounds).map(r => s"SELECT node FROM mcand$r")
         .mkString("\n  UNION ALL\n  ")
-      (pre ++ steps).mkString(",\n") + s",\nmmis AS (\n  $all)"
+      (pre ++ steps).mkString(",\n") +
+        s",\n${convergedCte("mchk", s"EXISTS (SELECT 1 FROM mund$rounds)",
+          "misChain budget exhausted: undecided nodes remain")}" +
+        s",\nmmis AS (\n  SELECT node FROM (\n  $all)" +
+        " CROSS JOIN mchk WHERE mchk.ok = 1)"
     }
 
     /** Fixed-round locally-maximal-matching chain (algo.Matching's
@@ -956,7 +984,11 @@ object Graph {
       }
       val all = (1 to rounds).map(r => s"SELECT a, b FROM xm$r")
         .mkString("\n  UNION ALL\n  ")
-      (Seq(pre) ++ steps).mkString(",\n") + s",\nxmatch AS (\n  $all)"
+      (Seq(pre) ++ steps).mkString(",\n") +
+        s",\n${convergedCte("xchk", s"EXISTS (SELECT 1 FROM xue$rounds)",
+          "matchChain budget exhausted: unmatched edges remain")}" +
+        s",\nxmatch AS (\n  SELECT a, b FROM (\n  $all)" +
+        " CROSS JOIN xchk WHERE xchk.ok = 1)"
     }
 
     /** Fixed-round locally-DOMINANT weighted-matching chain
@@ -994,7 +1026,11 @@ object Graph {
       }
       val all = (1 to rounds).map(r => s"SELECT a, b, cost FROM wxm$r")
         .mkString("\n  UNION ALL\n  ")
-      (Seq(pre) ++ steps).mkString(",\n") + s",\nwmatch AS (\n  $all)"
+      (Seq(pre) ++ steps).mkString(",\n") +
+        s",\n${convergedCte("wchk", s"EXISTS (SELECT 1 FROM wue$rounds)",
+          "weightedMatchChain budget exhausted: unmatched edges remain")}" +
+        s",\nwmatch AS (\n  SELECT a, b, cost FROM (\n  $all)" +
+        " CROSS JOIN wchk WHERE wchk.ok = 1)"
     }
 
     /** Fixed-layer greedy-coloring chain (algo.Coloring's recurrence):
@@ -1056,7 +1092,21 @@ object Graph {
       val colors = (1 to layers)
         .map(l => s"SELECT node, $l AS color FROM cl${l}m")
         .mkString("\n  UNION ALL\n  ")
-      (base ++ layerCtes).mkString(",\n") + s",\nccolors AS (\n  $colors)"
+      // loud-fail gates: every layer's Luby run must have decided all of
+      // its nodes (an undecided residual means the layer's MIS is not
+      // maximal — a SILENT divergence from the engine's converged layer,
+      // not just missing rows), and no node may remain uncolored after
+      // the last layer
+      val bad = ((1 to layers)
+        .map(l => s"EXISTS (SELECT 1 FROM cl${l}u$inner)") :+
+        s"""EXISTS (SELECT 1 FROM cl${layers}n WHERE node NOT IN
+           |      (SELECT node FROM cl${layers}m))""".stripMargin)
+        .mkString("\n    OR ")
+      (base ++ layerCtes).mkString(",\n") +
+        s",\n${convergedCte("cchk", bad,
+          "colorChain budget exhausted: undecided or uncolored nodes remain")}" +
+        s",\nccolors AS (\n  SELECT node, color FROM (\n  $colors)" +
+        " CROSS JOIN cchk WHERE cchk.ok = 1)"
     }
 
     /** Fixed-round k-truss peel chain (algo.Truss): per round, the g12
@@ -1104,9 +1154,15 @@ object Graph {
           .stripMargin
       }
       // final alias so callers cannot select a mid-peel state when the
-      // round budget changes
+      // round budget changes; the gate demands a reached fixpoint (edge
+      // set monotonically shrinks, so equal counts ⇒ identical sets)
       (Seq(te0) ++ steps).mkString(",\n") +
-        s",\nttruss AS (SELECT a, b FROM te$rounds)"
+        s",\n${convergedCte("tchk",
+          s"(SELECT count(*) FROM te$rounds) <> " +
+            s"(SELECT count(*) FROM te${rounds - 1})",
+          "trussChain budget exhausted: peel has not reached its fixpoint")}" +
+        s",\nttruss AS (SELECT e.a, e.b FROM te$rounds e" +
+        " CROSS JOIN tchk WHERE tchk.ok = 1)"
     }
   }
 

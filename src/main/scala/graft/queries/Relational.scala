@@ -1685,15 +1685,21 @@ object Relational {
             col("y.p_brand").as("brand_b"))
           .agg(count(lit(1)).as("support"))
           .filter(col("support") >= 100)
-        pairs
+        graft.core.Checkpoints.owns(pairs
           .join(broadcast(cnt.select(col("p_brand").as("brand_a"),
             col("c").as("ca"))), Seq("brand_a"))
           .join(broadcast(cnt.select(col("p_brand").as("brand_b"),
             col("c").as("cb"))), Seq("brand_b"))
           .crossJoin(broadcast(nb))
           .select(col("brand_a"), col("brand_b"), col("support"),
-            expr("(1000000 * support * n_baskets) div (ca * cb)")
-              .as("lift_micro"))
+            // numerator in decimal(38,0): the 64-bit product
+            // 1e6·support·n_baskets wraps silently under non-ANSI Spark
+            // at corpus scale while DuckDB raises — decimal keeps both
+            // engines exact (≤1e30 ≪ 1e38); `div` on decimals is still
+            // the shared truncating integral divide (BIGINT result)
+            expr("""(CAST(1000000 AS DECIMAL(38,0)) * support * n_baskets)
+                    div (CAST(ca AS DECIMAL(38,0)) * cb)""")
+              .as("lift_micro")), bb)
       },
       Some("""WITH cb AS (
              |  SELECT DISTINCT l.l_orderkey, p.p_brand
@@ -1709,7 +1715,8 @@ object Relational {
              |    AND x.p_brand < y.p_brand
              |  GROUP BY 1, 2 HAVING count(*) >= 100)
              |SELECT p.brand_a, p.brand_b, p.support,
-             |  CAST((1000000 * p.support * (SELECT n_baskets FROM cn))
+             |  CAST((CAST(1000000 AS HUGEINT) * p.support
+             |      * (SELECT n_baskets FROM cn))
              |    // (a.c * b.c) AS BIGINT) AS lift_micro
              |FROM cp p
              |JOIN cc a ON a.p_brand = p.brand_a
@@ -1849,13 +1856,14 @@ object Relational {
               .as("ho"))
           .filter(col("hf") === 1 && col("ho") === 1)
           .agg(count(lit(1)).as("n_inter_exact"))
-        exact.crossJoin(inter).crossJoin(estA).crossJoin(estB)
-          .crossJoin(estU)
-          .select(col("n_a_exact"), col("n_a_est"), col("n_b_exact"),
-            col("n_b_est"), col("n_union_exact"), col("n_union_est"),
-            col("n_inter_exact"),
-            greatest(col("n_a_est") + col("n_b_est") - col("n_union_est"),
-              lit(0L)).as("n_inter_est"))
+        graft.core.Checkpoints.owns(
+          exact.crossJoin(inter).crossJoin(estA).crossJoin(estB)
+            .crossJoin(estU)
+            .select(col("n_a_exact"), col("n_a_est"), col("n_b_exact"),
+              col("n_b_est"), col("n_union_exact"), col("n_union_est"),
+              col("n_inter_exact"),
+              greatest(col("n_a_est") + col("n_b_est") - col("n_union_est"),
+                lit(0L)).as("n_inter_est")), regs)
       },
       Some {
         val est = (src: String) =>
