@@ -412,7 +412,109 @@ object GraphScaleCheck {
     println(f"[scale] matching: ${nPath - 1}%,d-edge path -> $nMatch%,d " +
       f"pairs in $tMatch%.1f s (16-round budget)")
 
-    println(f"""{"wcc_path_sec":$tPath%.1f,"wcc_rand_sec":$tDist%.1f,"pagerank_sec":$tPr%.1f,"triangles_sec":$tTri%.1f,"kcore_sec":$tKc%.1f,"scc_sec":$tScc%.1f,"labelprop_sec":$tLpa%.1f,"betweenness_sec":$tBc%.1f,"node2vec_sec":$tNv%.1f,"nodesim_sec":$tNs%.1f,"louvain_sec":$tLv%.1f,"louvain2l_sec":$tLv2%.1f,"mst_sec":$tMst%.1f,"mis_sec":$tMis%.1f,"matching_sec":$tMatch%.1f,"n_path":$nPath,"n_rand_nodes":$nRandNodes,"n_rand_edges":$nRandEdges}""")
+    // ---- 15. k-truss under skew: distributed peel ≡ local peel --------
+    // hub-heavy graph (100 hubs absorb ~25% of endpoints, degree ~500 vs
+    // tail ~20): the shape that blows up an unoriented triangle join.
+    // The peel's degree-ordered orientation bounds wedge volume at
+    // Σ min(deg)² — hubs orient AWAY, so their 500² wedges never
+    // enumerate. Forced-distributed must equal the driver peel exactly.
+    // 200 blocks of 100 nodes; tail edges stay block-local (~15% intra-
+    // block density ⇒ triangle-rich, so the 4-truss is substantial — a
+    // uniform random graph at this size is triangle-sparse and would
+    // certify an almost-empty peel)
+    val tkN = 20_000
+    val tkE = 200_000L
+    val tkBlock = pmod(xxhash64(col("id"), lit(25)), lit(200L)) * 100
+    val tkEdges = spark.range(tkE).select(
+      when(pmod(xxhash64(col("id"), lit(21)), lit(4L)) === 0,
+        format_string("h%03d", pmod(xxhash64(col("id"), lit(23)), lit(100L))))
+        .otherwise(format_string("t%06d",
+          tkBlock + pmod(xxhash64(col("id"), lit(22)), lit(100L)))).as("src"),
+      format_string("t%06d",
+        tkBlock + pmod(xxhash64(col("id"), lit(24)), lit(100L))).as("dst"))
+      .cache()
+    val (tkDist, tTk) = timed {
+      algo.Truss.truss(spark, tkEdges, k = 4, maxRounds = 32,
+        localEdgeThreshold = 0L).cache()
+    }
+    val tkDistN = tkDist.count()
+    val tkLocal = algo.Truss.truss(spark, tkEdges, k = 4, maxRounds = 32)
+    val tkDiff = tkDist.as("a")
+      .join(tkLocal.as("b"), Seq("src", "dst"), "full_outer")
+      .filter(col("a.src").isNull || col("b.src").isNull).count()
+    require(tkDiff == 0, s"ktruss: distributed != local peel on $tkDiff edges")
+    require(tkDistN > 0, "ktruss: empty 4-truss — skew graph too sparse")
+    tkDist.unpersist(); tkEdges.unpersist()
+    println(f"[scale] ktruss: $tkN%,d+100hub nodes / $tkE%,d edges -> " +
+      f"$tkDistN%,d 4-truss edges in $tTk%.1f s, ≡ driver peel (skewed)")
+
+    // ---- 16. SSSP: forced-distributed relaxation at full scale --------
+    // the weighted random graph twin of check 2 — every superstep is one
+    // frontier⋈edges shuffle + one min-struct merge, state checkpointed
+    // per superstep; must agree with the sequential CSR kernel on every
+    // reachable node
+    val spEdges = spark.range(nRandEdges).select(
+        format_string("r%07d", pmod(xxhash64(col("id"), lit(31)),
+          lit(nRandNodes.toLong))).as("src"),
+        format_string("r%07d", pmod(xxhash64(col("id"), lit(32)),
+          lit(nRandNodes.toLong))).as("dst"),
+        (pmod(xxhash64(col("id"), lit(33)), lit(9L)) + 1)
+          .cast("double").as("cost"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(min("cost").as("cost"))
+      .cache()
+    // source = max-out-degree node (deterministic, and guaranteed inside
+    // the giant component — a FIXED id can land on a node with no
+    // out-edges at some scales, which certifies nothing)
+    val spSrc = spEdges.groupBy("src").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("src")).head().getString(0)
+    val (spState, tSp) = timed {
+      val st = algo.DistributedSSSP.run(spark, spEdges, Seq(spSrc))
+      st.count(); st
+    }
+    // coords are irrelevant here (no A*), so no nodes frame
+    val spLg = algo.LocalGraph.fromProjection(spEdges, None)
+    val (spDist, _) = algo.LocalKernels.sssp(spLg, spLg.idOf(spSrc))
+    val spRows = spState.select("nodeId", "dist").collect()
+    var spBad = 0
+    spRows.foreach { r =>
+      val i = spLg.index.getOrDefault(r.getString(0), -1)
+      if (i < 0 || math.abs(spDist(i) - r.getDouble(1)) > 1e-9) spBad += 1
+    }
+    require(spBad == 0, s"sssp: $spBad distance mismatches vs CSR kernel")
+    require(spRows.length == spDist.count(_.isFinite),
+      s"sssp reachable mismatch: ${spRows.length} vs " +
+        s"${spDist.count(_.isFinite)}")
+    require(spRows.length > nRandNodes / 2,
+      s"sssp reached only ${spRows.length} nodes — degenerate source")
+    println(f"[scale] sssp: $nRandNodes%,d nodes / $nRandEdges%,d edges -> " +
+      f"${spRows.length}%,d reachable in $tSp%.1f s, ≡ sequential CSR")
+
+    // ---- 17. Yen k=3: distributed spur searches at full scale ----------
+    // target at the 75th distance percentile (multi-hop but not the
+    // pathological diameter tail); every spur search is a full
+    // DistributedSSSP with broadcast ban masks and early exit. Totals
+    // must be bit-identical to the sequential Yen.
+    val spByDist = spRows.sortBy(_.getDouble(1))
+    val spDst = spByDist((spByDist.length * 3) / 4).getString(0)
+    graft.core.Checkpoints.release(spState)
+    val (yenPaths, tYen) = timed {
+      algo.DistributedYen.run(spark, spEdges, spSrc, spDst, k = 3)
+    }
+    val yenLocal = algo.LocalKernels.yen(
+      spLg, spLg.idOf(spSrc), spLg.idOf(spDst), 3)
+    require(yenPaths.length == yenLocal.length,
+      s"yen: ${yenPaths.length} paths vs local ${yenLocal.length}")
+    yenPaths.zip(yenLocal).zipWithIndex.foreach { case ((d, l), i) =>
+      require(math.abs(d.total - l.totalCost) < 1e-9,
+        s"yen path $i total ${d.total} != local ${l.totalCost}")
+    }
+    spEdges.unpersist()
+    println(f"[scale] yen: k=3 to 75th-pct target ($spDst) -> totals " +
+      f"${yenPaths.map(p => f"${p.total}%.1f").mkString("/")} " +
+      f"in $tYen%.1f s, ≡ sequential Yen")
+
+    println(f"""{"wcc_path_sec":$tPath%.1f,"wcc_rand_sec":$tDist%.1f,"pagerank_sec":$tPr%.1f,"triangles_sec":$tTri%.1f,"kcore_sec":$tKc%.1f,"scc_sec":$tScc%.1f,"labelprop_sec":$tLpa%.1f,"betweenness_sec":$tBc%.1f,"node2vec_sec":$tNv%.1f,"nodesim_sec":$tNs%.1f,"louvain_sec":$tLv%.1f,"louvain2l_sec":$tLv2%.1f,"mst_sec":$tMst%.1f,"mis_sec":$tMis%.1f,"matching_sec":$tMatch%.1f,"ktruss_sec":$tTk%.1f,"sssp_sec":$tSp%.1f,"yen3_sec":$tYen%.1f,"n_path":$nPath,"n_rand_nodes":$nRandNodes,"n_rand_edges":$nRandEdges}""")
     spark.stop()
   }
 }
