@@ -401,4 +401,21 @@ class OperatorsSpec extends AnyFunSuite {
     // ratios of small ints DO hit boundaries; just assert it's sparse
     assert(disagree < 10, s"portableRound vs round disagreed on $disagree/10000")
   }
+
+  test("Checkpoints.owns: registered caches release with the result " +
+      "(round-13 advice: query-internal cache() lingered for the rest " +
+      "of a bench run)") {
+    import org.apache.spark.storage.StorageLevel
+    val shared = spark.range(100).select((col("id") % 7).as("k")).cache()
+    val result = core.Checkpoints.owns(
+      shared.groupBy("k").count().agg(sum("count").as("n")), shared)
+    result.collect()
+    assert(shared.storageLevel != StorageLevel.NONE,
+      "shared intermediate should be cached while the result is live")
+    core.Checkpoints.release(result)
+    assert(shared.storageLevel == StorageLevel.NONE,
+      "release(result) must unpersist the registered intermediate")
+    // idempotent: releasing again must not throw
+    core.Checkpoints.release(result)
+  }
 }
