@@ -265,7 +265,17 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(local.length === dist.length)
     local.zip(dist).foreach { case (lp, dp) =>
       assert(math.abs(lp.totalCost - dp.total) < 1e-9)
+      assert(lp.nodes.map(lgr.ids).toVector === dp.nodes,
+        "node sequences must match, not just totals")
     }
+    // concurrent spur searches (default 8) ≡ strictly sequential (1):
+    // results are awaited and enqueued in spur-index order, so the
+    // candidate-pool insertion sequence — hence tie behavior — is
+    // identical by construction; pin it anyway
+    val seq1 = algo.DistributedYen.run(spark, edf, "n0", "n1", 3,
+      maxConcurrentSpurs = 1)
+    assert(seq1.map(_.nodes) === dist.map(_.nodes))
+    assert(seq1.map(_.costs) === dist.map(_.costs))
   }
 
   test("distributed kernel releases every checkpoint it creates") {
