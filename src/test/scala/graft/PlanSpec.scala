@@ -88,6 +88,12 @@ class PlanSpec extends AnyFunSuite {
     val partials = "partial_graft".r.findAllIn(p).length +
       "partial_bottomkdistinct".r.findAllIn(p.toLowerCase).length
     assert(partials >= 1 || p.contains("partial"), p)
+    // round-13 shape: the codegen'd hash DEDUP runs before the object
+    // aggregate (the UDAF merges distinct hashes only) and the exact
+    // count rides the same distinct set — a countDistinct leg would
+    // reintroduce an Expand over the fact table (22.9 s at sf1 vs 6.2)
+    assert(!p.contains("Expand"), p)
+    assert(p.contains("HashAggregate"), p) // the distinct's two phases
   }
 
   test("q57 HLL sketch: two-phase aggregation (map-side partial max), " +
