@@ -151,14 +151,18 @@ object DistributedSSSP {
         // the target, which would leave the other sources' target
         // distances non-final
         if (sources.size == 1) target.foreach { tgt =>
-          val tRow = state.filter(col("nodeId") === tgt)
-            .agg(min(col("dist"))).collect()
-          val tDist = if (tRow.head.isNullAt(0)) Double.PositiveInfinity
-            else tRow.head.getDouble(0)
-          if (tDist.isFinite) {
-            val fMin = frontier.agg(min(col("dist"))).collect().head.getDouble(0)
-            if (tDist <= fMin) done = true
-          }
+          // ONE action for both scalars (crossJoin of two 1-row aggs):
+          // the check runs every superstep, and a Yen query runs
+          // K×hops spur searches of many supersteps each — at local[32]
+          // the saved job submission is the dominant cost, not the scan.
+          // frontier is nonempty on this branch, so its min is non-null.
+          val row = state.filter(col("nodeId") === tgt)
+            .agg(min(col("dist")).as("t"))
+            .crossJoin(frontier.agg(min(col("dist")).as("f")))
+            .collect().head
+          val tDist = if (row.isNullAt(0)) Double.PositiveInfinity
+            else row.getDouble(0)
+          if (tDist.isFinite && tDist <= row.getDouble(1)) done = true
         }
       }
       iter += 1
