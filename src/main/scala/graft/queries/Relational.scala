@@ -1665,31 +1665,40 @@ object Relational {
 
     // ---- co-occurrence mining (frequent pairs + lift) — the market-
     // basket primitive behind "items bought together" and token-
-    // association audits. Pair generation is a per-basket self-join, so
-    // candidate volume is Σ (basket distinct brands)² — bounded by the
-    // small per-order line count whatever the corpus size, NOT all-pairs
-    // over the catalog; the only corpus-scale shuffle is the final
-    // (a, b)-keyed count. Lift stays in exact integer micro-units:
+    // association audits. Baskets are built with ONE orderkey-keyed
+    // shuffle (collect_set dedups map-side inside the partial agg), and
+    // pair candidates are generated per basket with array HOFs inside
+    // codegen — candidate volume is Σ (basket distinct brands)², bounded
+    // by the small per-order line count whatever the corpus size, NOT
+    // all-pairs over the catalog; the only corpus-scale shuffles are the
+    // basket build and the (a, b)-keyed count (a basket self-join would
+    // add a third). Lift stays in exact integer micro-units:
     // lift = support·n_baskets / (cnt_a·cnt_b), one truncating division
     // shared by both engines.
     GQ("q60_frequent_pairs",
       (s, dir) => {
         val tt = t(s, dir)
-        // cached: five consumers (basket count, two count legs, both
-        // sides of the self-join) would otherwise re-run the join+distinct
-        val bb = tt.lineitem.select(col("l_orderkey"), col("l_partkey"))
+        // cached: three consumers (basket count, per-brand counts, pair
+        // explode) would otherwise re-run the join+basket agg
+        val bk = tt.lineitem.select(col("l_orderkey"), col("l_partkey"))
           .join(broadcast(tt.part.select(col("p_partkey").as("l_partkey"),
             col("p_brand"))), Seq("l_partkey"))
-          .select(col("l_orderkey"), col("p_brand")).distinct()
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("p_brand"))).as("brands"))
           .cache()
-        val nb = bb.select(col("l_orderkey")).distinct()
-          .agg(count(lit(1)).as("n_baskets"))
-        val cnt = bb.groupBy(col("p_brand")).agg(count(lit(1)).as("c"))
-        val pairs = bb.as("x")
-          .join(bb.as("y"), col("x.l_orderkey") === col("y.l_orderkey")
-            && col("x.p_brand") < col("y.p_brand"))
-          .groupBy(col("x.p_brand").as("brand_a"),
-            col("y.p_brand").as("brand_b"))
+        val nb = bk.agg(count(lit(1)).as("n_baskets"))
+        val cnt = bk.select(explode(col("brands")).as("p_brand"))
+          .groupBy(col("p_brand")).agg(count(lit(1)).as("c"))
+        // ordered pairs (i < j) from the sorted basket array — pure
+        // codegen'd array work, no self-join: for element i, pair it
+        // with every later element via slice+transform, then flatten.
+        val pairs = bk.select(explode(expr(
+            """flatten(transform(brands, (a, i) ->
+               transform(slice(brands, i + 2, size(brands)),
+                 b -> struct(a AS brand_a, b AS brand_b))))"""))
+            .as("p"))
+          .groupBy(col("p.brand_a").as("brand_a"),
+            col("p.brand_b").as("brand_b"))
           .agg(count(lit(1)).as("support"))
           .filter(col("support") >= 100)
         graft.core.Checkpoints.owns(pairs
@@ -1706,7 +1715,7 @@ object Relational {
             // the shared truncating integral divide (BIGINT result)
             expr("""(CAST(1000000 AS DECIMAL(38,0)) * support * n_baskets)
                     div (CAST(ca AS DECIMAL(38,0)) * cb)""")
-              .as("lift_micro")), bb)
+              .as("lift_micro")), bk)
       },
       Some("""WITH cb AS (
              |  SELECT DISTINCT l.l_orderkey, p.p_brand
