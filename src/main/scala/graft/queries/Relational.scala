@@ -2164,7 +2164,256 @@ object Relational {
              |SELECT c.from_type, c.to_type, c.n,
              |  CAST((1000000 * c.n) // t.row_n AS BIGINT) AS p_micro
              |FROM tc c JOIN tt t ON t.from_type = c.from_type"""
-        .stripMargin))
+        .stripMargin)),
+
+    // ---- column-level data profiling (the Deequ/"analyzer" primitive a
+    // pipeline runs before trusting a new drop of data): per column —
+    // row count, null count, exact distinct count, min/max, mean length.
+    // The table is melted to (col_name, val) rows with stack() so ONE
+    // scan profiles every column; count/null/min/max/len collapse
+    // map-side to 6 rows before the shuffle, and the exact distinct
+    // count two-phases on (col_name, val) — the standard distributed
+    // profile (no per-column passes, no countDistinct Expand). Values
+    // are canonicalized to strings with engine-portable renderings
+    // (decimal(18,2) for the money column — the data is exact 2 dp, so
+    // the cast is unambiguous — and an explicit timestamp format);
+    // min/max are therefore string-ordered BY CONTRACT, which both
+    // engines collate identically for this ASCII data. Mean length is
+    // exact integer x100 (sum·100 div count), never a float avg.
+    GQ("q69_data_profile",
+      (s, dir) => {
+        val m = t(s, dir).orders.selectExpr(
+          """stack(6,
+             'o_orderkey',      cast(o_orderkey as string),
+             'o_custkey',       cast(o_custkey as string),
+             'o_orderstatus',   o_orderstatus,
+             'o_totalprice',    cast(cast(o_totalprice as decimal(18,2))
+                                     as string),
+             'o_orderdate',     date_format(o_orderdate,
+                                     'yyyy-MM-dd HH:mm:ss'),
+             'o_orderpriority', o_orderpriority
+           ) as (col_name, val)""")
+        val stats = m.groupBy(col("col_name")).agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("val").isNull, 1L).otherwise(0L)).as("n_nulls"),
+          min(col("val")).as("min_val"),
+          max(col("val")).as("max_val"),
+          expr("(sum(length(val)) * 100) div count(val)")
+            .as("avg_len_x100"))
+        val dist = m.filter(col("val").isNotNull).distinct()
+          .groupBy(col("col_name")).agg(count(lit(1)).as("n_distinct"))
+        stats.join(dist, Seq("col_name"))
+          .select(col("col_name"), col("n_rows"), col("n_nulls"),
+            col("n_distinct"), col("min_val"), col("max_val"),
+            col("avg_len_x100"))
+      },
+      Some("""WITH pm AS (
+             |  SELECT 'o_orderkey' AS col_name,
+             |    CAST(o_orderkey AS VARCHAR) AS val FROM orders
+             |  UNION ALL SELECT 'o_custkey',
+             |    CAST(o_custkey AS VARCHAR) FROM orders
+             |  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+             |  UNION ALL SELECT 'o_totalprice',
+             |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+             |    FROM orders
+             |  UNION ALL SELECT 'o_orderdate',
+             |    strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') FROM orders
+             |  UNION ALL SELECT 'o_orderpriority', o_orderpriority
+             |    FROM orders)
+             |SELECT col_name,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count(*) - count(val) AS BIGINT) AS n_nulls,
+             |  CAST(count(DISTINCT val) AS BIGINT) AS n_distinct,
+             |  min(val) AS min_val,
+             |  max(val) AS max_val,
+             |  CAST((sum(length(val)) * 100) // count(val) AS BIGINT)
+             |    AS avg_len_x100
+             |FROM pm GROUP BY 1""".stripMargin)),
+
+    // ---- declarative data-quality constraint audit (the Deequ "check
+    // suite" shape): named constraints over keys, foreign keys, domains,
+    // and ranges, each reporting its violation count and pass/fail. The
+    // per-table range/domain checks FUSE into one conditional-sum scan
+    // per table (no per-constraint passes); uniqueness is one key-keyed
+    // count; referential integrity is a LEFT ANTI join per FK edge —
+    // each the shape you'd run at 100 TB (anti joins shuffle on the key,
+    // dims broadcast). `acctbal_nonneg` fails on real TPC-H-ish data
+    // (negative balances exist), exercising the fail path.
+    GQ("q70_constraint_audit",
+      (s, dir) => {
+        val tt = t(s, dir)
+        def chk(name: String, violations: org.apache.spark.sql.DataFrame) =
+          violations.select(lit(name).as("constraint_name"),
+            col("violations"))
+        val dupKeys = tt.orders.groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+          .agg(coalesce(sum(col("c") - 1), lit(0L)).as("violations"))
+        val ordScan = tt.orders.agg(
+          sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
+            .otherwise(0L)).as("status_domain"),
+          sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L))
+            .as("price_positive"))
+        val liScan = tt.lineitem.agg(
+          sum(when(col("l_quantity") <= 0, 1L).otherwise(0L))
+            .as("qty_positive"),
+          sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
+            .otherwise(0L)).as("discount_range"))
+        val custScan = tt.customer.agg(
+          sum(when(col("c_acctbal") < 0, 1L).otherwise(0L))
+            .as("acctbal_nonneg"))
+        val fkLiOrders = tt.lineitem.select(col("l_orderkey"))
+          .join(tt.orders.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("violations"))
+        val fkOrdCust = tt.orders.select(col("o_custkey"))
+          .join(broadcast(tt.customer.select(col("c_custkey"))),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("violations"))
+        val fkLiPart = tt.lineitem.select(col("l_partkey"))
+          .join(broadcast(tt.part.select(col("p_partkey"))),
+            col("l_partkey") === col("p_partkey"), "left_anti")
+          .agg(count(lit(1)).as("violations"))
+        val docScan = t(s, dir)("documents").agg(
+          sum(when(col("text").isNull || length(col("text")) === 0, 1L)
+            .otherwise(0L)).as("violations"))
+        chk("orders_pk_unique", dupKeys)
+          .unionAll(chk("orders_status_domain",
+            ordScan.select(col("status_domain").as("violations"))))
+          .unionAll(chk("orders_price_positive",
+            ordScan.select(col("price_positive").as("violations"))))
+          .unionAll(chk("lineitem_qty_positive",
+            liScan.select(col("qty_positive").as("violations"))))
+          .unionAll(chk("lineitem_discount_range",
+            liScan.select(col("discount_range").as("violations"))))
+          .unionAll(chk("customer_acctbal_nonneg",
+            custScan.select(col("acctbal_nonneg").as("violations"))))
+          .unionAll(chk("fk_lineitem_orders", fkLiOrders))
+          .unionAll(chk("fk_orders_customer", fkOrdCust))
+          .unionAll(chk("fk_lineitem_part", fkLiPart))
+          .unionAll(chk("documents_text_nonempty", docScan))
+          .select(col("constraint_name"), col("violations"),
+            when(col("violations") === 0, "pass").otherwise("fail")
+              .as("status"))
+      },
+      Some("""WITH checks AS (
+             |  SELECT 'orders_pk_unique' AS constraint_name,
+             |    CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS violations
+             |  FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey
+             |        HAVING count(*) > 1)
+             |  UNION ALL SELECT 'orders_status_domain',
+             |    CAST(coalesce(sum(CASE WHEN o_orderstatus NOT IN
+             |      ('O','F','P') THEN 1 ELSE 0 END), 0) AS BIGINT)
+             |    FROM orders
+             |  UNION ALL SELECT 'orders_price_positive',
+             |    CAST(coalesce(sum(CASE WHEN o_totalprice <= 0 THEN 1
+             |      ELSE 0 END), 0) AS BIGINT) FROM orders
+             |  UNION ALL SELECT 'lineitem_qty_positive',
+             |    CAST(coalesce(sum(CASE WHEN l_quantity <= 0 THEN 1
+             |      ELSE 0 END), 0) AS BIGINT) FROM lineitem
+             |  UNION ALL SELECT 'lineitem_discount_range',
+             |    CAST(coalesce(sum(CASE WHEN l_discount < 0 OR
+             |      l_discount > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+             |    FROM lineitem
+             |  UNION ALL SELECT 'customer_acctbal_nonneg',
+             |    CAST(coalesce(sum(CASE WHEN c_acctbal < 0 THEN 1
+             |      ELSE 0 END), 0) AS BIGINT) FROM customer
+             |  UNION ALL SELECT 'fk_lineitem_orders',
+             |    CAST(count(*) AS BIGINT) FROM lineitem l
+             |    WHERE NOT EXISTS (SELECT 1 FROM orders o
+             |      WHERE o.o_orderkey = l.l_orderkey)
+             |  UNION ALL SELECT 'fk_orders_customer',
+             |    CAST(count(*) AS BIGINT) FROM orders o
+             |    WHERE NOT EXISTS (SELECT 1 FROM customer c
+             |      WHERE c.c_custkey = o.o_custkey)
+             |  UNION ALL SELECT 'fk_lineitem_part',
+             |    CAST(count(*) AS BIGINT) FROM lineitem l
+             |    WHERE NOT EXISTS (SELECT 1 FROM part p
+             |      WHERE p.p_partkey = l.l_partkey)
+             |  UNION ALL SELECT 'documents_text_nonempty',
+             |    CAST(coalesce(sum(CASE WHEN text IS NULL OR
+             |      length(text) = 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+             |    FROM documents)
+             |SELECT constraint_name, violations,
+             |  CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END
+             |    AS status
+             |FROM checks""".stripMargin)),
+
+    // ---- entity resolution (record linkage): blocked candidate
+    // generation + multi-attribute verify + 1-hop min-label resolution —
+    // the structured-records sibling of the document near-dup family.
+    // Dirty duplicates are synthesized deterministically from the part
+    // catalog (every 5th record gets a copy with a 1-char typo and an
+    // offset id; the offset is far above any tested SF's key range).
+    // The candidate join runs on a BLOCKING KEY (a substring the typo
+    // position cannot touch), never all-pairs: per-block volume is
+    // Σ|block|², bounded by the catalog's name-prefix fan-out. At
+    // 100 TB you'd union several redundant blocking keys (prefix,
+    // suffix, sorted-token) the same way the MinHash bands do — the
+    // shape here is one band of that scheme. The verify is
+    // Fellegi–Sunter-style multi-attribute agreement (fuzzy name:
+    // edit distance ≤ 2, exact size, exact price-cents) — name distance
+    // alone over-merges this catalog, whose entity names differ by
+    // single brand digits; the attribute conjunction yields exactly the
+    // injected duplicates (precision 1.0 / recall 1.0 at sf0.01).
+    // Resolution assigns each record the minimum id among itself and
+    // its verified matches (1-hop min-label — the transitive-closure
+    // version is the CC kernel llm_dedup_corpus already certifies).
+    GQ("q71_entity_resolution",
+      (s, dir) => {
+        val base = t(s, dir).part.select(col("p_partkey").as("id"),
+          concat_ws(" ", col("p_name"), col("p_brand"), col("p_type"))
+            .as("name"),
+          col("p_size").as("sz"),
+          round(col("p_retailprice") * 100).cast("long").as("pc"))
+        val dirty = base.filter(col("id") % 5 === 0)
+          .select((col("id") + 1000000L).as("id"),
+            concat(lit("x"), expr("substring(name, 2)")).as("name"),
+            col("sz"), col("pc"))
+        val all = base.unionAll(dirty)
+        val blocked = all.withColumn("bk", expr("substring(name, 3, 8)"))
+        val cand = blocked.as("a").join(blocked.as("b"),
+            col("a.bk") === col("b.bk") && col("a.id") < col("b.id") &&
+              col("a.sz") === col("b.sz") && col("a.pc") === col("b.pc") &&
+              levenshtein(col("a.name"), col("b.name")) <= 2)
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        val nbr = cand.select(col("id_a").as("id"), col("id_b").as("nb"))
+          .unionAll(cand.select(col("id_b").as("id"),
+            col("id_a").as("nb")))
+        all.join(nbr, Seq("id"), "left")
+          .groupBy(col("id"))
+          .agg(min(col("nb")).as("mn"), count(col("nb")).as("n_matches"))
+          .select(col("id").as("record_id"),
+            least(col("id"), coalesce(col("mn"), col("id")))
+              .as("entity_id"),
+            col("n_matches"))
+      },
+      Some("""WITH base AS (
+             |  SELECT p_partkey AS id,
+             |    p_name || ' ' || p_brand || ' ' || p_type AS name,
+             |    p_size AS sz,
+             |    CAST(round(p_retailprice * 100) AS BIGINT) AS pc
+             |  FROM part),
+             |dirty AS (
+             |  SELECT id + 1000000 AS id, 'x' || substr(name, 2) AS name,
+             |    sz, pc
+             |  FROM base WHERE id % 5 = 0),
+             |al AS (SELECT * FROM base UNION ALL SELECT * FROM dirty),
+             |bl AS (SELECT id, name, sz, pc, substr(name, 3, 8) AS bk
+             |  FROM al),
+             |cand AS (
+             |  SELECT a.id AS id_a, b.id AS id_b
+             |  FROM bl a JOIN bl b ON a.bk = b.bk AND a.id < b.id
+             |    AND a.sz = b.sz AND a.pc = b.pc
+             |    AND levenshtein(a.name, b.name) <= 2),
+             |nbr AS (
+             |  SELECT id_a AS id, id_b AS nb FROM cand
+             |  UNION ALL SELECT id_b, id_a FROM cand)
+             |SELECT al.id AS record_id,
+             |  CAST(least(al.id, coalesce(min(n.nb), al.id)) AS BIGINT)
+             |    AS entity_id,
+             |  CAST(count(n.nb) AS BIGINT) AS n_matches
+             |FROM al LEFT JOIN nbr n ON n.id = al.id
+             |GROUP BY al.id""".stripMargin))
   )
 
   /** DuckDB replay of operators.HyperLogLog — register index from 2

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the data-quality family (q69 profile, q70 constraint
+  * audit, q71 entity resolution) beyond the DuckDB hash oracle: the
+  * oracle pins engine-equivalence, these pin the SEMANTICS (a profile
+  * that miscounted nulls identically in both engines would still
+  * hash-match — these wouldn't let it).
+  */
+class DataQualitySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = core.Sessions.local(4, "graft-dq-test")
+  private val Sf = "/root/testdata/sf0.001"
+
+  test("q69 profile: row counts, null counts, and key cardinality") {
+    val orders = core.Tables(spark, Sf).orders
+    val n = orders.count()
+    val rows = SparkEntry.queries("q69_data_profile")(spark, Sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.size === 6)
+    rows.values.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_rows")) === n)
+      assert(r.getLong(r.fieldIndex("n_nulls")) === 0L)
+    }
+    // primary key: every value distinct
+    assert(rows("o_orderkey").getLong(
+      rows("o_orderkey").fieldIndex("n_distinct")) === n)
+    // 1-char status column: mean length is exactly 1.00
+    assert(rows("o_orderstatus").getLong(
+      rows("o_orderstatus").fieldIndex("avg_len_x100")) === 100L)
+    // low-cardinality domains stay low however big the table is
+    assert(rows("o_orderstatus").getLong(
+      rows("o_orderstatus").fieldIndex("n_distinct")) <= 3L)
+  }
+
+  test("q70 audit: referential integrity passes, acctbal check fails") {
+    val rows = SparkEntry.queries("q70_constraint_audit")(spark, Sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(rows.size === 10)
+    Seq("orders_pk_unique", "fk_lineitem_orders", "fk_orders_customer",
+        "fk_lineitem_part", "orders_status_domain",
+        "documents_text_nonempty").foreach { c =>
+      assert(rows(c) === ((0L, "pass")), s"expected $c to pass")
+    }
+    // real TPC-H-ish data has negative balances — the fail path is live
+    val (v, s) = rows("customer_acctbal_nonneg")
+    assert(v > 0L && s === "fail")
+  }
+
+  test("q71 ER: exactly the injected duplicates are linked (P=R=1)") {
+    val nParts = core.Tables(spark, Sf).part.count()
+    val nDirty = core.Tables(spark, Sf).part
+      .filter(col("p_partkey") % 5 === 0).count()
+    val rows = SparkEntry.queries("q71_entity_resolution")(spark, Sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === nParts + nDirty)
+    rows.foreach { case (id, entity, matches) =>
+      if (id >= 1000000L) {
+        // recall: every dirty copy resolves to its base record
+        assert(entity === id - 1000000L && matches === 1L,
+          s"dirty $id resolved to $entity with $matches matches")
+      } else if (id % 5 == 0) {
+        // base of an injected pair: linked only to its own copy, and
+        // min-label keeps the base id as the entity
+        assert(entity === id && matches === 1L)
+      } else {
+        // precision: untouched records link to nothing
+        assert(entity === id && matches === 0L,
+          s"base $id spuriously matched ($matches)")
+      }
+    }
+  }
+}
