@@ -2001,7 +2001,88 @@ object Llm {
             expr("(1000000 * u2) div (2 * n_pos * n_neg)")
               .as("auc_micro"))
       },
-      Some(ClassifierOracle.aucSql))
+      Some(ClassifierOracle.aucSql)),
+
+    // ---- URL canonicalization + dedup — the crawl-pipeline step that
+    // runs BEFORE content dedup: http/https, www., default ports
+    // (:80/:443), query strings, fragments, trailing slashes, and host
+    // case all collapse to one canonical form, so the fetcher/dedup
+    // stages never see the same page eight ways. Variant URLs are
+    // planted deterministically (8 surface forms per canonical page,
+    // spread across documents), then canonicalized with an anchored
+    // regexp chain — every pattern matches at most once, so Spark's
+    // replace-all and DuckDB's replace-first semantics coincide. The
+    // whole operator is one codegen'd projection + one canonical-keyed
+    // count: linear, no joins, the 100 TB shape.
+    GQ("llm_url_canonical",
+      (s, dir) => {
+        val planted = t(s, dir).documents.select(col("doc_id"))
+          .withColumn("m", col("doc_id") % 100)
+          .withColumn("h",
+            concat(lit("example"), col("m") % 10, lit(".com")))
+          .withColumn("p", concat(lit("/p/"), col("m")))
+          .withColumn("v", expr("(doc_id div 100) % 8"))
+          .withColumn("url",
+            when(col("v") === 0,
+              concat(lit("http://"), col("h"), col("p")))
+            .when(col("v") === 1,
+              concat(lit("https://"), col("h"), col("p")))
+            .when(col("v") === 2,
+              concat(lit("http://www."), col("h"), col("p")))
+            .when(col("v") === 3,
+              concat(lit("https://"), col("h"), col("p"), lit("/")))
+            .when(col("v") === 4,
+              concat(lit("http://"), col("h"), col("p"),
+                lit("?utm_source=feed&ref="), col("doc_id")))
+            .when(col("v") === 5,
+              concat(lit("HTTP://"), upper(col("h")), col("p")))
+            .when(col("v") === 6,
+              concat(lit("http://"), col("h"), lit(":80"), col("p")))
+            .otherwise(concat(lit("https://"), col("h"), lit(":443"),
+              col("p"), lit("#section-2"))))
+        planted
+          .withColumn("c", regexp_replace(lower(col("url")),
+            "^https?://", ""))
+          .withColumn("c", regexp_replace(col("c"), "^www\\.", ""))
+          .withColumn("c", regexp_replace(col("c"), "[?#].*$", ""))
+          .withColumn("c", regexp_replace(col("c"),
+            "^([^/]+):(80|443)(/|$)", "$1$3"))
+          .withColumn("c", regexp_replace(col("c"), "/$", ""))
+          .groupBy(col("c").as("canonical_url"))
+          .agg(count(lit(1)).as("n_raw"),
+            count_distinct(col("url")).as("n_variants"),
+            min(col("doc_id")).as("rep_doc"))
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id, doc_id % 100 AS m,
+             |    'example' || ((doc_id % 100) % 10) || '.com' AS h,
+             |    '/p/' || (doc_id % 100) AS p,
+             |    (doc_id // 100) % 8 AS v
+             |  FROM documents),
+             |r AS (SELECT doc_id,
+             |  CASE v
+             |    WHEN 0 THEN 'http://' || h || p
+             |    WHEN 1 THEN 'https://' || h || p
+             |    WHEN 2 THEN 'http://www.' || h || p
+             |    WHEN 3 THEN 'https://' || h || p || '/'
+             |    WHEN 4 THEN 'http://' || h || p ||
+             |      '?utm_source=feed&ref=' || doc_id
+             |    WHEN 5 THEN 'HTTP://' || upper(h) || p
+             |    WHEN 6 THEN 'http://' || h || ':80' || p
+             |    ELSE 'https://' || h || ':443' || p || '#section-2'
+             |  END AS url
+             |  FROM u),
+             |c AS (SELECT doc_id, url,
+             |  regexp_replace(regexp_replace(regexp_replace(
+             |    regexp_replace(regexp_replace(lower(url),
+             |    '^https?://', ''), '^www\.', ''), '[?#].*$', ''),
+             |    '^([^/]+):(80|443)(/|$)', '\1\3'), '/$', '') AS curl
+             |  FROM r)
+             |SELECT curl AS canonical_url,
+             |  CAST(count(*) AS BIGINT) AS n_raw,
+             |  CAST(count(DISTINCT url) AS BIGINT) AS n_variants,
+             |  CAST(min(doc_id) AS BIGINT) AS rep_doc
+             |FROM c GROUP BY 1""".stripMargin))
   )
 
   /** Chained-CTE replay of QualityClassifier.train's Rocchio-centroid

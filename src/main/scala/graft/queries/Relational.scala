@@ -2413,7 +2413,58 @@ object Relational {
              |    AS entity_id,
              |  CAST(count(n.nb) AS BIGINT) AS n_matches
              |FROM al LEFT JOIN nbr n ON n.id = al.id
-             |GROUP BY al.id""".stripMargin))
+             |GROUP BY al.id""".stripMargin)),
+
+    // ---- robust time-series anomaly detection (median/MAD z-score) —
+    // the monitoring primitive behind "did yesterday's volume spike":
+    // daily revenue vs the median, scaled by the median absolute
+    // deviation (robust to the outliers it hunts, unlike mean/stddev).
+    // Everything stays in exact integer arithmetic: the heavy work is
+    // the first day-keyed aggregation (map-side combined); the two
+    // medians run over the DAY table, whose cardinality is the time
+    // range, not the fact volume — at 100 TB that's still thousands of
+    // rows, so exact percentile there is free. All medians are taken in
+    // a ×2 domain (midpoint of two ints ×2 is an int), so the scores
+    // are integer-exact in both engines; 3.5 MADs is the conventional
+    // outlier fence.
+    GQ("q72_anomaly_mad",
+      (s, dir) => {
+        val daily = t(s, dir).orders
+          .groupBy(date_format(to_date(col("o_orderdate")), "yyyy-MM-dd")
+            .as("day"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+            .as("rev_cents"))
+        val med = daily.agg(
+          expr("cast(percentile(2 * rev_cents, 0.5) as bigint)")
+            .as("med2x"))
+        val dev = daily.crossJoin(broadcast(med))
+          .withColumn("dev2x", abs(lit(2) * col("rev_cents")
+            - col("med2x")))
+        val mad = dev.agg(
+          expr("cast(percentile(2 * dev2x, 0.5) as bigint)").as("mad2x2"))
+        dev.crossJoin(broadcast(mad))
+          .select(col("day"), col("rev_cents"),
+            expr("(2000000 * dev2x) div mad2x2").as("score_micro"))
+          .withColumn("is_outlier",
+            when(col("score_micro") >= 3500000L, 1L).otherwise(0L))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day,
+             |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             |      AS BIGINT) AS rev_cents
+             |  FROM orders GROUP BY 1),
+             |m AS (SELECT CAST(quantile_cont(2 * rev_cents, 0.5)
+             |  AS BIGINT) AS med2x FROM daily),
+             |d AS (SELECT day, rev_cents,
+             |    abs(2 * rev_cents - med2x) AS dev2x
+             |  FROM daily, m),
+             |md AS (SELECT CAST(quantile_cont(2 * dev2x, 0.5) AS BIGINT)
+             |  AS mad2x2 FROM d)
+             |SELECT day, rev_cents,
+             |  CAST((2000000 * dev2x) // mad2x2 AS BIGINT) AS score_micro,
+             |  CAST(CASE WHEN (2000000 * dev2x) // mad2x2 >= 3500000
+             |    THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+             |FROM d, md""".stripMargin))
   )
 
   /** DuckDB replay of operators.HyperLogLog — register index from 2

@@ -51,6 +51,32 @@ class DataQualitySpec extends AnyFunSuite {
     assert(v > 0L && s === "fail")
   }
 
+  test("q72 anomaly: one row per day, flag consistent with the fence") {
+    val orders = core.Tables(spark, Sf).orders
+    val nDays = orders.select(to_date(col("o_orderdate"))).distinct().count()
+    val rows = SparkEntry.queries("q72_anomaly_mad")(spark, Sf).collect()
+    assert(rows.length === nDays)
+    rows.foreach { r =>
+      val score = r.getLong(r.fieldIndex("score_micro"))
+      val flag = r.getLong(r.fieldIndex("is_outlier"))
+      assert(score >= 0L)
+      assert(flag === (if (score >= 3500000L) 1L else 0L))
+    }
+  }
+
+  test("llm_url_canonical: every surface form collapses, none survive") {
+    val nDocs = core.Tables(spark, Sf).documents.count()
+    val rows = SparkEntry.queries("llm_url_canonical")(spark, Sf).collect()
+    val canon = "^example\\d\\.com/p/\\d+$".r
+    rows.foreach { r =>
+      val url = r.getString(r.fieldIndex("canonical_url"))
+      assert(canon.findFirstIn(url).isDefined,
+        s"uncanonical residue: $url")
+    }
+    // partition: every planted URL lands in exactly one canonical group
+    assert(rows.map(_.getLong(1)).sum === nDocs)
+  }
+
   test("q71 ER: exactly the injected duplicates are linked (P=R=1)") {
     val nParts = core.Tables(spark, Sf).part.count()
     val nDirty = core.Tables(spark, Sf).part
