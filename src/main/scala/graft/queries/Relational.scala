@@ -2369,23 +2369,51 @@ object Relational {
           .select((col("id") + 1000000L).as("id"),
             concat(lit("x"), expr("substring(name, 2)")).as("name"),
             col("sz"), col("pc"))
-        val all = base.unionAll(dirty)
-        val blocked = all.withColumn("bk", expr("substring(name, 3, 8)"))
+        val recs = base.unionAll(dirty)
+        // exact-clone collapse BEFORE the pairwise stage (the same
+        // quadratic-blowup guard the MinHash/Jaccard dedups use): the
+        // match predicate depends only on the attribute tuple, so
+        // records sharing (name, sz, pc) have identical match sets —
+        // one representative per distinct tuple carries the fuzzy
+        // work, and per-block candidate volume is Σ|distinct block|²
+        // however many clones the corpus stacks on each tuple. Groups
+        // remember their min id (the label seed) and size (the match
+        // count contribution).
+        val grp = recs.groupBy(col("name"), col("sz"), col("pc"))
+          .agg(min(col("id")).as("gmin"), count(lit(1)).as("gsz"))
+          .cache()
+        val blocked = grp.withColumn("bk", expr("substring(name, 3, 8)"))
+        // gmin < gmin orders distinct tuples (ids are unique, so group
+        // minima are too); clone pairs never reach the join
         val cand = blocked.as("a").join(blocked.as("b"),
-            col("a.bk") === col("b.bk") && col("a.id") < col("b.id") &&
+            col("a.bk") === col("b.bk") &&
+              col("a.gmin") < col("b.gmin") &&
               col("a.sz") === col("b.sz") && col("a.pc") === col("b.pc") &&
               levenshtein(col("a.name"), col("b.name")) <= 2)
-          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-        val nbr = cand.select(col("id_a").as("id"), col("id_b").as("nb"))
-          .unionAll(cand.select(col("id_b").as("id"),
-            col("id_a").as("nb")))
-        all.join(nbr, Seq("id"), "left")
-          .groupBy(col("id"))
-          .agg(min(col("nb")).as("mn"), count(col("nb")).as("n_matches"))
-          .select(col("id").as("record_id"),
-            least(col("id"), coalesce(col("mn"), col("id")))
-              .as("entity_id"),
-            col("n_matches"))
+          .select(col("a.gmin").as("ga"), col("a.gsz").as("gasz"),
+            col("b.gmin").as("gb"), col("b.gsz").as("gbsz"))
+        val nbrG = cand.select(col("ga").as("g"), col("gb").as("ng"),
+            col("gbsz").as("nsz"))
+          .unionAll(cand.select(col("gb").as("g"), col("ga").as("ng"),
+            col("gasz").as("nsz")))
+        val gagg = nbrG.groupBy(col("g"))
+          .agg(min(col("ng")).as("mng"), sum(col("nsz")).as("msz"))
+        // per-record expansion: a record's direct matches are its own
+        // clones (gsz − 1) plus every member of a fuzzy-matched group;
+        // its 1-hop min label is min(own group min, matched group
+        // minima) — identical to the naive per-record formulation the
+        // SQL oracle spells out, clone-for-clone
+        val gfull = grp.join(gagg, col("gmin") === col("g"), "left")
+          .select(col("name"), col("sz"), col("pc"), col("gmin"),
+            col("gsz"),
+            least(col("gmin"), coalesce(col("mng"), col("gmin")))
+              .as("gentity"),
+            coalesce(col("msz"), lit(0L)).as("mout"))
+        graft.core.Checkpoints.owns(
+          recs.join(gfull, Seq("name", "sz", "pc"))
+            .select(col("id").as("record_id"),
+              col("gentity").as("entity_id"),
+              (col("gsz") - 1 + col("mout")).as("n_matches")), grp)
       },
       Some("""WITH base AS (
              |  SELECT p_partkey AS id,
