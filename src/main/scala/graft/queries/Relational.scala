@@ -2457,11 +2457,15 @@ object Relational {
     // outlier fence.
     GQ("q72_anomaly_mad",
       (s, dir) => {
+        // cached: the day table is tiny (bounded by the time range) but
+        // three consumers (median, deviations, MAD) would otherwise
+        // re-run the FACT scan + day aggregation each
         val daily = t(s, dir).orders
           .groupBy(date_format(to_date(col("o_orderdate")), "yyyy-MM-dd")
             .as("day"))
           .agg(sum(round(col("o_totalprice") * 100).cast("long"))
             .as("rev_cents"))
+          .cache()
         val med = daily.agg(
           expr("cast(percentile(2 * rev_cents, 0.5) as bigint)")
             .as("med2x"))
@@ -2470,11 +2474,12 @@ object Relational {
             - col("med2x")))
         val mad = dev.agg(
           expr("cast(percentile(2 * dev2x, 0.5) as bigint)").as("mad2x2"))
-        dev.crossJoin(broadcast(mad))
+        graft.core.Checkpoints.owns(dev.crossJoin(broadcast(mad))
           .select(col("day"), col("rev_cents"),
             expr("(2000000 * dev2x) div mad2x2").as("score_micro"))
           .withColumn("is_outlier",
-            when(col("score_micro") >= 3500000L, 1L).otherwise(0L))
+            when(col("score_micro") >= 3500000L, 1L).otherwise(0L)),
+          daily)
       },
       Some("""WITH daily AS (
              |  SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day,

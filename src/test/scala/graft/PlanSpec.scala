@@ -376,4 +376,54 @@ class PlanSpec extends AnyFunSuite {
       assert(nAfter === want, st) // post-overwrite state
     }
   }
+
+  test("q60 pairs: no Expand, no self-join — HOF pair generation") {
+    val p = plan(SparkEntry.queries("q60_frequent_pairs")(spark, sf))
+    // the r14 rewrite's claims: no distinct Expand, and the basket
+    // relation is cached once — the pair stage re-reads the cache, it
+    // never re-joins two copies of the basket build
+    assert(!p.contains("Expand"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    graft.core.Checkpoints.release(
+      SparkEntry.queries("q60_frequent_pairs")(spark, sf))
+  }
+
+  test("q69 profile: single-scan melt, two-phase distinct, no Expand") {
+    val p = plan(SparkEntry.queries("q69_data_profile")(spark, sf))
+    assert(!p.contains("Expand"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q70 audit: FK checks are anti joins, never nested loops") {
+    val p = plan(SparkEntry.queries("q70_constraint_audit")(spark, sf))
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q71 ER: blocked equi join only — no cartesian candidates") {
+    val df = SparkEntry.queries("q71_entity_resolution")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    graft.core.Checkpoints.release(df)
+  }
+
+  test("q72 anomaly: the fact scan feeds ONE cached day table") {
+    val df = SparkEntry.queries("q72_anomaly_mad")(spark, sf)
+    val p = plan(df)
+    // the two medians and the deviation branch all read the cache;
+    // a plan that re-scans parquet here re-runs the fact aggregation
+    // once per consumer at 100 TB. The printed tree re-inlines the
+    // cache's build plan at every consumer site, so the check is that
+    // EVERY parquet scan sits inside an InMemoryRelation build — a
+    // bare fact scan would make scans outnumber cache relations
+    assert(p.contains("InMemoryTableScan"), p)
+    val scans = "Scan parquet".r.findAllIn(p).length
+    val caches = "InMemoryRelation".r.findAllIn(p).length
+    assert(scans === caches, p)
+    graft.core.Checkpoints.release(df)
+  }
 }
