@@ -245,6 +245,53 @@ object Streaming {
              |JOIN qc c ON c.cum >= (q.pct * qn.n + 99) // 100
              |GROUP BY 1, 2""".stripMargin)),
 
+    // Streaming twin of q72_anomaly_mad: the per-day value totals are
+    // maintained as complete-mode streaming state (bounded BY the time
+    // range — one row per day, the canonical monitoring state), then
+    // the median/MAD fences read off the finished day table exactly as
+    // the batch query does. Same exact integer ×2-domain arithmetic,
+    // so streamed ≡ batch ≡ SQL in one hash — "is today anomalous?"
+    // at ingest for the cost of one long per day.
+    GQ("stream_anomaly_mad",
+      (s, dir) => {
+        val daily = runToMemory(s, "graft_stream_mad", "complete")(
+          EventStreams.readEvents(s, s"$dir/events.parquet")
+            .select(date_format(to_date(col("ts")), "yyyy-MM-dd")
+                .as("day"),
+              round(col("value") * 100).cast("long").as("vc"))
+            .groupBy("day").agg(sum(col("vc")).as("val_cents")))
+        val med = daily.agg(
+          expr("cast(percentile(2 * val_cents, 0.5) as bigint)")
+            .as("med2x"))
+        val dev = daily.crossJoin(broadcast(med))
+          .withColumn("dev2x", abs(lit(2) * col("val_cents")
+            - col("med2x")))
+        val mad = dev.agg(
+          expr("cast(percentile(2 * dev2x, 0.5) as bigint)").as("mad2x2"))
+        dev.crossJoin(broadcast(mad))
+          .select(col("day"), col("val_cents"),
+            expr("(2000000 * dev2x) div mad2x2").as("score_micro"))
+          .withColumn("is_outlier",
+            when(col("score_micro") >= 3500000L, 1L).otherwise(0L))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             |      AS val_cents
+             |  FROM events GROUP BY 1),
+             |m AS (SELECT CAST(quantile_cont(2 * val_cents, 0.5)
+             |  AS BIGINT) AS med2x FROM daily),
+             |d AS (SELECT day, val_cents,
+             |    abs(2 * val_cents - med2x) AS dev2x
+             |  FROM daily, m),
+             |md AS (SELECT CAST(quantile_cont(2 * dev2x, 0.5) AS BIGINT)
+             |  AS mad2x2 FROM d)
+             |SELECT day, val_cents,
+             |  CAST((2000000 * dev2x) // mad2x2 AS BIGINT) AS score_micro,
+             |  CAST(CASE WHEN (2000000 * dev2x) // mad2x2 >= 3500000
+             |    THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+             |FROM d, md""".stripMargin)),
+
     // REAL durable streaming sink: file source → stateful dedup →
     // PARQUET sink with a checkpoint (exactly-once via the sink's commit
     // log + source offset tracking — the shape every production pipeline

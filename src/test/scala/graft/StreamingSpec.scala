@@ -418,4 +418,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed === batch)
     if (lastProgress != null) assert(lastProgress.stateOperators.isEmpty)
   }
+
+  test("streaming MAD anomaly fence ≡ the same fence computed in batch") {
+    val got = SparkEntry.queries("stream_anomaly_mad")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    // batch twin: identical algebra over a plain read of the same file
+    val daily = core.Tables(spark, sf).events
+      .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("val_cents"))
+      .cache()
+    val med2x = daily.agg(expr(
+      "cast(percentile(2 * val_cents, 0.5) as bigint)")).head().getLong(0)
+    val devs = daily.collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        math.abs(2 * r.getLong(1) - med2x))).sortBy(_._1).toSeq
+    val mad2x2 = {
+      val s = devs.map(_._3 * 2).sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+    }
+    val want = devs.map { case (d, v, dev2x) =>
+      val score = (2000000L * dev2x) / mad2x2
+      (d, v, score, if (score >= 3500000L) 1L else 0L)
+    }
+    daily.unpersist()
+    assert(got.nonEmpty && got === want)
+  }
 }
