@@ -2156,6 +2156,47 @@ object Graph {
       sliceOracle(s"""WITH ${Oracle.edgesCte},
               |${Oracle.trussChain(3, 4)}
               |SELECT a AS src_id, b AS dst_id
-              |FROM ttruss""".stripMargin))
+              |FROM ttruss""".stripMargin)),
+
+    // Incremental WCC maintenance — the q62_incremental_agg idea for
+    // graph state: labels computed on 90% of the edges are UPDATED with
+    // the remaining 10% by contracting the delta through the existing
+    // labels and running WCC on the label-granularity graph (≤ #old
+    // components nodes, ≤ |delta| edges), then composing the two maps.
+    // Composition is exact, not approximate: old labels are component
+    // MINIMA, so the contracted run's minima are minima of the merged
+    // member sets — incremental ≡ from-scratch bit for bit, which the
+    // full-graph oracle (g10's fixpoint chain) pins in one hash. At
+    // 100 TB this is the production shape for a growing graph: per
+    // batch, work ∝ delta + one label-map join, never a full recompute.
+    GQ("g45_incremental_wcc",
+      (s, _) => {
+        val pg = g(s)
+        val e = pg.projection.select("src", "dst")
+        val bucket = pmod(xxhash64(col("src"), col("dst")), lit(10))
+        val old = e.filter(bucket =!= 0)
+        val delta = e.filter(bucket === 0)
+        val base = graft.algo.GraphComponents.wcc(s,
+          pg.nodes.select("nodeId"), old).cache()
+        val contracted = delta
+          .join(base.select(col("node").as("src"),
+            col("component").as("cs")), Seq("src"))
+          .join(base.select(col("node").as("dst"),
+            col("component").as("cd")), Seq("dst"))
+          .select(col("cs").as("src"), col("cd").as("dst"))
+        val labelNodes = base.select(col("component").as("nodeId"))
+          .distinct()
+        val merged = graft.algo.GraphComponents.wcc(s, labelNodes,
+          contracted)
+        graft.core.Checkpoints.owns(
+          base.join(merged.select(col("node").as("component"),
+              col("component").as("final_component")), Seq("component"))
+            .select(col("node").as("node_id"),
+              col("final_component").as("component")), base)
+      },
+      sliceOracle(s"""WITH ${Oracle.edgesCte},
+              |${Oracle.wccChain(Oracle.HopsWcc)}
+              |SELECT node AS node_id, lbl AS component
+              |FROM c${Oracle.HopsWcc}""".stripMargin))
   )
 }

@@ -2082,7 +2082,61 @@ object Llm {
              |  CAST(count(*) AS BIGINT) AS n_raw,
              |  CAST(count(DISTINCT url) AS BIGINT) AS n_variants,
              |  CAST(min(doc_id) AS BIGINT) AS rep_doc
-             |FROM c GROUP BY 1""".stripMargin))
+             |FROM c GROUP BY 1""".stripMargin)),
+
+    // Crawl-archive (WARC/WET-shaped) build → parse roundtrip — the
+    // ingestion step every web-corpus pipeline starts from: multi-record
+    // archive text is segmented back into records with regexp splits and
+    // header extraction, entirely inside codegen (no UDF). Per-source
+    // archives are synthesized deterministically from the documents
+    // table (records in doc_id order, WARC-style headers with a
+    // Content-Length); the parse recovers every record, re-extracts the
+    // doc id from the target URI, and validates each payload against
+    // its declared length. The oracle computes the roundtrip invariants
+    // (record count, payload volume, id checksum, zero length
+    // mismatches) straight from the raw table — the Spark side must
+    // earn them through the archive. Scale shape: archives are
+    // source-keyed (one groupBy), parsing is a per-archive projection +
+    // explode — linear, and at 100 TB the splitter runs per archive
+    // FILE, exactly how WET readers shard.
+    GQ("llm_warc_parse",
+      (s, dir) => {
+        val rec = t(s, dir).documents.select(col("source"),
+          col("doc_id"),
+          concat(
+            lit("WARC/1.0\nWARC-Target-URI: http://archive.example/"),
+            col("doc_id"), lit("\nContent-Length: "),
+            length(col("text")), lit("\n\n"), col("text"), lit("\n\n"))
+            .as("record"))
+        val archives = rec.groupBy(col("source"))
+          .agg(expr("""array_join(transform(
+                 array_sort(collect_list(struct(doc_id, record))),
+                 x -> x.record), '')""").as("archive"))
+        val records = archives.select(col("source"),
+          explode(expr(
+            "slice(split(archive, 'WARC/1\\\\.0\\n'), 2, 2147483647)"))
+            .as("rec"))
+        val parsed = records.select(col("source"),
+          regexp_extract(col("rec"),
+            "WARC-Target-URI: http://archive\\.example/([0-9]+)\n", 1)
+            .cast("long").as("rec_doc_id"),
+          regexp_extract(col("rec"), "Content-Length: ([0-9]+)\n", 1)
+            .cast("long").as("declared_len"),
+          regexp_extract(col("rec"), "(?s)\n\n(.*)\n\n$", 1)
+            .as("payload"))
+        parsed.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_records"),
+            sum(length(col("payload"))).as("sum_chars"),
+            sum(col("rec_doc_id")).as("id_checksum"),
+            sum(when(length(col("payload")) =!= col("declared_len"), 1L)
+              .otherwise(0L)).as("n_len_mismatch"))
+      },
+      Some("""SELECT source,
+             |  CAST(count(*) AS BIGINT) AS n_records,
+             |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+             |  CAST(0 AS BIGINT) AS n_len_mismatch
+             |FROM documents GROUP BY 1""".stripMargin))
   )
 
   /** Chained-CTE replay of QualityClassifier.train's Rocchio-centroid

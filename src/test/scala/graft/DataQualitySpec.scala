@@ -77,6 +77,28 @@ class DataQualitySpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).sum === nDocs)
   }
 
+  test("g45 incremental WCC ≡ g10 from-scratch WCC, label for label") {
+    def labels(name: String) =
+      SparkEntry.queries(name)(spark, Sf).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    val inc = labels("g45_incremental_wcc")
+    val full = labels("g10_wcc")
+    assert(inc.nonEmpty && inc === full)
+  }
+
+  test("llm_warc_parse: every record length-validates, ids round-trip") {
+    val docs = core.Tables(spark, Sf).documents
+    val nSources = docs.select(col("source")).distinct().count()
+    val rows = SparkEntry.queries("llm_warc_parse")(spark, Sf).collect()
+    assert(rows.length === nSources)
+    val total = rows.map(_.getLong(rows.head.fieldIndex("n_records"))).sum
+    assert(total === docs.count())
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_len_mismatch")) === 0L,
+        r.getString(0))
+    }
+  }
+
   test("q71 ER: exactly the injected duplicates are linked (P=R=1)") {
     val nParts = core.Tables(spark, Sf).part.count()
     val nDirty = core.Tables(spark, Sf).part
