@@ -7,5 +7,6 @@ package graft
 object Registry {
   def all: Seq[GQ] =
     queries.Relational.queries ++ queries.Graph.queries ++
-      queries.Llm.queries ++ queries.Streaming.queries
+      queries.Llm.queries ++ queries.Streaming.queries ++
+      queries.Geo.queries
 }

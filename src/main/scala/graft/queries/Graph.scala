@@ -137,6 +137,37 @@ object Graph {
   private def sliceOracle(sql: => String): Option[String] =
     if (edgeListPath == DefaultEdgeList) Some(sql) else None
 
+  /** Full-graph per-node triangle counts (Schank's degree-ordered
+    * orientation replayed in SQL) — shared by g12 (direct count) and
+    * g46 (incremental maintenance): both must land on the same counts,
+    * so one oracle pins direct ≡ incremental ≡ SQL.
+    */
+  private def triangleOracleSql: String =
+    s"""WITH ${Oracle.edgesCte},
+       |tund AS MATERIALIZED (
+       |  SELECT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges WHERE src <> dst GROUP BY 1, 2),
+       |tdeg AS MATERIALIZED (
+       |  SELECT n, count(*) AS deg FROM (
+       |    SELECT a AS n FROM tund UNION ALL SELECT b AS n FROM tund)
+       |  GROUP BY 1),
+       |tor AS MATERIALIZED (
+       |  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+       |              THEN u.a ELSE u.b END AS u,
+       |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+       |              THEN u.b ELSE u.a END AS v
+       |  FROM tund u JOIN tdeg da ON da.n = u.a JOIN tdeg db ON db.n = u.b),
+       |ttri AS MATERIALIZED (
+       |  SELECT o1.u, o1.v, o2.v AS w
+       |  FROM tor o1 JOIN tor o2 ON o1.u = o2.u AND o1.v < o2.v
+       |  JOIN tund e ON e.a = o1.v AND e.b = o2.v),
+       |tcr AS (SELECT node, count(*) AS n_triangles FROM (
+       |  SELECT u AS node FROM ttri UNION ALL SELECT v FROM ttri
+       |  UNION ALL SELECT w FROM ttri) GROUP BY 1)
+       |SELECT n.START_NODE AS node_id,
+       |  coalesce(c.n_triangles, 0) AS n_triangles
+       |FROM ids n LEFT JOIN tcr c ON c.node = n.START_NODE""".stripMargin
+
   /** DuckDB oracle SQL for the iterative graph queries.
     *
     * The shortest-path family is oracled with a hop-bounded chained
@@ -1398,30 +1429,7 @@ object Graph {
             pg.projection.select("src", "dst"))
           .select(col("node").as("node_id"), col("n_triangles"))
       },
-      sliceOracle(s"""WITH ${Oracle.edgesCte},
-              |tund AS MATERIALIZED (
-              |  SELECT least(src, dst) AS a, greatest(src, dst) AS b
-              |  FROM edges WHERE src <> dst GROUP BY 1, 2),
-              |tdeg AS MATERIALIZED (
-              |  SELECT n, count(*) AS deg FROM (
-              |    SELECT a AS n FROM tund UNION ALL SELECT b AS n FROM tund)
-              |  GROUP BY 1),
-              |tor AS MATERIALIZED (
-              |  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
-              |              THEN u.a ELSE u.b END AS u,
-              |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
-              |              THEN u.b ELSE u.a END AS v
-              |  FROM tund u JOIN tdeg da ON da.n = u.a JOIN tdeg db ON db.n = u.b),
-              |ttri AS MATERIALIZED (
-              |  SELECT o1.u, o1.v, o2.v AS w
-              |  FROM tor o1 JOIN tor o2 ON o1.u = o2.u AND o1.v < o2.v
-              |  JOIN tund e ON e.a = o1.v AND e.b = o2.v),
-              |tcr AS (SELECT node, count(*) AS n_triangles FROM (
-              |  SELECT u AS node FROM ttri UNION ALL SELECT v FROM ttri
-              |  UNION ALL SELECT w FROM ttri) GROUP BY 1)
-              |SELECT n.START_NODE AS node_id,
-              |  coalesce(c.n_triangles, 0) AS n_triangles
-              |FROM ids n LEFT JOIN tcr c ON c.node = n.START_NODE""".stripMargin)),
+      sliceOracle(triangleOracleSql)),
 
     // SQL-surface parity for RECURSION itself: the same WITH RECURSIVE
     // text runs on Spark 4's UnionLoop recursion and on DuckDB — a
@@ -2197,6 +2205,58 @@ object Graph {
       sliceOracle(s"""WITH ${Oracle.edgesCte},
               |${Oracle.wccChain(Oracle.HopsWcc)}
               |SELECT node AS node_id, lbl AS component
-              |FROM c${Oracle.HopsWcc}""".stripMargin))
+              |FROM c${Oracle.HopsWcc}""".stripMargin)),
+
+    // Incremental triangle maintenance, the clustering companion of
+    // g45: hold 90% of the edges as the standing graph with per-node
+    // counts already computed, then fold in the 10% delta by counting
+    // ONLY triangles that touch a new edge — for each truly-new
+    // undirected edge (a, b), the closing third corners are the common
+    // neighbors of a and b in the updated graph, and a distinct on the
+    // sorted triple de-multiplies triangles containing 2–3 new edges.
+    // Exact by decomposition (a triangle either avoids the delta — in
+    // the base counts — or touches it — enumerated from its new edges),
+    // so incremental ≡ from-scratch bit for bit; the full-graph oracle
+    // (g12's SQL, shared) pins it in one hash. At 100 TB this is the
+    // production shape for clustering metrics on a growing graph: per
+    // batch, candidate volume ∝ Σ_(new edge) |N(a) ∩ N(b)| — delta-
+    // proportional, never a recount of the standing graph.
+    GQ("g46_incremental_triangles",
+      (s, _) => {
+        val pg = g(s)
+        val e = pg.projection.select("src", "dst")
+        val bucket = pmod(xxhash64(col("src"), col("dst")), lit(10))
+        def und(df: org.apache.spark.sql.DataFrame) =
+          df.filter(col("src") =!= col("dst"))
+            .select(least(col("src"), col("dst")).as("a"),
+              greatest(col("src"), col("dst")).as("b")).distinct()
+        val undOld = und(e.filter(bucket =!= 0)).cache()
+        // delta edges whose canonical form is genuinely absent from the
+        // standing graph (the multigraph can carry both orientations in
+        // different buckets — those are not new undirected edges)
+        val undNew = und(e.filter(bucket === 0))
+          .join(undOld, Seq("a", "b"), "left_anti").cache()
+        val base = graft.algo.Triangles.perNode(
+          pg.nodes.select("nodeId"), undOld)
+        val full = undOld.unionByName(undNew)
+        val adj = full.select(col("a").as("u"), col("b").as("v"))
+          .unionByName(full.select(col("b").as("u"), col("a").as("v")))
+        val triples = undNew.as("d")
+          .join(adj.as("p"), col("d.a") === col("p.u"))
+          .join(adj.as("q"),
+            col("d.b") === col("q.u") && col("p.v") === col("q.v"))
+          .select(sort_array(array(col("d.a"), col("d.b"), col("p.v")))
+            .as("tri"))
+          .distinct()
+        val deltaCounts = triples
+          .select(explode(col("tri")).as("node"))
+          .groupBy(col("node")).agg(count(lit(1)).as("dn"))
+        graft.core.Checkpoints.owns(
+          base.join(deltaCounts, Seq("node"), "left")
+            .select(col("node").as("node_id"),
+              (col("n_triangles") + coalesce(col("dn"), lit(0L)))
+                .as("n_triangles")), undOld, undNew)
+      },
+      sliceOracle(triangleOracleSql))
   )
 }

@@ -2497,7 +2497,68 @@ object Relational {
              |  CAST((2000000 * dev2x) // mad2x2 AS BIGINT) AS score_micro,
              |  CAST(CASE WHEN (2000000 * dev2x) // mad2x2 >= 3500000
              |    THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
-             |FROM d, md""".stripMargin))
+             |FROM d, md""".stripMargin)),
+
+    // ---- marketing attribution: LAST-TOUCH revenue per channel ------
+    // The composed timeline shape, not a join: purchases and touch
+    // events (click/view) merge into one per-user event stream, a
+    // single carry-forward window (the q66 LOCF idiom) stamps each
+    // purchase with its most recent preceding touch, and a 7-day
+    // lookback decides attributed vs organic. ONE shuffle on user_id
+    // total — at 100 TB this beats the as-of-join formulation (q34)
+    // whenever touches and conversions live in the same event firehose,
+    // because the sort absorbs both sides at once. Ties are impossible
+    // by contract, not by data: the window orders by (ts, is_purchase,
+    // event_id), a total order both engines sort identically (same-
+    // instant touches attribute before the purchase consumes them).
+    // Revenue quantizes per row to micro-units before summing.
+    GQ("q75_attribution",
+      (s, dir) => {
+        val tl = t(s, dir).events
+          .filter(col("event_type").isin("click", "view", "purchase"))
+          .select(col("user_id"), col("ts"), col("event_type"),
+            col("event_id"), col("value"),
+            when(col("event_type") === "purchase", 1).otherwise(0)
+              .as("is_p"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("is_p"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val stamped = tl.select(col("*"),
+          last(when(col("is_p") === 0, col("ts")), ignoreNulls = true)
+            .over(w).as("lt_ts"),
+          last(when(col("is_p") === 0, col("event_type")),
+            ignoreNulls = true).over(w).as("lt_type"))
+        stamped.filter(col("is_p") === 1)
+          .select(
+            when(col("lt_ts").isNotNull &&
+                col("lt_ts") >= col("ts") - expr("INTERVAL 7 DAYS"),
+              col("lt_type")).otherwise(lit("none")).as("channel"),
+            floor(col("value") * 10000 + 0.5).cast("long").as("rev"))
+          .groupBy(col("channel"))
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(col("rev")).as("revenue_micro"))
+      },
+      Some("""WITH tl AS (
+             |  SELECT user_id, ts, event_type, event_id, value,
+             |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+             |  FROM events
+             |  WHERE event_type IN ('click', 'view', 'purchase')),
+             |c AS (
+             |  SELECT *,
+             |    last_value(CASE WHEN is_p = 0 THEN ts END IGNORE NULLS)
+             |      OVER w AS lt_ts,
+             |    last_value(CASE WHEN is_p = 0 THEN event_type END
+             |      IGNORE NULLS) OVER w AS lt_type
+             |  FROM tl
+             |  WINDOW w AS (PARTITION BY user_id
+             |    ORDER BY ts, is_p, event_id ROWS UNBOUNDED PRECEDING))
+             |SELECT CASE WHEN lt_ts IS NOT NULL
+             |    AND lt_ts >= ts - INTERVAL '7 days'
+             |    THEN lt_type ELSE 'none' END AS channel,
+             |  count(*) AS n_purchases,
+             |  CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+             |    AS BIGINT) AS revenue_micro
+             |FROM c WHERE is_p = 1 GROUP BY 1""".stripMargin))
   )
 
   /** DuckDB replay of operators.HyperLogLog — register index from 2

@@ -37,7 +37,7 @@ object Streaming {
     * and return the sink table — the shared protocol of every streaming
     * driver query (8 state partitions, processAllAvailable, stop).
     */
-  private def runToMemory(s: org.apache.spark.sql.SparkSession,
+  private[queries] def runToMemory(s: org.apache.spark.sql.SparkSession,
       name: String, mode: String)(
       df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     withStreamPartitions(s, 8) {
