@@ -113,4 +113,50 @@ object Triangles {
       .select(col("node"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
+
+  /** Fold a delta of TRULY-NEW canonical undirected simple edges into
+    * standing per-node counts (incremental maintenance, the g46 query's
+    * kernel). `base` must be [[perNode]]'s output over exactly `undOld`;
+    * `undNew` must be canonical (a < b, no self loops) and DISJOINT from
+    * `undOld` (anti-join first — a re-sent edge creates no triangles).
+    *
+    * Exact by decomposition: a triangle of the updated graph either
+    * avoids the delta (counted in `base`) or contains ≥1 new edge — and
+    * every such triangle is enumerable from any of its new edges as a
+    * common neighbor of that edge's endpoints in the UPDATED graph; the
+    * distinct on the sorted triple de-multiplies triangles with 2–3 new
+    * edges. Work ∝ Σ_(new edge) |N(a) ∩ N(b)| — delta-proportional,
+    * never a recount of the standing graph; all joins are node-keyed
+    * equi joins AQE can size.
+    */
+  def foldDelta(base: DataFrame, undOld: DataFrame,
+      undNew: DataFrame): DataFrame = {
+    def canon(df: DataFrame) = df.select(
+      col(df.columns(0)).as("a"), col(df.columns(1)).as("b"))
+    val full = canon(undOld).unionByName(canon(undNew))
+    val adj = full.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(full.select(col("b").as("u"), col("a").as("v")))
+    val triples = canon(undNew).as("d")
+      .join(adj.as("p"), col("d.a") === col("p.u"))
+      .join(adj.as("q"),
+        col("d.b") === col("q.u") && col("p.v") === col("q.v"))
+      .select(sort_array(array(col("d.a"), col("d.b"), col("p.v")))
+        .as("tri"))
+      .distinct()
+    val deltaCounts = triples
+      .select(explode(col("tri")).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("dn"))
+    base.join(deltaCounts, Seq("node"), "left")
+      .select(col("node"),
+        (col("n_triangles") + coalesce(col("dn"), lit(0L)))
+          .as("n_triangles"))
+  }
+
+  /** Per-node counts of `undOld ∪ undNew` computed incrementally:
+    * base counts on the standing graph + [[foldDelta]] of the delta.
+    */
+  def incrementalPerNode(nodes: DataFrame, undOld: DataFrame,
+      undNew: DataFrame,
+      localEdgeThreshold: Long = LocalEdgeThreshold): DataFrame =
+    foldDelta(perNode(nodes, undOld, localEdgeThreshold), undOld, undNew)
 }

@@ -2236,26 +2236,11 @@ object Graph {
         // different buckets — those are not new undirected edges)
         val undNew = und(e.filter(bucket === 0))
           .join(undOld, Seq("a", "b"), "left_anti").cache()
-        val base = graft.algo.Triangles.perNode(
-          pg.nodes.select("nodeId"), undOld)
-        val full = undOld.unionByName(undNew)
-        val adj = full.select(col("a").as("u"), col("b").as("v"))
-          .unionByName(full.select(col("b").as("u"), col("a").as("v")))
-        val triples = undNew.as("d")
-          .join(adj.as("p"), col("d.a") === col("p.u"))
-          .join(adj.as("q"),
-            col("d.b") === col("q.u") && col("p.v") === col("q.v"))
-          .select(sort_array(array(col("d.a"), col("d.b"), col("p.v")))
-            .as("tri"))
-          .distinct()
-        val deltaCounts = triples
-          .select(explode(col("tri")).as("node"))
-          .groupBy(col("node")).agg(count(lit(1)).as("dn"))
         graft.core.Checkpoints.owns(
-          base.join(deltaCounts, Seq("node"), "left")
-            .select(col("node").as("node_id"),
-              (col("n_triangles") + coalesce(col("dn"), lit(0L)))
-                .as("n_triangles")), undOld, undNew)
+          graft.algo.Triangles.incrementalPerNode(
+              pg.nodes.select("nodeId"), undOld, undNew)
+            .select(col("node").as("node_id"), col("n_triangles")),
+          undOld, undNew)
       },
       sliceOracle(triangleOracleSql))
   )
