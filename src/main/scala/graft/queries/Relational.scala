@@ -2558,7 +2558,45 @@ object Relational {
              |  count(*) AS n_purchases,
              |  CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
              |    AS BIGINT) AS revenue_micro
-             |FROM c WHERE is_p = 1 GROUP BY 1""".stripMargin))
+             |FROM c WHERE is_p = 1 GROUP BY 1""".stripMargin)),
+
+    // ---- read-side PARTITION PRUNING over a directory-partitioned
+    // sink: write orders partitioned by status (Sinks S2 surface), read
+    // one status back, and REQUIRE — in the query itself, the q54
+    // self-verifying idiom — that the filter lands in the scan's
+    // PartitionFilters (directory-level pruning: untouched partitions
+    // are never listed, let alone read). At 100 TB this is the
+    // difference between scanning one status's files and scanning the
+    // table; the oracle computes the same aggregate from the unsplit
+    // source, so the partitioned round-trip is also value-pinned.
+    GQ("q76_partition_prune",
+      (s, dir) => {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        val o = t(s, dir).orders.select(col("o_orderkey"),
+          col("o_orderstatus").as("st"), centsCol.as("cents"))
+        withScratch("graft-partprune") { scratch =>
+          graft.sources.Sinks.parquet(o, s"$scratch/by_status",
+            partitionBy = Seq("st"))
+          val pruned = s.read.parquet(s"$scratch/by_status")
+            .filter(col("st") === "F")
+          val scanStr = pruned.queryExecution.executedPlan
+            .collectLeaves().map(_.toString).mkString("\n")
+          require(scanStr.contains("PartitionFilters") &&
+            scanStr.contains("= F"),
+            s"status filter did not prune at the partition level:\n$scanStr")
+          val r = pruned.agg(count(lit(1)).as("n"),
+            sum(col("cents")).as("c")).collect()(0)
+          localResult(s, StructType(Seq(
+            StructField("st", StringType),
+            StructField("n_orders", LongType),
+            StructField("cents_total", LongType))),
+            Seq(Row("F", r.getLong(0), r.getLong(1))))
+        }
+      },
+      Some(s"""SELECT 'F' AS st, count(*) AS n_orders,
+             |  CAST(sum($CentsSql) AS BIGINT) AS cents_total
+             |FROM orders WHERE o_orderstatus = 'F'""".stripMargin))
   )
 
   /** DuckDB replay of operators.HyperLogLog — register index from 2
