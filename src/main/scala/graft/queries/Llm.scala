@@ -2136,7 +2136,78 @@ object Llm {
              |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
              |  CAST(sum(doc_id) AS BIGINT) AS id_checksum,
              |  CAST(0 AS BIGINT) AS n_len_mismatch
-             |FROM documents GROUP BY 1""".stripMargin))
+             |FROM documents GROUP BY 1""".stripMargin)),
+
+    // ---- corpus report (dataset-card row per source) -------------------
+    // The capstone reporting shape: volume (docs/tokens/chars), exact-
+    // dup pressure (distinct normalized fingerprints, the llm_exact_dedup
+    // contract), and language concentration (majority lang + its
+    // integer-micro share) in ONE result — what a dataset card's
+    // "composition" table is generated from. Distinct counting is
+    // two-phase BY HAND (group on (source, fp) first, then count rows
+    // per source) so no countDistinct Expand forms; the lang leg's
+    // window runs over ≤ sources×langs rows, never the corpus. Two
+    // passes over the scan; at 100 TB either cache the projected
+    // columns or fuse the lang leg into the fingerprint key.
+    GQ("llm_corpus_report",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = t(s, dir).documents.select(col("source"), col("lang"),
+          md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+            .as("fp"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("tk"),
+          length(col("text")).cast("long").as("ch"))
+        val byFp = d.groupBy(col("source"), col("fp"))
+          .agg(count(lit(1)).as("n"), sum(col("tk")).as("tk"),
+            sum(col("ch")).as("ch"))
+        val base = byFp.groupBy(col("source"))
+          .agg(sum(col("n")).as("n_docs"),
+            count(lit(1)).as("n_distinct"),
+            sum(col("tk")).as("n_tokens"), sum(col("ch")).as("n_chars"))
+        val langTop = d.groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("lc"))
+          .withColumn("rk", row_number().over(Window
+            .partitionBy(col("source"))
+            .orderBy(col("lc").desc, col("lang"))))
+          .filter(col("rk") === 1)
+          .select(col("source"), col("lang").as("top_lang"), col("lc"))
+        base.join(langTop, Seq("source"))
+          .select(col("source"), col("n_docs"), col("n_distinct"),
+            (col("n_docs") - col("n_distinct")).as("n_dup_copies"),
+            col("n_tokens"), col("n_chars"), col("top_lang"),
+            expr("1000000 * lc div n_docs").as("top_lang_share_micro"))
+      },
+      Some("""WITH d AS (
+             |  SELECT source, lang,
+             |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+             |      AS fp,
+             |    CAST(len(regexp_split_to_array(trim(text), '\s+'))
+             |      AS BIGINT) AS tk,
+             |    CAST(length(text) AS BIGINT) AS ch
+             |  FROM documents),
+             |byfp AS (
+             |  SELECT source, fp, count(*) AS n,
+             |    CAST(sum(tk) AS BIGINT) AS tk,
+             |    CAST(sum(ch) AS BIGINT) AS ch
+             |  FROM d GROUP BY 1, 2),
+             |base AS (
+             |  SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+             |    count(*) AS n_distinct,
+             |    CAST(sum(tk) AS BIGINT) AS n_tokens,
+             |    CAST(sum(ch) AS BIGINT) AS n_chars
+             |  FROM byfp GROUP BY 1),
+             |lt AS (
+             |  SELECT source, lang AS top_lang, lc FROM (
+             |    SELECT source, lang, count(*) AS lc,
+             |      row_number() OVER (PARTITION BY source
+             |        ORDER BY count(*) DESC, lang) AS rk
+             |    FROM d GROUP BY source, lang)
+             |  WHERE rk = 1)
+             |SELECT b.source, b.n_docs, b.n_distinct,
+             |  b.n_docs - b.n_distinct AS n_dup_copies,
+             |  b.n_tokens, b.n_chars, l.top_lang,
+             |  (1000000 * l.lc) // b.n_docs AS top_lang_share_micro
+             |FROM base b JOIN lt l ON l.source = b.source""".stripMargin))
   )
 
   /** Chained-CTE replay of QualityClassifier.train's Rocchio-centroid

@@ -428,4 +428,21 @@ class PlanSpec extends AnyFunSuite {
       leaves.map(_.getClass.getName).mkString(", "))
     graft.core.Checkpoints.release(df)
   }
+
+  test("q75 attribution: one timeline shuffle, no join anywhere") {
+    val p = plan(SparkEntry.queries("q75_attribution")(spark, sf))
+    // the whole claim: touches and conversions ride ONE user-keyed sort
+    // (window) + the final group-by — an as-of-join formulation would
+    // add a second shuffled relation and a join
+    assert(!p.contains("Join"), p)
+    assert(countShuffles(p) === 2, p)
+  }
+
+  test("llm_corpus_report: hand-two-phased distinct, no Expand, " +
+      "bounded lang window") {
+    val p = plan(SparkEntry.queries("llm_corpus_report")(spark, sf))
+    assert(!p.contains("Expand"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
