@@ -178,41 +178,24 @@ object DecadeScaleCheck {
     // delta, a DIFFERENT code path enumerating only delta-touching
     // triangles) lands on the same counts node for node.
     edges.unpersist()
-    val blockSz = 250L
-    val nBlocks = nNodes / blockSz
-    val blockOf = pmod(xxhash64(col("id"), lit(5)), lit(nBlocks))
-    val triNodes = spark.range(nNodes)
-      .select(format_string("t%07d", col("id")).as("node"))
-    val triUnd = spark.range(nEdges).select(
-        format_string("t%07d", blockOf * blockSz +
-          pmod(xxhash64(col("id"), lit(7)), lit(blockSz))).as("src"),
-        format_string("t%07d", blockOf * blockSz +
-          pmod(xxhash64(col("id"), lit(11)), lit(blockSz))).as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .distinct().persist()
+    val triNodes = core.ScaleGraphs.blockedTriangleNodes(spark, nNodes)
+    val triUnd = core.ScaleGraphs.blockedTriangleEdges(spark, nNodes,
+      nEdges).persist()
     val nTriEdges = triUnd.count()
     val (direct, tTri) = timed {
       val d = algo.Triangles.perNode(triNodes, triUnd,
         localEdgeThreshold = 0L).persist()
       d.count(); d
     }
-    def triDiff(x: org.apache.spark.sql.DataFrame,
-        y: org.apache.spark.sql.DataFrame): Long =
-      x.as("x").join(y.as("y"), col("x.node") === col("y.node"),
-          "full_outer")
-        .filter(col("x.n_triangles").isNull ||
-          col("y.n_triangles").isNull ||
-          col("x.n_triangles") =!= col("y.n_triangles")).count()
     val repart = algo.Triangles.perNode(triNodes, triUnd.repartition(17),
       localEdgeThreshold = 0L)
-    require(triDiff(direct, repart) == 0,
+    require(core.ScaleGraphs.perNodeCountDiff(direct, repart) == 0,
       "triangles: counts differ under repartitioning")
+    graft.core.Checkpoints.release(repart)
     val total = direct.agg(sum(col("n_triangles"))).collect()(0).getLong(0)
-    val split = pmod(xxhash64(col("a"), col("b")), lit(10))
-    val triOld = triUnd.filter(split =!= 0).persist()
-    val triNew = triUnd.filter(split === 0).persist()
+    val (triOldRaw, triNewRaw) = core.ScaleGraphs.standingDeltaSplit(triUnd)
+    val triOld = triOldRaw.persist()
+    val triNew = triNewRaw.persist()
     val (triBase, tTriBase) = timed {
       val b = algo.Triangles.perNode(triNodes, triOld,
         localEdgeThreshold = 0L).persist()
@@ -222,11 +205,16 @@ object DecadeScaleCheck {
       val f = algo.Triangles.foldDelta(triBase, triOld, triNew).persist()
       f.count(); f
     }
-    require(triDiff(inc, direct) == 0, "triangles: incremental != direct")
+    require(core.ScaleGraphs.perNodeCountDiff(inc, direct) == 0,
+      "triangles: incremental != direct")
     println(f"[decade] triangles: $nTriEdges%,d blocked edges -> " +
       f"${total / 3}%,d triangles in $tTri%.1f s (repartition-stable); " +
       f"incremental fold $tTriFold%.1f s vs recount $tTri%.1f s " +
       f"(base $tTriBase%.1f s), incremental == direct")
+    Seq(inc, triBase, direct).foreach { d =>
+      d.unpersist(); graft.core.Checkpoints.release(d)
+    }
+    triNew.unpersist(); triOld.unpersist(); triUnd.unpersist()
 
     println(f"[decade] total ${(System.nanoTime() - t00) / 1e9}%.1f s " +
       f"at $nNodes%,d nodes / $nEdges%,d edges")

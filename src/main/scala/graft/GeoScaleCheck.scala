@@ -47,12 +47,10 @@ object GeoScaleCheck {
       Geo.xMeters(col("id")).as("x"), Geo.yMeters(col("id")).as("y"))
       .persist()
     pts.count()
-    val (pairs, tJoin) = timed {
+    val ((pairs, nPairs), tJoin) = timed {
       val p = Geo.radiusJoin(pts, radiusM).persist()
-      p.count()
-      p
+      (p, p.count())
     }
-    val nPairs = pairs.count()
     val bad = pairs.filter(col("d2") > radiusM * radiusM ||
       col("id_a") >= col("id_b")).count()
     require(bad == 0, s"radius join emitted $bad out-of-contract pairs")
@@ -99,28 +97,15 @@ object GeoScaleCheck {
     pts.unpersist()
 
     // ---- 3. incremental triangles at nRandEdges, forced-distributed ----
-    // community-blocked graph (the k-truss scale section's shape): 250-
-    // node blocks at ~1000 intra-block edges each are triangle-RICH
-    // (~10⁵ triangles total), so the incremental ≡ direct certificate
-    // exercises real 1/2/3-new-edge de-multiplication, not a vacuously
-    // triangle-free graph
-    val blockSz = 250L
-    val nBlocks = nRandNodes / blockSz
-    val nodes = spark.range(nRandNodes)
-      .select(format_string("n%07d", col("id")).as("node"))
-    val blockOf = pmod(xxhash64(col("id"), lit(5)), lit(nBlocks))
-    val rawEdges = spark.range(nRandEdges).select(
-      format_string("n%07d", blockOf * blockSz +
-        pmod(xxhash64(col("id"), lit(7)), lit(blockSz))).as("src"),
-      format_string("n%07d", blockOf * blockSz +
-        pmod(xxhash64(col("id"), lit(11)), lit(blockSz))).as("dst"))
-    val und = rawEdges.filter(col("src") =!= col("dst"))
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .distinct().persist()
-    val split = pmod(xxhash64(col("a"), col("b")), lit(10))
-    val undOld = und.filter(split =!= 0).persist()
-    val undNew = und.filter(split === 0).persist()
+    // community-blocked triangle-rich graph + 90/10 split, both from
+    // core.ScaleGraphs (shared with DecadeScaleCheck section 5 so the
+    // two harnesses certify the SAME contract at their two scales)
+    val nodes = core.ScaleGraphs.blockedTriangleNodes(spark, nRandNodes)
+    val und = core.ScaleGraphs.blockedTriangleEdges(spark, nRandNodes,
+      nRandEdges).persist()
+    val (undOldRaw, undNewRaw) = core.ScaleGraphs.standingDeltaSplit(und)
+    val undOld = undOldRaw.persist()
+    val undNew = undNewRaw.persist()
     val (nOld, nNew) = (undOld.count(), undNew.count())
     val (base, tBase) = timed {
       val b = algo.Triangles.perNode(nodes, undOld,
@@ -139,12 +124,8 @@ object GeoScaleCheck {
       d.count()
       d
     }
-    val nDiff = inc.as("i").join(direct.as("d"),
-        col("i.node") === col("d.node"), "full_outer")
-      .filter(col("i.n_triangles").isNull || col("d.n_triangles").isNull ||
-        col("i.n_triangles") =!= col("d.n_triangles"))
-      .count()
-    require(nDiff == 0, s"incremental != direct on $nDiff nodes")
+    require(core.ScaleGraphs.perNodeCountDiff(inc, direct) == 0,
+      "incremental != direct")
     val total = direct.agg(sum(col("n_triangles"))).collect()(0).getLong(0)
     require(total / 3 > 10000,
       s"graph too triangle-poor (${total / 3}) for a meaningful certificate")
@@ -152,6 +133,10 @@ object GeoScaleCheck {
       f"$nNew%,d delta edges -> fold $tFold%.1f s vs recount " +
       f"$tDirect%.1f s (base $tBase%.1f s), ${total / 3}%,d triangles, " +
       "incremental == direct")
+    Seq(inc, base, direct).foreach { d =>
+      d.unpersist(); graft.core.Checkpoints.release(d)
+    }
+    undNew.unpersist(); undOld.unpersist(); und.unpersist()
 
     println(f"""{"n_points":$nPoints,"radius_m":$radiusM,"n_pairs":$nPairs,"join_sec":$tJoin%.1f,"hotspot_sec":$tHot%.1f,"tri_fold_sec":$tFold%.1f,"tri_recount_sec":$tDirect%.1f,"tri_base_sec":$tBase%.1f}""")
     spark.stop()

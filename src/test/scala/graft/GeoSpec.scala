@@ -63,7 +63,8 @@ class GeoSpec extends AnyFunSuite {
       .collect()(0)
     assert(pts.getLong(0) >= 0L && pts.getLong(1) < Geo.BoxX)
     assert(pts.getLong(2) >= 0L && pts.getLong(3) < Geo.BoxY)
-    // multiplicative scramble: distinct keys land on distinct points
+    // md5 digit windows: distinct keys land on distinct points at this
+    // key count (collision odds ~n²/2·1.5e10 — negligible at 150 keys)
     assert(pts.getLong(4) === pts.getLong(5))
   }
 
