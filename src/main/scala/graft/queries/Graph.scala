@@ -2242,6 +2242,53 @@ object Graph {
             .select(col("node").as("node_id"), col("n_triangles")),
           undOld, undNew)
       },
-      sliceOracle(triangleOracleSql))
+      sliceOracle(triangleOracleSql)),
+
+    // Directed small-motif census (Milo et al. 2002 taxonomy): 2-path
+    // centers by pure degree arithmetic (in·out − mutual — the count
+    // that would enumerate quadratically under skew is closed-form),
+    // feed-forward loops and directed 3-cycles by a shared 2-path equi
+    // join + closure join. Complements g12's undirected triangles with
+    // the DIRECTED pattern structure of the multigraph.
+    GQ("g47_motifs",
+      (s, _) => {
+        val pg = g(s)
+        graft.algo.Motifs.counts(pg.nodes.select("nodeId"),
+            pg.projection.select("src", "dst"))
+          .select(col("node").as("node_id"), col("n_path2"),
+            col("n_ffl"), col("n_cyc3"))
+      },
+      sliceOracle(s"""WITH ${Oracle.edgesCte},
+              |de AS MATERIALIZED (
+              |  SELECT src, dst FROM edges WHERE src <> dst),
+              |outd AS (SELECT src AS n, count(*) AS od FROM de GROUP BY 1),
+              |ind AS (SELECT dst AS n, count(*) AS indeg FROM de GROUP BY 1),
+              |mu AS (
+              |  SELECT x.dst AS n, count(*) AS m
+              |  FROM de x JOIN de y ON y.src = x.dst AND y.dst = x.src
+              |  GROUP BY 1),
+              |mp2 AS MATERIALIZED (
+              |  SELECT ab.src AS a, bc.dst AS c
+              |  FROM de ab JOIN de bc
+              |    ON bc.src = ab.dst AND bc.dst <> ab.src),
+              |ffl AS (
+              |  SELECT p.a AS n, count(*) AS f
+              |  FROM mp2 p JOIN de ac ON ac.src = p.a AND ac.dst = p.c
+              |  GROUP BY 1),
+              |cyc AS (
+              |  SELECT p.a AS n, count(*) AS cy
+              |  FROM mp2 p JOIN de ca ON ca.src = p.c AND ca.dst = p.a
+              |  GROUP BY 1)
+              |SELECT i.START_NODE AS node_id,
+              |  coalesce(o.od, 0) * coalesce(d.indeg, 0)
+              |    - coalesce(m.m, 0) AS n_path2,
+              |  coalesce(f.f, 0) AS n_ffl,
+              |  coalesce(cy.cy, 0) AS n_cyc3
+              |FROM ids i
+              |LEFT JOIN outd o ON o.n = i.START_NODE
+              |LEFT JOIN ind d ON d.n = i.START_NODE
+              |LEFT JOIN mu m ON m.n = i.START_NODE
+              |LEFT JOIN ffl f ON f.n = i.START_NODE
+              |LEFT JOIN cyc cy ON cy.n = i.START_NODE""".stripMargin))
   )
 }
