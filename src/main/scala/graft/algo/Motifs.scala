@@ -37,16 +37,25 @@ object Motifs {
     val mu = de.as("x").join(de.as("y"),
         col("y.src") === col("x.dst") && col("y.dst") === col("x.src"))
       .groupBy(col("x.dst").as("node")).agg(count(lit(1)).as("m"))
-    // directed 2-path join shared by ffl and cyc3: a→b→c with a ≠ c
+    // directed 2-path join shared by ffl and cyc3: a→b→c with a ≠ c.
+    // Cached because BOTH consumers read it (the oracle's mp2 CTE is
+    // MATERIALIZED for the same double-reference reason); the node-
+    // scale aggregates are checkpointed eagerly so the cache can drop
+    // before the caller consumes the output — the Triangles.perNode
+    // release discipline.
     val p2 = de.as("ab").join(de.as("bc"),
         col("bc.src") === col("ab.dst") && col("bc.dst") =!= col("ab.src"))
       .select(col("ab.src").as("a"), col("bc.dst").as("c"))
+      .cache()
     val ffl = p2.join(de.as("ac"),
         col("ac.src") === col("a") && col("ac.dst") === col("c"))
       .groupBy(col("a").as("node")).agg(count(lit(1)).as("f"))
+      .localCheckpoint(true)
     val cyc = p2.join(de.as("ca"),
         col("ca.src") === col("c") && col("ca.dst") === col("a"))
       .groupBy(col("a").as("node")).agg(count(lit(1)).as("cy"))
+      .localCheckpoint(true)
+    p2.unpersist()
     nodes.select(col(nodes.columns(0)).as("node"))
       .join(outd, Seq("node"), "left_outer")
       .join(ind, Seq("node"), "left_outer")
