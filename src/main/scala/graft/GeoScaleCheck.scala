@@ -82,6 +82,85 @@ object GeoScaleCheck {
     }
     pairs.unpersist()
 
+    // ---- 1b. radius join under 80/20 CLUSTERED skew ---------------------
+    // real geodata is heavy-tailed, not Poisson: here ~80% of points
+    // pile into 20 md5-placed 8 km × 8 km hotspots (≈200k points each —
+    // 3,000× the background density), ~20% disperse uniformly. The
+    // cell-size policy's guarantee is that banded candidate volume
+    // tracks OUTPUT volume within a constant (≈9·cell²/(πr²/2) ≈ 6 at
+    // cell = r) REGARDLESS of clustering — both scale with density² —
+    // so the check logs the actual candidate volume and requires the
+    // ratio to hold, then re-proves exactness inside the DENSEST cell
+    // (banded ≡ brute on the worst window, not just Poisson interiors).
+    val skewRadius = 25L
+    val hotW = 8000L
+    val h2 = md5(col("id").cast("string"))
+    def hx(start: Int, len: Int) =
+      conv(substring(h2, start, len), 16, 10).cast("long")
+    val hotIdx = hx(17, 2) % 20
+    val hc = md5(concat(lit("hot:"), hotIdx.cast("string")))
+    val hcx = conv(substring(hc, 1, 8), 16, 10).cast("long") %
+      (Geo.BoxX - hotW)
+    val hcy = conv(substring(hc, 9, 8), 16, 10).cast("long") %
+      (Geo.BoxY - hotW)
+    val isHot = hx(19, 2) < 205 // ≈ 80% of keys
+    val skewPts = spark.range(nPoints).select(col("id"),
+        when(isHot, hcx + hx(21, 4) % hotW)
+          .otherwise(Geo.xMeters(col("id"))).as("x"),
+        when(isHot, hcy + hx(25, 4) % hotW)
+          .otherwise(Geo.yMeters(col("id"))).as("y"))
+      .persist()
+    skewPts.count()
+    val ((skPairs, nSkPairs), tSkew) = timed {
+      val p = Geo.radiusJoin(skewPts, skewRadius).persist()
+      (p, p.count())
+    }
+    val skBad = skPairs.filter(col("d2") > skewRadius * skewRadius ||
+      col("id_a") >= col("id_b")).count()
+    require(skBad == 0, s"skew radius join emitted $skBad bad pairs")
+    // the candidate volume the banded join actually paid: Σ over
+    // adjacent cell pairs of |probe cell|·|build cell|
+    val bld = Geo.withCells(skewPts, skewRadius)
+      .groupBy("cx", "cy").agg(count(lit(1)).as("nb"))
+    val offs = Seq(-1L, 0L, 1L)
+    val candVol = bld
+      .withColumn("ox", explode(typedLit(offs)))
+      .withColumn("oy", explode(typedLit(offs)))
+      .select((col("cx") + col("ox")).as("cx"),
+        (col("cy") + col("oy")).as("cy"), col("nb").as("na"))
+      .join(bld, Seq("cx", "cy"))
+      .agg(sum(col("na") * col("nb"))).head().getLong(0)
+    val candRatio = candVol.toDouble / math.max(nSkPairs, 1L)
+    require(candRatio < 25.0,
+      f"clustered skew broke the cell policy: $candVol%,d candidates " +
+        f"for $nSkPairs%,d pairs ($candRatio%.1f×)")
+    // exactness at the DENSEST 1 km cell (deep inside a hotspot)
+    val dens = Geo.hotspots(skewPts, 1000L)
+      .orderBy(desc("n_points"), asc("cx"), asc("cy")).head()
+    val (wx, wy) = (dens.getLong(dens.fieldIndex("cx")) * 1000L,
+      dens.getLong(dens.fieldIndex("cy")) * 1000L)
+    val inHotWin = (x: org.apache.spark.sql.Column,
+        y: org.apache.spark.sql.Column) =>
+      x >= wx && x < wx + 1000L && y >= wy && y < wy + 1000L
+    val winPts = skewPts.filter(inHotWin(col("x"), col("y"))).persist()
+    val nWin = winPts.count()
+    val bruteHot = Geo.radiusJoinBrute(winPts, skewRadius)
+      .select("id_a", "id_b", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bandedHot = skPairs
+      .filter(inHotWin(col("x_a"), col("y_a")) &&
+        inHotWin(col("x_b"), col("y_b")))
+      .select("id_a", "id_b", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    require(bandedHot == bruteHot,
+      s"densest window: banded ${bandedHot.size} != brute ${bruteHot.size}")
+    winPts.unpersist(); skPairs.unpersist(); skewPts.unpersist()
+    println(f"[geo-scale] clustered skew: $nPoints%,d points (80%% in 20 " +
+      f"hotspots), r=$skewRadius m -> $nSkPairs%,d pairs in $tSkew%.1f s; " +
+      f"candidates $candVol%,d (${candRatio}%.1f× output, policy holds); " +
+      f"densest 1 km cell ($nWin%,d pts): banded == brute " +
+      f"(${bruteHot.size}%,d pairs)")
+
     // ---- 2. hotspots at 4×nPoints --------------------------------------
     val big = spark.range(nPoints * 4).select(
       Geo.xMeters(col("id")).as("x"), Geo.yMeters(col("id")).as("y"))
@@ -138,7 +217,7 @@ object GeoScaleCheck {
     }
     undNew.unpersist(); undOld.unpersist(); und.unpersist()
 
-    println(f"""{"n_points":$nPoints,"radius_m":$radiusM,"n_pairs":$nPairs,"join_sec":$tJoin%.1f,"hotspot_sec":$tHot%.1f,"tri_fold_sec":$tFold%.1f,"tri_recount_sec":$tDirect%.1f,"tri_base_sec":$tBase%.1f}""")
+    println(f"""{"n_points":$nPoints,"radius_m":$radiusM,"n_pairs":$nPairs,"join_sec":$tJoin%.1f,"skew_pairs":$nSkPairs,"skew_join_sec":$tSkew%.1f,"skew_cand_ratio":$candRatio%.1f,"hotspot_sec":$tHot%.1f,"tri_fold_sec":$tFold%.1f,"tri_recount_sec":$tDirect%.1f,"tri_base_sec":$tBase%.1f}""")
     spark.stop()
   }
 }

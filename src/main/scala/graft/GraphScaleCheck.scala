@@ -514,7 +514,66 @@ object GraphScaleCheck {
       f"${yenPaths.map(p => f"${p.total}%.1f").mkString("/")} " +
       f"in $tYen%.1f s, ≡ sequential Yen")
 
-    println(f"""{"wcc_path_sec":$tPath%.1f,"wcc_rand_sec":$tDist%.1f,"pagerank_sec":$tPr%.1f,"triangles_sec":$tTri%.1f,"kcore_sec":$tKc%.1f,"scc_sec":$tScc%.1f,"labelprop_sec":$tLpa%.1f,"betweenness_sec":$tBc%.1f,"node2vec_sec":$tNv%.1f,"nodesim_sec":$tNs%.1f,"louvain_sec":$tLv%.1f,"louvain2l_sec":$tLv2%.1f,"mst_sec":$tMst%.1f,"mis_sec":$tMis%.1f,"matching_sec":$tMatch%.1f,"ktruss_sec":$tTk%.1f,"sssp_sec":$tSp%.1f,"yen3_sec":$tYen%.1f,"n_path":$nPath,"n_rand_nodes":$nRandNodes,"n_rand_edges":$nRandEdges}""")
+    // ---- 18. contraction hierarchy: forced-distributed batch build -----
+    // road-like grid (the CH-friendly shape: bounded degree, huge
+    // diameter — a uniform random graph's log diameter certifies
+    // nothing about hierarchy depth) at 525k nodes / 2.1M directed
+    // edges; integer costs make CH distance ≡ Dijkstra an EXACT double
+    // equality after shortcut unpacking. The build runs the batch
+    // independent-set rounds distributed and finishes the densified
+    // core on the driver (DistributedCH doc); serving assembles into
+    // the same structure the g38 query uses.
+    val gw = 1050L; val gh = 500L
+    val chN = (gw * gh).toInt
+    def gid(cc: org.apache.spark.sql.Column) = format_string("g%07d", cc)
+    val hIdx = spark.range(gh * (gw - 1))
+      .select((col("id") / (gw - 1)).cast("long").as("r"),
+        (col("id") % (gw - 1)).as("c"))
+      .select((col("r") * gw + col("c")).as("a"),
+        (col("r") * gw + col("c") + 1).as("b"))
+    val vIdx = spark.range((gh - 1) * gw)
+      .select(col("id").as("a"), (col("id") + gw).as("b"))
+    val undPairs = hIdx.unionByName(vIdx)
+    val chEdges0 = undPairs.select(gid(col("a")).as("src"),
+        gid(col("b")).as("dst"),
+        (pmod(xxhash64(col("a"), col("b"), lit(41)), lit(9L)) + 1)
+          .cast("double").as("cost"))
+      .unionByName(undPairs.select(gid(col("b")).as("src"),
+        gid(col("a")).as("dst"),
+        (pmod(xxhash64(col("b"), col("a"), lit(42)), lit(9L)) + 1)
+          .cast("double").as("cost")))
+      .cache()
+    val chNodes = spark.range(chN.toLong).select(gid(col("id")).as("node"))
+    val nChEdges = chEdges0.count()
+    val (chBuilt, tChB) = timed {
+      algo.DistributedCH.build(spark, chNodes, chEdges0)
+    }
+    val chLg = algo.LocalGraph.fromProjection(chEdges0, None)
+    val chServe = algo.DistributedCH.assemble(spark, chLg, chBuilt)
+    val chRnd = new scala.util.Random(7)
+    var chWorstSettled = 0
+    for (i <- 0 until 25) {
+      val s = chRnd.nextInt(chN)
+      val t = chRnd.nextInt(chN)
+      val (res, settled) = chServe.query(chLg, s, t)
+      val dij = algo.LocalKernels.dijkstra(chLg, s, t)
+      require(res.isDefined && dij.isDefined,
+        s"ch pair $i unreachable on a connected grid")
+      val got = algo.LocalKernels.rewalk(chLg, res.get).last
+      require(got == dij.get.totalCost,
+        s"ch query $i: $got != dijkstra ${dij.get.totalCost}")
+      chWorstSettled = math.max(chWorstSettled, settled)
+    }
+    chEdges0.unpersist()
+    graft.core.Checkpoints.release(chBuilt.chEdges)
+    graft.core.Checkpoints.release(chBuilt.ranks)
+    println(f"[scale] ch: $chN%,d-node grid / $nChEdges%,d edges -> " +
+      f"distributed build $tChB%.1f s (${chBuilt.rounds} levels, " +
+      f"${chBuilt.nShortcuts}%,d shortcuts); 25 queries ≡ Dijkstra " +
+      f"exactly, worst upward scope $chWorstSettled settled " +
+      f"(blind Dijkstra settles ~${chN / 2}%,d)")
+
+    println(f"""{"wcc_path_sec":$tPath%.1f,"wcc_rand_sec":$tDist%.1f,"pagerank_sec":$tPr%.1f,"triangles_sec":$tTri%.1f,"kcore_sec":$tKc%.1f,"scc_sec":$tScc%.1f,"labelprop_sec":$tLpa%.1f,"betweenness_sec":$tBc%.1f,"node2vec_sec":$tNv%.1f,"nodesim_sec":$tNs%.1f,"louvain_sec":$tLv%.1f,"louvain2l_sec":$tLv2%.1f,"mst_sec":$tMst%.1f,"mis_sec":$tMis%.1f,"matching_sec":$tMatch%.1f,"ktruss_sec":$tTk%.1f,"sssp_sec":$tSp%.1f,"yen3_sec":$tYen%.1f,"ch_build_sec":$tChB%.1f,"ch_levels":${chBuilt.rounds},"ch_shortcuts":${chBuilt.nShortcuts},"n_path":$nPath,"n_rand_nodes":$nRandNodes,"n_rand_edges":$nRandEdges}""")
     spark.stop()
   }
 }

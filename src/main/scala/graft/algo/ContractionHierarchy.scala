@@ -26,10 +26,12 @@ package graft.algo
   *
   * Scale shape: this is the g34 story one level up — the expensive part
   * is a one-time batch precompute (here driver-side over the LocalGraph
-  * fast path; the distributed analogue partitions by rank level), and
-  * serving cost per query is independent of graph radius. The arrays
-  * are immutable after build, so one hierarchy serves any number of
-  * (s, t) batches.
+  * fast path; [[DistributedCH]] is the forced-distributed twin that
+  * contracts whole independent rank LEVELS per round and assembles back
+  * into this structure — certified ≡ Dijkstra at 2M edges in
+  * GraphScaleCheck), and serving cost per query is independent of graph
+  * radius. The arrays are immutable after build, so one hierarchy
+  * serves any number of (s, t) batches.
   */
 final class ContractionHierarchy private (
     val n: Int,
@@ -145,6 +147,18 @@ object ContractionHierarchy {
     * (extra shortcuts cost size, never correctness).
     */
   def build(g: LocalGraph, witnessCap: Int = 64): ContractionHierarchy = {
+    val (rank, edges) = buildParts(g, witnessCap)
+    fromParts(g.n, rank, edges)
+  }
+
+  /** The contraction core, exposed as data: returns (rank, CH edge list
+    * (u, v, cost, via) with via = -1 marking an original edge). [[build]]
+    * freezes it into the queryable structure; DistributedCH's hybrid
+    * build runs it over the densified top-of-hierarchy core and stacks
+    * the resulting ranks on its distributed levels.
+    */
+  def buildParts(g: LocalGraph, witnessCap: Int = 64)
+      : (Array[Int], Array[(Int, Int, Double, Int)]) = {
     val n = g.n
     // mutable adjacency over REMAINING nodes; also the accumulating CH
     // edge set (edges are never deleted, contraction only flags nodes)
@@ -313,19 +327,40 @@ object ContractionHierarchy {
         }
       }
     }
-    // freeze into upward/downward CSR
-    val upCnt = new Array[Int](n + 1)
-    val dnCnt = new Array[Int](n + 1)
+    // emit the CH edge list (u, v, cost, via)
+    val out = Array.newBuilder[(Int, Int, Double, Int)]
     u = 0
     while (u < n) {
-      val it = fwd(u).keySet().iterator()
+      val it = fwd(u).entrySet().iterator()
       while (it.hasNext) {
-        val w = it.next().intValue()
-        if (rank(w) > rank(u)) upCnt(u + 1) += 1 else dnCnt(w + 1) += 1
+        val en = it.next()
+        val w = en.getKey.intValue()
+        out += ((u, w, en.getValue: Double, via.getOrDefault(key(u, w), -1)))
       }
       u += 1
     }
+    (rank, out.result())
+  }
+
+  /** Freeze a (rank, CH edge list) pair — [[buildParts]]'s output or a
+    * DistributedCH assembly — into the queryable up/down CSR structure.
+    * Every edge must connect distinct ranks ("upward" would otherwise be
+    * undefined; both builders guarantee it — sequential ranks are a
+    * total order, and distributed level-mates are never adjacent).
+    */
+  def fromParts(n: Int, rank: Array[Int],
+      edges: Array[(Int, Int, Double, Int)]): ContractionHierarchy = {
+    @inline def key(u: Int, v: Int): Long = (u.toLong << 32) | v
+    val upCnt = new Array[Int](n + 1)
+    val dnCnt = new Array[Int](n + 1)
     var i = 0
+    while (i < edges.length) {
+      val (u, w, _, _) = edges(i)
+      require(rank(u) != rank(w), s"same-rank CH edge $u -> $w")
+      if (rank(w) > rank(u)) upCnt(u + 1) += 1 else dnCnt(w + 1) += 1
+      i += 1
+    }
+    i = 0
     while (i < n) { upCnt(i + 1) += upCnt(i); dnCnt(i + 1) += dnCnt(i); i += 1 }
     val upPos = upCnt.clone(); val dnPos = dnCnt.clone()
     val m = upCnt(n) + dnCnt(n)
@@ -334,23 +369,22 @@ object ContractionHierarchy {
     val dnTgt = new Array[Int](dnCnt(n))
     val dnCost = new Array[Double](dnCnt(n))
     val edgeCost = new java.util.HashMap[Long, Double](m * 2)
-    u = 0
-    while (u < n) {
-      val it = fwd(u).entrySet().iterator()
-      while (it.hasNext) {
-        val en = it.next()
-        val w = en.getKey.intValue(); val c = en.getValue
-        edgeCost.put(key(u, w), c)
-        if (rank(w) > rank(u)) {
-          upTgt(upPos(u)) = w; upCost(upPos(u)) = c; upPos(u) += 1
-        } else {
-          // stored reversed at w for the backward search
-          dnTgt(dnPos(w)) = u; dnCost(dnPos(w)) = c; dnPos(w) += 1
-        }
+    val viaMap = new java.util.HashMap[Long, Int]()
+    var nShortcuts = 0
+    i = 0
+    while (i < edges.length) {
+      val (u, w, c, via) = edges(i)
+      edgeCost.put(key(u, w), c)
+      if (via >= 0) { viaMap.put(key(u, w), via); nShortcuts += 1 }
+      if (rank(w) > rank(u)) {
+        upTgt(upPos(u)) = w; upCost(upPos(u)) = c; upPos(u) += 1
+      } else {
+        // stored reversed at w for the backward search
+        dnTgt(dnPos(w)) = u; dnCost(dnPos(w)) = c; dnPos(w) += 1
       }
-      u += 1
+      i += 1
     }
     new ContractionHierarchy(n, rank, upCnt, upTgt, upCost,
-      dnCnt, dnTgt, dnCost, edgeCost, via, nShortcuts)
+      dnCnt, dnTgt, dnCost, edgeCost, viaMap, nShortcuts)
   }
 }

@@ -1,0 +1,259 @@
+package graft.algo
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed contraction-hierarchy BUILD — the scale twin of
+  * [[ContractionHierarchy.build]] (whose doc names this design:
+  * "the distributed analogue partitions by rank level"). The driver-side
+  * builder contracts one node at a time; at 100× road scale the BUILD is
+  * the bottleneck (IMPL.md:831-836's "reduce the search scope" line ends
+  * here), so this builder contracts whole independent LEVELS per round,
+  * every round a fixed set of keyed joins/aggregations.
+  *
+  * Batch contraction by independent sets (the published parallel-CH
+  * construction shape — Geisberger et al. 2008 §5 "parallelization",
+  * also the PHAST build): each round selects S = the remaining nodes
+  * whose priority struct(in·out shortcut work, md5 scramble, id) is a
+  * strict local minimum among their remaining neighbors in either
+  * direction. Local minima are pairwise non-adjacent by construction,
+  * and every shortcut created by contracting v ∈ S connects two
+  * NON-members (u, w are neighbors of v, hence excluded from S) — so
+  * batch-contracting S sees exactly the neighbor state any sequential
+  * order of S would see, and the classic correctness argument (any total
+  * order with distance-preserving shortcuts keeps all pairwise
+  * distances; a path can never traverse two same-level nodes
+  * consecutively because level-mates are non-adjacent) lifts to levels
+  * verbatim. No witness search runs distributed — every u→v→w two-hop
+  * through a contracted v becomes a shortcut, min-merged per (u, w) pair.
+  * Extra shortcuts cost size, never correctness (the driver-side
+  * builder's settle-capped witness search makes the same trade).
+  *
+  * Scale shape per round: two degree aggregations, one neighbor-min
+  * aggregation, one membership-marker join, one v-keyed in×out join
+  * (volume Σ_{v∈S} in(v)·out(v), bounded because work-minimal nodes
+  * contract first and hubs last), one pair min-merge. State is
+  * localCheckpoint'ed per round with the previous incarnation released
+  * (the DistributedSSSP discipline); rounds are O(log n) in expectation
+  * since each remaining node is a local minimum with probability
+  * ≥ 1/(deg+1).
+  *
+  * The top of the hierarchy densifies: the last few thousand nodes of a
+  * road-like graph approach a clique, where batch rounds degrade toward
+  * singleton sets and per-round job overhead dominates. Like every
+  * kernel in algo/, the build therefore finishes the small dense core on
+  * the driver (witness-checked, via [[ContractionHierarchy.buildParts]])
+  * once the remaining edge set fits `localFinishEdges`; the local ranks
+  * stack on top of the distributed levels, and frozen-edge/shortcut
+  * semantics are identical across the seam (a pair freezes exactly when
+  * its first endpoint contracts, carrying the cost current at that
+  * moment — so unpacking a shortcut always finds its two constituent
+  * edges frozen at the costs the shortcut was derived from).
+  */
+object DistributedCH {
+
+  /** chEdges: (src, dst, cost, via) with via = "" for original edges;
+    * ranks: (node, rank) covering every input node — lower rank =
+    * contracted earlier. `rounds` counts distributed levels only.
+    */
+  final case class Built(chEdges: DataFrame, ranks: DataFrame,
+      rounds: Int, nShortcuts: Long)
+
+  /** Eager checkpoint WITHOUT origin-stats propagation. Spark's
+    * localCheckpoint snapshots the origin plan's estimated stats into
+    * the LogicalRDD (so joins keep planning well after a lineage cut) —
+    * but this loop SELF-JOINS each round's checkpoints several times,
+    * so the snapshot sizeInBytes MULTIPLY round over round:
+    * doubly-exponential BigInt growth that stalls stats estimation on
+    * million-digit arithmetic by round ~8 (observed; the linear
+    * single-join growth of DistributedSSSP never trips this). Re-wrap
+    * the materialized RDD as a fresh frame with default (constant)
+    * stats: every round starts from a bounded exponent. The extra
+    * Row↔InternalRow conversion is one narrow map per consumer over an
+    * already-cached RDD. release() of the wrapper frees the underlying
+    * checkpoint via the Checkpoints.owns registry.
+    */
+  private def checkpointFresh(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val ck = df.localCheckpoint(true)
+    graft.core.Checkpoints.owns(
+      spark.createDataFrame(ck.rdd, ck.schema), ck)
+  }
+
+  private implicit class FreshCheckpoint(private val df: DataFrame) {
+    def freshCheckpoint: DataFrame = checkpointFresh(df)
+  }
+
+  /** nodes: single-column node ids; edges: (src, dst, cost) directed
+    * (parallel edges min-collapsed here, self-loops dropped).
+    */
+  def build(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
+      localFinishEdges: Long = 50000, maxRounds: Int = 10000): Built = {
+    import spark.implicits._
+
+    var cur = edges.select(col(edges.columns(0)).as("src"),
+        col(edges.columns(1)).as("dst"), col(edges.columns(2)).as("cost"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(min(col("cost")).as("cost"))
+      .withColumn("via", lit(""))
+      .freshCheckpoint
+    var rem = nodes.select(col(nodes.columns(0)).as("node")).distinct()
+      .freshCheckpoint
+    var curCount = cur.count()
+    var remCount = rem.count()
+    val frozenParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val rankParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var level = 0
+
+    while (remCount > 0 && curCount > localFinishEdges && level < maxRounds) {
+      val ind = cur.groupBy(col("dst").as("node"))
+        .agg(count(lit(1)).as("din"))
+      val outd = cur.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("dout"))
+      // priority: simulated shortcut work first (hubs last), md5 scramble
+      // so ties don't follow id-correlated chains, id as the unique
+      // tiebreak that makes local minimality strict
+      val pri = rem.join(ind, Seq("node"), "left_outer")
+        .join(outd, Seq("node"), "left_outer")
+        .select(col("node"),
+          (coalesce(col("din"), lit(0L)) * coalesce(col("dout"), lit(0L)))
+            .as("work"),
+          md5(col("node").cast("string")).as("h"))
+      val nbrMin = cur.select(col("src").as("nbr"), col("dst").as("node"))
+        .unionByName(cur.select(col("dst").as("nbr"), col("src").as("node")))
+        .join(pri.select(col("node").as("nbr"),
+          struct(col("work"), col("h"), col("node")).as("p")), Seq("nbr"))
+        .groupBy("node").agg(min(col("p")).as("np"))
+      // S: strict local minima (isolated remaining nodes qualify
+      // trivially); nonempty whenever rem is — the global minimum is
+      // always a local minimum
+      val sSet = pri.join(nbrMin, Seq("node"), "left_outer")
+        .filter(col("np").isNull ||
+          struct(col("work"), col("h"), col("node")) < col("np"))
+        .select("node")
+        .freshCheckpoint
+      val marked = cur
+        .join(sSet.select(col("node").as("src"), lit(1).as("ms")),
+          Seq("src"), "left_outer")
+        .join(sSet.select(col("node").as("dst"), lit(1).as("md")),
+          Seq("dst"), "left_outer")
+        .freshCheckpoint
+      // freeze: a pair leaves the working graph the round its first
+      // endpoint contracts (ms and md are mutually exclusive — S is
+      // independent), carrying its current (cost, via)
+      val frozen = marked.filter(col("ms").isNotNull || col("md").isNotNull)
+        .select("src", "dst", "cost", "via")
+        .freshCheckpoint
+      val sc = marked.filter(col("md").isNotNull)
+        .select(col("src").as("u"), col("dst").as("v"), col("cost").as("c1"))
+        .join(marked.filter(col("ms").isNotNull)
+          .select(col("src").as("v"), col("dst").as("w"),
+            col("cost").as("c2")), Seq("v"))
+        .filter(col("u") =!= col("w"))
+        .select(col("u").as("src"), col("w").as("dst"),
+          (col("c1") + col("c2")).as("cost"), col("v").as("via"))
+      val survivors = marked.filter(col("ms").isNull && col("md").isNull)
+        .select("src", "dst", "cost", "via")
+      val newCur = survivors.unionByName(sc)
+        .groupBy("src", "dst")
+        .agg(min(struct(col("cost"), col("via"))).as("m"))
+        .select(col("src"), col("dst"), col("m.cost").as("cost"),
+          col("m.via").as("via"))
+        .freshCheckpoint
+      val newRem = rem.join(sSet, Seq("node"), "left_anti")
+        .freshCheckpoint
+      frozenParts += frozen
+      rankParts += sSet.withColumn("rank", lit(level))
+      graft.core.Checkpoints.release(marked)
+      graft.core.Checkpoints.release(cur)
+      graft.core.Checkpoints.release(rem)
+      cur = newCur
+      rem = newRem
+      curCount = cur.count()
+      remCount = rem.count()
+      level += 1
+    }
+
+    // local finish on the dense core. Isolated remaining nodes (no
+    // incident working edge) contract as one extra level first — they
+    // are mutually and universally non-adjacent, create nothing, and
+    // keeping them out of the LocalGraph (whose index is edge-derived)
+    // keeps the seam simple.
+    var localEdgesDf: Option[DataFrame] = None
+    var localRanksDf: Option[DataFrame] = None
+    if (remCount > 0) {
+      val endpoints = cur.select(col("src").as("node"))
+        .unionByName(cur.select(col("dst").as("node"))).distinct()
+      val isolated = rem.join(endpoints, Seq("node"), "left_anti")
+      rankParts += isolated.withColumn("rank", lit(level))
+        .freshCheckpoint
+      level += 1
+      if (curCount > 0) {
+        val pairVia = cur.collect()
+          .map(r => (r.getString(0), r.getString(1)) -> r.getString(3))
+          .toMap
+        val lgRem = LocalGraph.fromProjection(cur.select("src", "dst", "cost"),
+          None)
+        val (rankLoc, edgesLoc) = ContractionHierarchy.buildParts(lgRem)
+        val base = level
+        localRanksDf = Some(rankLoc.indices
+          .map(i => (lgRem.ids(i), base + rankLoc(i)))
+          .toDF("node", "rank"))
+        localEdgesDf = Some(edgesLoc.toSeq.map { case (u, w, c, vi) =>
+          val su = lgRem.ids(u); val sw = lgRem.ids(w)
+          // via = -1 marks a pair the local phase never overwrote: its
+          // (cost, via) is still the working graph's — which may itself
+          // be a distributed-phase shortcut
+          (su, sw, c, if (vi >= 0) lgRem.ids(vi) else pairVia((su, sw)))
+        }.toDF("src", "dst", "cost", "via"))
+      }
+    }
+
+    val chEdges = (frozenParts ++ localEdgesDf)
+      .reduceOption(_ unionByName _)
+      .getOrElse(Seq.empty[(String, String, Double, String)]
+        .toDF("src", "dst", "cost", "via"))
+      .freshCheckpoint
+    val ranks = (rankParts ++ localRanksDf)
+      .reduceOption(_ unionByName _)
+      .getOrElse(Seq.empty[(String, Int)].toDF("node", "rank"))
+      .freshCheckpoint
+    val nShort = chEdges.filter(col("via") =!= "").count()
+    frozenParts.foreach(graft.core.Checkpoints.release)
+    rankParts.foreach(graft.core.Checkpoints.release)
+    graft.core.Checkpoints.release(cur)
+    graft.core.Checkpoints.release(rem)
+    Built(chEdges, ranks, level, nShort)
+  }
+
+  /** Freeze a distributed build into the in-memory serving structure
+    * over the dense id space of `lg` (the caller's reference LocalGraph
+    * for the SAME graph). Collects int-ified edges (~24 B/edge) — the
+    * serving tier is driver-side by design (the g34 story: the BUILD was
+    * the distributed part); `lg.n` rank rows and every CH edge must
+    * resolve against `lg`'s index.
+    */
+  def assemble(spark: SparkSession, lg: LocalGraph, built: Built)
+      : ContractionHierarchy = {
+    import spark.implicits._
+    val idMap = lg.ids.zipWithIndex.toSeq.toDF("node", "i")
+    val edges = built.chEdges
+      .join(idMap.select(col("node").as("src"), col("i").as("ui")),
+        Seq("src"))
+      .join(idMap.select(col("node").as("dst"), col("i").as("wi")),
+        Seq("dst"))
+      .join(idMap.select(col("node").as("via"), col("i").as("vi")),
+        Seq("via"), "left_outer")
+      .select(col("ui"), col("wi"), col("cost"),
+        coalesce(col("vi"), lit(-1)).as("vi"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getInt(3)))
+    val rankRows = built.ranks.join(idMap, Seq("node"))
+      .select("i", "rank").collect()
+    require(rankRows.length == lg.n,
+      s"rank table covers ${rankRows.length} of ${lg.n} nodes")
+    val rank = new Array[Int](lg.n)
+    rankRows.foreach(r => rank(r.getInt(0)) = r.getInt(1))
+    ContractionHierarchy.fromParts(lg.n, rank, edges)
+  }
+}

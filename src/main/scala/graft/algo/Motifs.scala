@@ -20,16 +20,21 @@ import org.apache.spark.sql.functions._
   *    rotation starting at that member); each ORIENTATION of a mutual
   *    triangle is a distinct directed cycle by definition.
   *
-  * Input `edges` must be DISTINCT directed pairs (first two columns);
-  * self-loops are dropped here. Returns every node in `nodes` with
+  * Input `edges` is taken as directed pairs (first two columns);
+  * self-loops are dropped and duplicates collapsed here, so a raw
+  * multigraph input is safe. Returns every node in `nodes` with
   * zero-filled counts — integer columns, hash-oracle-able as-is.
   */
 object Motifs {
 
   def counts(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    // distinct enforces the documented contract in code: a raw
+    // multigraph input would otherwise silently multiplicity-inflate
+    // every count (pre-deduped callers pay one no-op exchange)
     val de = edges.select(col(edges.columns(0)).as("src"),
         col(edges.columns(1)).as("dst"))
       .filter(col("src") =!= col("dst"))
+      .distinct()
     val outd = de.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("od"))
     val ind = de.groupBy(col("dst").as("node"))

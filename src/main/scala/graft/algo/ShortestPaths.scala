@@ -184,6 +184,15 @@ object ShortestPaths {
     * repeated queries in a session pay it once, the g34 serve shape),
     * answer (src, dst) with two tiny upward searches, unpack shortcuts
     * to original hops, re-walk forward for oracle-bit-equal costs.
+    *
+    * Staleness contract under EdgeListIngest.append (g34's fail-safe
+    * discipline, pinned by ChDistributedSpec): a shortcut is only valid
+    * for the edge set it was derived from — a new edge can undercut it
+    * — so the cache key is the PROJECTION'S IDENTITY, and append always
+    * produces a new PropertyGraph with a new projection. An appended
+    * graph therefore can never be served by its parent's hierarchy: the
+    * first query against it triggers a rebuild (correct, paid once),
+    * while the parent's cached hierarchy remains valid for the parent.
     */
   def chSummary(spark: SparkSession, g: PropertyGraph,
       src: String, dst: String): DataFrame = {

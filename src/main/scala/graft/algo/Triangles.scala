@@ -146,10 +146,14 @@ object Triangles {
     val deltaCounts = triples
       .select(explode(col("tri")).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("dn"))
-    base.join(deltaCounts, Seq("node"), "left")
+    // full-outer guard: `base` is documented to be perNode's zero-filled
+    // full-node output, but if a caller ever passes a narrower frame,
+    // delta credits for nodes absent from it must surface, not silently
+    // drop
+    base.join(deltaCounts, Seq("node"), "full_outer")
       .select(col("node"),
-        (col("n_triangles") + coalesce(col("dn"), lit(0L)))
-          .as("n_triangles"))
+        (coalesce(col("n_triangles"), lit(0L)) +
+          coalesce(col("dn"), lit(0L))).as("n_triangles"))
   }
 
   /** Per-node counts of `undOld ∪ undNew` computed incrementally:

@@ -35,7 +35,8 @@ object Geo {
   val BoxY = 150000L
 
   /** Deterministic planar x/y in metres from an integer key: hex window
-    * [1,8) of md5(key) for x, [9,16) for y — 32 bits of entropy each,
+    * [1,8] of md5(key) for x (8 digits), [9,16] for y — 32 bits of
+    * entropy each,
     * exact integer arithmetic after the parse, so Spark and DuckDB agree
     * bit-for-bit (both emit lowercase-hex md5 of the identical decimal
     * string rendering of the key).

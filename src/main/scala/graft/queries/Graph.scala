@@ -128,6 +128,16 @@ object Graph {
 
   private def g(s: SparkSession): PropertyGraph = graphFor(s, edgeListPath)
 
+  /** g48's radius horizon: 6 register-advance rounds — deep enough for
+    * real expansion to read a diameter trend off, shallow enough that
+    * the SQL replay stays a per-round gate cost. reached90 is RELATIVE
+    * TO THE HORIZON by contract (the full effective diameter needs
+    * rounds ≈ diameter ≈ 58 here). Declared BEFORE `queries`: object
+    * vals initialize in declaration order, and the oracle strings
+    * interpolate this at `queries` construction time.
+    */
+  private val HyperAnfRounds = 6
+
   /** Every graph oracle encodes slice-1 facts — the CSV path itself, the
     * hop bounds, and the frozen Yen goldens. When GRAFT_EDGELIST points
     * the Spark side at a different slice, the oracles must drop away
@@ -296,6 +306,42 @@ object Graph {
            |  GROUP BY 1)""".stripMargin
       }
       (Seq(und, c0) ++ steps).mkString(",\n")
+    }
+
+    /** HyperANF register chain hr0..hr<rounds> over (node, bucket, r):
+      * hr0 sketches {node} per node (the HllOracle bucket/rho string
+      * algebra verbatim), each step max-merges out-neighbors' registers
+      * — the exact algo.HyperAnf round. MATERIALIZED: each step is
+      * referenced twice (next step + its radius readoff).
+      */
+    def hyperAnfChain(rounds: Int): String = {
+      val init = """hr0 AS MATERIALIZED (
+        |  SELECT node, bucket, rho AS r FROM (
+        |    SELECT node,
+        |      CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+        |        + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)
+        |        AS INT) AS bucket,
+        |      CASE WHEN z = 8 THEN 33 ELSE z * 4 +
+        |        CASE WHEN c = '1' THEN 3
+        |             WHEN c IN ('2', '3') THEN 2
+        |             WHEN c IN ('4', '5', '6', '7') THEN 1
+        |             ELSE 0 END + 1 END AS rho
+        |    FROM (
+        |      SELECT node, h, z, substr(h8, z + 1, 1) AS c FROM (
+        |        SELECT node, h, h8,
+        |          length(regexp_extract(h8, '^(0*)', 1)) AS z
+        |        FROM (SELECT node, h, substr(h, 3, 8) AS h8 FROM (
+        |          SELECT START_NODE AS node,
+        |            md5(CAST(START_NODE AS VARCHAR)) AS h
+        |          FROM ids))))))""".stripMargin
+      val steps = (1 to rounds).map { i =>
+        s"""hr$i AS MATERIALIZED (SELECT node, bucket, max(r) AS r FROM (
+           |  SELECT node, bucket, r FROM hr${i - 1}
+           |  UNION ALL
+           |  SELECT e.src AS node, h.bucket, h.r FROM hr${i - 1} h
+           |  JOIN edges e ON e.dst = h.node) GROUP BY 1, 2)""".stripMargin
+      }
+      (init +: steps).mkString(",\n")
     }
 
     /** node2vec second-order walk chain nv0..nv<length>: per step,
@@ -1320,8 +1366,18 @@ object Graph {
               |FROM w""".stripMargin)),
 
     // G3: APSP ranking query (neo4j-code.txt:56-77): finite distances,
-    // self-pairs excluded, top-10 longest, id-tie-broken. Source set kept
-    // explicit so the query scales as multi-source SSSP, never N².
+    // self-pairs excluded, top-10 longest, id-tie-broken.
+    //
+    // SOURCE-SET CONTRACT (the sampling surface, explicit since r13
+    // VERDICT #3): the reference call streams EVERY pair; this query BY
+    // CONTRACT serves the ranked head from the canonical 200-key source
+    // subset below (78 present on slice 1), because an explicit source
+    // set is what scales — one multi-source relaxation, never a
+    // materialized N². The source set is an API parameter
+    // (ShortestPaths.apsp(sources); None = exhaustive), and the
+    // exhaustive all-3705-sources surface is g49_apsp_exhaustive —
+    // a user asking for "all pairs" has a first-class query, not a
+    // silently restricted answer.
     GQ("g7_apsp_top10",
       (s, _) => {
         val sources = (0 until 200).map(i => (i * 17 + 1).toString)
@@ -2289,6 +2345,92 @@ object Graph {
               |LEFT JOIN ind d ON d.n = i.START_NODE
               |LEFT JOIN mu m ON m.n = i.START_NODE
               |LEFT JOIN ffl f ON f.n = i.START_NODE
-              |LEFT JOIN cyc cy ON cy.n = i.START_NODE""".stripMargin))
+              |LEFT JOIN cyc cy ON cy.n = i.START_NODE""".stripMargin)),
+
+    // HyperANF (Boldi–Rosa–Vigna 2011): the neighborhood function
+    // N(r) = Σ_v |ball(v, r)| for r = 0..6 plus the effective-diameter
+    // flag (·10 ≥ 9·max — pure integer, no 0.9 float compare), from one
+    // 256-register HLL per node advanced by register-max merges along
+    // out-edges (algo.HyperAnf) — the natural next GDS-family member on
+    // top of the q57 register machinery. Two readoffs per radius:
+    // nf_est (raw-estimator hash contract) and nf_occ (exact occupied-
+    // register sum — the linear-counting numerator, the meaningful
+    // signal at slice-1 ball sizes; reached90 reads off IT). Per-node
+    // estimates floor to BIGINT before the corpus sum, so even the
+    // APPROXIMATE function hash-verifies against the SQL replay of the
+    // same register algebra, radius by radius. 100 TB shape: one
+    // edge-keyed join + one (node, bucket) max agg per round, state
+    // bounded at n·256 rows by construction — where exact BFS balls
+    // carry Σ|ball| = n² rows on any well-connected graph.
+    GQ("g48_hyperanf",
+      (s, _) => {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types.{LongType, StructField, StructType}
+        val pg = g(s)
+        val nf = graft.algo.HyperAnf.neighborhoodFunction(s,
+          pg.nodes.select("nodeId"), pg.projection.select("src", "dst"),
+          rounds = HyperAnfRounds)
+        val occMax = nf.last._3
+        val rows = nf.map { case (r, est, occ) =>
+          Row(r.toLong, est, occ, if (occ * 10 >= occMax * 9) 1L else 0L)
+        }
+        graft.core.Scratch.localResult(s, StructType(Seq(
+          StructField("radius", LongType),
+          StructField("nf_est", LongType),
+          StructField("nf_occ", LongType),
+          StructField("reached90", LongType))), rows)
+      },
+      sliceOracle {
+        val r = HyperAnfRounds
+        val perRadius = (0 to r).map { k =>
+          s"""hnf$k AS (SELECT CAST($k AS BIGINT) AS radius,
+             |  CAST(sum(n_est) AS BIGINT) AS nf_est,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM hr$k) AS nf_occ FROM (
+             |  SELECT node, ${Relational.HllOracle.estExprSql} AS n_est
+             |  FROM hr$k GROUP BY node))""".stripMargin
+        }.mkString(",\n")
+        val unions = (0 to r).map(k => s"SELECT * FROM hnf$k")
+          .mkString("\n  UNION ALL ")
+        s"""WITH ${Oracle.edgesCte},
+           |${Oracle.hyperAnfChain(r)},
+           |$perRadius,
+           |hnfall AS ($unions)
+           |SELECT radius, nf_est, nf_occ,
+           |  CAST(CASE WHEN nf_occ * 10 >= (SELECT nf_occ FROM hnf$r) * 9
+           |    THEN 1 ELSE 0 END AS BIGINT) AS reached90
+           |FROM hnfall""".stripMargin
+      }),
+
+    // Exhaustive all-sources APSP surface — the reference's
+    // gds.alpha.allShortestPaths.stream (neo4j-code.txt:56-77) streams
+    // EVERY pair, where g7 serves its ranked head from the canonical
+    // 200-source subset (the documented sampling contract, SURVEY §2.9
+    // G3). This query runs the kernel over ALL 3705 sources
+    // (ShortestPaths.apsp(sources = None): broadcast CSR, one task per
+    // source batch — the per-source Dijkstras are embarrassingly
+    // parallel) and hash-pins the exhaustive per-source REACHABILITY
+    // structure against a DuckDB recursive closure. The weighted
+    // fixpoint over all sources is deliberately NOT SQL-oracled: the
+    // 100-step 3705-source relaxation chain measures >600 s in DuckDB —
+    // unusable as a per-round gate — so distances stay pinned by g7's
+    // oracled subset (the same kernel) plus the cross-kernel exhaustive
+    // spec (GraphAlgoSpec: distributed multi-source over ALL sources ≡
+    // per-source Dijkstra, every pair).
+    GQ("g49_apsp_exhaustive",
+      (s, _) => {
+        val pg = g(s)
+        ShortestPaths.apsp(s, pg, None)
+          .groupBy(col("source_id"))
+          .agg((count(lit(1)) - 1).as("n_reachable"))
+      },
+      sliceOracle(s"""WITH RECURSIVE ${Oracle.edgesCte},
+              |reach(source, node) AS (
+              |  SELECT START_NODE AS source, START_NODE AS node FROM ids
+              |  UNION
+              |  SELECT r.source, e.dst AS node FROM reach r
+              |  JOIN edges e ON e.src = r.node)
+              |SELECT source AS source_id,
+              |  CAST(count(*) - 1 AS BIGINT) AS n_reachable
+              |FROM reach GROUP BY 1""".stripMargin))
   )
 }

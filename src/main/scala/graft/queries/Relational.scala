@@ -2580,13 +2580,25 @@ object Relational {
             partitionBy = Seq("st"))
           val pruned = s.read.parquet(s"$scratch/by_status")
             .filter(col("st") === "F")
-          val scanStr = pruned.queryExecution.executedPlan
-            .collectLeaves().map(_.toString).mkString("\n")
-          require(scanStr.contains("PartitionFilters") &&
-            scanStr.contains("= F"),
-            s"status filter did not prune at the partition level:\n$scanStr")
-          val r = pruned.agg(count(lit(1)).as("n"),
-            sum(col("cents")).as("c")).collect()(0)
+          val agg = pruned.agg(count(lit(1)).as("n"),
+            sum(col("cents")).as("c"))
+          // structural check on the aggregate's physical plan: the
+          // status predicate must live in the scan's partitionFilters
+          // (not dataFilters), i.e. directory-level pruning — inspecting
+          // the expressions survives plan-string format drift across
+          // Spark versions. sparkPlan, not executedPlan: AQE wraps the
+          // latter in an AdaptiveSparkPlanExec whose children are not
+          // traversable by collect, and partition filters are decided at
+          // planning time anyway.
+          val scans = agg.queryExecution.sparkPlan.collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+          }
+          require(scans.nonEmpty && scans.forall(_.partitionFilters
+              .exists(_.references.exists(_.name == "st"))),
+            "status filter did not prune at the partition level: " +
+              scans.map(_.partitionFilters.mkString("[", ", ", "]"))
+                .mkString("; "))
+          val r = agg.collect()(0)
           localResult(s, StructType(Seq(
             StructField("st", StringType),
             StructField("n_orders", LongType),

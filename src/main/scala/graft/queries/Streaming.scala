@@ -194,6 +194,36 @@ object Streaming {
       },
       Some(Relational.HllOracle.leg("event_id", "events", "event_id"))),
 
+    // stream_hll_distinct's UPDATE-MODE twin — the 100 TB emission
+    // story: complete mode re-feeds all 256 registers to the sink every
+    // trigger; update mode emits ONLY the registers a micro-batch
+    // actually raised (a changelog), and because register maxima are
+    // MONOTONE the downstream fold that reconstructs current state is
+    // simply max-per-bucket over the changelog. The file source is
+    // throttled to one file per trigger so several triggers genuinely
+    // fire (one big batch would make update ≡ complete vacuously); the
+    // estimate leg then reads the FOLDED changelog, and the oracle is
+    // the same single-leg replay as the complete-mode twin — so
+    // changelog-fold ≡ complete ≡ batch ≡ SQL pins in one hash.
+    // StreamingSpec additionally pins the emission-volume contract
+    // (later triggers emit strictly fewer rows than the full register
+    // set) on a controlled MemoryStream.
+    GQ("stream_hll_update",
+      (s, dir) => {
+        import graft.operators.HyperLogLog
+        val changelog = runToMemory(s, "graft_stream_hllu", "update")(
+          HyperLogLog.sketch(
+            EventStreams.readEvents(s, s"$dir/events.parquet",
+              maxFilesPerTrigger = Some(1)),
+            col("event_id").cast("string")))
+        val regs = changelog.groupBy("bucket").agg(max(col("r")).as("r"))
+        Tables(s, dir).events.agg(countDistinct(col("event_id")).as("n_exact"))
+          .crossJoin(HyperLogLog.estimate(regs))
+          .select(lit("event_id").as("key_name"), col("n_exact"),
+            col("n_est"))
+      },
+      Some(Relational.HllOracle.leg("event_id", "events", "event_id"))),
+
     // REAL streaming quantile sketch: a fixed-grid histogram (512 unit
     // bins over the value domain) maintained as a complete-mode count
     // aggregation — state bounded BY CONSTRUCTION at 512 integer cells,

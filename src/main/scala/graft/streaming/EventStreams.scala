@@ -65,7 +65,13 @@ object EventStreams {
     }
   }
 
-  def readEvents(spark: SparkSession, path: String): DataFrame = {
+  /** `maxFilesPerTrigger`: multi-trigger chunking, for WATERMARK-FREE
+    * consumers only (the sketch aggregations — no event time, so no
+    * late-row risk). Stateful event-time consumers must keep the
+    * default single batch; see the comment below.
+    */
+  def readEvents(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = streamableDir(path)
     // Probe the STORED type with a one-off batch read: the testdata has
@@ -84,8 +90,9 @@ object EventStreams {
     // operators — one batch keeps the finite-replay contract (streaming
     // result ≡ batch result) deterministic; multi-batch semantics are
     // exercised by the MemoryStream specs instead
-    graft.core.Tables.normalizeTs(
-      spark.readStream.schema(schema).parquet(dir))
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    graft.core.Tables.normalizeTs(reader.parquet(dir))
   }
 
   /** The documents table as a file-source stream — the continuous-

@@ -1987,4 +1987,35 @@ class GraphAlgoSpec extends AnyFunSuite {
       assert(!pruned.contains("PartitionFilters: []"), pruned)
     }
   }
+
+  test("exhaustive APSP: distributed multi-source over ALL sources ≡ " +
+      "per-source Dijkstra, every pair (g49's weighted contract)") {
+    // the g49 query hash-pins exhaustive REACHABILITY in SQL; the
+    // weighted fixpoint over all sources is not SQL-oracle-able at gate
+    // cost, so THIS is where it pins: every (source, node) distance from
+    // one all-sources distributed relaxation must equal the sequential
+    // CSR kernel's, on a graph with unreachable pairs
+    import spark.implicits._
+    val rnd = new scala.util.Random(83)
+    val n = 120
+    val pairs = (for (_ <- 0 until 420) yield
+      (s"a${rnd.nextInt(n)}", s"a${rnd.nextInt(n)}",
+        1.0 + rnd.nextInt(9))).filter(e => e._1 != e._2)
+    val proj = pairs.toDF("src", "dst", "cost")
+      .groupBy("src", "dst")
+      .agg(org.apache.spark.sql.functions.min("cost").as("cost"))
+    val rg = LocalGraph.fromProjection(proj, None)
+    val allSources = rg.ids.toSeq
+    val state = DistributedSSSP.run(spark, proj, allSources)
+    val got = state.select("source", "nodeId", "dist").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    graft.core.Checkpoints.release(state)
+    val want = allSources.flatMap { s =>
+      val (dist, _) = LocalKernels.sssp(rg, rg.idOf(s))
+      dist.indices.filter(i => dist(i).isFinite)
+        .map(i => (s, rg.ids(i)) -> dist(i))
+    }.toMap
+    assert(got.size === want.size)
+    assert(got === want)
+  }
 }

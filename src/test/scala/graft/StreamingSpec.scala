@@ -134,6 +134,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.size <= CountMin.Depth * CountMin.Width)
   }
 
+  test("update-mode HLL changelog: later triggers emit only touched " +
+      "registers, and the max-fold reconstructs the batch sketch exactly") {
+    // the stream_hll_update contract: update mode is a CHANGELOG (rows =
+    // registers a micro-batch raised), not a re-emission of the world —
+    // and because register maxima are monotone, folding the changelog
+    // with max-per-bucket IS current state
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.HyperLogLog
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[String]
+    val sk = HyperLogLog.sketch(mem.toDF().toDF("k"), col("k"))
+    val q = sk.writeStream.format("memory").queryName("t_hllu")
+      .outputMode("update").start()
+    try {
+      mem.addData((1 to 2000).map(i => s"k$i"))
+      q.processAllAvailable()
+      val n1 = spark.table("t_hllu").count()
+      mem.addData((2001 to 2005).map(i => s"k$i"))
+      q.processAllAvailable()
+      val n2 = spark.table("t_hllu").count()
+      assert(n1 <= graft.operators.HyperLogLog.M.toLong)
+      assert(n2 - n1 <= 5L,
+        s"second trigger re-emitted ${n2 - n1} rows for 5 keys")
+      val folded = spark.table("t_hllu").groupBy("bucket")
+        .agg(max(col("r")).as("r"))
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      val batch = HyperLogLog.sketch(
+          (1 to 2005).map(i => s"k$i").toDF("k"), col("k"))
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      assert(folded === batch)
+    } finally q.stop()
+  }
+
   test("custom-state sessionizer runs as a real stream and matches batch") {
     val ev = EventStreams.readEvents(spark, s"$sf/events.parquet")
       .select(col("ts"), col("user_id"), col("value"))
