@@ -573,7 +573,58 @@ object GraphScaleCheck {
       f"exactly, worst upward scope $chWorstSettled settled " +
       f"(blind Dijkstra settles ~${chN / 2}%,d)")
 
-    println(f"""{"wcc_path_sec":$tPath%.1f,"wcc_rand_sec":$tDist%.1f,"pagerank_sec":$tPr%.1f,"triangles_sec":$tTri%.1f,"kcore_sec":$tKc%.1f,"scc_sec":$tScc%.1f,"labelprop_sec":$tLpa%.1f,"betweenness_sec":$tBc%.1f,"node2vec_sec":$tNv%.1f,"nodesim_sec":$tNs%.1f,"louvain_sec":$tLv%.1f,"louvain2l_sec":$tLv2%.1f,"mst_sec":$tMst%.1f,"mis_sec":$tMis%.1f,"matching_sec":$tMatch%.1f,"ktruss_sec":$tTk%.1f,"sssp_sec":$tSp%.1f,"yen3_sec":$tYen%.1f,"ch_build_sec":$tChB%.1f,"ch_levels":${chBuilt.rounds},"ch_shortcuts":${chBuilt.nShortcuts},"n_path":$nPath,"n_rand_nodes":$nRandNodes,"n_rand_edges":$nRandEdges}""")
+    // ---- 19. HyperANF: register advance at full scale -------------------
+    // pure DataFrame algebra (no local path exists or is needed): one
+    // edge-keyed join + one (node, bucket) max agg per round over the
+    // 2M-edge digraph. Certificates: per-radius totals repartition-
+    // invariant and a prefix property (radius-k values independent of
+    // the horizon), nf_occ strictly monotone, and sampled per-node
+    // occupied-register counts within collision expectation
+    // m·(1−(1−1/m)^ball) of exact BFS ball sizes.
+    val haEdges = spark.range(nRandEdges)
+      .select(
+        format_string("r%07d", pmod(xxhash64(col("id"), lit(51)),
+          lit(nRandNodes.toLong))).as("src"),
+        format_string("r%07d", pmod(xxhash64(col("id"), lit(52)),
+          lit(nRandNodes.toLong))).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().cache()
+    val haNodes = spark.range(nRandNodes)
+      .select(format_string("r%07d", col("id")).as("node"))
+    val (ha3, tHa) = timed {
+      algo.HyperAnf.neighborhoodFunction(spark, haNodes, haEdges, rounds = 3)
+    }
+    require(ha3.map(_._3).sliding(2).forall(p => p(1) > p(0)),
+      s"nf_occ not strictly monotone: ${ha3.map(_._3).mkString(",")}")
+    val ha2 = algo.HyperAnf.neighborhoodFunction(spark,
+      haNodes.repartition(13), haEdges.repartition(7), rounds = 2)
+    require(ha3.take(3) == ha2,
+      "hyperanf differs under repartition / horizon prefix")
+    // sampled exactness: 20 nodes' occupied counts vs exact 2-hop balls
+    val haBalls = algo.HyperAnf.ballEstimates(spark, haNodes, haEdges, 2)
+    val adjMap = haEdges.collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (k, es) => k -> es.map(_._2) }
+    val sampleIds = (0 until 20).map(i => f"r${i * 23456}%07d")
+    val occGot = haBalls
+      .filter(col("node").isin(sampleIds: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    sampleIds.foreach { s =>
+      val b1 = adjMap.getOrElse(s, Array.empty[String])
+      val ball = (Set(s) ++ b1 ++
+        b1.flatMap(v => adjMap.getOrElse(v, Array.empty[String]))).size
+      val expOcc = 256.0 * (1.0 - math.pow(255.0 / 256.0, ball.toDouble))
+      val got = occGot(s).toDouble
+      require(got <= ball && math.abs(got - expOcc) <= 0.25 * expOcc + 3,
+        s"node $s: occ $got vs exact ball $ball (exp $expOcc)")
+    }
+    graft.core.Checkpoints.release(haBalls)
+    haEdges.unpersist()
+    println(f"[scale] hyperanf: $nRandNodes%,d nodes / $nRandEdges%,d " +
+      f"edges x 3 rounds -> nf_occ ${ha3.map(_._3).mkString("/")} in " +
+      f"$tHa%.1f s; repartition-invariant, horizon-prefix-stable, 20 " +
+      "sampled balls within collision expectation of exact BFS")
+
+    println(f"""{"wcc_path_sec":$tPath%.1f,"wcc_rand_sec":$tDist%.1f,"pagerank_sec":$tPr%.1f,"triangles_sec":$tTri%.1f,"kcore_sec":$tKc%.1f,"scc_sec":$tScc%.1f,"labelprop_sec":$tLpa%.1f,"betweenness_sec":$tBc%.1f,"node2vec_sec":$tNv%.1f,"nodesim_sec":$tNs%.1f,"louvain_sec":$tLv%.1f,"louvain2l_sec":$tLv2%.1f,"mst_sec":$tMst%.1f,"mis_sec":$tMis%.1f,"matching_sec":$tMatch%.1f,"ktruss_sec":$tTk%.1f,"sssp_sec":$tSp%.1f,"yen3_sec":$tYen%.1f,"ch_build_sec":$tChB%.1f,"hyperanf_sec":$tHa%.1f,"ch_levels":${chBuilt.rounds},"ch_shortcuts":${chBuilt.nShortcuts},"n_path":$nPath,"n_rand_nodes":$nRandNodes,"n_rand_edges":$nRandEdges}""")
     spark.stop()
   }
 }

@@ -32,11 +32,26 @@ import org.apache.spark.sql.functions._
   * Scale shape per round: two degree aggregations, one neighbor-min
   * aggregation, one membership-marker join, one v-keyed in×out join
   * (volume Σ_{v∈S} in(v)·out(v), bounded because work-minimal nodes
-  * contract first and hubs last), one pair min-merge. State is
-  * localCheckpoint'ed per round with the previous incarnation released
-  * (the DistributedSSSP discipline); rounds are O(log n) in expectation
-  * since each remaining node is a local minimum with probability
-  * ≥ 1/(deg+1).
+  * contract first and hubs last), one pair min-merge. Rounds are
+  * O(log n) in expectation (each remaining node is a local minimum with
+  * probability ≥ 1/(deg+1)).
+  *
+  * Per-round state discipline (two failure modes found building this,
+  * both structural, both from the SELF-JOINING shape of a round):
+  * (1) `localCheckpoint` snapshots the origin plan's estimated stats
+  * into the LogicalRDD, and self-joins compound those BigInt
+  * sizeInBytes doubly-exponentially — by round ~8 Catalyst stats
+  * estimation ground million-digit ToomCook multiplications
+  * (DistributedSSSP's single-join linear growth never trips this).
+  * (2) cache()-based materialization keeps honest stats but an
+  * InMemoryRelation EMBEDS its child plan, so round-over-round the
+  * plan TREE nests multiplicatively and the driver stalls rendering
+  * exponentially-sized plan strings into every execution-start event.
+  * The shape that avoids both: every per-round frame becomes a true
+  * LEAF — localCheckpoint, then re-wrap the materialized RDD WITHOUT
+  * origin stats ([[checkpointFresh]]): plans stay constant-depth,
+  * stats stay constant-size, and the price is one Row↔InternalRow
+  * conversion per consumer over an already-cached RDD.
   *
   * The top of the hierarchy densifies: the last few thousand nodes of a
   * road-like graph approach a clique, where batch rounds degrade toward
@@ -59,19 +74,8 @@ object DistributedCH {
   final case class Built(chEdges: DataFrame, ranks: DataFrame,
       rounds: Int, nShortcuts: Long)
 
-  /** Eager checkpoint WITHOUT origin-stats propagation. Spark's
-    * localCheckpoint snapshots the origin plan's estimated stats into
-    * the LogicalRDD (so joins keep planning well after a lineage cut) —
-    * but this loop SELF-JOINS each round's checkpoints several times,
-    * so the snapshot sizeInBytes MULTIPLY round over round:
-    * doubly-exponential BigInt growth that stalls stats estimation on
-    * million-digit arithmetic by round ~8 (observed; the linear
-    * single-join growth of DistributedSSSP never trips this). Re-wrap
-    * the materialized RDD as a fresh frame with default (constant)
-    * stats: every round starts from a bounded exponent. The extra
-    * Row↔InternalRow conversion is one narrow map per consumer over an
-    * already-cached RDD. release() of the wrapper frees the underlying
-    * checkpoint via the Checkpoints.owns registry.
+  /** Eager checkpoint re-wrapped as a stats-free, plan-tree-cutting
+    * LEAF (see class doc); released via the Checkpoints.owns registry.
     */
   private def checkpointFresh(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
@@ -80,32 +84,38 @@ object DistributedCH {
       spark.createDataFrame(ck.rdd, ck.schema), ck)
   }
 
-  private implicit class FreshCheckpoint(private val df: DataFrame) {
-    def freshCheckpoint: DataFrame = checkpointFresh(df)
-  }
-
   /** nodes: single-column node ids; edges: (src, dst, cost) directed
     * (parallel edges min-collapsed here, self-loops dropped).
+    * `verbose` prints one line per round (level sizes + seconds) — the
+    * scale checks enable it so build pathologies are attributable.
     */
   def build(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
-      localFinishEdges: Long = 50000, maxRounds: Int = 10000): Built = {
+      localFinishEdges: Long = 50000, maxRounds: Int = 10000,
+      verbose: Boolean = false, maxContractWork: Long = 4096,
+      localWitnessCap: Int = 16): Built = {
     import spark.implicits._
 
-    var cur = edges.select(col(edges.columns(0)).as("src"),
+    def mat(df: DataFrame): (DataFrame, Long) = {
+      val c = checkpointFresh(df)
+      (c, c.count())
+    }
+
+    var (cur, curCount) = mat(edges
+      .select(col(edges.columns(0)).as("src"),
         col(edges.columns(1)).as("dst"), col(edges.columns(2)).as("cost"))
       .filter(col("src") =!= col("dst"))
       .groupBy("src", "dst").agg(min(col("cost")).as("cost"))
-      .withColumn("via", lit(""))
-      .freshCheckpoint
-    var rem = nodes.select(col(nodes.columns(0)).as("node")).distinct()
-      .freshCheckpoint
-    var curCount = cur.count()
-    var remCount = rem.count()
+      .withColumn("via", lit("")))
+    var (rem, remCount) = mat(
+      nodes.select(col(nodes.columns(0)).as("node")).distinct())
     val frozenParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val rankParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var level = 0
+    var stalled = false
 
-    while (remCount > 0 && curCount > localFinishEdges && level < maxRounds) {
+    while (!stalled && remCount > 0 && curCount > localFinishEdges &&
+        level < maxRounds) {
+      val t0 = System.nanoTime()
       val ind = cur.groupBy(col("dst").as("node"))
         .agg(count(lit(1)).as("din"))
       val outd = cur.groupBy(col("src").as("node"))
@@ -113,38 +123,56 @@ object DistributedCH {
       // priority: simulated shortcut work first (hubs last), md5 scramble
       // so ties don't follow id-correlated chains, id as the unique
       // tiebreak that makes local minimality strict
-      val pri = rem.join(ind, Seq("node"), "left_outer")
+      val (pri, _) = mat(rem.join(ind, Seq("node"), "left_outer")
         .join(outd, Seq("node"), "left_outer")
         .select(col("node"),
           (coalesce(col("din"), lit(0L)) * coalesce(col("dout"), lit(0L)))
             .as("work"),
-          md5(col("node").cast("string")).as("h"))
+          md5(col("node").cast("string")).as("h")))
       val nbrMin = cur.select(col("src").as("nbr"), col("dst").as("node"))
         .unionByName(cur.select(col("dst").as("nbr"), col("src").as("node")))
         .join(pri.select(col("node").as("nbr"),
           struct(col("work"), col("h"), col("node")).as("p")), Seq("nbr"))
         .groupBy("node").agg(min(col("p")).as("np"))
       // S: strict local minima (isolated remaining nodes qualify
-      // trivially); nonempty whenever rem is — the global minimum is
-      // always a local minimum
-      val sSet = pri.join(nbrMin, Seq("node"), "left_outer")
-        .filter(col("np").isNull ||
-          struct(col("work"), col("h"), col("node")) < col("np"))
-        .select("node")
-        .freshCheckpoint
-      val marked = cur
+      // trivially), RESTRICTED to candidates whose contraction work
+      // in·out fits maxContractWork. The cap is the dense-core handoff:
+      // low-degree nodes — the bulk of any road-like graph — contract
+      // distributed round after round, and when nothing under the cap
+      // remains the loop exits to the driver finish instead of grinding
+      // 1%-per-round rounds on a core whose degree keeps growing (the
+      // measured stall without the cap). Priority leads with work, so a
+      // capped node is automatically strictly smaller than any
+      // over-cap neighbor; independence is unaffected (any subset of
+      // local minima is still pairwise non-adjacent).
+      val (sSet, sCount) = mat(pri.join(nbrMin, Seq("node"), "left_outer")
+        .filter(col("work") <= maxContractWork &&
+          (col("np").isNull ||
+            struct(col("work"), col("h"), col("node")) < col("np")))
+        .select("node"))
+      if (sCount * 50 < remCount) {
+        // contraction rate under 2% — either nothing fits the work cap
+        // or only a dribble does; rounds would now cost more scheduling
+        // than progress, so it is the dense core's turn on the driver
+        Seq(pri, sSet).foreach(graft.core.Checkpoints.release)
+        stalled = true
+      } else {
+      val (marked, _) = mat(cur
         .join(sSet.select(col("node").as("src"), lit(1).as("ms")),
           Seq("src"), "left_outer")
         .join(sSet.select(col("node").as("dst"), lit(1).as("md")),
-          Seq("dst"), "left_outer")
-        .freshCheckpoint
+          Seq("dst"), "left_outer"))
       // freeze: a pair leaves the working graph the round its first
       // endpoint contracts (ms and md are mutually exclusive — S is
-      // independent), carrying its current (cost, via)
-      val frozen = marked.filter(col("ms").isNotNull || col("md").isNotNull)
+      // independent), carrying its current (cost, via). Checkpointed
+      // (eager) so the buffered part survives this round's unpersists.
+      frozenParts += marked
+        .filter(col("ms").isNotNull || col("md").isNotNull)
         .select("src", "dst", "cost", "via")
-        .freshCheckpoint
-      val sc = marked.filter(col("md").isNotNull)
+        .localCheckpoint(true)
+      rankParts += sSet.withColumn("rank", lit(level))
+        .localCheckpoint(true)
+      val scAll = marked.filter(col("md").isNotNull)
         .select(col("src").as("u"), col("dst").as("v"), col("cost").as("c1"))
         .join(marked.filter(col("ms").isNotNull)
           .select(col("src").as("v"), col("dst").as("w"),
@@ -152,26 +180,83 @@ object DistributedCH {
         .filter(col("u") =!= col("w"))
         .select(col("u").as("src"), col("w").as("dst"),
           (col("c1") + col("c2")).as("cost"), col("v").as("via"))
+      // 2-hop witness prune (the one-join form of Geisberger's witness
+      // search): a candidate u→v→w is unnecessary when some u→x→w
+      // through a DIFFERENT node x certifies the distance. Two regimes,
+      // split on whether x itself contracts this round:
+      //  - x SURVIVES: the path u→x→w persists in the working graph, so
+      //    cost ≤ candidate suffices;
+      //  - x ∈ S: the path is destroyed this round too, but x's own
+      //    batch contraction emits candidate (u, w, via = x) at the
+      //    witness cost (u, w are x's neighbors) — requiring STRICTLY
+      //    shorter here makes mutual annihilation impossible: the
+      //    minimum-cost candidate of a pair has no strictly shorter
+      //    sibling, so it survives unless a persisting path covers it.
+      // Without this prune, witness-less contraction densifies road
+      // grids catastrophically (measured: a 42k-node grid's working set
+      // grew 167k → 633k edges while the contraction rate collapsed to
+      // 1%/round). Killing is per (pair, via): same-pair candidates
+      // through other nodes are judged on their own costs.
+      val wKill = scAll
+        .select(col("src").as("csrc"), col("dst").as("cdst"),
+          col("cost").as("ccost"), col("via").as("cvia"))
+        .join(marked.select(col("src").as("wu"), col("dst").as("wx"),
+          col("cost").as("wc1"), col("md").as("wxInS")),
+          col("wu") === col("csrc"))
+        .filter(col("wx") =!= col("cvia"))
+        .join(marked.select(col("src").as("wx2"), col("dst").as("ww"),
+          col("cost").as("wc2")),
+          col("wx2") === col("wx") && col("ww") === col("cdst"))
+        .filter(col("wc1") + col("wc2") < col("ccost") ||
+          (col("wxInS").isNull &&
+            col("wc1") + col("wc2") <= col("ccost")))
+        .select(col("csrc").as("src"), col("cdst").as("dst"),
+          col("cvia").as("via"))
+        .distinct()
+      // 3-hop witness leg, SURVIVING intermediates only (their path
+      // persists verbatim, so plain ≤ is safe with no mutual-kill
+      // analysis): u→x1→x2→w. On road grids the 2-hop leg alone leaves
+      // enough detour shortcuts alive to pump remaining degrees and
+      // stall contraction early; this leg keeps the handoff core small.
+      val sEdges = marked.filter(col("ms").isNull && col("md").isNull)
+      val wKill3 = scAll
+        .select(col("src").as("csrc"), col("dst").as("cdst"),
+          col("cost").as("ccost"), col("via").as("cvia"))
+        .join(sEdges.select(col("src").as("wu"), col("dst").as("wx1"),
+          col("cost").as("wc1")), col("wu") === col("csrc"))
+        .filter(col("wx1") =!= col("cvia"))
+        .join(sEdges.select(col("src").as("wx1b"), col("dst").as("wx2"),
+          col("cost").as("wc2")), col("wx1b") === col("wx1"))
+        .filter(col("wx2") =!= col("cvia") && col("wx2") =!= col("csrc"))
+        .join(sEdges.select(col("src").as("wx2b"), col("dst").as("ww"),
+          col("cost").as("wc3")),
+          col("wx2b") === col("wx2") && col("ww") === col("cdst"))
+        .filter(col("wc1") + col("wc2") + col("wc3") <= col("ccost"))
+        .select(col("csrc").as("src"), col("cdst").as("dst"),
+          col("cvia").as("via"))
+        .distinct()
+      val sc = scAll.join(wKill.unionByName(wKill3),
+        Seq("src", "dst", "via"), "left_anti")
       val survivors = marked.filter(col("ms").isNull && col("md").isNull)
         .select("src", "dst", "cost", "via")
-      val newCur = survivors.unionByName(sc)
+      val (newCur, newCurCount) = mat(survivors.unionByName(sc)
         .groupBy("src", "dst")
         .agg(min(struct(col("cost"), col("via"))).as("m"))
         .select(col("src"), col("dst"), col("m.cost").as("cost"),
-          col("m.via").as("via"))
-        .freshCheckpoint
-      val newRem = rem.join(sSet, Seq("node"), "left_anti")
-        .freshCheckpoint
-      frozenParts += frozen
-      rankParts += sSet.withColumn("rank", lit(level))
-      graft.core.Checkpoints.release(marked)
-      graft.core.Checkpoints.release(cur)
-      graft.core.Checkpoints.release(rem)
-      cur = newCur
-      rem = newRem
-      curCount = cur.count()
-      remCount = rem.count()
+          col("m.via").as("via")))
+      val (newRem, newRemCount) = mat(
+        rem.join(sSet, Seq("node"), "left_anti"))
+      // all consumers are materialized leaves — release the round's
+      // intermediates and the previous incarnation now
+      Seq(pri, sSet, marked, cur, rem)
+        .foreach(graft.core.Checkpoints.release)
+      cur = newCur; curCount = newCurCount
+      rem = newRem; remCount = newRemCount
+      if (verbose) println(f"[ch-build] level=$level |S|=$sCount " +
+        f"cur=$curCount rem=$remCount " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
       level += 1
+      }
     }
 
     // local finish on the dense core. Isolated remaining nodes (no
@@ -186,15 +271,17 @@ object DistributedCH {
         .unionByName(cur.select(col("dst").as("node"))).distinct()
       val isolated = rem.join(endpoints, Seq("node"), "left_anti")
       rankParts += isolated.withColumn("rank", lit(level))
-        .freshCheckpoint
+        .localCheckpoint(true)
       level += 1
       if (curCount > 0) {
+        val t0 = System.nanoTime()
         val pairVia = cur.collect()
           .map(r => (r.getString(0), r.getString(1)) -> r.getString(3))
           .toMap
         val lgRem = LocalGraph.fromProjection(cur.select("src", "dst", "cost"),
           None)
-        val (rankLoc, edgesLoc) = ContractionHierarchy.buildParts(lgRem)
+        val (rankLoc, edgesLoc) =
+          ContractionHierarchy.buildParts(lgRem, localWitnessCap)
         val base = level
         localRanksDf = Some(rankLoc.indices
           .map(i => (lgRem.ids(i), base + rankLoc(i)))
@@ -206,6 +293,9 @@ object DistributedCH {
           // be a distributed-phase shortcut
           (su, sw, c, if (vi >= 0) lgRem.ids(vi) else pairVia((su, sw)))
         }.toDF("src", "dst", "cost", "via"))
+        if (verbose) println(f"[ch-build] local finish: ${lgRem.n}%,d " +
+          f"nodes / $curCount%,d edges in " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s")
       }
     }
 
@@ -213,11 +303,11 @@ object DistributedCH {
       .reduceOption(_ unionByName _)
       .getOrElse(Seq.empty[(String, String, Double, String)]
         .toDF("src", "dst", "cost", "via"))
-      .freshCheckpoint
+      .localCheckpoint(true)
     val ranks = (rankParts ++ localRanksDf)
       .reduceOption(_ unionByName _)
       .getOrElse(Seq.empty[(String, Int)].toDF("node", "rank"))
-      .freshCheckpoint
+      .localCheckpoint(true)
     val nShort = chEdges.filter(col("via") =!= "").count()
     frozenParts.foreach(graft.core.Checkpoints.release)
     rankParts.foreach(graft.core.Checkpoints.release)

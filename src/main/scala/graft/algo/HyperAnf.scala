@@ -84,8 +84,11 @@ object HyperAnf {
     out.toSeq
   }
 
-  /** Per-node ball estimates at exactly `rounds` hops: (node, n_est).
-    * The scale checks read this against exact sampled BFS ball sizes.
+  /** Per-node ball readoffs at exactly `rounds` hops:
+    * (node, n_est, n_occ) — raw estimate + occupied-register count
+    * (= distinct md5 buckets of the ball's members; deterministic, so
+    * the scale checks can bound it against exact sampled BFS ball
+    * sizes with the collision expectation m·(1−(1−1/m)^b)).
     */
   def ballEstimates(spark: SparkSession, nodes: DataFrame,
       edges: DataFrame, rounds: Int): DataFrame = {
@@ -98,6 +101,8 @@ object HyperAnf {
       regs = next
     }
     val est = HyperLogLog.estimateBy(regs, Seq("node"))
+      .join(regs.groupBy("node").agg(count(lit(1)).as("n_occ")),
+        Seq("node"))
       .localCheckpoint(true)
     graft.core.Checkpoints.release(regs)
     est
