@@ -374,6 +374,12 @@ object ContractionHierarchy {
     i = 0
     while (i < edges.length) {
       val (u, w, c, via) = edges(i)
+      // both builders min-merge per (u, w) before emitting, so a pair
+      // appears at most once — checked, not just argued: a duplicate
+      // would double-count in the CSR arrays while edgeCost/viaMap keep
+      // only the last cost, silently corrupting query state
+      require(!edgeCost.containsKey(key(u, w)),
+        s"duplicate CH edge $u -> $w")
       edgeCost.put(key(u, w), c)
       if (via >= 0) { viaMap.put(key(u, w), via); nShortcuts += 1 }
       if (rank(w) > rank(u)) {

@@ -69,7 +69,10 @@ object DistributedCH {
 
   /** chEdges: (src, dst, cost, via) with via = "" for original edges;
     * ranks: (node, rank) covering every input node — lower rank =
-    * contracted earlier. `rounds` counts distributed levels only.
+    * contracted earlier. `rounds` counts the levels assigned BEFORE the
+    * driver finish: the distributed levels plus, when any node remains
+    * at handoff, the isolated-node pseudo-level (local ranks from the
+    * driver finish stack above `rounds`).
     */
   final case class Built(chEdges: DataFrame, ranks: DataFrame,
       rounds: Int, nShortcuts: Long)
@@ -92,7 +95,8 @@ object DistributedCH {
   def build(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
       localFinishEdges: Long = 50000, maxRounds: Int = 10000,
       verbose: Boolean = false, maxContractWork: Long = 4096,
-      localWitnessCap: Int = 16): Built = {
+      localWitnessCap: Int = 16,
+      localFinishHardCap: Long = 2000000L): Built = {
     import spark.implicits._
 
     def mat(df: DataFrame): (DataFrame, Long) = {
@@ -267,6 +271,18 @@ object DistributedCH {
     var localEdgesDf: Option[DataFrame] = None
     var localRanksDf: Option[DataFrame] = None
     if (remCount > 0) {
+      // the stall/maxRounds exits hand over WHATEVER remains, not just
+      // a localFinishEdges-bounded core — log the handoff size always
+      // and fail loudly past the hard cap instead of OOMing the driver
+      // on an unexpectedly dense core (ADVICE r14)
+      println(f"[ch-build] handoff: $curCount%,d edges / $remCount%,d " +
+        f"nodes to the driver finish (stalled=$stalled)")
+      require(curCount <= localFinishHardCap,
+        f"CH driver-finish handoff of $curCount%,d edges exceeds " +
+          f"localFinishHardCap=$localFinishHardCap%,d — the distributed " +
+          "phase stalled on a dense core too large to finish locally; " +
+          "raise the cap only with driver memory to match, or raise " +
+          "maxContractWork so the distributed phase keeps contracting")
       val endpoints = cur.select(col("src").as("node"))
         .unionByName(cur.select(col("dst").as("node"))).distinct()
       val isolated = rem.join(endpoints, Seq("node"), "left_anti")

@@ -152,9 +152,13 @@ object Graph {
     * g46 (incremental maintenance): both must land on the same counts,
     * so one oracle pins direct ≡ incremental ≡ SQL.
     */
-  private def triangleOracleSql: String =
-    s"""WITH ${Oracle.edgesCte},
-       |tund AS MATERIALIZED (
+  /** The tund/tdeg/tor/ttri/tcr CTE chain over `edges` — undirected
+    * simple collapse, degrees, Schank orientation, one row per triangle,
+    * per-node counts. Shared by [[triangleOracleSql]] and the g50
+    * graph-profile oracle so all three queries pin to ONE SQL source.
+    */
+  private def triangleCtes: String =
+    s"""tund AS MATERIALIZED (
        |  SELECT least(src, dst) AS a, greatest(src, dst) AS b
        |  FROM edges WHERE src <> dst GROUP BY 1, 2),
        |tdeg AS MATERIALIZED (
@@ -173,7 +177,11 @@ object Graph {
        |  JOIN tund e ON e.a = o1.v AND e.b = o2.v),
        |tcr AS (SELECT node, count(*) AS n_triangles FROM (
        |  SELECT u AS node FROM ttri UNION ALL SELECT v FROM ttri
-       |  UNION ALL SELECT w FROM ttri) GROUP BY 1)
+       |  UNION ALL SELECT w FROM ttri) GROUP BY 1)""".stripMargin
+
+  private def triangleOracleSql: String =
+    s"""WITH ${Oracle.edgesCte},
+       |$triangleCtes
        |SELECT n.START_NODE AS node_id,
        |  coalesce(c.n_triangles, 0) AS n_triangles
        |FROM ids n LEFT JOIN tcr c ON c.node = n.START_NODE""".stripMargin
@@ -2431,6 +2439,101 @@ object Graph {
               |  JOIN edges e ON e.src = r.node)
               |SELECT source AS source_id,
               |  CAST(count(*) - 1 AS BIGINT) AS n_reachable
-              |FROM reach GROUP BY 1""".stripMargin))
+              |FROM reach GROUP BY 1""".stripMargin)),
+
+    // Whole-graph statistical profile (the graph-side q69_data_profile:
+    // gds.graph.list-style metadata plus the topology statistics every
+    // GDS tutorial derives first) — one row of exact-integer sufficient
+    // statistics with the two standard derived ratios:
+    //  - global clustering coefficient 3·triangles/wedges, and the
+    //    per-node local-CC sum in exact micro-units (floor-divided per
+    //    node, so the SUM is an integer both engines agree on — a float
+    //    mean would be partial-agg-order-dependent and never hash);
+    //  - degree assortativity (Newman 2002) from integer moments over
+    //    both orientations of each undirected edge: r = num/den with
+    //    num = m·Σxy − (Σx)², den = m·Σx² − (Σx)² — num/den emitted as
+    //    exact BIGINTs, the ratio as one correctly-rounded double both
+    //    engines compute from identical integers.
+    // Scale shape: two degree aggregations, one triangle count (Schank
+    // orientation — the g12 kernel), one deg⋈deg edge join; no window,
+    // no driver loop, nothing beyond the shuffles the statistics name.
+    GQ("g50_graph_profile",
+      (s, _) => {
+        val pg = g(s)
+        val e = pg.projection.select("src", "dst")
+        val und = e.filter(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct().localCheckpoint(true)
+        val deg = und.select(col("a").as("n"))
+          .unionByName(und.select(col("b").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("deg"))
+          .localCheckpoint(true)
+        val tri = graft.algo.Triangles.perNode(pg.nodes.select("nodeId"),
+          pg.projection.select("src", "dst")).localCheckpoint(true)
+        val nNodes = pg.nodes.agg(count(lit(1)).as("n_nodes"))
+        val nEdges = e.agg(count(lit(1)).as("n_edges"))
+        val nUnd = und.agg(count(lit(1)).as("n_und"))
+        val degAgg = deg.agg(max(col("deg")).as("max_deg"),
+          expr("sum(deg * (deg - 1)) div 2").as("wedges"))
+        val nTri = tri.agg(expr("sum(n_triangles) div 3").as("n_tri"))
+        val lcc = deg.join(tri, deg("n") === tri("node"), "left_outer")
+          .select(col("deg"),
+            coalesce(col("n_triangles"), lit(0L)).as("t"))
+          .agg(sum(expr("CASE WHEN deg >= 2 THEN (2000000 * t) div " +
+            "(deg * (deg - 1)) ELSE CAST(0 AS BIGINT) END"))
+            .as("lcc_micro_sum"))
+        val ast = und
+          .join(deg.select(col("n").as("a"), col("deg").as("da")), Seq("a"))
+          .join(deg.select(col("n").as("b"), col("deg").as("db")), Seq("b"))
+          .agg(sum(col("da") + col("db")).as("sx"),
+            sum(col("da") * col("db") * 2).as("sxy"),
+            sum(col("da") * col("da") + col("db") * col("db")).as("sx2"))
+        val num = col("n_und") * 2 * col("sxy") - col("sx") * col("sx")
+        val den = col("n_und") * 2 * col("sx2") - col("sx") * col("sx")
+        nNodes.crossJoin(nEdges).crossJoin(nUnd).crossJoin(degAgg)
+          .crossJoin(nTri).crossJoin(lcc).crossJoin(ast)
+          .select(col("n_nodes"), col("n_edges"), col("n_und"),
+            col("max_deg"), col("wedges"), col("n_tri").as("n_triangles"),
+            col("lcc_micro_sum"),
+            num.as("assort_num"), den.as("assort_den"),
+            round((col("n_tri") * 3).cast("double") /
+              col("wedges").cast("double"), 6).as("global_cc"),
+            round(num.cast("double") / den.cast("double"), 6)
+              .as("assortativity"))
+      },
+      sliceOracle(s"""WITH ${Oracle.edgesCte},
+              |$triangleCtes,
+              |gp_cnt AS (SELECT
+              |  (SELECT CAST(count(*) AS BIGINT) FROM ids) AS n_nodes,
+              |  (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+              |  (SELECT CAST(count(*) AS BIGINT) FROM tund) AS n_und),
+              |gp_deg AS (SELECT CAST(max(deg) AS BIGINT) AS max_deg,
+              |  CAST(sum(deg * (deg - 1)) AS BIGINT) // 2 AS wedges
+              |  FROM tdeg),
+              |gp_tri AS (SELECT CAST(count(*) AS BIGINT) AS n_tri
+              |  FROM ttri),
+              |gp_lcc AS (SELECT CAST(sum(CASE WHEN d.deg >= 2
+              |    THEN (2000000 * coalesce(c.n_triangles, 0))
+              |      // (d.deg * (d.deg - 1))
+              |    ELSE 0 END) AS BIGINT) AS lcc_micro_sum
+              |  FROM tdeg d LEFT JOIN tcr c ON c.node = d.n),
+              |gp_ast AS (SELECT
+              |    CAST(sum(da.deg + db.deg) AS BIGINT) AS sx,
+              |    CAST(sum(2 * da.deg * db.deg) AS BIGINT) AS sxy,
+              |    CAST(sum(da.deg * da.deg + db.deg * db.deg) AS BIGINT)
+              |      AS sx2
+              |  FROM tund u JOIN tdeg da ON da.n = u.a
+              |    JOIN tdeg db ON db.n = u.b)
+              |SELECT n_nodes, n_edges, n_und, max_deg, wedges,
+              |  n_tri AS n_triangles, lcc_micro_sum,
+              |  CAST(2 * n_und * sxy - sx * sx AS BIGINT) AS assort_num,
+              |  CAST(2 * n_und * sx2 - sx * sx AS BIGINT) AS assort_den,
+              |  round(CAST(3 * n_tri AS DOUBLE) / CAST(wedges AS DOUBLE),
+              |    6) AS global_cc,
+              |  round(CAST(2 * n_und * sxy - sx * sx AS DOUBLE)
+              |    / CAST(2 * n_und * sx2 - sx * sx AS DOUBLE), 6)
+              |    AS assortativity
+              |FROM gp_cnt, gp_deg, gp_tri, gp_lcc, gp_ast""".stripMargin))
   )
 }

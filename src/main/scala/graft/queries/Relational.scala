@@ -2593,9 +2593,22 @@ object Relational {
           val scans = agg.queryExecution.sparkPlan.collect {
             case f: org.apache.spark.sql.execution.FileSourceScanExec => f
           }
-          require(scans.nonEmpty && scans.forall(_.partitionFilters
-              .exists(_.references.exists(_.name == "st"))),
-            "status filter did not prune at the partition level: " +
+          // the equality itself must be a partition filter — a bare
+          // "references st" test would be satisfied by the implicit
+          // isnotnull(st) alone even if st = 'F' stopped pruning
+          import org.apache.spark.sql.catalyst.expressions.{
+            AttributeReference, EqualTo, Literal}
+          def prunesOnF(f: org.apache.spark.sql.execution
+              .FileSourceScanExec): Boolean =
+            f.partitionFilters.exists(_.exists {
+              case EqualTo(a: AttributeReference, Literal(v, _)) =>
+                a.name == "st" && String.valueOf(v) == "F"
+              case EqualTo(Literal(v, _), a: AttributeReference) =>
+                a.name == "st" && String.valueOf(v) == "F"
+              case _ => false
+            })
+          require(scans.nonEmpty && scans.forall(prunesOnF),
+            "st = 'F' did not prune at the partition level: " +
               scans.map(_.partitionFilters.mkString("[", ", ", "]"))
                 .mkString("; "))
           val r = agg.collect()(0)

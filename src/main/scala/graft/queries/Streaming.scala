@@ -224,6 +224,34 @@ object Streaming {
       },
       Some(Relational.HllOracle.leg("event_id", "events", "event_id"))),
 
+    // stream_heavy_hitters' UPDATE-MODE twin (the second member of the
+    // changelog-emission family, after stream_hll_update): CMS cells are
+    // plain sums, MONOTONE NONDECREASING under accumulation, and update
+    // mode emits each touched cell's new TOTAL — so the downstream fold
+    // that reconstructs current state is max-per-cell over the changelog,
+    // exactly the HLL register discipline. Unlike the HLL twin (whose
+    // multi-trigger volume contract is spec-pinned on a MemoryStream),
+    // this one multi-triggers IN THE DRIVER RUN ITSELF: the single-file
+    // documents table is staged as 4 chunk files and throttled to one
+    // file per trigger, so 4 genuine update-mode emissions fold back into
+    // the batch sketch. The probe leg and oracle are q53's verbatim —
+    // changelog-fold ≡ complete ≡ batch ≡ SQL pins in one hash.
+    GQ("stream_cms_update",
+      (s, dir) => {
+        import graft.operators.CountMin
+        val changelog = runToMemory(s, "graft_stream_cmsu", "update")(
+          CountMin.sketch(CountMin.tokens(
+            EventStreams.readDocuments(s, s"$dir/documents.parquet",
+              maxFilesPerTrigger = Some(1), chunks = 4))))
+        val sk = changelog.groupBy("j", "bucket")
+          .agg(max(col("cnt")).as("cnt"))
+        val top = CountMin.tokens(Tables(s, dir).documents)
+          .groupBy("tok").agg(count(lit(1)).as("n_exact"))
+          .orderBy(col("n_exact").desc, col("tok").asc).limit(20)
+        CountMin.estimates(top, sk)
+      },
+      Some(Relational.CmsOracle.sql)),
+
     // REAL streaming quantile sketch: a fixed-grid histogram (512 unit
     // bins over the value domain) maintained as a complete-mode count
     // aggregation — state bounded BY CONSTRUCTION at 512 integer cells,

@@ -98,15 +98,54 @@ object EventStreams {
   /** The documents table as a file-source stream — the continuous-
     * ingestion shape of a corpus pipeline (documents arrive as files;
     * annotation runs incrementally instead of as a nightly batch).
+    *
+    * `chunks` > 1 stages the (single-file) testdata table as that many
+    * parquet files, and `maxFilesPerTrigger` then makes each one its own
+    * micro-batch — the multi-trigger shape update-mode emission contracts
+    * need (a single file would fire one trigger, making update ≡ complete
+    * vacuously). WATERMARK-FREE consumers only: chunk boundaries are
+    * arbitrary, so event-time order across triggers is not preserved —
+    * documents carry no event time, so every current consumer qualifies.
     */
-  def readDocuments(spark: SparkSession, path: String): DataFrame = {
+  def readDocuments(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Option[Int] = None, chunks: Int = 0): DataFrame = {
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("text", StringType),
       StructField("lang", StringType),
       StructField("source", StringType),
       StructField("n_chars", LongType)))
-    spark.readStream.schema(docSchema).parquet(streamableDir(path))
+    val dir =
+      if (chunks > 1) chunkedStage(spark, path, chunks)
+      else streamableDir(path)
+    val reader = spark.readStream.schema(docSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(dir)
+  }
+
+  /** Stage `path` as `chunks` separate parquet part files under a
+    * content-keyed tmp dir (same collision discipline as
+    * [[streamableDir]]; the chunk count is part of the key so different
+    * chunkings never share a dir). Chunk assignment is round-robin and
+    * arbitrary — sound for any order-insensitive consumer, which is the
+    * only kind allowed through the `chunks` parameter.
+    */
+  private[graft] def chunkedStage(spark: SparkSession, path: String,
+      chunks: Int): String = {
+    val f = new java.io.File(path)
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"${f.getAbsolutePath}#chunks=$chunks".getBytes("UTF-8"))
+      .take(16).map("%02x".format(_)).mkString
+    val staged = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft-stream-$digest")
+    val marker = new java.io.File(staged, "_graft_staged")
+    if (!marker.exists() || marker.lastModified < f.lastModified) {
+      spark.read.parquet(path).repartition(chunks)
+        .write.mode("overwrite").parquet(staged.getAbsolutePath)
+      marker.createNewFile()
+      marker.setLastModified(System.currentTimeMillis())
+    }
+    staged.getAbsolutePath
   }
 
   /** Streaming corpus curation stats: the SAME map-side language-ID and

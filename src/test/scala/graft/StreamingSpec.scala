@@ -167,6 +167,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("update-mode CMS changelog: later triggers emit only touched " +
+      "cells, and the max-fold reconstructs the batch sketch exactly") {
+    // the stream_cms_update contract: cell counts are monotone
+    // nondecreasing, update mode emits each touched cell's new TOTAL, so
+    // max-per-cell over the changelog IS current state — and a trigger
+    // touching few tokens must emit ≤ Depth rows per distinct token, not
+    // the full sketch
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.CountMin
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val mem = MemoryStream[String]
+    val sk = CountMin.sketch(CountMin.tokens(mem.toDF().toDF("text")))
+    val q = sk.writeStream.format("memory").queryName("t_cmsu")
+      .outputMode("update").start()
+    try {
+      mem.addData(texts.toIndexedSeq)
+      q.processAllAvailable()
+      val n1 = spark.table("t_cmsu").count()
+      mem.addData(Seq("zebra zebra quokka"))
+      q.processAllAvailable()
+      val n2 = spark.table("t_cmsu").count()
+      assert(n1 <= CountMin.Depth.toLong * CountMin.Width)
+      assert(n2 - n1 <= 2L * CountMin.Depth,
+        s"second trigger re-emitted ${n2 - n1} rows for 2 distinct tokens")
+      val folded = spark.table("t_cmsu").groupBy("j", "bucket")
+        .agg(max(col("cnt")).as("cnt"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = CountMin.sketch(CountMin.tokens(
+          (texts :+ "zebra zebra quokka").toSeq.toDF("text")))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(folded === batch)
+    } finally q.stop()
+  }
+
+  test("chunked staging splits a single-file table into N streamable " +
+      "files that round-trip the data") {
+    val staged = EventStreams.chunkedStage(spark,
+      s"$sf/documents.parquet", 4)
+    val files = new java.io.File(staged).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")
+        && !f.getName.startsWith("."))
+    assert(files.length == 4, s"expected 4 chunk files, got ${files.length}")
+    val orig = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val round = spark.read.parquet(staged)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(round.toSeq === orig.toSeq)
+  }
+
   test("custom-state sessionizer runs as a real stream and matches batch") {
     val ev = EventStreams.readEvents(spark, s"$sf/events.parquet")
       .select(col("ts"), col("user_id"), col("value"))
