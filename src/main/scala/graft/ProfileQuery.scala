@@ -23,16 +23,37 @@ object ProfileQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // job/stage/task counters: ambient-load-proof signals (a query's
+    // scheduling footprint is deterministic where its wall time is not)
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val stages = new java.util.concurrent.atomic.AtomicLong
+    val tasks = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit = {
+          stages.incrementAndGet()
+          tasks.addAndGet(s.stageInfo.numTasks.toLong); ()
+        }
+      })
     spark.range(1L << 20).selectExpr("id % 7 AS k").groupBy("k").count()
       .count() // JIT/scheduler warmup, as in Bench
     (1 to reps).foreach { i =>
       names.foreach { name =>
         val fn = SparkEntry.queries(name)
+        val (j0, s0, t0c) = (jobs.get, stages.get, tasks.get)
         val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
         df.write.format("noop").mode("overwrite").save()
         graft.core.Checkpoints.release(df)
-        println(f"[profile] $name rep$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        println(f"[profile] $name rep$i: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+          f"jobs=${jobs.get - j0} stages=${stages.get - s0} " +
+          f"tasks=${tasks.get - t0c}")
       }
     }
     spark.stop()

@@ -68,9 +68,14 @@ object HyperAnf {
     val e = edges.select(col(edges.columns(0)).as("src"),
       col(edges.columns(1)).as("dst"))
     var regs = init(nodes)
-    def nf(r: DataFrame): (Long, Long) =
-      (HyperLogLog.estimateBy(r, Seq("node"))
-        .agg(sum(col("n_est"))).head().getLong(0), r.count())
+    // one action per radius: per-node estimate and occupied count come
+    // out of the same aggregation (estimateOccBy), then one global sum —
+    // the separate r.count() was a second full job per round
+    def nf(r: DataFrame): (Long, Long) = {
+      val row = HyperLogLog.estimateOccBy(r, Seq("node"))
+        .agg(sum(col("n_est")), sum(col("n_occ"))).head()
+      (row.getLong(0), row.getLong(1))
+    }
     val nf0 = nf(regs)
     val out = scala.collection.mutable.ArrayBuffer((0, nf0._1, nf0._2))
     for (i <- 1 to rounds) {
@@ -100,9 +105,8 @@ object HyperAnf {
       graft.core.Checkpoints.release(regs)
       regs = next
     }
-    val est = HyperLogLog.estimateBy(regs, Seq("node"))
-      .join(regs.groupBy("node").agg(count(lit(1)).as("n_occ")),
-        Seq("node"))
+    val est = HyperLogLog.estimateOccBy(regs, Seq("node"))
+      .select(col("node"), col("n_est"), col("n_occ"))
       .localCheckpoint(true)
     graft.core.Checkpoints.release(regs)
     est

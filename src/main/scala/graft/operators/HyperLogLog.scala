@@ -113,6 +113,20 @@ object HyperLogLog {
       .select(groupCols.map(col) :+
         floor(lit(AlphaM2) / col("s")).cast("long").as("n_est"): _*)
 
+  /** Per-group raw estimate + occupied-register count in ONE
+    * aggregation — `n_est` is [[estimateBy]]'s expression verbatim,
+    * `n_occ` the group's register-row count. One action where
+    * estimate-then-count would take two (the HyperANF readoff shape:
+    * 7 radii × 2 actions was pure scheduling overhead at slice scale).
+    */
+  def estimateOccBy(registers: DataFrame, groupCols: Seq[String])
+      : DataFrame =
+    registers.groupBy(groupCols.map(col): _*)
+      .agg(harmonicSum.as("s"), count(lit(1)).as("n_occ"))
+      .select(groupCols.map(col) :+
+        floor(lit(AlphaM2) / col("s")).cast("long").as("n_est") :+
+        col("n_occ"): _*)
+
   /** Linear-counting small-range correction (E ≤ 2.5m with empty
     * registers → m·ln(m/V)). Scala-side only: ln() keeps this out of
     * the cross-engine hash contract (see class doc).
