@@ -136,6 +136,43 @@ object Dedup {
       .limit(k)
   }
 
+  /** Per-document n-gram NOVELTY score (the memorization / near-verbatim
+    * overlap signal a curation pipeline reads before oversampling a
+    * source — RefinedWeb/Dolma-style): for each document, the fraction
+    * of its DISTINCT w-grams whose corpus-first owner (min doc_id over
+    * all documents containing the gram) is the document itself. A score
+    * near 0 = the document is assembled from text seen earlier in the
+    * corpus; near 1 = fresh text. Emitted in exact micro-units
+    * (floor(1e6 · first / distinct)) so the score hash-verifies.
+    *
+    * Scale shape: gram explode → per-doc distinct (one shuffle), min
+    * aggregation per gram (map-side partial min), join back on gram,
+    * per-doc count — work ∝ corpus token volume, never corpus²; the
+    * gram-keyed shuffle is the same volume every dedup operator here
+    * already pays. Documents shorter than w tokens carry no gram and are
+    * absent by contract (both engines).
+    */
+  def ngramNovelty(docs: DataFrame, w: Int = 5): DataFrame = {
+    require(w >= 1, s"w must be >= 1, got $w")
+    val withToks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val grams = withToks.select(col("doc_id"),
+      explode(filter(
+        transform(col("toks"), (_, i) =>
+          when(i <= size(col("toks")) - w,
+            concat_ws(" ", slice(col("toks"), i + 1, lit(w))))),
+        x => x.isNotNull)).as("gram"))
+      .distinct()
+    val owner = grams.groupBy(col("gram"))
+      .agg(min(col("doc_id")).as("owner"))
+    grams.join(owner, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(when(col("doc_id") === col("owner"), 1L).otherwise(0L))
+          .as("n_first"))
+      .select(col("doc_id"), col("n_distinct"), col("n_first"),
+        expr("(1000000 * n_first) div n_distinct").as("novelty_micro"))
+  }
+
   /** Substring-level dedup EXECUTION (Lee et al., "Deduplicating
     * Training Data Makes Language Models Better"): where dupNgrams only
     * AUDITS repeated sequences, this removes them. Every w-token window

@@ -102,6 +102,39 @@ object Geo {
           .select(col("cx"), col("cy"), col("n_points"),
             col("sum_x"), col("sum_y"))
       },
+      Some(hotspotSql)),
+
+    // stream_geo_hotspots' UPDATE-MODE twin — third member of the
+    // changelog-emission family (after stream_hll_update and
+    // stream_cms_update), and the first whose per-key state is a TUPLE
+    // (count, sum_x, sum_y) rather than a single monotone value. The
+    // fold generalizes: any arriving point in a cell strictly increases
+    // its count, so every update-mode emission of a cell carries a
+    // strictly larger count than the previous one — argmax-by-count per
+    // cell (one struct-max, count leading) therefore reconstructs the
+    // latest CONSISTENT (count, sum_x, sum_y) snapshot without assuming
+    // the sums themselves are monotone. Events staged as 4 chunk files,
+    // one per trigger, so the driver run itself fires several genuine
+    // update emissions; q74's oracle verbatim — changelog-fold ≡
+    // complete ≡ batch ≡ SQL in one hash.
+    GQ("stream_geo_update",
+      (s, dir) => {
+        val changelog = Streaming.runToMemory(s, "graft_stream_geou",
+          "update")(
+          ops.hotspots(
+            EventStreams.readEvents(s, s"$dir/events.parquet",
+              maxFilesPerTrigger = Some(1), chunks = 4).select(
+              ops.xMeters(col("user_id")).as("x"),
+              ops.yMeters(col("user_id")).as("y")), 5000L))
+        val grid = changelog.groupBy("cx", "cy")
+          .agg(max(struct(col("n_points"), col("sum_x"), col("sum_y")))
+            .as("m"))
+          .select(col("cx"), col("cy"), col("m.n_points").as("n_points"),
+            col("m.sum_x").as("sum_x"), col("m.sum_y").as("sum_y"))
+        grid.orderBy(col("n_points").desc, col("cx"), col("cy")).limit(10)
+          .select(col("cx"), col("cy"), col("n_points"),
+            col("sum_x"), col("sum_y"))
+      },
       Some(hotspotSql))
   )
 }

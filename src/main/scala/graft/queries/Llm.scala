@@ -1443,6 +1443,34 @@ object Llm {
              |ORDER BY n_docs DESC, n_occ DESC, gram
              |LIMIT 100""".stripMargin)),
 
+    // ---- per-document n-gram novelty (memorization signal) ------------
+    // corpus-first ownership per distinct 5-gram (min doc_id), novelty =
+    // fraction of a document's distinct grams it owns first, in exact
+    // micro-units. The same gram algebra as llm_dup_ngrams, read from
+    // the document's side — audit tells you WHICH spans repeat, novelty
+    // tells you WHICH DOCUMENTS are assembled from seen text.
+    GQ("llm_ngram_novelty",
+      (s, dir) => Dedup.ngramNovelty(t(s, dir).documents, w = 5),
+      Some("""WITH ntk AS (
+             |  SELECT doc_id,
+             |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+             |      ' ') AS t
+             |  FROM documents),
+             |ngr AS (
+             |  SELECT DISTINCT doc_id, gram FROM (
+             |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
+             |      i -> array_to_string(t[i:i+4], ' '))) AS gram
+             |    FROM ntk)),
+             |nown AS (SELECT gram, min(doc_id) AS owner FROM ngr GROUP BY 1)
+             |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_distinct,
+             |  CAST(sum(CASE WHEN g.doc_id = o.owner THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_first,
+             |  (1000000 * CAST(sum(CASE WHEN g.doc_id = o.owner
+             |      THEN 1 ELSE 0 END) AS BIGINT))
+             |    // CAST(count(*) AS BIGINT) AS novelty_micro
+             |FROM ngr g JOIN nown o USING (gram)
+             |GROUP BY 1""".stripMargin)),
+
     // ---- composed curation pipeline (every stage oracled) -------------
     // quality filter (rep.keep) → decontaminate (< 0.5 vs the doc_id<20
     // bench set; absent-from-contam = too short = 0.0) → weighted sample

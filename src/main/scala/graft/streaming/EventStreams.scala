@@ -68,12 +68,18 @@ object EventStreams {
   /** `maxFilesPerTrigger`: multi-trigger chunking, for WATERMARK-FREE
     * consumers only (the sketch aggregations — no event time, so no
     * late-row risk). Stateful event-time consumers must keep the
-    * default single batch; see the comment below.
+    * default single batch; see the comment below. `chunks` > 1
+    * additionally stages the single-file table as that many parquet
+    * files ([[chunkedStage]]) so several triggers genuinely fire — the
+    * same watermark-free-only contract, with the ts schema probe run
+    * against the STAGED dir so probe and stream always agree.
     */
   def readEvents(spark: SparkSession, path: String,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None, chunks: Int = 0): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val dir = streamableDir(path)
+    val dir =
+      if (chunks > 1) chunkedStage(spark, path, chunks)
+      else streamableDir(path)
     // Probe the STORED type with a one-off batch read: the testdata has
     // shipped ts as TIMESTAMP(NANOS) (reads as long under nanosAsLong),
     // as plain timestamp[us] (reads as TIMESTAMP_NTZ), and as UTC-adjusted

@@ -113,6 +113,23 @@ class LlmOpsSpec extends AnyFunSuite {
     flagged.foreach { case (_, (n, j)) => assert(n >= 1L && j >= 0.5) }
   }
 
+  test("ngram novelty: clones own nothing, the corpus-first doc owns " +
+      "everything, short docs are absent") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),     // first owner
+      (2L, "alpha beta gamma delta epsilon zeta"),     // exact clone
+      (3L, "one two three four five"),                 // fresh, 1 gram
+      (4L, "too short")                                // < w tokens
+    ).toDF("doc_id", "text")
+    val nov = Dedup.ngramNovelty(d, w = 5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(!nov.contains(4L), "sub-w doc must carry no gram row")
+    assert(nov(1L) === ((2L, 2L, 1000000L)), "first owner: novelty 1.0")
+    assert(nov(2L) === ((2L, 0L, 0L)), "clone: novelty 0.0")
+    assert(nov(3L) === ((1L, 1L, 1000000L)), "fresh doc: novelty 1.0")
+  }
+
   test("minhash candidates match exact n-gram jaccard on a small sample") {
     val sample = docs.filter(col("doc_id") < 60).select("doc_id", "text")
     val exact = Dedup.ngramJaccardExact(sample, w = 3, minJaccard = 0.3)

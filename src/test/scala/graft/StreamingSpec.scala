@@ -203,6 +203,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("update-mode geo changelog: argmax-by-count fold reconstructs a " +
+      "consistent (count, sums) snapshot per cell") {
+    // the stream_geo_update contract: every update emission of a cell
+    // carries a STRICTLY larger count than its previous emission (any
+    // arriving point increments it), so max(struct(count, sums)) per
+    // cell is the latest consistent tuple — no monotonicity assumption
+    // on the sums themselves
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val grid = graft.operators.Geo.hotspots(
+      mem.toDF().toDF("x", "y"), 5000L)
+    val q = grid.writeStream.format("memory").queryName("t_geou")
+      .outputMode("update").start()
+    try {
+      mem.addData(Seq((100L, 100L), (200L, 300L), (7000L, 100L)))
+      q.processAllAvailable()
+      val n1 = spark.table("t_geou").count()
+      mem.addData(Seq((400L, 900L)))   // touches cell (0, 0) only
+      q.processAllAvailable()
+      val n2 = spark.table("t_geou").count()
+      assert(n1 == 2L, s"first trigger emitted $n1 cells, expected 2")
+      assert(n2 - n1 == 1L,
+        s"second trigger re-emitted ${n2 - n1} rows for 1 touched cell")
+      val folded = spark.table("t_geou").groupBy("cx", "cy")
+        .agg(max(struct(col("n_points"), col("sum_x"), col("sum_y")))
+          .as("m"))
+        .select(col("cx"), col("cy"), col("m.n_points"), col("m.sum_x"),
+          col("m.sum_y"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val batch = graft.operators.Geo.hotspots(
+          Seq((100L, 100L), (200L, 300L), (7000L, 100L), (400L, 900L))
+            .toDF("x", "y"), 5000L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(folded === batch)
+    } finally q.stop()
+  }
+
   test("chunked staging splits a single-file table into N streamable " +
       "files that round-trip the data") {
     val staged = EventStreams.chunkedStage(spark,
