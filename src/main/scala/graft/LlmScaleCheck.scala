@@ -510,7 +510,47 @@ object LlmScaleCheck {
     println(f"[scale] quality-classifier: $qcN%,d docs distributed, " +
       f"$qcErr wrong in $qcSec%.1f s")
 
-    println(f"""{"jaccard_docs":${nDocs + nPlant},"jaccard_pairs":$nPairs,"jaccard_sec":$jacSec%.1f,"knn_vecs":${nVecs + nQ},"knn_sec":$knnSec%.1f,"ivf_vecs":${2 * nIvf},"ivf_sec":$ivfSec%.1f,"pct_rows":$nRows,"pct_sec":$pSec%.1f,"bm25_sec":$bmSec%.1f,"bigram_sec":$lmSec%.1f,"invidx_sec":$invSec%.1f,"contam_bloom_sec":$cbSec%.1f,"assign1024_sec":$asgSec%.1f,"auto_ivf_sec":$autoSec%.1f,"cross_neardup_sec":$xSec%.1f,"paragraph_sec":$pdSec%.1f,"semantic_sec":$semSec%.1f,"quantize_sec":$qzSec%.1f,"shuffle_shards_sec":$shufSec%.1f,"domain_mixture_sec":$mixSec%.1f,"dup_ngrams_sec":$dngSec%.1f,"quality_classifier_sec":$qcSec%.1f}""")
+    // ---- ngramNovelty at ~201k docs, clone-dense ----------------------
+    // base corpus + nPlant exact clones (ids +70M): exactness invariants
+    // that must hold at ANY scale by the ownership algebra — every
+    // distinct gram is first-owned exactly once (Σ n_first = |grams|),
+    // clones of an earlier doc own nothing (novelty 0), and the
+    // clone-free originals own everything (hash-vocabulary grams are
+    // globally unique with overwhelming probability at 36 grams/doc —
+    // verified, not assumed).
+    val nvTwins = spark.range(nPlant).select(
+      (col("id") + 70_000_000L).as("doc_id"),
+      concat_ws(" ", words: _*).as("text"))
+    t0 = System.nanoTime()
+    val nv = graft.llm.Dedup.ngramNovelty(base.union(nvTwins), w = 5)
+      .cache()
+    val nvRows = nv.count()
+    val nvSec = (System.nanoTime() - t0) / 1e9
+    val nvFirstSum = nv.agg(sum("n_first")).head().getLong(0)
+    // independent distinct-gram count for the exactly-once-owned check
+    val nvGramCnt = base.union(nvTwins)
+      .select(graft.llm.Dedup.tokens(col("text")).as("toks"))
+      .select(explode(expr("filter(transform(toks, (x, i) -> " +
+        "CASE WHEN i <= size(toks) - 5 " +
+        "THEN array_join(slice(toks, i + 1, 5), ' ') END), " +
+        "g -> g IS NOT NULL)")).as("g"))
+      .distinct().count()
+    require(nvFirstSum == nvGramCnt,
+      s"ngramNovelty: sum(n_first) $nvFirstSum != $nvGramCnt distinct grams")
+    val nvCloneBad = nv.filter(col("doc_id") >= 70_000_000L &&
+      col("novelty_micro") =!= 0L).count()
+    val nvOrigOwned = nv.filter(col("doc_id") < nPlant &&
+      col("novelty_micro") === 1000000L).count()
+    require(nvRows == nDocs + nPlant && nvCloneBad == 0,
+      s"ngramNovelty: $nvRows rows, $nvCloneBad clones with novelty > 0")
+    require(nvOrigOwned == nPlant,
+      s"ngramNovelty: only $nvOrigOwned/$nPlant cloned ORIGINALS fully novel")
+    println(f"[scale] ngram-novelty: $nvRows%,d docs (${nPlant} clones) " +
+      f"in $nvSec%.1f s; sum(n_first)=$nvFirstSum%,d, clones all 0, " +
+      "cloned originals all 1.0 OK")
+    nv.unpersist()
+
+    println(f"""{"jaccard_docs":${nDocs + nPlant},"jaccard_pairs":$nPairs,"jaccard_sec":$jacSec%.1f,"knn_vecs":${nVecs + nQ},"knn_sec":$knnSec%.1f,"ivf_vecs":${2 * nIvf},"ivf_sec":$ivfSec%.1f,"pct_rows":$nRows,"pct_sec":$pSec%.1f,"bm25_sec":$bmSec%.1f,"bigram_sec":$lmSec%.1f,"invidx_sec":$invSec%.1f,"contam_bloom_sec":$cbSec%.1f,"assign1024_sec":$asgSec%.1f,"auto_ivf_sec":$autoSec%.1f,"cross_neardup_sec":$xSec%.1f,"paragraph_sec":$pdSec%.1f,"semantic_sec":$semSec%.1f,"quantize_sec":$qzSec%.1f,"shuffle_shards_sec":$shufSec%.1f,"domain_mixture_sec":$mixSec%.1f,"dup_ngrams_sec":$dngSec%.1f,"quality_classifier_sec":$qcSec%.1f,"ngram_novelty_sec":$nvSec%.1f}""")
     spark.stop()
   }
 }

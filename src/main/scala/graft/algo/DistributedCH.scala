@@ -96,7 +96,8 @@ object DistributedCH {
       localFinishEdges: Long = 50000, maxRounds: Int = 10000,
       verbose: Boolean = false, maxContractWork: Long = 4096,
       localWitnessCap: Int = 16,
-      localFinishHardCap: Long = 2000000L): Built = {
+      localFinishHardCap: Long = 2000000L,
+      stallHandoffEdges: Long = 200000L): Built = {
     import spark.implicits._
 
     def mat(df: DataFrame): (DataFrame, Long) = {
@@ -116,6 +117,7 @@ object DistributedCH {
     val rankParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var level = 0
     var stalled = false
+    var workCap = maxContractWork
 
     while (!stalled && remCount > 0 && curCount > localFinishEdges &&
         level < maxRounds) {
@@ -150,16 +152,41 @@ object DistributedCH {
       // over-cap neighbor; independence is unaffected (any subset of
       // local minima is still pairwise non-adjacent).
       val (sSet, sCount) = mat(pri.join(nbrMin, Seq("node"), "left_outer")
-        .filter(col("work") <= maxContractWork &&
+        .filter(col("work") <= workCap &&
           (col("np").isNull ||
             struct(col("work"), col("h"), col("node")) < col("np")))
         .select("node"))
-      if (sCount * 50 < remCount) {
-        // contraction rate under 2% — either nothing fits the work cap
-        // or only a dribble does; rounds would now cost more scheduling
-        // than progress, so it is the dense core's turn on the driver
+      if (sCount * 50 < remCount &&
+          (curCount <= stallHandoffEdges || sCount * 200 < remCount)) {
+        // Contraction rate under 2% — hand the core to the driver finish
+        // when EITHER the working set is already driver-tractable
+        // (≤ stallHandoffEdges) or the rate has truly collapsed (< 0.5%:
+        // rounds no longer pay for themselves at any size). The two-part
+        // guard is load-bearing (round 17, measured on a 1050×500 grid):
+        // the rate crosses 2% while the working set is still ~620k edges
+        // (core degree ≈ 58 ⇒ natural local-min rate 1/(deg+1) ≈ 1.7%),
+        // and the witness-checked sequential finish on a core that size
+        // runs for HOURS — so a merely-slow distributed round (seconds)
+        // must keep going. But grid-like graphs never shrink below their
+        // separator structure (the CH top of a w×h grid is a near-clique
+        // on ~min(w,h) nodes — ~tw² working edges by construction), so a
+        // size-only guard would grind to maxRounds; the rate floor hands
+        // off once progress genuinely stops. sCount ≥ 1 always holds
+        // when any node fits the cap (priority leads with work, so the
+        // global minimum among under-cap nodes has no smaller neighbor).
         Seq(pri, sSet).foreach(graft.core.Checkpoints.release)
         stalled = true
+      } else if (sCount == 0) {
+        // nothing fits the work cap at all: double it. Candidacy is the
+        // only thing the cap touches — any subset of local minima is
+        // independent, so correctness is cap-path-independent.
+        Seq(pri, sSet).foreach(graft.core.Checkpoints.release)
+        // min-guard: works are < 2^62, so once the cap passes them S is
+        // nonempty and this branch can't loop — the guard only prevents
+        // a sign flip from overflow
+        workCap = math.min(workCap * 2, Long.MaxValue / 4)
+        if (verbose) println(s"[ch-build] level=$level empty under cap; " +
+          s"workCap doubled to $workCap")
       } else {
       val (marked, _) = mat(cur
         .join(sSet.select(col("node").as("src"), lit(1).as("ms")),

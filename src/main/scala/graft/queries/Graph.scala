@@ -2460,47 +2460,8 @@ object Graph {
     GQ("g50_graph_profile",
       (s, _) => {
         val pg = g(s)
-        val e = pg.projection.select("src", "dst")
-        val und = e.filter(col("src") =!= col("dst"))
-          .select(least(col("src"), col("dst")).as("a"),
-            greatest(col("src"), col("dst")).as("b"))
-          .distinct().localCheckpoint(true)
-        val deg = und.select(col("a").as("n"))
-          .unionByName(und.select(col("b").as("n")))
-          .groupBy("n").agg(count(lit(1)).as("deg"))
-          .localCheckpoint(true)
-        val tri = graft.algo.Triangles.perNode(pg.nodes.select("nodeId"),
-          pg.projection.select("src", "dst")).localCheckpoint(true)
-        val nNodes = pg.nodes.agg(count(lit(1)).as("n_nodes"))
-        val nEdges = e.agg(count(lit(1)).as("n_edges"))
-        val nUnd = und.agg(count(lit(1)).as("n_und"))
-        val degAgg = deg.agg(max(col("deg")).as("max_deg"),
-          expr("sum(deg * (deg - 1)) div 2").as("wedges"))
-        val nTri = tri.agg(expr("sum(n_triangles) div 3").as("n_tri"))
-        val lcc = deg.join(tri, deg("n") === tri("node"), "left_outer")
-          .select(col("deg"),
-            coalesce(col("n_triangles"), lit(0L)).as("t"))
-          .agg(sum(expr("CASE WHEN deg >= 2 THEN (2000000 * t) div " +
-            "(deg * (deg - 1)) ELSE CAST(0 AS BIGINT) END"))
-            .as("lcc_micro_sum"))
-        val ast = und
-          .join(deg.select(col("n").as("a"), col("deg").as("da")), Seq("a"))
-          .join(deg.select(col("n").as("b"), col("deg").as("db")), Seq("b"))
-          .agg(sum(col("da") + col("db")).as("sx"),
-            sum(col("da") * col("db") * 2).as("sxy"),
-            sum(col("da") * col("da") + col("db") * col("db")).as("sx2"))
-        val num = col("n_und") * 2 * col("sxy") - col("sx") * col("sx")
-        val den = col("n_und") * 2 * col("sx2") - col("sx") * col("sx")
-        nNodes.crossJoin(nEdges).crossJoin(nUnd).crossJoin(degAgg)
-          .crossJoin(nTri).crossJoin(lcc).crossJoin(ast)
-          .select(col("n_nodes"), col("n_edges"), col("n_und"),
-            col("max_deg"), col("wedges"), col("n_tri").as("n_triangles"),
-            col("lcc_micro_sum"),
-            num.as("assort_num"), den.as("assort_den"),
-            round((col("n_tri") * 3).cast("double") /
-              col("wedges").cast("double"), 6).as("global_cc"),
-            round(num.cast("double") / den.cast("double"), 6)
-              .as("assortativity"))
+        graft.algo.GraphProfile.stats(pg.nodes.select("nodeId"),
+          pg.projection.select("src", "dst"))
       },
       sliceOracle(s"""WITH ${Oracle.edgesCte},
               |$triangleCtes,

@@ -199,9 +199,12 @@ object Streaming {
     // trigger; update mode emits ONLY the registers a micro-batch
     // actually raised (a changelog), and because register maxima are
     // MONOTONE the downstream fold that reconstructs current state is
-    // simply max-per-bucket over the changelog. The file source is
-    // throttled to one file per trigger so several triggers genuinely
-    // fire (one big batch would make update ≡ complete vacuously); the
+    // simply max-per-bucket over the changelog. The single-file events
+    // table is staged as 4 chunk files throttled to one per trigger so
+    // several triggers genuinely fire in the driver run (one big batch
+    // would make update ≡ complete vacuously; round 17 — before
+    // chunkedStage existed, the single file meant one trigger and the
+    // multi-trigger contract lived only in StreamingSpec); the
     // estimate leg then reads the FOLDED changelog, and the oracle is
     // the same single-leg replay as the complete-mode twin — so
     // changelog-fold ≡ complete ≡ batch ≡ SQL pins in one hash.
@@ -214,7 +217,7 @@ object Streaming {
         val changelog = runToMemory(s, "graft_stream_hllu", "update")(
           HyperLogLog.sketch(
             EventStreams.readEvents(s, s"$dir/events.parquet",
-              maxFilesPerTrigger = Some(1)),
+              maxFilesPerTrigger = Some(1), chunks = 4),
             col("event_id").cast("string")))
         val regs = changelog.groupBy("bucket").agg(max(col("r")).as("r"))
         Tables(s, dir).events.agg(countDistinct(col("event_id")).as("n_exact"))
