@@ -490,10 +490,13 @@ object GraphScaleCheck {
     println(f"[scale] sssp: $nRandNodes%,d nodes / $nRandEdges%,d edges -> " +
       f"${spRows.length}%,d reachable in $tSp%.1f s, ≡ sequential CSR")
 
-    // ---- 17. Yen k=3: distributed spur searches at full scale ----------
+    // ---- 17. Yen k=3: batched multi-spur relaxation at full scale ------
     // target at the 75th distance percentile (multi-hop but not the
-    // pathological diameter tail); every spur search is a full
-    // DistributedSSSP with broadcast ban masks and early exit. Totals
+    // pathological diameter tail); each Yen round's independent spur
+    // searches run as ONE multi-spur relaxation (state keyed by
+    // (spur, node), broadcast ban masks, per-spur early exit) — job
+    // count per round is max-of-spur-rounds, not sum (round 18; the
+    // former sum-of-searches shape measured 448–944 s here). Totals
     // must be bit-identical to the sequential Yen.
     val spByDist = spRows.sortBy(_.getDouble(1))
     val spDst = spByDist((spByDist.length * 3) / 4).getString(0)

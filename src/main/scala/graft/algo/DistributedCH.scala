@@ -156,7 +156,23 @@ object DistributedCH {
           (col("np").isNull ||
             struct(col("work"), col("h"), col("node")) < col("np")))
         .select("node"))
-      if (sCount * 50 < remCount &&
+      if (sCount == 0 && curCount > stallHandoffEdges) {
+        // nothing fits the work cap at all and the core is too big to
+        // hand off: double the cap and keep contracting distributed.
+        // Candidacy is the only thing the cap touches — any subset of
+        // local minima is independent, so correctness is
+        // cap-path-independent. This case is checked BEFORE the stall
+        // rate test (which sCount == 0 would trivially satisfy); an
+        // empty S on a driver-tractable core (≤ stallHandoffEdges)
+        // still falls through to the handoff below.
+        Seq(pri, sSet).foreach(graft.core.Checkpoints.release)
+        // min-guard: works are < 2^62, so once the cap passes them S is
+        // nonempty and this branch can't loop — the guard only prevents
+        // a sign flip from overflow
+        workCap = math.min(workCap * 2, Long.MaxValue / 4)
+        if (verbose) println(s"[ch-build] level=$level empty under cap; " +
+          s"workCap doubled to $workCap")
+      } else if (sCount * 50 < remCount &&
           (curCount <= stallHandoffEdges || sCount * 200 < remCount)) {
         // Contraction rate under 2% — hand the core to the driver finish
         // when EITHER the working set is already driver-tractable
@@ -176,17 +192,6 @@ object DistributedCH {
         // global minimum among under-cap nodes has no smaller neighbor).
         Seq(pri, sSet).foreach(graft.core.Checkpoints.release)
         stalled = true
-      } else if (sCount == 0) {
-        // nothing fits the work cap at all: double it. Candidacy is the
-        // only thing the cap touches — any subset of local minima is
-        // independent, so correctness is cap-path-independent.
-        Seq(pri, sSet).foreach(graft.core.Checkpoints.release)
-        // min-guard: works are < 2^62, so once the cap passes them S is
-        // nonempty and this branch can't loop — the guard only prevents
-        // a sign flip from overflow
-        workCap = math.min(workCap * 2, Long.MaxValue / 4)
-        if (verbose) println(s"[ch-build] level=$level empty under cap; " +
-          s"workCap doubled to $workCap")
       } else {
       val (marked, _) = mat(cur
         .join(sSet.select(col("node").as("src"), lit(1).as("ms")),

@@ -1,6 +1,6 @@
 package graft.algo
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Whole-graph statistical profile — one row of exact-integer
@@ -50,8 +50,22 @@ object GraphProfile {
       .agg(sum(col("da") + col("db")).as("sx"),
         sum(col("da") * col("db") * 2).as("sxy"),
         sum(col("da") * col("da") + col("db") * col("db")).as("sx2"))
-    val num = col("n_und") * 2 * col("sxy") - col("sx") * col("sx")
-    val den = col("n_und") * 2 * col("sx2") - col("sx") * col("sx")
+    // Overflow guard (loud, matching DuckDB's raise-on-BIGINT-overflow):
+    // Spark wraps Long arithmetic silently in non-ANSI mode, so a skewed
+    // graph (hub degree ~1e5 ⇒ sx ~1e10 ⇒ sx² ~1e20) would silently
+    // diverge from the oracle instead of failing. Require |sx| ≤
+    // floor(sqrt(2^61)) and 2·n_und·max(|sxy|, sx2) ≤ 2^61 so each term
+    // of num/den is ≤ 2^61 and their difference fits comfortably in a
+    // BIGINT; outside that envelope both engines now fail loudly.
+    val sxOk = abs(col("sx")) <= lit(1518500249L)
+    val momOk = greatest(abs(col("sxy")), abs(col("sx2")), lit(1L)) <=
+      lit(1152921504606846976L) / greatest(col("n_und"), lit(1L))
+    def exact(e: Column): Column = when(sxOk && momOk, e).otherwise(
+      raise_error(lit("GraphProfile: assortativity moments exceed the " +
+        "exact-BIGINT envelope (|sx| or 2*n_und*moment past 2^61); " +
+        "recompute with DECIMAL(38,0) for this graph")))
+    val num = exact(col("n_und") * 2 * col("sxy") - col("sx") * col("sx"))
+    val den = exact(col("n_und") * 2 * col("sx2") - col("sx") * col("sx"))
     val out = nNodes.crossJoin(nEdges).crossJoin(nUnd).crossJoin(degAgg)
       .crossJoin(nTri).crossJoin(lcc).crossJoin(ast)
       .select(col("n_nodes"), col("n_edges"), col("n_und"),

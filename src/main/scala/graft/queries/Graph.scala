@@ -138,6 +138,17 @@ object Graph {
     */
   private val HyperAnfRounds = 6
 
+  /** g51's canonical weighted-APSP subgraph: the 300 lexicographically
+    * smallest node ids (both engines agree on ASCII string order), with
+    * the induced edge set. The relaxation chain is padded to |S| − 1 =
+    * 299 steps — a loopless shortest path in a 300-node graph has at
+    * most 299 hops, so the fixpoint is reached UNCONDITIONALLY, with no
+    * external hop-bound audit (extra steps past the fixpoint are
+    * no-ops). Declared before `queries` (object-init order).
+    */
+  private val ApspSubN = 300
+  private val ApspSubHops = ApspSubN - 1
+
   /** Every graph oracle encodes slice-1 facts — the CSV path itself, the
     * hop bounds, and the frozen Yen goldens. When GRAFT_EDGELIST points
     * the Spark side at a different slice, the oracles must drop away
@@ -239,8 +250,11 @@ object Graph {
       (s0 +: steps).mkString(",\n")
     }
 
-    /** Multi-source chain keyed by (source, node); seeds from `srcs(id)`. */
-    def chainMulti(hops: Int): String = {
+    /** Multi-source chain keyed by (source, node); seeds from `srcs(id)`.
+      * `edgeTable` lets g51 run the same chain over an induced subgraph's
+      * edge CTE instead of the full `edges` table.
+      */
+    def chainMulti(hops: Int, edgeTable: String = "edges"): String = {
       val s0 = """s0 AS MATERIALIZED (
                  |  SELECT id AS source, id AS node, CAST(0.0 AS DOUBLE) AS dist
                  |  FROM srcs)""".stripMargin
@@ -249,7 +263,7 @@ object Graph {
            |  SELECT source, node, dist FROM s${i - 1}
            |  UNION ALL
            |  SELECT s.source, e.dst AS node, s.dist + e.cost AS dist
-           |  FROM s${i - 1} s JOIN edges e ON s.node = e.src) GROUP BY 1, 2)""".stripMargin
+           |  FROM s${i - 1} s JOIN $edgeTable e ON s.node = e.src) GROUP BY 1, 2)""".stripMargin
       }
       (s0 +: steps).mkString(",\n")
     }
@@ -2495,6 +2509,54 @@ object Graph {
               |  round(CAST(2 * n_und * sxy - sx * sx AS DOUBLE)
               |    / CAST(2 * n_und * sx2 - sx * sx AS DOUBLE), 6)
               |    AS assortativity
-              |FROM gp_cnt, gp_deg, gp_tri, gp_lcc, gp_ast""".stripMargin))
+              |FROM gp_cnt, gp_deg, gp_tri, gp_lcc, gp_ast""".stripMargin)),
+
+    // Weighted exhaustive APSP on a canonical induced subgraph — the
+    // DISTANCE complement to g49's full-graph reachability pin. g49
+    // deliberately pins reachability only (a 3,705-source weighted
+    // DuckDB fixpoint exceeds 600 s — unusable as a per-round gate);
+    // this query pins the weighted all-pairs distances themselves at a
+    // scale the oracle can afford: the 300 lexicographically smallest
+    // node ids, their induced min-cost edge set, every reachable pair.
+    // The chain is padded to 299 steps = |S| − 1, so the fixpoint is
+    // unconditional (no hop-bound audit); both engines fold path costs
+    // left-to-right in IEEE doubles, so distances are bit-identical
+    // before the display rounding (the g4 argument verbatim).
+    // Spark shape: two broadcast semi-joins prune the projection, then
+    // the g49 kernel (broadcast CSR, one task per source batch).
+    GQ("g51_apsp_weighted_sub",
+      (s, _) => {
+        val pg = g(s)
+        val sub = pg.nodes.orderBy(col("nodeId")).limit(ApspSubN)
+        val subEdges = pg.projection
+          .join(broadcast(sub.select(col("nodeId").as("src"))),
+            Seq("src"), "left_semi")
+          .join(broadcast(sub.select(col("nodeId").as("dst"))),
+            Seq("dst"), "left_semi")
+          .select("src", "dst", "cost")
+        // nodes with NO induced edge still own a (v, v, 0.0) pair in
+        // all-pairs semantics; the CSR index only interns projection
+        // endpoints, so those self rows are united in explicitly (the
+        // kernel's own (s, s, 0.0) rows dedupe via distinct)
+        ShortestPaths.apsp(s, graft.graph.PropertyGraph(sub, subEdges),
+            None)
+          .unionByName(sub.select(col("nodeId").as("source_id"),
+            col("nodeId").as("target_id"), lit(0.0).as("distance")))
+          .distinct()
+          .select(col("source_id"), col("target_id"),
+            round(col("distance"), 4).as("distance"))
+      },
+      sliceOracle(s"""WITH ${Oracle.edgesCte},
+              |sub AS MATERIALIZED (
+              |  SELECT START_NODE AS id FROM ids
+              |  ORDER BY START_NODE LIMIT $ApspSubN),
+              |srcs AS MATERIALIZED (SELECT id FROM sub),
+              |subedges AS MATERIALIZED (
+              |  SELECT e.src, e.dst, e.cost FROM edges e
+              |  JOIN sub a ON a.id = e.src JOIN sub b ON b.id = e.dst),
+              |${Oracle.chainMulti(ApspSubHops, edgeTable = "subedges")}
+              |SELECT source AS source_id, node AS target_id,
+              |  round(dist, 4) AS distance
+              |FROM s$ApspSubHops""".stripMargin))
   )
 }

@@ -47,6 +47,30 @@ object Streaming {
       s.table(name)
     }
 
+  /** q72's exact-integer MAD fence in DuckDB — shared by the batch
+    * query's streaming twin and its update-mode changelog twin (both
+    * legs must land on the SAME rows, so one SQL source pins
+    * changelog-fold ≡ complete ≡ batch ≡ SQL in one hash).
+    */
+  private val madOracle: String =
+    """WITH daily AS (
+      |  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |      AS val_cents
+      |  FROM events GROUP BY 1),
+      |m AS (SELECT CAST(quantile_cont(2 * val_cents, 0.5)
+      |  AS BIGINT) AS med2x FROM daily),
+      |d AS (SELECT day, val_cents,
+      |    abs(2 * val_cents - med2x) AS dev2x
+      |  FROM daily, m),
+      |md AS (SELECT CAST(quantile_cont(2 * dev2x, 0.5) AS BIGINT)
+      |  AS mad2x2 FROM d)
+      |SELECT day, val_cents,
+      |  CAST((2000000 * dev2x) // mad2x2 AS BIGINT) AS score_micro,
+      |  CAST(CASE WHEN (2000000 * dev2x) // mad2x2 >= 3500000
+      |    THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+      |FROM d, md""".stripMargin
+
   val queries: Seq[GQ] = Seq(
 
     GQ("q24_session_window",
@@ -321,37 +345,40 @@ object Streaming {
                 .as("day"),
               round(col("value") * 100).cast("long").as("vc"))
             .groupBy("day").agg(sum(col("vc")).as("val_cents")))
-        val med = daily.agg(
-          expr("cast(percentile(2 * val_cents, 0.5) as bigint)")
-            .as("med2x"))
-        val dev = daily.crossJoin(broadcast(med))
-          .withColumn("dev2x", abs(lit(2) * col("val_cents")
-            - col("med2x")))
-        val mad = dev.agg(
-          expr("cast(percentile(2 * dev2x, 0.5) as bigint)").as("mad2x2"))
-        dev.crossJoin(broadcast(mad))
-          .select(col("day"), col("val_cents"),
-            expr("(2000000 * dev2x) div mad2x2").as("score_micro"))
-          .withColumn("is_outlier",
-            when(col("score_micro") >= 3500000L, 1L).otherwise(0L))
+        EventStreams.madScores(daily)
       },
-      Some("""WITH daily AS (
-             |  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
-             |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-             |      AS val_cents
-             |  FROM events GROUP BY 1),
-             |m AS (SELECT CAST(quantile_cont(2 * val_cents, 0.5)
-             |  AS BIGINT) AS med2x FROM daily),
-             |d AS (SELECT day, val_cents,
-             |    abs(2 * val_cents - med2x) AS dev2x
-             |  FROM daily, m),
-             |md AS (SELECT CAST(quantile_cont(2 * dev2x, 0.5) AS BIGINT)
-             |  AS mad2x2 FROM d)
-             |SELECT day, val_cents,
-             |  CAST((2000000 * dev2x) // mad2x2 AS BIGINT) AS score_micro,
-             |  CAST(CASE WHEN (2000000 * dev2x) // mad2x2 >= 3500000
-             |    THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
-             |FROM d, md""".stripMargin)),
+      Some(madOracle)),
+
+    // stream_anomaly_mad's UPDATE-MODE twin — 4th member of the
+    // changelog-emission family, and the first with RETRACTIONS: the
+    // MAD fence is a global percentile, so a new day can LOWER existing
+    // days' scores — per-key state is NON-MONOTONE and no max-style
+    // fold over raw emissions reconstructs it. The changelog therefore
+    // carries a trigger sequence (`seq` = micro-batch id) and emits a
+    // day iff its (val_cents, score_micro, is_outlier) tuple changed —
+    // downward revisions included — and the fold is argmax-by-seq per
+    // day (latest write wins: the GENERAL changelog fold that subsumes
+    // the monotone families' max folds). Events staged as 4 chunk
+    // files, one per trigger, so the driver run itself fires several
+    // genuine revisions; q72's oracle verbatim — changelog-fold ≡
+    // complete ≡ batch ≡ SQL in one hash. StreamingSpec pins the
+    // retraction (a planted median-moving batch revises a day's score
+    // DOWN) and the volume contract (untouched-tuple days stay silent).
+    GQ("stream_mad_update",
+      (s, dir) => {
+        val changelog = withStreamPartitions(s, 8) {
+          EventStreams.anomalyScoreChangelog(s,
+            EventStreams.readEvents(s, s"$dir/events.parquet",
+              maxFilesPerTrigger = Some(1), chunks = 4))
+        }
+        changelog.groupBy("day")
+          .agg(max(struct(col("seq"), col("val_cents"),
+            col("score_micro"), col("is_outlier"))).as("m"))
+          .select(col("day"), col("m.val_cents").as("val_cents"),
+            col("m.score_micro").as("score_micro"),
+            col("m.is_outlier").as("is_outlier"))
+      },
+      Some(madOracle)),
 
     // REAL durable streaming sink: file source → stateful dedup →
     // PARQUET sink with a checkpoint (exactly-once via the sink's commit

@@ -139,17 +139,46 @@ object EventStreams {
   private[graft] def chunkedStage(spark: SparkSession, path: String,
       chunks: Int): String = {
     val f = new java.io.File(path)
+    // Content-keyed dir name: the signature folds in every data file's
+    // (relative name, length, mtime), not just the top-level path mtime —
+    // a parquet DIRECTORY whose parts are rewritten keeps its own mtime,
+    // and same-second single-file regeneration hides under mtime
+    // granularity, so a path-only key could silently serve stale chunks
+    // to the update-mode driver-gate queries. A changed source now maps
+    // to a FRESH staging dir by construction.
+    val files: Seq[java.io.File] =
+      if (f.isFile) Seq(f)
+      else Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+        .filter(x => x.isFile && !x.getName.startsWith(".") &&
+          !x.getName.startsWith("_"))
+        .sortBy(_.getName)
+    val sig = files.map(x => s"${x.getName}:${x.length}:${x.lastModified}")
+      .mkString(",")
     val digest = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(s"${f.getAbsolutePath}#chunks=$chunks".getBytes("UTF-8"))
+      .digest(s"${f.getAbsolutePath}#chunks=$chunks#$sig".getBytes("UTF-8"))
       .take(16).map("%02x".format(_)).mkString
     val staged = new java.io.File(
       System.getProperty("java.io.tmpdir"), s"graft-stream-$digest")
-    val marker = new java.io.File(staged, "_graft_staged")
-    if (!marker.exists() || marker.lastModified < f.lastModified) {
+    if (!staged.exists()) {
+      // stage into a process-private tmp dir, then atomic-rename into
+      // place: concurrent sessions staging the same key either win the
+      // rename or discard their copy — a reader never sees a mid-write
+      // dir, and a crashed write never leaves a half-staged final dir
+      val tmp = new java.io.File(staged.getParentFile,
+        s"${staged.getName}.tmp-${ProcessHandle.current().pid()}")
       spark.read.parquet(path).repartition(chunks)
-        .write.mode("overwrite").parquet(staged.getAbsolutePath)
-      marker.createNewFile()
-      marker.setLastModified(System.currentTimeMillis())
+        .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      try
+        java.nio.file.Files.move(tmp.toPath, staged.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+            _: java.nio.file.AccessDeniedException |
+            _: java.nio.file.DirectoryNotEmptyException =>
+          // another session won the race; its content is identical
+          // (same content key) — drop ours
+          org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+      }
     }
     staged.getAbsolutePath
   }
@@ -170,6 +199,85 @@ object EventStreams {
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("quality") >= 0.5, 1L).otherwise(0L))
           .as("n_high_quality"))
+
+  /** The q72 MAD fence over a (day, val_cents) table — shared verbatim
+    * by the batch query, the complete-mode streaming twin, and each
+    * per-trigger recompute of the update-mode changelog, so all three
+    * legs run IDENTICAL expressions (the ×2 integer domain keeps every
+    * interpolated median integral; the only doubles are final casts both
+    * engines round identically).
+    */
+  def madScores(daily: DataFrame): DataFrame = {
+    val med = daily.agg(
+      expr("cast(percentile(2 * val_cents, 0.5) as bigint)").as("med2x"))
+    val dev = daily.crossJoin(broadcast(med))
+      .withColumn("dev2x", abs(lit(2) * col("val_cents") - col("med2x")))
+    val mad = dev.agg(
+      expr("cast(percentile(2 * dev2x, 0.5) as bigint)").as("mad2x2"))
+    dev.crossJoin(broadcast(mad))
+      .select(col("day"), col("val_cents"),
+        expr("(2000000 * dev2x) div mad2x2").as("score_micro"))
+      .withColumn("is_outlier",
+        when(col("score_micro") >= 3500000L, 1L).otherwise(0L))
+  }
+
+  /** q72's anomaly scores as an update-mode changelog WITH RETRACTIONS —
+    * the 4th member of the changelog-emission family, and the first
+    * whose per-key value is NON-MONOTONE: the MAD fence is a global
+    * percentile over all days, so one new day can LOWER other days'
+    * scores (a retraction), which no per-key max/argmax fold over raw
+    * emissions could reconstruct. The split of labor follows the state's
+    * shape: the per-day totals are a genuine update-mode streaming
+    * aggregation (the engine's state, one row per day); the fence is
+    * recomputed per TRIGGER in foreachBatch over that bounded state with
+    * the exact [[madScores]] expressions, and a day is emitted iff its
+    * (val_cents, score_micro, is_outlier) tuple CHANGED since the
+    * previous trigger — downward revisions included. `seq` is the
+    * micro-batch id; the downstream fold reconstructing the current
+    * snapshot is argmax-by-seq per day (latest write wins — the general
+    * changelog fold that subsumes the monotone families' max folds).
+    *
+    * Emission volume: changed days only, never the full state
+    * (StreamingSpec pins an unchanged day staying silent while a
+    * median-moving batch revises others downward). At 100 TB the
+    * foreachBatch recompute stays cheap because the STATE is bounded by
+    * the day range, not the stream — the same bounded-state argument as
+    * every sketch twin.
+    */
+  def anomalyScoreChangelog(spark: SparkSession, events: DataFrame,
+      drive: org.apache.spark.sql.streaming.StreamingQuery => Unit =
+        _.processAllAvailable()): DataFrame = {
+    import spark.implicits._
+    val dayState = scala.collection.mutable.HashMap.empty[String, Long]
+    val prev =
+      scala.collection.mutable.HashMap.empty[String, (Long, Long, Long)]
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long, Long, Long)]
+    val daily = events.select(
+        date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .groupBy("day").agg(sum(col("vc")).as("val_cents"))
+    val q = daily.writeStream.outputMode("update")
+      .foreachBatch { (batch: DataFrame, seq: Long) =>
+        // update-mode batch = the days whose totals changed this trigger
+        val changed = batch.collect()
+        if (changed.nonEmpty) {
+          changed.foreach(r => dayState(r.getString(0)) = r.getLong(1))
+          val scores = madScores(
+            dayState.toSeq.toDF("day", "val_cents")).collect()
+          scores.foreach { r =>
+            val tup = (r.getLong(1), r.getLong(2), r.getLong(3))
+            if (!prev.get(r.getString(0)).contains(tup)) {
+              prev(r.getString(0)) = tup
+              out += ((seq, r.getString(0), tup._1, tup._2, tup._3))
+            }
+          }
+        }
+      }
+      .start()
+    try drive(q) finally q.stop()
+    out.toSeq.toDF("seq", "day", "val_cents", "score_micro", "is_outlier")
+  }
 
   /** Watermarked tumbling-window aggregation. */
   def hourlyCounts(events: DataFrame): DataFrame =

@@ -268,12 +268,12 @@ class GraphAlgoSpec extends AnyFunSuite {
       assert(lp.nodes.map(lgr.ids).toVector === dp.nodes,
         "node sequences must match, not just totals")
     }
-    // concurrent spur searches (default 8) ≡ strictly sequential (1):
-    // results are awaited and enqueued in spur-index order, so the
-    // candidate-pool insertion sequence — hence tie behavior — is
-    // identical by construction; pin it anyway
+    // batched multi-spur rounds (default) ≡ strictly sequential
+    // per-spur searches: batched results are read back and enqueued in
+    // spur-index order, so the candidate-pool insertion sequence —
+    // hence tie behavior — is identical by construction; pin it anyway
     val seq1 = algo.DistributedYen.run(spark, edf, "n0", "n1", 3,
-      maxConcurrentSpurs = 1)
+      batchSpurs = false)
     assert(seq1.map(_.nodes) === dist.map(_.nodes))
     assert(seq1.map(_.costs) === dist.map(_.costs))
   }
@@ -2017,5 +2017,41 @@ class GraphAlgoSpec extends AnyFunSuite {
     }.toMap
     assert(got.size === want.size)
     assert(got === want)
+  }
+
+  test("graph profile: exact moments on a fixture; assortativity " +
+      "overflow fails loudly instead of wrapping") {
+    // two triangles sharing node c — hand-computed sufficient statistics
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("c", "d"), ("d", "e"), ("e", "c")).toDF("src", "dst")
+    val nodes = Seq("a", "b", "c", "d", "e").toDF("nodeId")
+    val r = algo.GraphProfile.stats(nodes, edges).collect()(0)
+    assert(r.getLong(0) === 5L)        // n_nodes
+    assert(r.getLong(2) === 6L)        // n_und
+    assert(r.getLong(3) === 4L)        // max_deg (c)
+    // degrees a,b,d,e = 2, c = 4 → wedges = 4·1 + 6 = 10; triangles = 2
+    assert(r.getLong(4) === 10L)
+    assert(r.getLong(5) === 2L)
+    // moments: sx = Σ(da+db) = 32, sxy = Σ2·da·db = 80, sx2 = Σ(da²+db²)
+    // = 96 → num = 2·6·80 − 32² = −64, den = 2·6·96 − 32² = 128,
+    // assortativity = −0.5 (star-within: hubs attach to leaves)
+    assert(r.getLong(7) === -64L)
+    assert(r.getLong(8) === 128L)
+    assert(r.getDouble(10) === -0.5)
+    // the guard (round 18, non-ANSI Spark wraps Long silently where
+    // DuckDB raises): a hub star pushes sx = D(D+1) past sqrt(2^61)
+    val d = 39000
+    val starE = spark.range(d.toLong)
+      .selectExpr("'hub' AS src", "concat('l', id) AS dst")
+    val starN = spark.range(d.toLong).selectExpr("concat('l', id) AS nodeId")
+      .union(Seq("hub").toDF("nodeId"))
+    val ex = intercept[Exception] {
+      algo.GraphProfile.stats(starN, starE).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("exact-BIGINT envelope")),
+      s"expected the overflow guard, got: $ex")
   }
 }

@@ -243,6 +243,69 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("update-mode MAD changelog: retractions are emitted, unchanged " +
+      "days stay silent, argmax-by-seq fold equals batch") {
+    // the stream_mad_update contract — the first NON-MONOTONE member of
+    // the changelog family: the MAD fence is a global percentile, so a
+    // median-moving batch can LOWER an existing day's score. The
+    // changelog must (a) emit those downward revisions, (b) stay silent
+    // on days whose (val_cents, score, outlier) tuple is unchanged, and
+    // (c) fold back to the batch fence by argmax-by-seq per day.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    def ts(d: String) = java.sql.Timestamp.valueOf(s"2024-01-0$d 10:00:00")
+    // val_cents: d1=10, d2=20, d3=30 → +d4=20 → +d5=100
+    mem.addData(Seq((ts("1"), 0.10), (ts("2"), 0.20), (ts("3"), 0.30)))
+    val changelog = EventStreams.anomalyScoreChangelog(spark,
+      mem.toDF().toDF("ts", "value"),
+      drive = q => {
+        q.processAllAvailable()
+        mem.addData(Seq((ts("4"), 0.20)))
+        q.processAllAvailable()
+        mem.addData(Seq((ts("5"), 1.00)))
+        q.processAllAvailable()
+      })
+    val rows = changelog.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val seqs = rows.map(_._1).distinct.sorted
+    assert(seqs.length == 3, s"expected 3 emitting triggers, got $seqs")
+    def at(s: Long) = rows.filter(_._1 == s).map(r => r._2 -> r._4).toMap
+    val (t1, t2, t3) = (at(seqs(0)), at(seqs(1)), at(seqs(2)))
+    // trigger 1: all three days scored (10/20/30 → med 20, mad 10)
+    assert(t1 === Map("2024-01-01" -> 1000000L, "2024-01-02" -> 0L,
+      "2024-01-03" -> 1000000L))
+    // trigger 2 (+d4=20): MAD halves → d1/d3 rise, d2 UNCHANGED (silent),
+    // d4 new — exactly 3 rows, no full-state re-emission
+    assert(t2 === Map("2024-01-01" -> 2000000L, "2024-01-03" -> 2000000L,
+      "2024-01-04" -> 0L), s"trigger 2 emitted $t2")
+    // trigger 3 (+d5=100): MAD doubles back → d1/d3 scores DROP (the
+    // retraction), d2/d4 silent, d5 an outlier
+    assert(t3 === Map("2024-01-01" -> 1000000L, "2024-01-03" -> 1000000L,
+      "2024-01-05" -> 8000000L), s"trigger 3 emitted $t3")
+    assert(t3("2024-01-01") < t2("2024-01-01"),
+      "expected a downward score revision for day 1")
+    assert(rows.filter(r => r._1 == seqs(2) && r._2 == "2024-01-05")
+      .head._5 == 1L, "d5 must be flagged an outlier")
+    // fold ≡ batch: latest row per day equals the batch fence over the
+    // full daily table
+    val folded = changelog.groupBy("day")
+      .agg(max(struct(col("seq"), col("val_cents"), col("score_micro"),
+        col("is_outlier"))).as("m"))
+      .select(col("day"), col("m.val_cents"), col("m.score_micro"),
+        col("m.is_outlier"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val batch = EventStreams.madScores(
+        Seq(("2024-01-01", 10L), ("2024-01-02", 20L), ("2024-01-03", 30L),
+          ("2024-01-04", 20L), ("2024-01-05", 100L))
+          .toDF("day", "val_cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(folded === batch)
+  }
+
   test("chunked staging splits a single-file table into N streamable " +
       "files that round-trip the data") {
     val staged = EventStreams.chunkedStage(spark,
@@ -256,6 +319,30 @@ class StreamingSpec extends AnyFunSuite {
     val round = spark.read.parquet(staged)
       .select("doc_id").collect().map(_.getLong(0)).sorted
     assert(round.toSeq === orig.toSeq)
+  }
+
+  test("chunked staging is content-keyed: a rewritten source maps to a " +
+      "fresh staging dir, same content reuses the old one") {
+    // the round-18 staleness fix: the staging key folds in every data
+    // file's (name, length, mtime), so a regenerated source — even a
+    // parquet DIRECTORY whose own mtime does not change, or a
+    // same-second rewrite — can never be served stale chunks
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft-chunked-stale-").toFile
+    val path = srcDir.getAbsolutePath
+    Seq(1L, 2L, 3L).toDF("doc_id").write.mode("overwrite").parquet(path)
+    val staged1 = EventStreams.chunkedStage(spark, path, 2)
+    val again = EventStreams.chunkedStage(spark, path, 2)
+    assert(again === staged1, "unchanged source must reuse the dir")
+    // rewrite the source in place (the dir path — and often its mtime —
+    // is unchanged; only the part files differ)
+    Seq(4L, 5L, 6L, 7L).toDF("doc_id").write.mode("overwrite").parquet(path)
+    val staged2 = EventStreams.chunkedStage(spark, path, 2)
+    assert(staged2 !== staged1,
+      "rewritten source must map to a fresh staging dir")
+    val got = spark.read.parquet(staged2)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === Seq(4L, 5L, 6L, 7L))
   }
 
   test("custom-state sessionizer runs as a real stream and matches batch") {
