@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   */
 final class Tables(spark: SparkSession, sfDir: String) {
   def apply(name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    Tables.load(spark, s"$sfDir/$name.parquet")
 
   def region: DataFrame = apply("region")
   def nation: DataFrame = apply("nation")
@@ -45,6 +45,53 @@ final class Tables(spark: SparkSession, sfDir: String) {
 object Tables {
   def apply(spark: SparkSession, sfDir: String): Tables =
     new Tables(spark, sfDir)
+
+  /** Per-(session, path) memo of the loaded (lazily-planned) frame, so the
+    * scan-parallelism probe below runs once per table per session, not once
+    * per query. Holds only the plan, never data. Entries whose context has
+    * stopped are purged on access (the queries.Graph cache discipline).
+    */
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private[core] def load(spark: SparkSession, path: String): DataFrame = {
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      if (it.next().getKey._1.sparkContext.isStopped) it.remove()
+    }
+    cache.computeIfAbsent((spark, path),
+      { case (s, p) => spreadNarrowScan(s, s.read.parquet(p)) })
+  }
+
+  /** Unsplittable-input guard (optimization guide §2.5: "one huge
+    * unsplittable file … repartition immediately after the read").
+    *
+    * The driver's test tables are single parquet files with ONE row group,
+    * so the scan stage plans at 1 split no matter what maxPartitionBytes
+    * says — every map-side expression (regex, md5, split/explode, partial
+    * aggregation) of every query runs single-threaded while the other
+    * cores idle. Measured on llm_langid at sf0.1: the whole query was 2
+    * tasks.
+    *
+    * When the planned scan parallelism is far below the session's core
+    * count, insert ONE round-robin repartition to defaultParallelism right
+    * above the scan. Catalyst pushes deterministic filters below
+    * Repartition and prunes columns through it, so PushedFilters/ReadSchema
+    * at the scan are unchanged — the exchange moves only surviving columns
+    * of surviving rows. On production-shaped input (many files / many row
+    * groups) the scan already plans ≥ cores splits and this is a no-op, so
+    * nothing here is tuned to local mode: the check derives from
+    * defaultParallelism, which tracks SPARK_GRAFT_CPUS.
+    *
+    * The probe (`df.rdd.getNumPartitions`) only plans the bare scan — no
+    * job runs — and the result is memoized per (session, path) above.
+    */
+  private def spreadNarrowScan(spark: SparkSession, df: DataFrame)
+      : DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    val scanParts = df.rdd.getNumPartitions
+    if (scanParts * 2 <= target) df.repartition(target) else df
+  }
 
   /** Normalize a `ts` column to the session-UTC TimestampType whatever the
     * stored encoding was (nanos-as-long, TIMESTAMP_NTZ, or TimestampType).
