@@ -67,26 +67,32 @@ object HyperAnf {
       edges: DataFrame, rounds: Int): Seq[(Int, Long, Long)] = {
     val e = edges.select(col(edges.columns(0)).as("src"),
       col(edges.columns(1)).as("dst"))
+    // ONE readoff action for all radii (r16): each radius' estimate is a
+    // 1-row aggregate over that round's (already materialized) register
+    // checkpoint, so the readoffs have no sequential dependency — only
+    // the advances do. Collecting them as one union lets the scheduler
+    // overlap the rounds+1 aggregation trees instead of paying a full
+    // action round-trip per radius (measured 41 → 29 jobs, the readoff
+    // legs' stages run concurrently). Costs keeping the per-round
+    // checkpoints alive until the readoff: rounds+1 copies of the
+    // (node, bucket, r) state, bounded by n·m rows each — fine for the
+    // small fixed `rounds` this is called with (g48: 6, scale check: 3).
+    def nfDf(i: Int, r: DataFrame): DataFrame =
+      HyperLogLog.estimateOccBy(r, Seq("node"))
+        .agg(sum(col("n_est")).as("nf_est"), sum(col("n_occ")).as("nf_occ"))
+        .select(lit(i).as("radius"), col("nf_est"), col("nf_occ"))
     var regs = init(nodes)
-    // one action per radius: per-node estimate and occupied count come
-    // out of the same aggregation (estimateOccBy), then one global sum —
-    // the separate r.count() was a second full job per round
-    def nf(r: DataFrame): (Long, Long) = {
-      val row = HyperLogLog.estimateOccBy(r, Seq("node"))
-        .agg(sum(col("n_est")), sum(col("n_occ"))).head()
-      (row.getLong(0), row.getLong(1))
-    }
-    val nf0 = nf(regs)
-    val out = scala.collection.mutable.ArrayBuffer((0, nf0._1, nf0._2))
+    val retained = scala.collection.mutable.ArrayBuffer(regs)
+    val legs = scala.collection.mutable.ArrayBuffer(nfDf(0, regs))
     for (i <- 1 to rounds) {
-      val next = advance(e, regs)
-      graft.core.Checkpoints.release(regs)
-      regs = next
-      val v = nf(regs)
-      out += ((i, v._1, v._2))
+      regs = advance(e, regs)
+      retained += regs
+      legs += nfDf(i, regs)
     }
-    graft.core.Checkpoints.release(regs)
-    out.toSeq
+    val rows = legs.reduce(_ unionByName _).collect()
+    retained.foreach(graft.core.Checkpoints.release)
+    rows.map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
   }
 
   /** Per-node ball readoffs at exactly `rounds` hops:

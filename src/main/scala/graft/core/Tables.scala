@@ -86,7 +86,7 @@ object Tables {
     * The probe (`df.rdd.getNumPartitions`) only plans the bare scan — no
     * job runs — and the result is memoized per (session, path) above.
     */
-  private def spreadNarrowScan(spark: SparkSession, df: DataFrame)
+  def spreadNarrowScan(spark: SparkSession, df: DataFrame)
       : DataFrame = {
     val target = spark.sparkContext.defaultParallelism
     val scanParts = df.rdd.getNumPartitions

@@ -38,13 +38,20 @@ object EdgeListIngest {
     StructField("EDGE", StringType),
     StructField("LENGTH", DoubleType)))
 
-  /** Raw typed scan with padding rows removed. */
+  /** Raw typed scan with padding rows removed. The slice CSVs are single
+    * ~5 MB files that plan as ONE scan split (below the 4 MB open-cost
+    * floor), so node derivation, edge dedup and the resolution joins all
+    * started from a single-task stage; the narrow-scan spread
+    * (core.Tables doc) fans the parsed rows across cores once — a no-op
+    * on multi-file production input.
+    */
   def readRaw(spark: SparkSession, path: String): DataFrame =
-    spark.read
-      .option("header", "true")
-      .schema(schema)
-      .csv(path)
-      .filter(col("START_NODE").isNotNull)
+    graft.core.Tables.spreadNarrowScan(spark,
+      spark.read
+        .option("header", "true")
+        .schema(schema)
+        .csv(path)
+        .filter(col("START_NODE").isNotNull))
 
   /** Node derivation: distinct (START_NODE, XCoord, YCoord). */
   def nodes(raw: DataFrame): DataFrame =
