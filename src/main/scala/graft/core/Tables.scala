@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
   */
 final class Tables(spark: SparkSession, sfDir: String) {
   def apply(name: String): DataFrame =
-    Tables.load(spark, s"$sfDir/$name.parquet")
+    Tables.load(spark, s"$sfDir/$name.parquet",
+      spread = name == "documents")
 
   def region: DataFrame = apply("region")
   def nation: DataFrame = apply("nation")
@@ -54,13 +55,25 @@ object Tables {
   private val cache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
 
-  private[core] def load(spark: SparkSession, path: String): DataFrame = {
+  /** `spread` is opt-in per table: measured at sf0.1 (bench_r16_before vs
+    * _mid), spreading pays off exactly where per-row expression work
+    * dominates the scan — the text/media-payload `documents` table (langid
+    * −6.8 s, multimodal decode −3.4 s, substring dedup −2.1 s, …) — and
+    * LOSES on the cheap numeric tables, where the extra exchange + AQE
+    * stage outweigh the parallelism (50 relational queries regressed
+    * +0.2–1.4 s each when lineitem/orders/events/embeddings were spread).
+    */
+  private[core] def load(spark: SparkSession, path: String,
+      spread: Boolean): DataFrame = {
     val it = cache.entrySet().iterator()
     while (it.hasNext) {
       if (it.next().getKey._1.sparkContext.isStopped) it.remove()
     }
     cache.computeIfAbsent((spark, path),
-      { case (s, p) => spreadNarrowScan(s, s.read.parquet(p)) })
+      { case (s, p) =>
+        val df = s.read.parquet(p)
+        if (spread) spreadNarrowScan(s, df) else df
+      })
   }
 
   /** Unsplittable-input guard (optimization guide §2.5: "one huge
