@@ -13,6 +13,39 @@ import org.apache.spark.sql.DataFrame
   */
 object Sinks {
 
+  /** Write-parallelism guard (optimization guide §6): a write whose input
+    * plans far narrower than the session's core count runs single-writer
+    * (the driver test tables are 1-split scans — see core.Tables), so the
+    * encode + compress work serializes. When that is detected, widen:
+    * hash-repartition on the partition columns when there are any (keeps
+    * ONE file set per directory value — same layout, parallel writers;
+    * the guide's Iceberg `hash` distribution mode), round-robin
+    * otherwise. On production-shaped input the probe sees enough
+    * partitions and this is a no-op — no extra shuffle is ever added to a
+    * wide write.
+    */
+  private def widen(df: DataFrame, partitionBy: Seq[String]): DataFrame = {
+    // Only MAP-ONLY inputs are candidates: an input below a shuffle
+    // (aggregate/join/window/sort/…) already has AQE-sized distribution,
+    // and — decisive — probing an AQE plan's partitioning via .rdd
+    // EXECUTES its shuffle stages as jobs, so the probe itself would run
+    // the aggregation once before the write ran it again (measured on
+    // q62: +0.9 s). On a shuffle-free plan the probe builds the RDD
+    // lineage without running anything.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val shuffled = df.queryExecution.analyzed.collectFirst {
+      case n @ (_: Aggregate | _: Join | _: Window | _: Distinct |
+        _: Deduplicate | _: Sort | _: GlobalLimit |
+        _: RepartitionOperation) => n
+    }.isDefined
+    if (shuffled) return df
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 > target) df
+    else if (partitionBy.nonEmpty)
+      df.repartition(target, partitionBy.map(df.col): _*)
+    else df.repartition(target)
+  }
+
   /** Parquet write with bounded file size, optionally hash-partitioned
     * by columns (directory partitioning → partition pruning on read).
     */
@@ -20,10 +53,17 @@ object Sinks {
       partitionBy: Seq[String] = Nil,
       maxRecordsPerFile: Long = 1_000_000L,
       sortWithinPartitionsBy: Seq[String] = Nil): Unit = {
+    // Unpartitioned columnar writes stay single-writer when narrow: the
+    // A/B (q64_snapshot_diff 1.05→1.94 s with a round-robin widen) shows
+    // the exchange plus multi-file read-back costs more than parallel
+    // encoding saves; directory-partitioned writes DO win from the hash
+    // widen (q48a 1.55→1.25 s) because each writer then owns whole
+    // partition values and the encode work is heavier.
+    val wide = if (partitionBy.nonEmpty) widen(df, partitionBy) else df
     val sorted =
       if (sortWithinPartitionsBy.nonEmpty)
-        df.sortWithinPartitions(sortWithinPartitionsBy.map(df.col): _*)
-      else df
+        wide.sortWithinPartitions(sortWithinPartitionsBy.map(wide.col): _*)
+      else wide
     val w = sorted.write
       .mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
@@ -34,14 +74,14 @@ object Sinks {
   /** CSV sink (header, bounded file size). */
   def csv(df: DataFrame, path: String,
       maxRecordsPerFile: Long = 1_000_000L): Unit =
-    df.write.mode("overwrite")
+    widen(df, Nil).write.mode("overwrite")
       .option("header", "true")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .csv(path)
 
   /** JSON-lines sink. */
   def json(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").json(path)
+    widen(df, Nil).write.mode("overwrite").json(path)
 
   /** Plain-text sink (one line per row; `df` must be a single string
     * column) — the raw-lines interchange format corpus pipelines ingest
@@ -51,7 +91,7 @@ object Sinks {
     */
   def text(df: DataFrame, path: String, compression: String = "none",
       maxRecordsPerFile: Long = 1_000_000L): Unit =
-    df.write.mode("overwrite")
+    widen(df, Nil).write.mode("overwrite")
       .option("compression", compression)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .text(path)
@@ -63,7 +103,8 @@ object Sinks {
   def orc(df: DataFrame, path: String,
       partitionBy: Seq[String] = Nil,
       maxRecordsPerFile: Long = 1_000_000L): Unit = {
-    val w = df.write
+    val w = (if (partitionBy.nonEmpty) widen(df, partitionBy) else df)
+      .write
       .mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
