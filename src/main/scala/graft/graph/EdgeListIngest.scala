@@ -134,8 +134,10 @@ object EdgeListIngest {
   def append(spark: SparkSession, pg: PropertyGraph, path: String)
       : PropertyGraph = {
     val raw = readRaw(spark, path).cache()
-    appendRaw(spark, pg, raw)
-      .copy(underlying = raw +: pg.underlying)
+    val ap = appendRaw(spark, pg, raw)
+    // keep appendRaw's own underlying entries (the candidates
+    // checkpoint) — replacing the list would leak them
+    ap.copy(underlying = raw +: ap.underlying)
   }
 
   /** The merge core on an already-typed raw frame — streaming
@@ -145,22 +147,44 @@ object EdgeListIngest {
     * micro-batch frame expires when the batch ends, so the caller must
     * materialize the result before the next batch).
     */
-  def appendRaw(spark: SparkSession, pg: PropertyGraph, rawIn: DataFrame)
-      : PropertyGraph = {
+  def appendRaw(spark: SparkSession, pg: PropertyGraph, rawIn: DataFrame,
+      cacheCandidates: Boolean = true): PropertyGraph = {
     val raw = rawIn.filter(col("START_NODE").isNotNull)
     val newNodes = nodes(raw)
       .join(pg.nodes, Seq("nodeId", "x", "y"), "left_anti")
     val allNodes = pg.nodes.unionByName(newNodes)
     val backlog = pg.pending.getOrElse(
       pg.edges.filter(lit(false)).select(EdgeCols.map(col): _*))
-    val candidates = dedupEdges(raw).unionByName(backlog)
+    // The candidate table (delta ∪ backlog, deduped, minus already-
+    // materialized) fans out into resolved, pend AND allEdges; left lazy,
+    // every reference inlines the whole upstream plan and g27's summary
+    // tree measured ~200 KB / 195 Exchange nodes — the optimizer walks
+    // all of it even though AQE reuses the exchanges at runtime. cache()
+    // collapses the fan-out: CacheManager substitutes the registered
+    // subtree with one InMemoryRelation in every dependent BEFORE
+    // optimization, so each reference costs one cached-scan leaf, and the
+    // memo survives the harness's post-run Checkpoints.release(result)
+    // (which unpersists checkpoint leaves — a localCheckpoint here was
+    // measured to break repeat runs of the memoized graph). The cached
+    // table is DELTA-sized (delta + backlog, the append contract's own
+    // bound). Ownership: rides in `underlying`, released with the graph;
+    // the streaming caller releases per batch.
+    // `cacheCandidates = false` (the streaming maintainer) keeps the
+    // table lazy: there each micro-batch eagerly checkpoints the three
+    // result frames anyway, and the cache round-trip measured SLOWER
+    // (3.2 → 3.6 s on stream_graph_append) while the batch path won big
+    // (g27 steady 2.7 → 1.6 s, 31 → 11 jobs).
+    val candBase = dedupEdges(raw).unionByName(backlog)
       .dropDuplicates(EdgeCols)
       .join(pg.edges, EdgeCols, "left_anti")
+    val candidates = if (cacheCandidates) candBase.cache() else candBase
     val resolved = resolve(candidates, allNodes)
     val allEdges = pg.edges.unionByName(resolved)
     val pend = candidates.join(resolved, EdgeCols, "left_anti")
     PropertyGraph(allNodes, allEdges,
-      underlying = pg.underlying, pending = Some(pend))
+      underlying = (if (cacheCandidates) Seq(candidates) else Nil) ++
+        pg.underlying,
+      pending = Some(pend))
   }
 
   /** An empty graph — the identity element for `append`/`appendRaw`

@@ -31,6 +31,10 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame,
   def unpersistAll(): Unit = {
     nodes.unpersist(); edges.unpersist(); projection.unpersist()
     pending.foreach(_.unpersist())
-    underlying.foreach(_.unpersist())
+    // underlying may hold localCheckpoint'ed frames (appendRaw's candidate
+    // table), for which Dataset.unpersist is a silent no-op — route
+    // through Checkpoints.release, which unpersists checkpoint leaves and
+    // falls back to unpersist() for plain cached frames.
+    underlying.foreach(graft.core.Checkpoints.release)
   }
 }

@@ -43,7 +43,8 @@ object GraphStreams {
       .csv(dir)
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val next = EdgeListIngest.appendRaw(spark, pg, batch)
+        val next = EdgeListIngest.appendRaw(spark, pg, batch,
+          cacheCandidates = false)
         // materialize BEFORE the batch frame expires / old state drops
         val mat = PropertyGraph(
           next.nodes.localCheckpoint(true),
@@ -54,6 +55,10 @@ object GraphStreams {
           graft.core.Checkpoints.release(pg.edges)
           pg.pending.foreach(graft.core.Checkpoints.release)
         }
+        // appendRaw parks its per-batch candidates checkpoint in
+        // `underlying` (the streaming pg carries none of its own) — dead
+        // once `mat` is materialized, so free it before the next batch
+        next.underlying.foreach(graft.core.Checkpoints.release)
         pg = mat
         generation += 1
         ()
