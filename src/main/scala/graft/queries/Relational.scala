@@ -1347,13 +1347,22 @@ object Relational {
         val lt = "graft_q54_lineitem"
         withScratch("graft-bucketed") { scratch =>
           try {
+            // repartition on the bucket key with numPartitions = buckets:
+            // HashPartitioning and the bucketing spec share the Murmur3
+            // hash, so each task owns exactly one bucket — the write runs
+            // 8-way parallel and emits ONE file per bucket instead of a
+            // single task writing all 8 (the 1-split-scan problem again;
+            // at scale the input is already wide and this is one
+            // bucket-aligned exchange the write needs anyway)
             orders.select(col("o_orderkey"), col("o_orderstatus"))
+              .repartition(8, col("o_orderkey"))
               .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
               .option("path", s"$scratch/b_orders").mode("overwrite")
               .saveAsTable(ot)
             lineitem.select(col("l_orderkey"),
                 (col("l_quantity").cast("decimal(15,2)") * 100)
                   .cast("long").as("qty_cents"))
+              .repartition(8, col("l_orderkey"))
               .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
               .option("path", s"$scratch/b_lineitem").mode("overwrite")
               .saveAsTable(lt)
