@@ -632,7 +632,18 @@ object Similarity {
     for (_ <- 1 to rounds) {
       val nbrs = beam.join(adj, beam("vec_id") === adj("src"))
         .select(col("q_id"), col("dst").as("vec_id"))
-      beam = rescore(beam.union(nbrs).distinct())
+      // ONE exchange per round (guide §2.4): rescore first (broadcast
+      // joins — beam is the tiny build side, so they impose no
+      // distribution), then establish the q_id partitioning once and let
+      // BOTH the duplicate-drop (grouping keys ⊇ partition key) and the
+      // rank window reuse it. The old shape paid two exchanges per round:
+      // distinct's (q_id, vec_id) hash plus the window's q_id hash.
+      // Duplicates between beam and nbrs are rescored redundantly before
+      // the drop — identical rows (cosine is deterministic), bounded by
+      // 2× the beam.
+      beam = rescore(beam.union(nbrs))
+        .repartition(col("q_id"))
+        .dropDuplicates("q_id", "vec_id")
         .withColumn("rn", row_number().over(Window.partitionBy("q_id")
           .orderBy(col("sim").desc, col("vec_id").asc)))
         .filter(col("rn") <= efSearch)
