@@ -15,13 +15,21 @@ object ProfileQuery {
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(2).map(_.toInt).getOrElse(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // dev-only A/B hook: SPARK_GRAFT_PROFILE_CONF="k=v;k=v" layers extra
+    // session confs so candidate settings can be measured before any
+    // production code adopts them
+    sys.env.get("SPARK_GRAFT_PROFILE_CONF").foreach(_.split(';')
+      .filter(_.contains('=')).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k.trim, v.trim)
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // job/stage/task counters: ambient-load-proof signals (a query's
     // scheduling footprint is deterministic where its wall time is not)

@@ -20,7 +20,8 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame,
     * Cached because every algorithm superstep re-reads it.
     */
   lazy val projection: DataFrame =
-    edges.groupBy("src", "dst").agg(min("cost").as("cost")).cache()
+    graft.core.Tables.sizedCoalesce(
+      edges.groupBy("src", "dst").agg(min("cost").as("cost"))).cache()
 
   def cache(): this.type = { nodes.cache(); edges.cache(); this }
 
