@@ -32,6 +32,47 @@ object Scratch {
     }
   }
 
+  /** Root for EPHEMERAL streaming checkpoint/state-store scratch.
+    *
+    * A Structured Streaming query's checkpoint carries offset/commit WALs
+    * and per-partition state-store delta files, each fsync'd per
+    * micro-batch. For the finite-replay driver queries (file source →
+    * memory sink, stopped and discarded within the query function) that
+    * durability buys nothing — the checkpoint is dead the moment the
+    * query returns — but every fsync pays real disk latency. Point the
+    * scratch at tmpfs when one is available; durable sinks (the
+    * stream_file_sink query) keep their checkpoint NEXT TO the sink on
+    * real disk, because there the checkpoint IS the exactly-once
+    * contract.
+    *
+    * Overridable via SPARK_GRAFT_STREAM_SCRATCH (set it to a durable
+    * path in deployments where even test-shaped streams must survive a
+    * process restart).
+    */
+  lazy val streamScratchRoot: String =
+    sys.env.get("SPARK_GRAFT_STREAM_SCRATCH").getOrElse {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) shm.getAbsolutePath
+      else System.getProperty("java.io.tmpdir")
+    }
+
+  /** Run `body` with a fresh checkpoint dir under [[streamScratchRoot]];
+    * recursive cleanup after (the stream must be stopped inside `body`).
+    */
+  def withStreamCheckpoint[A](prefix: String)(body: String => A): A = {
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(streamScratchRoot), prefix)
+    try body(base.toString)
+    finally {
+      try {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        Files.walk(base).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }
+  }
+
   /** Inert LocalRelation result for side-effecting queries. */
   def localResult(s: SparkSession, schema: StructType, rows: Seq[Row])
       : DataFrame = {

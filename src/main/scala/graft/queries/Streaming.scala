@@ -41,10 +41,17 @@ object Streaming {
       name: String, mode: String)(
       df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     withStreamPartitions(s, 8) {
-      val q = df.writeStream.format("memory").queryName(name)
-        .outputMode(mode).start()
-      try { q.processAllAvailable() } finally { q.stop() }
-      s.table(name)
+      // memory-sink checkpoints are ephemeral scratch (dead once the
+      // query stops) — put them on the pooled tmpfs root instead of
+      // paying per-micro-batch WAL/state fsyncs to disk; the durable
+      // stream_file_sink query keeps its checkpoint on real disk
+      graft.core.Scratch.withStreamCheckpoint(s"graft-ckpt-$name-") { ck =>
+        val q = df.writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", ck)
+          .outputMode(mode).start()
+        try { q.processAllAvailable() } finally { q.stop() }
+        s.table(name)
+      }
     }
 
   /** q72's exact-integer MAD fence in DuckDB — shared by the batch

@@ -257,25 +257,28 @@ object EventStreams {
         date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
         round(col("value") * 100).cast("long").as("vc"))
       .groupBy("day").agg(sum(col("vc")).as("val_cents"))
-    val q = daily.writeStream.outputMode("update")
-      .foreachBatch { (batch: DataFrame, seq: Long) =>
-        // update-mode batch = the days whose totals changed this trigger
-        val changed = batch.collect()
-        if (changed.nonEmpty) {
-          changed.foreach(r => dayState(r.getString(0)) = r.getLong(1))
-          val scores = madScores(
-            dayState.toSeq.toDF("day", "val_cents")).collect()
-          scores.foreach { r =>
-            val tup = (r.getLong(1), r.getLong(2), r.getLong(3))
-            if (!prev.get(r.getString(0)).contains(tup)) {
-              prev(r.getString(0)) = tup
-              out += ((seq, r.getString(0), tup._1, tup._2, tup._3))
+    graft.core.Scratch.withStreamCheckpoint("graft-ckpt-madu-") { ck =>
+      val q = daily.writeStream.outputMode("update")
+        .option("checkpointLocation", ck)
+        .foreachBatch { (batch: DataFrame, seq: Long) =>
+          // update-mode batch = the days whose totals changed this trigger
+          val changed = batch.collect()
+          if (changed.nonEmpty) {
+            changed.foreach(r => dayState(r.getString(0)) = r.getLong(1))
+            val scores = madScores(
+              dayState.toSeq.toDF("day", "val_cents")).collect()
+            scores.foreach { r =>
+              val tup = (r.getLong(1), r.getLong(2), r.getLong(3))
+              if (!prev.get(r.getString(0)).contains(tup)) {
+                prev(r.getString(0)) = tup
+                out += ((seq, r.getString(0), tup._1, tup._2, tup._3))
+              }
             }
           }
         }
-      }
-      .start()
-    try drive(q) finally q.stop()
+        .start()
+      try drive(q) finally q.stop()
+    }
     out.toSeq.toDF("seq", "day", "val_cents", "score_micro", "is_outlier")
   }
 

@@ -41,7 +41,9 @@ object GraphStreams {
       .option("header", "true")
       .option("maxFilesPerTrigger", 1)
       .csv(dir)
+    graft.core.Scratch.withStreamCheckpoint("graft-ckpt-gmaint-") { ck =>
     val q = src.writeStream
+      .option("checkpointLocation", ck)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val next = EdgeListIngest.appendRaw(spark, pg, batch,
           cacheCandidates = false)
@@ -66,5 +68,6 @@ object GraphStreams {
       .start()
     try { q.processAllAvailable() } finally { q.stop() }
     pg
+    }
   }
 }
