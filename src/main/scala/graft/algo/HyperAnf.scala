@@ -67,29 +67,44 @@ object HyperAnf {
       edges: DataFrame, rounds: Int): Seq[(Int, Long, Long)] = {
     val e = edges.select(col(edges.columns(0)).as("src"),
       col(edges.columns(1)).as("dst"))
-    // ONE readoff action for all radii (r16): each radius' estimate is a
-    // 1-row aggregate over that round's (already materialized) register
+    // BATCHED readoff actions (r16 batched ALL radii into one action;
+    // r17 bounds the cost of that): each radius' estimate is a 1-row
+    // aggregate over that round's (already materialized) register
     // checkpoint, so the readoffs have no sequential dependency — only
-    // the advances do. Collecting them as one union lets the scheduler
-    // overlap the rounds+1 aggregation trees instead of paying a full
-    // action round-trip per radius (measured 41 → 29 jobs, the readoff
-    // legs' stages run concurrently). Costs keeping the per-round
-    // checkpoints alive until the readoff: rounds+1 copies of the
-    // (node, bucket, r) state, bounded by n·m rows each — fine for the
-    // small fixed `rounds` this is called with (g48: 6, scale check: 3).
+    // the advances do. Collecting them as unions lets the scheduler
+    // overlap the aggregation trees instead of paying a full action
+    // round-trip per radius (r16 measured 41 → 35 jobs). But a single
+    // union over ALL rounds retains rounds+1 register checkpoints
+    // (n·m rows EACH) until the final collect — at 100 TB-scale n that
+    // is rounds× the kernel's peak state (r16 verdict item 5). Flush in
+    // groups of `ReadoffGroup` instead: peak retention is bounded at
+    // ReadoffGroup register tables regardless of the round count, for
+    // at most ceil((rounds+1)/group) readoff actions.
+    val ReadoffGroup = 3
     def nfDf(i: Int, r: DataFrame): DataFrame =
       HyperLogLog.estimateOccBy(r, Seq("node"))
         .agg(sum(col("n_est")).as("nf_est"), sum(col("n_occ")).as("nf_occ"))
         .select(lit(i).as("radius"), col("nf_est"), col("nf_occ"))
     var regs = init(nodes)
-    val retained = scala.collection.mutable.ArrayBuffer(regs)
+    var retained = scala.collection.mutable.ArrayBuffer(regs)
     val legs = scala.collection.mutable.ArrayBuffer(nfDf(0, regs))
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Row]
+    def flush(): Unit = {
+      rows ++= legs.reduce(_ unionByName _).collect()
+      legs.clear()
+      // the LAST round's registers stay live (the next advance reads
+      // them); everything older is done
+      retained.dropRight(1).foreach(graft.core.Checkpoints.release)
+      retained = retained.takeRight(1)
+    }
     for (i <- 1 to rounds) {
+      if (legs.size >= ReadoffGroup) flush()
       regs = advance(e, regs)
       retained += regs
       legs += nfDf(i, regs)
     }
-    val rows = legs.reduce(_ unionByName _).collect()
+    flush()
     retained.foreach(graft.core.Checkpoints.release)
     rows.map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1).toSeq

@@ -245,7 +245,16 @@ object RandomWalks {
       col("step").as("a_step"), col("node_id").as("center"))
     val b = walks.select(col("start_id"), col("walk_id"),
       col("step").as("b_step"), col("node_id").as("context"))
-    a.join(b, Seq("start_id", "walk_id"))
+    // When the corpus came from the LOCAL walk twin it is a
+    // LocalRelation and therefore driver-bounded BY CONSTRUCTION
+    // (LocalBudget admitted the collect) — broadcast that side so the
+    // self-join needs no exchange at all and only the final aggregation
+    // shuffles (guide §3.1; r16 verdict item 7). A distributed corpus
+    // (|V|·W·(L+1) rows — unbounded at scale) keeps the planner's
+    // choice.
+    val bounded = walks.queryExecution.optimizedPlan
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
+    a.join(if (bounded) broadcast(b) else b, Seq("start_id", "walk_id"))
       .filter(col("a_step") =!= col("b_step") &&
         abs(col("a_step") - col("b_step")) <= window)
       .groupBy(col("center"), col("context"))

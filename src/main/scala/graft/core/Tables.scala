@@ -47,13 +47,17 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String): Tables =
     new Tables(spark, sfDir)
 
-  /** Per-(session, path) memo of the loaded (lazily-planned) frame, so the
-    * scan-parallelism probe below runs once per table per session, not once
-    * per query. Holds only the plan, never data. Entries whose context has
+  /** Per-(session, path) memo of the PROBED scan-partition count, so the
+    * scan-parallelism probe below runs once per table per session, not
+    * once per query. Only the Int is memoized — the frame itself is
+    * rebuilt per call, so each query plans against a fresh file listing
+    * and no two consumers share one plan object (a shared frame made one
+    * consumer's cache()/unpersist() visible to every other and froze the
+    * listing for the session — r16 advice). Entries whose context has
     * stopped are purged on access (the queries.Graph cache discipline).
     */
-  private val cache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
+  private val probedParts = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Integer]()
 
   /** `spread` is opt-in per table: measured at sf0.1 (bench_r16_before vs
     * _mid), spreading pays off exactly where per-row expression work
@@ -65,15 +69,18 @@ object Tables {
     */
   private[core] def load(spark: SparkSession, path: String,
       spread: Boolean): DataFrame = {
-    val it = cache.entrySet().iterator()
+    val it = probedParts.entrySet().iterator()
     while (it.hasNext) {
       if (it.next().getKey._1.sparkContext.isStopped) it.remove()
     }
-    cache.computeIfAbsent((spark, path),
-      { case (s, p) =>
-        val df = s.read.parquet(p)
-        if (spread) spreadNarrowScan(s, df) else df
-      })
+    val df = spark.read.parquet(path)
+    if (!spread) df
+    else {
+      val parts: Int = probedParts.computeIfAbsent((spark, path),
+        _ => df.rdd.getNumPartitions)
+      val target = spark.sparkContext.defaultParallelism
+      if (parts * 2 <= target) df.repartition(target) else df
+    }
   }
 
   /** Unsplittable-input guard (optimization guide §2.5: "one huge

@@ -32,10 +32,22 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame,
   def unpersistAll(): Unit = {
     nodes.unpersist(); edges.unpersist(); projection.unpersist()
     pending.foreach(_.unpersist())
-    // underlying may hold localCheckpoint'ed frames (appendRaw's candidate
-    // table), for which Dataset.unpersist is a silent no-op — route
-    // through Checkpoints.release, which unpersists checkpoint leaves and
-    // falls back to unpersist() for plain cached frames.
-    underlying.foreach(graft.core.Checkpoints.release)
+    // underlying may hold cache()d frames (the raw CSV scan, appendRaw's
+    // candidate table) or localCheckpoint'ed ones. Dataset.unpersist
+    // handles the former; for the latter it is a silent no-op, so ALSO
+    // reach through to the RDD — but only when the frame's root ITSELF
+    // is the checkpoint scan. A blanket Checkpoints.release here walked
+    // EVERY LogicalRDD leaf in the plan, which for a cached frame whose
+    // plan embeds a checkpointed parent graph would destroy the parent's
+    // still-live checkpoints while never releasing the cache (r16
+    // advice).
+    underlying.foreach { df =>
+      df.unpersist()
+      df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+    }
   }
 }

@@ -33,11 +33,17 @@ object Sinks {
     // q62: +0.9 s). On a shuffle-free plan the probe builds the RDD
     // lineage without running anything.
     import org.apache.spark.sql.catalyst.plans.logical._
-    val shuffled = df.queryExecution.analyzed.collectFirst {
+    val plan = df.queryExecution.analyzed
+    // SetOperation (Except/Intersect) shuffles; expression subqueries
+    // (scalar-subquery aggregates and the like) hide whole shuffling
+    // subtrees from the node-type scan — bail on both, or the .rdd probe
+    // below would execute those stages before the write re-runs them
+    // (the exact double-execution this guard exists to prevent).
+    val shuffled = plan.collectFirst {
       case n @ (_: Aggregate | _: Join | _: Window | _: Distinct |
         _: Deduplicate | _: Sort | _: GlobalLimit |
-        _: RepartitionOperation) => n
-    }.isDefined
+        _: RepartitionOperation | _: SetOperation) => n
+    }.isDefined || plan.subqueriesAll.nonEmpty
     if (shuffled) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions * 2 > target) df

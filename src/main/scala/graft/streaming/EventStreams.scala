@@ -244,9 +244,18 @@ object EventStreams {
     * the day range, not the stream — the same bounded-state argument as
     * every sketch twin.
     */
+  /** Hard cap on the driver-side day-total fold below: the state is
+    * keyed by calendar day (one Long per day — ~366 rows/year of data),
+    * so a century of stream is still ~37k entries; hitting this cap
+    * means the input is not day-shaped and the driver fold must not
+    * grow unbounded. StreamingSpec pins the failure mode.
+    */
+  val MaxChangelogDays: Int = 200000
+
   def anomalyScoreChangelog(spark: SparkSession, events: DataFrame,
       drive: org.apache.spark.sql.streaming.StreamingQuery => Unit =
-        _.processAllAvailable()): DataFrame = {
+        _.processAllAvailable(),
+      maxDays: Int = MaxChangelogDays): DataFrame = {
     import spark.implicits._
     val dayState = scala.collection.mutable.HashMap.empty[String, Long]
     val prev =
@@ -265,8 +274,16 @@ object EventStreams {
           val changed = batch.collect()
           if (changed.nonEmpty) {
             changed.foreach(r => dayState(r.getString(0)) = r.getLong(1))
+            require(dayState.size <= maxDays,
+              s"anomalyScoreChangelog: day-keyed state grew to " +
+                s"${dayState.size} entries (cap $maxDays) — " +
+                "input is not day-bounded; refusing to fold it on the " +
+                "driver")
+            // one partition: the fence input is the bounded day table
+            // (LocalRelation would otherwise parallelize across all
+            // cores — cores-many tasks per percentile pass per trigger)
             val scores = madScores(
-              dayState.toSeq.toDF("day", "val_cents")).collect()
+              dayState.toSeq.toDF("day", "val_cents").coalesce(1)).collect()
             scores.foreach { r =>
               val tup = (r.getLong(1), r.getLong(2), r.getLong(3))
               if (!prev.get(r.getString(0)).contains(tup)) {

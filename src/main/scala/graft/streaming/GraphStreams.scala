@@ -57,10 +57,14 @@ object GraphStreams {
           graft.core.Checkpoints.release(pg.edges)
           pg.pending.foreach(graft.core.Checkpoints.release)
         }
-        // appendRaw parks its per-batch candidates checkpoint in
-        // `underlying` (the streaming pg carries none of its own) — dead
-        // once `mat` is materialized, so free it before the next batch
-        next.underlying.foreach(graft.core.Checkpoints.release)
+        // free only frames appendRaw itself ADDED this batch (with
+        // cacheCandidates = false that is none — next.underlying aliases
+        // pg.underlying). Releasing all of next.underlying here freed
+        // the CALLER-supplied initial graph's registered caches on the
+        // first micro-batch while the caller may still hold that graph
+        // (r16 advice).
+        next.underlying.diff(pg.underlying)
+          .foreach(graft.core.Checkpoints.release)
         pg = mat
         generation += 1
         ()

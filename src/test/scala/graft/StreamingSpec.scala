@@ -306,6 +306,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(folded === batch)
   }
 
+  test("update-mode MAD changelog: the driver-side day fold refuses to " +
+      "grow past its hard cap") {
+    // the r16-verdict bound: dayState is a driver HashMap keyed by
+    // calendar day; if the input is not day-bounded the fold must fail
+    // loudly instead of growing without limit
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    def ts(d: String) = java.sql.Timestamp.valueOf(s"2024-01-0$d 10:00:00")
+    mem.addData(Seq((ts("1"), 0.10), (ts("2"), 0.20), (ts("3"), 0.30)))
+    val e = intercept[Exception] {
+      EventStreams.anomalyScoreChangelog(spark,
+        mem.toDF().toDF("ts", "value"), maxDays = 2)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else String.valueOf(t.getMessage) +: messages(t.getCause)
+    assert(messages(e).exists(_.contains("day-keyed state grew")),
+      s"expected the cap error, got: ${messages(e).mkString(" | ")}")
+  }
+
   test("chunked staging splits a single-file table into N streamable " +
       "files that round-trip the data") {
     val staged = EventStreams.chunkedStage(spark,
