@@ -11,20 +11,25 @@ object StageProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
-    // warm rep
     val df0 = fn(spark, sfDir)
     df0.write.format("noop").mode("overwrite").save()
     graft.core.Checkpoints.release(df0)
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
-        override def onStageCompleted(
-            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-          println(s"[stage] tasks=${s.stageInfo.numTasks} name=${s.stageInfo.name} details=${s.stageInfo.details.linesIterator.toSeq.drop(1).take(3).mkString(" | ")}")
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val site = j.stageInfos.lastOption.map(_.details.linesIterator
+            .filter(l => l.contains("graft") || l.contains("Dataset") ||
+              l.contains("checkpoint")).take(2).mkString(" | "))
+            .getOrElse("")
+          println(s"[job] id=${j.jobId} stages=${j.stageInfos.size} tasks=${j.stageInfos.map(_.numTasks).sum} $site")
         }
       })
+    val t0 = System.nanoTime()
     val df = fn(spark, sfDir)
     df.write.format("noop").mode("overwrite").save()
     graft.core.Checkpoints.release(df)
+    println(f"[total] ${(System.nanoTime()-t0)/1e9}%.2f s")
     Thread.sleep(500)
     spark.stop()
   }

@@ -135,9 +135,48 @@ object Tables {
     * factor this needs.
     */
   def sizedCoalesce(df: DataFrame,
+      minBytesPerPartition: Long = 8L * 1024 * 1024): DataFrame =
+    sizedCoalesceBytes(df,
+      df.queryExecution.optimizedPlan.stats.sizeInBytes,
+      minBytesPerPartition)
+
+  /** [[sizedCoalesce]] with the size bound taken from ANOTHER frame —
+    * for aggregates/joins whose own estimate degenerates (Catalyst
+    * propagates the join's inflated product through the aggregate) but
+    * which are provably no larger than some upstream frame (e.g. a
+    * per-key rollup is bounded by its scan input).
+    */
+  def sizedCoalesce(df: DataFrame, boundedBy: DataFrame): DataFrame =
+    sizedCoalesceBytes(df,
+      boundedBy.queryExecution.optimizedPlan.stats.sizeInBytes,
+      8L * 1024 * 1024)
+
+  /** Volume-sized partitioning for a cache FED BY a wide compute stage.
+    *
+    * [[sizedCoalesce]] narrows (coalesce fuses into the producing
+    * stage), which would serialize the upstream per-row compute — wrong
+    * for the annotate/fingerprint maps that run 32-wide on purpose.
+    * This variant inserts ONE exchange instead: the map keeps its full
+    * parallelism and only the cached layout shrinks to track volume, so
+    * the cache's many consumers (cached plans skip AQE coalescing) stop
+    * paying cores-many task dispatches per read. No-op above
+    * cores×minBytes — production-shaped input never pays the exchange.
+    */
+  def shrinkForCache(df: DataFrame,
       minBytesPerPartition: Long = 8L * 1024 * 1024): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes >= BigInt(minBytesPerPartition) * cores) df
+    else {
+      val target = ((bytes + minBytesPerPartition - 1) /
+        minBytesPerPartition).max(1).min(cores).toInt
+      df.repartition(target)
+    }
+  }
+
+  private def sizedCoalesceBytes(df: DataFrame, bytes: BigInt,
+      minBytesPerPartition: Long): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
     if (bytes >= BigInt(minBytesPerPartition) * cores) df
     else {
       val target = ((bytes + minBytesPerPartition - 1) /

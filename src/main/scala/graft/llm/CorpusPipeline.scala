@@ -35,7 +35,7 @@ object CorpusPipeline {
     // downstream dedup stage INLINES them into its own plan — paying
     // their evaluation AND a fresh codegen compilation per stage (~3×
     // the whole pipeline's cost, measured at sf0.1)
-    val filtered = annotated.filter(col("quality") >= minQuality).cache()
+    val filtered = annotated.filter(col("quality") >= minQuality).transform(graft.core.Tables.shrinkForCache(_)).cache()
     try {
       // dedupCorpus returns an eagerly-materialized frame, so the cache
       // can be dropped before returning (finally: a dedup failure must

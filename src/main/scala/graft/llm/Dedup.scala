@@ -275,7 +275,7 @@ object Dedup {
     // is collision-free up to md5).
     val fped = docs.select(col("doc_id"),
         md5(concat_ws(" ", tokens(col("text")))).as("fp"))
-      .cache()
+      .transform(graft.core.Tables.shrinkForCache(_)).cache()
     // Early-out (r9 verdict item): on a MOSTLY-DISTINCT corpus the
     // collapse grouping buys nothing and costs two extra shuffles —
     // doc-level banding finds the few clone pairs anyway (identical
@@ -294,7 +294,7 @@ object Dedup {
     val groups = fped.groupBy(col("fp"))
       .agg(min(col("doc_id")).as("rep_id"),
         count(lit(1)).as("n_members"))
-      .cache()
+      .transform(graft.core.Tables.shrinkForCache(_)).cache()
     val reps = docs.join(
       groups.select(col("rep_id").as("doc_id")), Seq("doc_id"), "left_semi")
 
@@ -351,7 +351,7 @@ object Dedup {
         call_function("graft_minhash_text", col("toks"), lit(w), lit(k))
           .as("sig"))
       .filter(col("sig").isNotNull)
-      .cache()
+      .transform(graft.core.Tables.shrinkForCache(_)).cache()
     // explode into (band_id, band_key) keys — ids only, narrow shuffle.
     // The key is the band's signature VALUES joined as a string, not a
     // hash of them: same bucketing (equal slices ⇔ equal keys, with no
@@ -376,7 +376,7 @@ object Dedup {
         sp.join(withSig.select(col("doc_id").as("id_a")), Seq("id_a"),
           "left_semi"))
       case None => bandCands
-    }).cache()
+    }).transform(graft.core.Tables.shrinkForCache(_)).cache()
     // exact Jaccard verification — shingle sets materialized ONLY for
     // docs that appear in a candidate pair. On a typical corpus that set
     // is tiny and AQE turns these joins into broadcasts at runtime; on a
@@ -389,7 +389,7 @@ object Dedup {
       .join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), shinglesFromTokens(col("toks"), w).as("sh"))
-      .cache()
+      .transform(graft.core.Tables.shrinkForCache(_)).cache()
     val verified = cands
       .join(candSh.select(col("doc_id").as("id_a"),
         col("sh").as("sh_a")), Seq("id_a"))
@@ -457,7 +457,7 @@ object Dedup {
       .filter(col("doc_id") =!= col("bench_id"))
       .select(col("doc_id"), col("bench_id"))
       .dropDuplicates("doc_id", "bench_id")
-      .cache()
+      .transform(graft.core.Tables.shrinkForCache(_)).cache()
 
     // exact verify: corpus shingle sets only for candidate docs, bench
     // shingle sets for the whole (small) bench
@@ -523,7 +523,7 @@ object Dedup {
     // in clone multiplicity (the r9 10× scale run measured the cost).
     val fped = docs.select(col("doc_id"),
         md5(concat_ws(" ", tokens(col("text")))).as("fp"))
-      .cache()
+      .transform(graft.core.Tables.shrinkForCache(_)).cache()
     // Early-out (r9 verdict item, same reasoning as minhashNearDup): on
     // a mostly-distinct corpus the collapse grouping buys nothing and
     // costs two extra shuffles — the AllPairs prefix join finds clone
@@ -541,7 +541,7 @@ object Dedup {
     val groups = fped.groupBy(col("fp"))
       .agg(min(col("doc_id")).as("rep_id"),
         count(lit(1)).as("n_members"))
-      .cache()
+      .transform(graft.core.Tables.shrinkForCache(_)).cache()
     val reps = docs.join(
       groups.select(col("rep_id").as("doc_id")), Seq("doc_id"), "left_semi")
     // Eagerly checkpointed: a materialization BARRIER, not just reuse.
@@ -598,7 +598,7 @@ object Dedup {
       s"threshold must be in (0,1]: $minJacNum/$minJacDen")
     val sh = sets.select(col(sets.columns(0)).as("doc_id"),
         col(sets.columns(1)).as("sh"))
-      .cache() // read by the frequency agg, the prefix build and verify
+      .transform(graft.core.Tables.shrinkForCache(_)).cache() // read by the frequency agg, the prefix build and verify
     val exploded = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val freq = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
 
@@ -619,7 +619,7 @@ object Dedup {
         row_number().over(byDoc.orderBy(col("df"), col("s"))))
       .filter(col("rn") <= col("sz") - ceilT + 1)
       .select(col("doc_id"), col("sz"), col("rn"), col("s"))
-      .cache() // both sides of the self-join below
+      .transform(graft.core.Tables.shrinkForCache(_)).cache() // both sides of the self-join below
 
     // Candidate pairs grouped so the PPJoin positional filter (Xiao et
     // al. WWW'08) can run before any shingle array is materialized:
@@ -734,7 +734,7 @@ object Dedup {
     // signature-distinct band join and both expansion sides read it
     val sigs = docs
       .select(col("doc_id"), simhash(col("text")).as("simhash"))
-      .cache()
+      .transform(graft.core.Tables.shrinkForCache(_)).cache()
     val distinctSigs = sigs.select(col("simhash")).distinct()
     val banded = distinctSigs.select(col("simhash"),
       posexplode(array((0 until bands).map { b =>
@@ -791,7 +791,7 @@ object Dedup {
     // union-find instead of paying a shuffle per propagation superstep.
     // measureEdges' string-length estimate over long ids overestimates
     // the collected (Long, Long) rows, so the admit is conservative.
-    val cached = pairs.select(col("id_a"), col("id_b")).cache()
+    val cached = pairs.select(col("id_a"), col("id_b")).transform(graft.core.Tables.shrinkForCache(_)).cache()
     val (nPairs, estBytes) = graft.core.LocalBudget.measureEdges(cached)
     if (graft.core.LocalBudget.fitsLocal(nPairs, estBytes, localThreshold)) {
       val edges = cached.collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -876,7 +876,7 @@ object Dedup {
     // survivors feeds the signature scan, the candidate-shingle scan and
     // the final anti-join — cache it so the exact-dedup groupBy shuffle
     // runs once, not once per downstream reference
-    val survivors = docs.join(exactKeep, Seq("doc_id"), "left_semi").cache()
+    val survivors = docs.join(exactKeep, Seq("doc_id"), "left_semi").transform(graft.core.Tables.shrinkForCache(_)).cache()
     // survivors carry one doc per fingerprintMd5, which IS the collapse
     // fingerprint — skip the (provably no-op) exact-duplicate collapse
     val pairs = minhashNearDup(survivors, w, k, bands, minJaccard,
@@ -925,7 +925,7 @@ object Dedup {
     val vecs = emb.select(col("vec_id"), col("embedding"))
     val sigs = vecs
       .select(col("vec_id"), hyperplaneBits(col("embedding"), nBits).as("hb"))
-      .cache()
+      .transform(graft.core.Tables.shrinkForCache(_)).cache()
     val banded = sigs.select(col("vec_id"),
       posexplode(array((0 until bands).map { b =>
         shiftrightunsigned(col("hb"), b * bitsPerBand)

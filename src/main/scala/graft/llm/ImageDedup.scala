@@ -120,7 +120,7 @@ object ImageDedup {
     val sigs = hashes.select(col("media_id"),
       shiftleft(col("dhash_hi"), 32).bitwiseOR(col("dhash_lo")).as("dh"),
       shiftleft(col("ahash_hi"), 32).bitwiseOR(col("ahash_lo")).as("ah"))
-      .cache()
+      .transform(graft.core.Tables.shrinkForCache(_)).cache()
     // Band DISTINCT (dh, ah) signatures, not media rows (the r9 fix
     // shared with Dedup.simhashNearDup): duplicate-media clusters made
     // the doc-level candidate join quadratic in clone multiplicity

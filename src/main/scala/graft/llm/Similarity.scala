@@ -180,7 +180,7 @@ object Similarity {
     var prev: Option[DataFrame] = None
     var i = 0
     while (i < iters) {
-      val next = kmeansRefine(spark, assignToCentroids(vecs, cents)).cache()
+      val next = kmeansRefine(spark, assignToCentroids(vecs, cents)).transform(graft.core.Tables.shrinkForCache(_)).cache()
       next.count()
       // drop the previous iteration's cached centroids — repeated kmeans
       // calls in a long-lived session must not accumulate cached blocks
@@ -345,11 +345,12 @@ object Similarity {
       else math.max(autoCentroids(vecs.count()), nProbe)
     require(nCent >= nProbe, s"need nCentroids >= nProbe, got $nCent < $nProbe")
     val seeds = seedCentroids(vecs, nCent)
+    // collected exactly once — no cache (see graphAnn: a cache() here
+    // also pinned the refine aggregation's reduce partitions)
     val refined =
-      kmeansRefine(spark, assignToCentroids(vecs, seeds), dim).cache()
+      kmeansRefine(spark, assignToCentroids(vecs, seeds), dim)
     val cents = refined.collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
-    refined.unpersist()
     val assigned = assignToCentroids(vecs, cents)
     // per-vector top-nProbe probe centroids — the same native kernel as
     // the assignment argmax, n = nProbe; map-side, no shuffle
@@ -577,11 +578,12 @@ object Similarity {
     val nCent =
       if (nCentroids > 0) nCentroids else autoCentroids(vecs.count())
     val seeds = seedCentroids(vecs, nCent)
+    // collected exactly once — no cache (a cache() here also pinned the
+    // refine aggregation's 32 reduce partitions, since cached plans skip
+    // AQE coalescing; uncached, the collect runs with AQE)
     val refined = kmeansRefine(spark, assignToCentroids(vecs, seeds), dim)
-      .cache()
     val cents = refined.collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
-    refined.unpersist()
     // ---- build: bucketed m-NN adjacency (over distinct vectors) -----
     val probed = vecs.select(col("vec_id"), col("embedding"),
       explode(nearestCentroids(col("embedding"), cents, graphProbes))

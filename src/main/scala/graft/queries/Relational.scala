@@ -1527,16 +1527,27 @@ object Relational {
       (s, dir) => {
         import graft.operators.HyperLogLog
         val tt = t(s, dir)
-        val legs = Seq(
-          ("l_orderkey", tt.lineitem, col("l_orderkey")),
-          ("l_partkey", tt.lineitem, col("l_partkey")),
-          ("o_custkey", tt.orders, col("o_custkey")))
-        legs.map { case (nm, df, k) =>
-          val est = HyperLogLog.estimate(
-            HyperLogLog.sketch(df.select(k.cast("string").as("k")), col("k")))
-          df.agg(countDistinct(k).as("n_exact")).crossJoin(est)
-            .select(lit(nm).as("key_name"), col("n_exact"), col("n_est"))
-        }.reduce(_ unionByName _)
+        // One tagged key stream for all three legs: lineitem's two keys
+        // share a single scan (explode), and ONE grouped sketch shuffle +
+        // ONE grouped exact-distinct pass replace three sketch and three
+        // countDistinct subtrees (guide §2.4 — the per-leg formulation
+        // paid ~15 exchanges / 19 AQE jobs of fixed latency for the same
+        // register tables; bucket/rho are functions of the VALUE alone,
+        // so the grouped registers are identical per key).
+        val keys = tt.lineitem.select(explode(array(
+            struct(lit("l_orderkey").as("key_name"),
+              col("l_orderkey").cast("string").as("k")),
+            struct(lit("l_partkey").as("key_name"),
+              col("l_partkey").cast("string").as("k")))).as("x"))
+          .select(col("x.key_name").as("key_name"), col("x.k").as("k"))
+          .unionByName(tt.orders.select(lit("o_custkey").as("key_name"),
+            col("o_custkey").cast("string").as("k")))
+        val ests = HyperLogLog.estimateBy(
+          HyperLogLog.sketchBy(keys, col("k"), Seq("key_name")),
+          Seq("key_name"))
+        keys.groupBy("key_name").agg(countDistinct(col("k")).as("n_exact"))
+          .join(ests, Seq("key_name"))
+          .select(col("key_name"), col("n_exact"), col("n_est"))
       },
       Some(HllOracle.sql(Seq(
         ("l_orderkey", "lineitem", "l_orderkey"),
@@ -1688,12 +1699,21 @@ object Relational {
       (s, dir) => {
         val tt = t(s, dir)
         // cached: three consumers (basket count, per-brand counts, pair
-        // explode) would otherwise re-run the join+basket agg
-        val bk = tt.lineitem.select(col("l_orderkey"), col("l_partkey"))
-          .join(broadcast(tt.part.select(col("p_partkey").as("l_partkey"),
-            col("p_brand"))), Seq("l_partkey"))
-          .groupBy(col("l_orderkey"))
-          .agg(sort_array(collect_set(col("p_brand"))).as("brands"))
+        // explode) would otherwise re-run the join+basket agg.
+        // sizedCoalesce (bounded by the lineitem scan — one basket row
+        // per orderkey, so the rollup can't exceed its input): cached
+        // plans skip AQE coalescing, so the cache would otherwise hold
+        // shuffle.partitions near-empty partitions and each consumer
+        // (including the three broadcast legs) would pay that many
+        // tasks per read
+        val liScan = tt.lineitem.select(col("l_orderkey"), col("l_partkey"))
+        val bk = graft.core.Tables.sizedCoalesce(
+          liScan
+            .join(broadcast(tt.part.select(col("p_partkey").as("l_partkey"),
+              col("p_brand"))), Seq("l_partkey"))
+            .groupBy(col("l_orderkey"))
+            .agg(sort_array(collect_set(col("p_brand"))).as("brands")),
+          boundedBy = liScan)
           .cache()
         val nb = bk.agg(count(lit(1)).as("n_baskets"))
         val cnt = bk.select(explode(col("brands")).as("p_brand"))
