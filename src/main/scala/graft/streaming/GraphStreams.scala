@@ -45,13 +45,37 @@ object GraphStreams {
     val q = src.writeStream
       .option("checkpointLocation", ck)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        import org.apache.spark.sql.functions.{col, lit}
         val next = EdgeListIngest.appendRaw(spark, pg, batch,
           cacheCandidates = false)
-        // materialize BEFORE the batch frame expires / old state drops
+        // materialize BEFORE the batch frame expires / old state drops.
+        // ONE tagged-union checkpoint instead of three separate ones:
+        // nodes, edges and pending all hang off the same candidate/
+        // backlog subtrees, so materializing them as one action lets the
+        // scheduler reuse the shared exchanges within a single plan and
+        // pays one checkpoint job per batch instead of three (the query
+        // ran 50 jobs for 2 batches). The three graph frames are narrow
+        // tag-filters over the shared checkpoint; releasing any of them
+        // releases the one underlying RDD (release is idempotent).
+        val nullS = lit(null).cast("string")
+        val nullD = lit(null).cast("double")
+        val tagged = next.nodes.select(lit(0).as("tag"), col("nodeId"),
+            col("x"), col("y"), nullS.as("src"), nullS.as("dst"),
+            nullS.as("roadId"), nullD.as("cost"))
+          .unionByName(next.edges.select(lit(1).as("tag"),
+            nullS.as("nodeId"), nullD.as("x"), nullD.as("y"),
+            col("src"), col("dst"), col("roadId"), col("cost")))
+          .unionByName(next.pending.get.select(lit(2).as("tag"),
+            nullS.as("nodeId"), nullD.as("x"), nullD.as("y"),
+            col("src"), col("dst"), col("roadId"), col("cost")))
+          .localCheckpoint(true)
         val mat = PropertyGraph(
-          next.nodes.localCheckpoint(true),
-          next.edges.localCheckpoint(true),
-          pending = next.pending.map(_.localCheckpoint(true)))
+          tagged.filter(col("tag") === 0)
+            .select(col("nodeId"), col("x"), col("y")),
+          tagged.filter(col("tag") === 1)
+            .select(col("src"), col("dst"), col("roadId"), col("cost")),
+          pending = Some(tagged.filter(col("tag") === 2)
+            .select(col("src"), col("dst"), col("roadId"), col("cost"))))
         if (generation > 0) {
           graft.core.Checkpoints.release(pg.nodes)
           graft.core.Checkpoints.release(pg.edges)
