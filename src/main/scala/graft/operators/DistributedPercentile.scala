@@ -48,10 +48,11 @@ import org.apache.spark.sql.types.{BinaryType, DoubleType, IntegerType, LongType
 object DistributedPercentile {
 
   /** Single value column: one output row per distinct `groupCol` with
-    * one double column per (name, p) in `ps`.
+    * one double column per (name, p) in `ps`. `buckets = 0` (default)
+    * sizes the range-partition count to data volume.
     */
   def exact(df: DataFrame, groupCol: String, valueCol: String,
-      ps: Seq[(String, Double)], buckets: Int = 32): DataFrame =
+      ps: Seq[(String, Double)], buckets: Int = 0): DataFrame =
     exactMulti(df, groupCol, Seq(valueCol -> ps), buckets)
 
   /** Multi-column form — one source scan total: `specs` maps each value
@@ -60,7 +61,7 @@ object DistributedPercentile {
     */
   def exactMulti(df: DataFrame, groupCol: String,
       specs: Seq[(String, Seq[(String, Double)])],
-      buckets: Int = 32): DataFrame =
+      buckets: Int = 0): DataFrame =
     exactKeys(df, Seq(groupCol), specs, buckets)
 
   private def containsBinary(dt: org.apache.spark.sql.types.DataType): Boolean =
@@ -81,13 +82,13 @@ object DistributedPercentile {
     */
   def exactKeys(df: DataFrame, groupCols: Seq[String],
       specs: Seq[(String, Seq[(String, Double)])],
-      buckets: Int = 32): DataFrame = {
+      buckets: Int = 0): DataFrame = {
     require(groupCols.nonEmpty, "need at least one group column")
     require(specs.nonEmpty && specs.forall(_._2.nonEmpty),
       "need at least one percentile per value column")
     require(specs.forall(_._2.forall { case (_, p) => p >= 0.0 && p <= 1.0 }),
       s"percentiles must be in [0,1]: $specs")
-    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    require(buckets >= 0, s"buckets must be >= 0 (0 = auto), got $buckets")
     groupCols.foreach { g =>
       require(!containsBinary(df.schema(g).dataType),
         s"BinaryType group key '$g' unsupported: Array[Byte] equality is " +
@@ -107,8 +108,22 @@ object DistributedPercentile {
       .select(col("__g"), col("__tv.__t").as("__t"), col("__tv.__v").as("__v"))
       .filter(col("__v").isNotNull)
 
+    // Volume-adaptive bucket count (buckets = 0): each range bucket is
+    // sorted in one task, so aim for ~64 MB of exploded rows per bucket —
+    // a fixed 32 paid 32-task stages (checkpoint, counts, selection) on
+    // kilobyte inputs AND would under-partition a 100 TB one. The cut
+    // positions only affect which partition a rank lands in, never the
+    // selected values or the interpolation — results are bit-identical
+    // for any bucket count.
+    val nBuckets =
+      if (buckets >= 1) buckets
+      else {
+        val per = 64L * 1024 * 1024
+        val bytes = tagged.queryExecution.optimizedPlan.stats.sizeInBytes
+        ((bytes + per - 1) / per).max(1).min(32768).toInt
+      }
     val parted = tagged
-      .repartitionByRange(buckets, col("__t"), col("__g"), col("__v"))
+      .repartitionByRange(nBuckets, col("__t"), col("__g"), col("__v"))
       .withColumn("__part", spark_partition_id())
       .localCheckpoint()
     try {
