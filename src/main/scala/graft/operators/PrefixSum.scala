@@ -53,7 +53,7 @@ object PrefixSum {
     * nondeterministic).
     */
   def running(df: DataFrame, keyCol: String, weightCol: String,
-      buckets: Int = 32): DataFrame = {
+      buckets: Int = 0): DataFrame = {
     require(!df.columns.contains("running_total"),
       "input must not already have a running_total column")
     runningMulti(df, keyCol, Seq(weightCol), buckets)
@@ -67,8 +67,8 @@ object PrefixSum {
     * long column per requested weight.
     */
   def runningMulti(df: DataFrame, keyCol: String, weightCols: Seq[String],
-      buckets: Int = 32): DataFrame = {
-    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+      buckets: Int = 0): DataFrame = {
+    require(buckets >= 0, s"buckets must be >= 0 (0 = auto), got $buckets")
     require(weightCols.nonEmpty, "need at least one weight column")
     val wTmp = weightCols.indices.map(i => s"__w$i")
     val outCols = weightCols.map(w => s"running_$w")
@@ -87,7 +87,19 @@ object PrefixSum {
     // downstream narrow coalesce (which computes several parent
     // partitions inside one task — e.g. Verify's coalesce(1) writes),
     // whereas checkpointed data cannot change underneath us.
-    val parted = df.repartitionByRange(buckets, col(keyCol))
+    // Volume-adaptive bucket count (buckets = 0), the
+    // DistributedPercentile policy: ~64 MB of rows per range bucket —
+    // the fixed 32 paid 32-task stages on kilobyte inputs and would
+    // under-partition a 100 TB one. Cut positions never change a prefix
+    // sum (it is order-defined, not cut-defined).
+    val nBuckets =
+      if (buckets >= 1) buckets
+      else {
+        val per = 64L * 1024 * 1024
+        val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        ((bytes + per - 1) / per).max(1).min(32768).toInt
+      }
+    val parted = df.repartitionByRange(nBuckets, col(keyCol))
       .withColumn("__bucket", spark_partition_id())
       .localCheckpoint()
     val work = weightCols.zip(wTmp).foldLeft(parted) { case (d, (w, t)) =>
