@@ -338,9 +338,12 @@ class PlanSpec extends AnyFunSuite {
       val analyzed = df.queryExecution.analyzed.toString
       val p = plan(df)
       assert(analyzed.contains("LocalRelation"), analyzed)
-      // single-node plan: the LocalRelation IS the whole tree (no file
-      // source, no join, no checkpoint scan above or below it)
-      assert(analyzed.linesIterator.count(_.trim.nonEmpty) === 1, analyzed)
+      // the LocalRelation IS the whole tree (no file source, no join,
+      // no checkpoint scan above or below it) — modulo the registry's
+      // volume-sizing wrapper (a narrow Repartition/Coalesce over the
+      // local rows, which re-reads nothing)
+      val lines = analyzed.linesIterator.filter(_.trim.nonEmpty).toSeq
+      assert(lines.count(!_.contains("Repartition")) === 1, analyzed)
       assert(!p.contains("FileScan") && !p.contains("Scan parquet"), p)
       assert(!p.contains("Exchange") && !p.contains("ExistingRDD"), p)
     }
