@@ -598,7 +598,7 @@ object Dedup {
       s"threshold must be in (0,1]: $minJacNum/$minJacDen")
     val sh = sets.select(col(sets.columns(0)).as("doc_id"),
         col(sets.columns(1)).as("sh"))
-      .transform(graft.core.Tables.shrinkForCache(_)).cache() // read by the frequency agg, the prefix build and verify
+      .cache() // read by the frequency agg, the prefix build and verify
     val exploded = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val freq = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
 
@@ -619,7 +619,7 @@ object Dedup {
         row_number().over(byDoc.orderBy(col("df"), col("s"))))
       .filter(col("rn") <= col("sz") - ceilT + 1)
       .select(col("doc_id"), col("sz"), col("rn"), col("s"))
-      .transform(graft.core.Tables.shrinkForCache(_)).cache() // both sides of the self-join below
+      .cache() // both sides of the self-join below
 
     // Candidate pairs grouped so the PPJoin positional filter (Xiao et
     // al. WWW'08) can run before any shingle array is materialized:

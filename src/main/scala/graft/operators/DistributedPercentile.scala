@@ -109,16 +109,21 @@ object DistributedPercentile {
       .filter(col("__v").isNotNull)
 
     // Volume-adaptive bucket count (buckets = 0): each range bucket is
-    // sorted in one task, so aim for ~64 MB of exploded rows per bucket —
-    // a fixed 32 paid 32-task stages (checkpoint, counts, selection) on
-    // kilobyte inputs AND would under-partition a 100 TB one. The cut
-    // positions only affect which partition a rank lands in, never the
-    // selected values or the interpolation — results are bit-identical
-    // for any bucket count.
+    // sorted in one task — a fixed 32 paid 32-task stages (checkpoint,
+    // counts, selection) on kilobyte inputs AND would under-partition a
+    // 100 TB one. The grain is 256 KB of ESTIMATED bytes per bucket:
+    // the estimate is compressed-scan-anchored and undercounts
+    // in-memory row size ~10-20x, so 256 KB estimated is a few MB of
+    // real sort per task — small enough to keep the CPU-bound sort
+    // parallel (a 64 MB grain measured a single bucket serializing a
+    // ~2M-row sort, +1.3 s on q36 at sf0.1). The cut positions only
+    // affect which partition a rank lands in, never the selected values
+    // or the interpolation — results are bit-identical for any bucket
+    // count.
     val nBuckets =
       if (buckets >= 1) buckets
       else {
-        val per = 64L * 1024 * 1024
+        val per = 256L * 1024
         val bytes = tagged.queryExecution.optimizedPlan.stats.sizeInBytes
         ((bytes + per - 1) / per).max(1).min(32768).toInt
       }

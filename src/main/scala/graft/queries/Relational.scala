@@ -1527,27 +1527,24 @@ object Relational {
       (s, dir) => {
         import graft.operators.HyperLogLog
         val tt = t(s, dir)
-        // One tagged key stream for all three legs: lineitem's two keys
-        // share a single scan (explode), and ONE grouped sketch shuffle +
-        // ONE grouped exact-distinct pass replace three sketch and three
-        // countDistinct subtrees (guide §2.4 — the per-leg formulation
-        // paid ~15 exchanges / 19 AQE jobs of fixed latency for the same
-        // register tables; bucket/rho are functions of the VALUE alone,
-        // so the grouped registers are identical per key).
-        val keys = tt.lineitem.select(explode(array(
-            struct(lit("l_orderkey").as("key_name"),
-              col("l_orderkey").cast("string").as("k")),
-            struct(lit("l_partkey").as("key_name"),
-              col("l_partkey").cast("string").as("k")))).as("x"))
-          .select(col("x.key_name").as("key_name"), col("x.k").as("k"))
-          .unionByName(tt.orders.select(lit("o_custkey").as("key_name"),
-            col("o_custkey").cast("string").as("k")))
-        val ests = HyperLogLog.estimateBy(
-          HyperLogLog.sketchBy(keys, col("k"), Seq("key_name")),
-          Seq("key_name"))
-        keys.groupBy("key_name").agg(countDistinct(col("k")).as("n_exact"))
-          .join(ests, Seq("key_name"))
-          .select(col("key_name"), col("n_exact"), col("n_est"))
+        // Kept in the per-leg formulation: a round-17 rewrite sharing
+        // one tagged key stream (grouped sketch + grouped exact
+        // distinct) cut 19 AQE jobs to 8 but RAN SLOWER at sf0.1
+        // (+1.8 s, same-window A/B) — the tagged stream hashes strings
+        // where the exact legs hash longs, and the single fused scan
+        // serialized work three independent 1-split legs had been
+        // overlapping. Exchange count is not the objective function;
+        // the measured plan stays.
+        val legs = Seq(
+          ("l_orderkey", tt.lineitem, col("l_orderkey")),
+          ("l_partkey", tt.lineitem, col("l_partkey")),
+          ("o_custkey", tt.orders, col("o_custkey")))
+        legs.map { case (nm, df, k) =>
+          val est = HyperLogLog.estimate(
+            HyperLogLog.sketch(df.select(k.cast("string").as("k")), col("k")))
+          df.agg(countDistinct(k).as("n_exact")).crossJoin(est)
+            .select(lit(nm).as("key_name"), col("n_exact"), col("n_est"))
+        }.reduce(_ unionByName _)
       },
       Some(HllOracle.sql(Seq(
         ("l_orderkey", "lineitem", "l_orderkey"),
